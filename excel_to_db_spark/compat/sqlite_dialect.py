@@ -10,8 +10,16 @@ ANSI (SURVEY.md §4.3):
 - SQLite x/0 -> NULL; Spark ANSI throws.
 
 This is a pure query-rewrite/function-choice layer — no Catalyst rule.
-`apply_session_mode` flips ANSI off for the closest whole-session match;
-`rewrite` handles the operator-level substitutions for SQL text.
+`apply_session_mode` flips ANSI off for the closest whole-session match
+(permissive casts, NULL on div-by-zero); `rewrite` handles the
+keyword-level substitutions for SQL text, skipping string literals so
+data inside quotes is never touched.
+
+The int-division delta (SQLite 1/2 -> 0) is NOT rewritten: `/` between
+integer columns cannot be retargeted to `div` textually without a real
+parser knowing operand types, and a wrong rewrite silently corrupts
+results. Callers who need SQLite integer division write `a div b`
+explicitly (documented divergence).
 """
 
 from __future__ import annotations
@@ -28,17 +36,22 @@ def apply_session_mode(spark: SparkSession, sqlite_compat: bool) -> None:
 
 _LIKE_RE = re.compile(r"(?i)(?<![a-z0-9_])like(?![a-z0-9_])")
 _CAST_RE = re.compile(r"(?i)(?<![a-z0-9_])cast\s*\(")
-_INT_DIV_HINT = re.compile(r"(?i)(?<![a-z0-9_])div(?![a-z0-9_])")
+
+# Split into alternating [code, literal, code, literal, ...] segments.
+# A SQLite string literal is '...' with '' as the escaped quote.
+_LITERAL_RE = re.compile(r"('(?:[^']|'')*')")
 
 
 def rewrite(sql: str, *, sqlite_compat: bool = True) -> str:
     """Best-effort textual rewrite of a SQLite-dialect query into Spark
     SQL with matching semantics. Intentionally conservative: only the
-    unambiguous keyword-level substitutions; everything else is already
-    shared syntax and goes straight to `spark.sql` (Catalyst is the
-    SQLite VDBE of this engine)."""
+    unambiguous keyword-level substitutions (LIKE -> ILIKE, CAST ->
+    TRY_CAST), applied outside string literals; everything else is
+    already shared syntax and goes straight to `spark.sql` (Catalyst is
+    the SQLite VDBE of this engine)."""
     if not sqlite_compat:
         return sql
-    out = _LIKE_RE.sub("ILIKE", sql)
-    out = _CAST_RE.sub("TRY_CAST(", out)
-    return out
+    parts = _LITERAL_RE.split(sql)
+    for i in range(0, len(parts), 2):  # even indices = non-literal code
+        parts[i] = _CAST_RE.sub("TRY_CAST(", _LIKE_RE.sub("ILIKE", parts[i]))
+    return "".join(parts)

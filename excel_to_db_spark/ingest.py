@@ -71,13 +71,14 @@ def _coerce_f64(v: Any) -> float | None:
 
 
 def _coerce_i64(v: Any) -> int | None:
-    """calamine as_i64: int, integral float, or numeric string."""
+    """calamine as_i64: int, any finite float (TRUNCATED, 2.7 -> 2 —
+    matching calamine's Float-as-i64 cast), or numeric string."""
     if isinstance(v, bool):
         return None
     if isinstance(v, int):
         return v
     if isinstance(v, float):
-        return int(v) if v.is_integer() else None
+        return int(v) if v == v and abs(v) != float("inf") else None
     if isinstance(v, str):
         try:
             return int(v.strip())

@@ -1,0 +1,21 @@
+"""Query/operator registry package (the driver-contract backing store).
+
+Importing this package populates :data:`REGISTRY` through the operator
+modules' registration side effects — each module decorates its functions
+with :func:`excel_to_db_spark.queries.registry.query`. ``__spark_entry__``
+exposes the result via ``queries()`` / ``oracle_sql()``.
+"""
+
+from .registry import REGISTRY, QuerySpec, oracle_sqls, query, spark_queries
+
+# Registration side effects — each import adds its operators to REGISTRY.
+from . import relational  # noqa: E402,F401  Tier B: scans/joins/aggs/windows/setops
+
+__all__ = [
+    "REGISTRY",
+    "QuerySpec",
+    "query",
+    "spark_queries",
+    "oracle_sqls",
+    "relational",
+]

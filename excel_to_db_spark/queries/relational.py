@@ -62,16 +62,22 @@ def values_inline(spark, sf_dir):
 
 @query("project_expr", oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net_price,
            upper(l_returnflag) AS rflag
     FROM lineitem
 """)
 def project_expr(spark, sf_dir):
-    """Projection with expressions + aliases (whole-stage codegen)."""
+    """Projection with expressions + aliases (whole-stage codegen).
+
+    Rounding is spelled floor(x*100+0.5)/100 on BOTH sides: per-row
+    round() at 2dp hits half-tie cells where Spark (exact BigDecimal
+    HALF_UP) and DuckDB (double multiply/round) disagree by 1 ulp; the
+    floor formulation is identical IEEE double arithmetic in any engine."""
     le = T(spark, sf_dir, "lineitem")
     return le.select(
         "l_orderkey", "l_linenumber",
-        F.round(le.l_extendedprice * (1 - le.l_discount), 2).alias("net_price"),
+        (F.floor(le.l_extendedprice * (1 - le.l_discount) * 100 + 0.5) / 100)
+            .alias("net_price"),
         F.upper("l_returnflag").alias("rflag"))
 
 
