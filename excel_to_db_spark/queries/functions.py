@@ -1,0 +1,276 @@
+"""Scalar-function packs (SURVEY.md §2.B rows: str/math/date/cond/cast/
+JSON/arith) plus the UDF and approx-aggregate extension rows.
+
+In the reference every one of these is SQLite's C implementation reached
+through the passthrough at src/main.rs:220; here each is the same-named
+built-in in pyspark.sql.functions (JVM-side, whole-stage codegen — never
+a Python UDF except the deliberate `udf_scalar` demonstration, which is
+an Arrow-batched pandas_udf).
+
+Oracle-parity rules applied throughout (SURVEY.md §4.3): identical
+aliases both sides, explicit casts where natural result widths differ
+(Spark int vs DuckDB bigint), no transcendental functions in hashed
+output (libm last-ulp differences), rounding spelled floor(x*k+0.5)/k.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .registry import query
+from .relational import T
+
+
+@query("str_funcs", oracle="""
+    SELECT p_partkey,
+           CAST(length(p_name) AS BIGINT)            AS name_len,
+           upper(p_brand)                            AS brand_up,
+           lower(p_type)                             AS type_lo,
+           substring(p_name, 1, 8)                   AS name8,
+           trim(concat(' ', p_name, ' '))            AS name_trim,
+           replace(p_type, ' ', '_')                 AS type_us,
+           CAST(instr(p_type, 'BRASS') AS BIGINT)    AS brass_pos,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')     AS size4,
+           reverse(p_brand)                          AS brand_rev,
+           concat_ws('|', p_brand, p_type)           AS brand_type,
+           CAST(ascii(p_name) AS INT)                AS first_cp
+    FROM part
+""")
+def str_funcs(spark, sf_dir):
+    """String function pack: length/upper/lower/substr/trim/replace/
+    instr/lpad/reverse/concat_ws/ascii (SQLite core string funcs)."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.instr("p_type", "BRASS").cast("bigint").alias("brass_pos"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.ascii("p_name").cast("int").alias("first_cp"))
+
+
+@query("math_funcs", oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000.0)                   AS dev,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)          AS disc_sign,
+           floor(l_extendedprice / 1000)                    AS price_k,
+           ceil(l_quantity / 10)                            AS qty_decile,
+           sqrt(l_extendedprice)                            AS price_sqrt,
+           power(l_discount, 2)                             AS disc_sq,
+           CAST(l_orderkey % 7 AS BIGINT)                   AS key_mod7,
+           greatest(l_quantity, 25.0)                       AS qty_hi,
+           least(l_quantity, 25.0)                          AS qty_lo
+    FROM lineitem
+""")
+def math_funcs(spark, sf_dir):
+    """Math pack: abs/sign/floor/ceil/sqrt/power/mod/greatest/least.
+    sqrt is IEEE-exact so it hashes identically across engines;
+    ln/exp/trig are intentionally excluded from hashed output (libm
+    last-ulp differences), though Spark exposes them all the same."""
+    le = T(spark, sf_dir, "lineitem")
+    return le.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(le.l_extendedprice - 30000.0).alias("dev"),
+        F.signum(le.l_discount - 0.05).cast("double").alias("disc_sign"),
+        F.floor(le.l_extendedprice / 1000).alias("price_k"),
+        F.ceil(le.l_quantity / 10).alias("qty_decile"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.pow("l_discount", F.lit(2)).alias("disc_sq"),
+        (le.l_orderkey % 7).cast("bigint").alias("key_mod7"),
+        F.greatest(le.l_quantity, F.lit(25.0)).alias("qty_hi"),
+        F.least(le.l_quantity, F.lit(25.0)).alias("qty_lo"))
+
+
+@query("date_funcs", oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)      AS yr,
+           CAST(month(o_orderdate) AS INT)     AS mo,
+           CAST(day(o_orderdate) AS INT)       AS dy,
+           CAST(quarter(o_orderdate) AS INT)   AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d')   AS iso_day,
+           CAST(o_orderdate AS DATE) + 30      AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1997-01-01 00:00:00', o_orderdate)
+                AS INT)                        AS days_since_97
+    FROM orders
+""")
+def date_funcs(spark, sf_dir):
+    """Date/time pack. SQLite's strftime modifiers map to year/month/
+    day/quarter/date_trunc/date_format/date_add/datediff (the strftime
+    pattern translation: %Y-%m-%d -> yyyy-MM-dd)."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dy"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate"),
+                   F.lit("1997-01-01").cast("timestamp")).cast("int")
+         .alias("days_since_97"))
+
+
+@query("case_when", oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 9000 THEN 'mid'
+                ELSE 'high' END                         AS bal_tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS nk_parity
+    FROM customer
+""")
+def case_when(spark, sf_dir):
+    """Conditional pack: CASE WHEN / coalesce / nullif / iif."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(c.c_acctbal < 0, "debt")
+         .when(c.c_acctbal < 5000, "low")
+         .when(c.c_acctbal < 9000, "mid")
+         .otherwise("high").alias("bal_tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER"))
+         .alias("seg_or_other"),
+        F.when(c.c_nationkey % 2 == 0, "even").otherwise("odd").alias("nk_parity"))
+
+
+@query("cast_funcs", oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT)                   AS line_big,
+           CAST(l_quantity AS BIGINT)                     AS qty_int,
+           CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT)    AS key_roundtrip,
+           CAST(l_shipdate AS DATE)                       AS ship_day,
+           TRY_CAST('12abc' AS INT)                       AS bad_cast,
+           TRY_CAST(concat(CAST(l_orderkey AS VARCHAR), '0') AS BIGINT) AS key_x10
+    FROM lineitem
+""")
+def cast_funcs(spark, sf_dir):
+    """CAST pack. SQLite CAST is permissive ('12abc'->12); ANSI Spark and
+    DuckDB both error, so the oracle pair uses TRY_CAST (NULL) — the
+    sqlite-compat layer maps CAST->TRY_CAST for dialect parity
+    (compat/sqlite_dialect.py). l_quantity is integral-valued so the
+    double->bigint cast truncation is unambiguous."""
+    le = T(spark, sf_dir, "lineitem")
+    return le.select(
+        "l_orderkey",
+        le.l_linenumber.cast("bigint").alias("line_big"),
+        le.l_quantity.cast("bigint").alias("qty_int"),
+        le.l_orderkey.cast("string").cast("bigint").alias("key_roundtrip"),
+        le.l_shipdate.cast("date").alias("ship_day"),
+        F.lit("12abc").try_cast("int").alias("bad_cast"),
+        F.concat(le.l_orderkey.cast("string"), F.lit("0")).try_cast("bigint")
+         .alias("key_x10"))
+
+
+@query("json_extract", oracle="""
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k')              AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS k_missing
+    FROM events
+""")
+def json_extract(spark, sf_dir):
+    """JSON pack over events.props (a JSON text column, as SQLite's
+    json_extract / -> / ->> operate on TEXT). get_json_object is the
+    Spark twin; from_json gives the typed path."""
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "event_type",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("k_missing"))
+
+
+@query("json_typed", oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+""")
+def json_typed(spark, sf_dir):
+    """Schema-on-read JSON: from_json into a typed struct, then aggregate
+    on the extracted field — the scalable pattern (one parse, columnar
+    after) vs per-access string extraction."""
+    ev = T(spark, sf_dir, "events")
+    return (ev.select("event_type",
+                      F.from_json("props", "k BIGINT").alias("p"))
+            .groupBy("event_type")
+            .agg(F.sum("p.k").cast("bigint").alias("sum_k"),
+                 F.count("*").alias("n")))
+
+
+@query("arith_funcs", oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice + l_tax                       AS plus_v,
+           l_extendedprice - l_discount                  AS minus_v,
+           l_quantity * 2.0                              AS times_v,
+           l_extendedprice / 4.0                         AS div_v,
+           CAST(l_orderkey // 100 AS BIGINT)             AS int_div,
+           CAST(l_orderkey % 10 AS BIGINT)               AS mod_v,
+           l_returnflag || '-' || l_linestatus           AS concat_v
+    FROM lineitem
+""")
+def arith_funcs(spark, sf_dir):
+    """Arithmetic + || concat. Integer division is spelled explicitly
+    (Spark `div`, DuckDB `//`) because bare int/int differs by dialect:
+    SQLite->0, Spark/DuckDB->0.5 (SURVEY §4.3)."""
+    le = T(spark, sf_dir, "lineitem")
+    return le.select(
+        "l_orderkey", "l_linenumber",
+        (le.l_extendedprice + le.l_tax).alias("plus_v"),
+        (le.l_extendedprice - le.l_discount).alias("minus_v"),
+        (le.l_quantity * 2.0).alias("times_v"),
+        (le.l_extendedprice / 4.0).alias("div_v"),
+        F.expr("l_orderkey div 100").cast("bigint").alias("int_div"),
+        (le.l_orderkey % 10).cast("bigint").alias("mod_v"),
+        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("concat_v"))
+
+
+@query("udf_scalar", oracle="""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+               AS n_words
+    FROM documents
+""")
+def udf_scalar(spark, sf_dir):
+    """Extension row (SQLite's create_scalar_function is never used by
+    the reference): a vectorized Arrow-batched pandas_udf — the ONLY
+    sanctioned way to run Python per-value at scale (10-100x over
+    row-at-a-time UDFs). Word count over single-spaced text, so the SQL
+    oracle can state the same semantics exactly."""
+    @F.pandas_udf(LongType())
+    def n_words(s: pd.Series) -> pd.Series:
+        return s.str.count(" ").add(1).astype("int64")
+
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", n_words("text").alias("n_words"))
+
+
+@query("approx_distinct", oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           true AS approx_within_5pct
+    FROM lineitem
+""")
+def approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++). The sketch estimate is
+    engine-specific, so the hashed contract is the tolerance CLAIM:
+    |approx - exact| / exact < 5% (rsd default 5%) must hold, and the
+    oracle pins it to `true`. At 100 TB the approx path avoids the
+    exact-distinct shuffle entirely."""
+    le = T(spark, sf_dir, "lineitem")
+    return (le.agg(F.countDistinct("l_partkey").cast("bigint").alias("n_exact"),
+                   F.approx_count_distinct("l_partkey").alias("n_approx"))
+            .select("n_exact",
+                    (F.abs(F.col("n_approx") - F.col("n_exact"))
+                     / F.col("n_exact") < 0.05).alias("approx_within_5pct")))
