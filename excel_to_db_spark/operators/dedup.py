@@ -1,0 +1,213 @@
+"""Deduplication operators for large text corpora.
+
+The reference's only dedup surface is SQL ``SELECT DISTINCT`` through
+its passthrough (reference src/main.rs:220); these extend it with the
+standard LLM-training-corpus family. Everything is expressed with
+built-in Spark SQL functions — token explosion, hash-partitioned joins,
+aggregation — so Catalyst/AQE handle the physical plan, and nothing
+collects to the driver.
+
+Scale notes (100 TB):
+
+- Exact/fingerprint dedup is one hash-partitioned aggregation on the
+  fingerprint — the cheapest possible shuffle, and AQE coalesces the
+  post-shuffle partitions.
+- The inverted-index Jaccard join explodes one row per (doc, token). Its
+  cost is dominated by hot tokens; production runs cap that with
+  document-frequency pruning (drop tokens appearing in > X% of docs —
+  they cannot discriminate) and prefix filtering (index only each doc's
+  k rarest tokens). `jaccard_pairs(max_df=...)` implements the DF prune.
+- MinHash-LSH replaces the all-pairs verification set with per-band
+  bucket joins: candidates are only docs agreeing on one full band —
+  at 100 TB this is the difference between O(n^2) and O(n·dups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_tokens(text: Column) -> Column:
+    """Distinct, sorted token set of a whitespace-tokenized document."""
+    return F.array_sort(F.array_distinct(F.split(text, " ")))
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Canonical content fingerprint: md5 over the sorted distinct token
+    set. Two docs with the same bag-of-words (any order / multiplicity)
+    collide — the usual "normalized exact dup" definition."""
+    return F.md5(F.concat_ws(" ", norm_tokens(text)))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+                ) -> DataFrame:
+    """Exact (fingerprint) dedup: one representative (min id) per
+    fingerprint group, with the group size. Single shuffle on the md5."""
+    return (df.select(F.col(id_col), content_fingerprint(F.col(text_col)).alias("fp"))
+              .groupBy("fp")
+              .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+              .select(id_col, "n_dups"))
+
+
+def _token_index(df: DataFrame, text_col: str, id_col: str,
+                 max_df: int | None = None) -> DataFrame:
+    """Inverted index: one row per (doc, distinct token); optionally
+    prune tokens with document frequency > max_df (they can't
+    discriminate near-dups but dominate the join cost)."""
+    toks = df.select(F.col(id_col).alias("did"),
+                     F.explode(norm_tokens(F.col(text_col))).alias("tok"))
+    if max_df is not None:
+        keep = (toks.groupBy("tok").agg(F.count("*").alias("df_"))
+                    .filter(F.col("df_") <= max_df).select("tok"))
+        toks = toks.join(F.broadcast(keep), "tok")
+    return toks
+
+
+def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
+                  id_col: str = "doc_id", max_df: int | None = None) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs via the inverted index:
+
+        |A ∩ B| from a token-equijoin + count, |A ∪ B| = |A|+|B|-|A∩B|.
+
+    No cross join anywhere — the only joins are hash joins on `tok` and
+    broadcast joins of the (small) per-doc size table. Returns
+    (d1, d2, jaccard) with d1 < d2, jaccard >= threshold."""
+    toks = _token_index(df, text_col, id_col, max_df)
+    sizes = toks.groupBy("did").agg(F.count("*").alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.did") < F.col("b.did")))
+              .groupBy(F.col("a.did").alias("d1"), F.col("b.did").alias("d2"))
+              .agg(F.count("*").alias("n_inter")))
+    s1 = sizes.select(F.col("did").alias("d1"), F.col("n_tok").alias("n1"))
+    s2 = sizes.select(F.col("did").alias("d2"), F.col("n_tok").alias("n2"))
+    return (inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
+            .select("d1", "d2",
+                    (F.col("n_inter")
+                     / (F.col("n1") + F.col("n2") - F.col("n_inter")))
+                    .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = 64,
+                       text_col: str = "text", id_col: str = "doc_id"
+                       ) -> DataFrame:
+    """MinHash signature per doc: hash_i(doc) = min over tokens of
+    xxhash64(i || token). Pure column expressions — the whole signature
+    is computed in one codegen'd projection, no shuffle at all."""
+    toks = norm_tokens(F.col(text_col))
+    sig = F.array(*[
+        F.array_min(F.transform(
+            toks, lambda t, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), t))))
+        for i in range(n_hashes)
+    ])
+    return df.select(F.col(id_col).alias("did"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """LSH banding: docs sharing ANY full band of the signature become a
+    candidate pair. One explode (bands per doc), one shuffle on the
+    band bucket key, pairs generated inside each bucket."""
+    banded = sigs.select(
+        "did",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                                for r in range(rows)])).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"))
+    banded = banded.select("did", "bb.band", "bb.bucket")
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (x.join(y, (F.col("x.band") == F.col("y.band"))
+                   & (F.col("x.bucket") == F.col("y.bucket"))
+                   & (F.col("x.did") < F.col("y.did")))
+             .select(F.col("x.did").alias("d1"), F.col("y.did").alias("d2"))
+             .distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, threshold: float, n_hashes: int = 64,
+                        bands: int = 16, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
+    EXACT Jaccard verification of candidates only (array_intersect on
+    the small per-doc token arrays — no second token explosion).
+
+    With bands=16 x rows=4, P(miss | j=0.9) = (1-0.9^4)^16 ≈ 4e-8, so
+    the verified output equals the exhaustive `jaccard_pairs` result
+    with overwhelming probability while touching ~O(n·dups) pairs
+    instead of O(n^2)."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, n_hashes, text_col, id_col)
+    cands = minhash_lsh_candidates(sigs, bands, rows)
+    docs = df.select(F.col(id_col).alias("did"),
+                     norm_tokens(F.col(text_col)).alias("toks"))
+    d1 = docs.select(F.col("did").alias("d1"), F.col("toks").alias("t1"))
+    d2 = docs.select(F.col("did").alias("d2"), F.col("toks").alias("t2"))
+    inter = F.size(F.array_intersect("t1", "t2"))
+    union = F.size("t1") + F.size("t2") - inter
+    return (cands.join(F.broadcast(d1), "d1").join(F.broadcast(d2), "d2")
+            .select("d1", "d2", (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the token set: bit i of the fingerprint is the
+    sign of sum over tokens of (2*bit_i(xxhash64(token)) - 1). Computed
+    entirely with higher-order array functions (no explode, no shuffle)."""
+    toks = norm_tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(i: int) -> Column:
+        # sum over token hashes of +-1 for bit i
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h, i=i: acc
+            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"))
+
+    out = F.lit(0).cast("bigint")
+    for i in range(64):
+        out = out + F.when(bit_vote(i) > 0,
+                           F.lit(1).cast("bigint") * (2 ** i if i < 63
+                                                      else -(2 ** 63))
+                           ).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_blocks: int = 4) -> DataFrame:
+    """SimHash near-dup candidates: block the 64-bit fingerprint into
+    `n_blocks` chunks; by pigeonhole any pair within hamming distance
+    < n_blocks shares at least one exact chunk — join on chunk equality,
+    then filter by true hamming distance via bit_count(xor).
+
+    Output is a candidate list (d1, d2, hamming). SimHash approximates
+    COSINE similarity of the token vectors, so there is no exact-Jaccard
+    oracle for the candidate set — the driver records a rows-only check
+    (SURVEY.md §2.C)."""
+    bits_per = 64 // n_blocks
+    fp = df.select(F.col(id_col).alias("did"),
+                   simhash64(F.col(text_col)).alias("sh"))
+    chunks = fp.select(
+        "did", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("blk"),
+                     F.shiftrightunsigned("sh", c * bits_per)
+                      .bitwiseAND(F.lit((1 << bits_per) - 1)).alias("ck"))
+            for c in range(n_blocks)
+        ])).alias("bc"))
+    chunks = chunks.select("did", "sh", "bc.blk", "bc.ck")
+    x = chunks.alias("x")
+    y = chunks.alias("y")
+    ham = F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh")))
+    return (x.join(y, (F.col("x.blk") == F.col("y.blk"))
+                   & (F.col("x.ck") == F.col("y.ck"))
+                   & (F.col("x.did") < F.col("y.did")))
+             .select(F.col("x.did").alias("d1"), F.col("y.did").alias("d2"),
+                     ham.alias("hamming"))
+             .distinct()
+             .filter(F.col("hamming") <= max_hamming))

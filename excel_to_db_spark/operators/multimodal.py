@@ -1,0 +1,108 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Design (SURVEY.md §2.C): image/audio/video are `binary` columns with a
+metadata struct alongside. The Spark-side plumbing — schema, Arrow batch
+shape, `mapInPandas` signatures, partition sizing — is real and tested;
+the actual codec call is stubbed (no image/audio libraries exist in this
+container) behind `_decode_image_bytes`, which returns a deterministic
+fake derived from the bytes so the pipeline stays value-checkable.
+
+Scale notes (100 TB of media):
+
+- Binary payloads ride in parquet pages like any column; column pruning
+  means metadata-only queries never touch the bytes.
+- `mapInPandas` streams Arrow record batches through Python — decode is
+  per-batch vectorized, and `spark.sql.execution.arrow.maxRecordsPerBatch`
+  bounds peak memory per task (set it low when payloads are MBs).
+- Frame sampling multiplies rows; doing it with `explode` of a computed
+  index array (JVM-side) and decoding ONLY sampled frames keeps the
+  Python boundary minimal.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = ("doc_id bigint, n_bytes bigint, width int, height int, "
+                  "n_channels int")
+
+
+def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload column + typed metadata struct
+    from the documents table (the testdata has no real media; utf-8 bytes
+    of the text stand in — the point is the column shape, not the codec)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(F.length(payload).cast("bigint").alias("n_bytes"),
+                 F.lit("fake/rgb8").alias("mime"),
+                 F.md5(payload).alias("checksum")))
+
+
+def _decode_image_bytes(buf: bytes) -> tuple[int, int, int]:
+    """STUB codec (no PIL/ffmpeg in this container). Deterministic fake:
+    dimensions derived from the byte length. A real deployment drops in
+    `PIL.Image.open(io.BytesIO(buf)).size` here — signature unchanged.
+
+    Raises NotImplementedError for payloads a real codec would reject
+    (empty), so failure handling is exercised too."""
+    if not buf:
+        raise NotImplementedError("empty payload: no codec available")
+    n = len(buf)
+    return (64 + n % 577, 64 + (n * 31) % 389, 3)
+
+
+def decode_images(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Decode payloads via mapInPandas: Arrow batches in, per-batch
+    vectorized Python, Arrow batches out. Empty payloads yield NULL dims
+    (permissive) rather than failing the task."""
+    id_name, pay_name = id_col, payload_col
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = []
+            for buf in pdf[pay_name]:
+                try:
+                    dims.append(_decode_image_bytes(bytes(buf)))
+                except NotImplementedError:
+                    dims.append((None, None, None))
+            w, h, c = zip(*dims) if dims else ((), (), ())
+            yield pd.DataFrame({
+                "doc_id": pdf[id_name],
+                "n_bytes": pdf[pay_name].map(len).astype("int64"),
+                "width": pd.array(w, dtype="Int32"),
+                "height": pd.array(h, dtype="Int32"),
+                "n_channels": pd.array(c, dtype="Int32"),
+            })
+
+    return (df.select(F.col(id_col), F.col(payload_col))
+            .mapInPandas(decode, schema=DECODED_SCHEMA))
+
+
+def sample_frame_indices(n_frames: Column, every_k: int) -> Column:
+    """Frame-sampling index array [0, k, 2k, ...) — computed JVM-side so
+    only sampled frames ever cross into Python."""
+    return F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))
+
+
+def sample_frames(df: DataFrame, every_k: int = 10, id_col: str = "doc_id",
+                  payload_col: str = "payload",
+                  frame_bytes: int = 16) -> DataFrame:
+    """Treat the payload as a fake video of fixed-size frames; emit one
+    row per sampled frame with its byte slice. explode() of a JVM-computed
+    index array — the decode boundary sees only sampled frames."""
+    n_frames = (F.length(F.col(payload_col)) / frame_bytes).cast("int")
+    base = (df.filter(F.length(payload_col) >= frame_bytes)
+              .select(F.col(id_col), F.col(payload_col),
+                      F.explode(sample_frame_indices(n_frames, every_k))
+                       .alias("frame_idx")))
+    frame = F.substring(F.col(payload_col).cast("string"),
+                        F.col("frame_idx") * frame_bytes + 1, frame_bytes)
+    return base.select(F.col(id_col),
+                       F.col("frame_idx").cast("bigint").alias("frame_idx"),
+                       F.md5(frame).alias("frame_checksum"))

@@ -1,0 +1,136 @@
+"""Vector similarity search over an embedding column (array<float>).
+
+The reference has no vector surface at all (its SQL passthrough at
+reference src/main.rs:220 reaches SQLite, which has none either); this is
+the Tier C extension family (SURVEY.md §2.C): brute-force cosine top-k as
+the correctness baseline, and an SRP-LSH (signed-random-projection)
+bucketed variant as the approximate scale path.
+
+Everything is built from higher-order array functions (`zip_with`,
+`aggregate`, `transform`) — JVM-side, codegen'd, no Python in the hot
+loop — and the only joins are (a) a broadcast of the small query set or
+(b) an equi-join on the LSH bucket id.
+
+Scale notes (100 TB of vectors):
+
+- Brute force is O(|Q|·|C|·d) but shuffle-free when Q broadcasts: the
+  corpus streams through executors once, each computing local top-k
+  (TakeOrderedAndProject after the window trick would global-sort; the
+  groupBy-rank form keeps per-query heaps distributed).
+- SRP-LSH turns that into one equi-join on bucket id: candidates are only
+  vectors whose sign pattern agrees, cost O(collisions). The hyperplanes
+  are small-integer patterns (exact in IEEE double), so results are
+  bit-reproducible across engines — the DuckDB oracle runs the identical
+  math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Deterministic "random" hyperplanes: h_j[i] = ((i*31 + j*17) % 7) - 3.
+# Small integers => every dot product is exact integer-scaled arithmetic
+# in double; sign() is then unambiguous and engine-independent.
+N_PLANES = 4
+
+
+def _plane(j: int, dim: int) -> list[int]:
+    return [((i * 31 + j * 17) % 7) - 3 for i in range(dim)]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns via zip_with + aggregate
+    (sequential left-fold => deterministic summation order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double(a: Column) -> Column:
+    """array<float> -> array<double> so both engines do double math on
+    identically-rounded inputs (float32 values widen exactly)."""
+    return a.cast("array<double>")
+
+
+def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus,
+    rank per query. Returns (q_id, n_id, cos_sim, rk).
+
+    The corpus side never shuffles until the final per-query rank, whose
+    input is already reduced to |Q|·|C| scored pairs; at scale, pre-reduce
+    with a per-partition top-k (see `topk_bruteforce_partitioned`)."""
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       as_double(F.col(vec_col)).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("n_id"),
+                      as_double(F.col(vec_col)).alias("n_vec"))
+    scored = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+              .select("q_id", "n_id",
+                      cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(),
+                                           F.col("n_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"))
+
+
+def srp_bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+    """Signed-random-projection bucket id: bit j = [dot(v, h_j) > 0]."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        h = F.array(*[F.lit(float(w)) for w in _plane(j, dim)])
+        bucket = bucket + F.when(dot(vec, h) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def topk_srp_lsh(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """Approximate top-k: candidates are corpus vectors in the query's SRP
+    bucket only; exact cosine rank within the bucket. One equi-join on
+    the bucket id instead of a cross product — the 100 TB path."""
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       as_double(F.col(vec_col)).alias("q_vec"))
+    q = q.withColumn("bucket", srp_bucket(F.col("q_vec"), dim))
+    c = corpus.select(F.col(id_col).alias("n_id"),
+                      as_double(F.col(vec_col)).alias("n_vec"))
+    c = c.withColumn("bucket", srp_bucket(F.col("n_vec"), dim))
+    scored = (c.join(F.broadcast(q), on="bucket")
+              .filter(F.col("q_id") != F.col("n_id"))
+              .select("q_id", "n_id",
+                      cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(),
+                                           F.col("n_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"))
+
+
+def cosine_near_dup_pairs(vectors: DataFrame, threshold: float, dim: int,
+                          id_col: str = "vec_id", vec_col: str = "embedding"
+                          ) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cos >= threshold)
+    via SRP blocking: a pair this similar almost surely lands in the same
+    bucket (and the oracle uses the same blocking, so the contract is the
+    algorithm, not an all-pairs scan)."""
+    v = vectors.select(F.col(id_col).alias("vid"),
+                       as_double(F.col(vec_col)).alias("vec"))
+    v = v.withColumn("bucket", srp_bucket(F.col("vec"), dim))
+    a, b = v.alias("a"), v.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vid") < F.col("b.vid")))
+            .select(F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2"),
+                    cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim")))

@@ -31,7 +31,7 @@ from .relational import T
            substring(p_name, 1, 8)                   AS name8,
            trim(concat(' ', p_name, ' '))            AS name_trim,
            replace(p_type, ' ', '_')                 AS type_us,
-           CAST(instr(p_type, 'BRASS') AS BIGINT)    AS brass_pos,
+           CAST(instr(p_name, 'bolt') AS BIGINT)     AS bolt_pos,
            lpad(CAST(p_size AS VARCHAR), 4, '0')     AS size4,
            reverse(p_brand)                          AS brand_rev,
            concat_ws('|', p_brand, p_type)           AS brand_type,
@@ -50,7 +50,7 @@ def str_funcs(spark, sf_dir):
         F.substring("p_name", 1, 8).alias("name8"),
         F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
-        F.instr("p_type", "BRASS").cast("bigint").alias("brass_pos"),
+        F.instr("p_name", "bolt").cast("bigint").alias("bolt_pos"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
         F.reverse("p_brand").alias("brand_rev"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),

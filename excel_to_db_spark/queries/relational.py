@@ -105,14 +105,14 @@ def filter_between_in(spark, sf_dir):
 
 @query("filter_like", oracle="""
     SELECT p_partkey, p_name, p_type FROM part
-    WHERE p_type LIKE '%BRASS%' AND p_name NOT LIKE 'a%'
+    WHERE p_name LIKE '%bolt%' AND p_type NOT LIKE 'PROMO%'
 """)
 def filter_like(spark, sf_dir):
     """LIKE patterns. NB SQLite LIKE is case-insensitive (SURVEY §4.3);
     the compat layer maps it to ilike — this query uses ANSI LIKE so the
     oracle agrees."""
     p = T(spark, sf_dir, "part")
-    return (p.filter(p.p_type.like("%BRASS%") & ~p.p_name.like("a%"))
+    return (p.filter(p.p_name.like("%bolt%") & ~p.p_type.like("PROMO%"))
              .select("p_partkey", "p_name", "p_type"))
 
 
@@ -208,11 +208,15 @@ def join_semi(spark, sf_dir):
 
 @query("join_anti", oracle="""
     SELECT c_custkey FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
 """)
 def join_anti(spark, sf_dir):
+    """Left-anti join: customers with no large order (the plain
+    no-order-at-all variant is empty in this data — every customer
+    ordered — which would make the check trivial)."""
     c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
              .select("c_custkey"))
 
@@ -448,14 +452,17 @@ def set_intersect(spark, sf_dir):
 
 
 @query("set_except", oracle="""
-    SELECT n_nationkey AS nk FROM nation
+    SELECT c_custkey AS ck FROM customer
     EXCEPT
-    SELECT s_nationkey AS nk FROM supplier
+    SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 300000.0
 """)
 def set_except(spark, sf_dir):
-    n = T(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nk"))
-    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return n.subtract(s)
+    """EXCEPT (distinct) — customers minus big spenders; non-empty,
+    unlike nation-minus-supplier-nations (suppliers cover all 25)."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("ck"))
+    o = (T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+         .select(F.col("o_custkey").alias("ck")))
+    return c.subtract(o)
 
 
 @query("distinct_rows", oracle="""
