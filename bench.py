@@ -1,0 +1,103 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries from the registry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], times each
+end-to-end (plan + execute + count), and prints
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced with a count() action rather than collect() so the
+measurement is the distributed execution, not driver materialization —
+the same discipline a 100 TB run needs (never collect the fact table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    # Tier B relational core
+    "agg_groupby",        # flagship TPC-H Q1-shaped scan+agg
+    "join_inner",         # broadcast hash join
+    "join_left",          # outer join + agg
+    "window_rank",        # window shuffle
+    "window_frame_sum",   # frames over events
+    "topk",               # TakeOrderedAndProject
+    "cte_query",          # CTE + join-back
+    "subquery_correlated",# decorrelated correlated subquery
+    "distinct_rows",
+    "agg_rollup",
+    # scalar-heavy projections (codegen throughput)
+    "project_expr",
+    "str_funcs",
+    "json_typed",
+    # Tier C extensions (registered in queries/extensions.py)
+    "dedup_exact",
+    "dedup_minhash",
+    "similarity_topk",
+    "text_quality",
+    "text_langid",
+    "events_tumbling",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    # sf from the dir name (sf0.1 -> 0.1); fall back to 0.1
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as E
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("excel_to_db_spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # keep benching; a failed query reads as missing
+            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+            continue
+        dt = round(time.perf_counter() - t0, 3)
+        times[name] = dt
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,6 +33,20 @@ def norm_tokens(text: Column) -> Column:
     return F.array_sort(F.array_distinct(F.split(text, " ")))
 
 
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-gram shingle set over the token SEQUENCE (not the token
+    set): shingle i = tokens[i..i+k-1] joined by spaces. Near-dup detection
+    over a small vocabulary needs shingles — token-set Jaccard saturates
+    (most docs share most of a 30-word vocabulary) while shingle Jaccard
+    separates cleanly. Pure codegen'd array expressions, no shuffle."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - k)  # valid when size >= k
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return F.when(F.size(toks) >= k,
+                  F.array_sort(F.array_distinct(grams))
+                  ).otherwise(F.array().cast("array<string>"))
+
+
 def content_fingerprint(text: Column) -> Column:
     """Canonical content fingerprint: md5 over the sorted distinct token
     set. Two docs with the same bag-of-words (any order / multiplicity)
@@ -51,12 +65,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 
 def _token_index(df: DataFrame, text_col: str, id_col: str,
-                 max_df: int | None = None) -> DataFrame:
-    """Inverted index: one row per (doc, distinct token); optionally
-    prune tokens with document frequency > max_df (they can't
-    discriminate near-dups but dominate the join cost)."""
+                 max_df: int | None = None,
+                 keyset=norm_tokens) -> DataFrame:
+    """Inverted index: one row per (doc, distinct key); `keyset` maps the
+    text column to the key array (token set by default, `shingles` for
+    sequence-sensitive near-dup). Optionally prune keys with document
+    frequency > max_df (they can't discriminate near-dups but dominate
+    the join cost)."""
     toks = df.select(F.col(id_col).alias("did"),
-                     F.explode(norm_tokens(F.col(text_col))).alias("tok"))
+                     F.explode(keyset(F.col(text_col))).alias("tok"))
     if max_df is not None:
         keep = (toks.groupBy("tok").agg(F.count("*").alias("df_"))
                     .filter(F.col("df_") <= max_df).select("tok"))
@@ -65,15 +82,16 @@ def _token_index(df: DataFrame, text_col: str, id_col: str,
 
 
 def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
-                  id_col: str = "doc_id", max_df: int | None = None) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs via the inverted index:
+                  id_col: str = "doc_id", max_df: int | None = None,
+                  keyset=norm_tokens) -> DataFrame:
+    """Exact key-set Jaccard near-dup pairs via the inverted index:
 
-        |A ∩ B| from a token-equijoin + count, |A ∪ B| = |A|+|B|-|A∩B|.
+        |A ∩ B| from a key-equijoin + count, |A ∪ B| = |A|+|B|-|A∩B|.
 
     No cross join anywhere — the only joins are hash joins on `tok` and
     broadcast joins of the (small) per-doc size table. Returns
     (d1, d2, jaccard) with d1 < d2, jaccard >= threshold."""
-    toks = _token_index(df, text_col, id_col, max_df)
+    toks = _token_index(df, text_col, id_col, max_df, keyset)
     sizes = toks.groupBy("did").agg(F.count("*").alias("n_tok"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -92,17 +110,21 @@ def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
 
 
 def minhash_signatures(df: DataFrame, n_hashes: int = 64,
-                       text_col: str = "text", id_col: str = "doc_id"
-                       ) -> DataFrame:
-    """MinHash signature per doc: hash_i(doc) = min over tokens of
-    xxhash64(i || token). Pure column expressions — the whole signature
+                       text_col: str = "text", id_col: str = "doc_id",
+                       keyset=norm_tokens) -> DataFrame:
+    """MinHash signature per doc: hash_i(doc) = min over keys of
+    xxhash64(i || key). Pure column expressions — the whole signature
     is computed in one codegen'd projection, no shuffle at all."""
-    toks = norm_tokens(F.col(text_col))
-    sig = F.array(*[
-        F.array_min(F.transform(
-            toks, lambda t, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), t))))
-        for i in range(n_hashes)
-    ])
+    toks = keyset(F.col(text_col))
+
+    def one_hash(i: int) -> Column:
+        # Salt must be materialized OUTSIDE the lambda: a 2-arg lambda
+        # would receive the element index as its second argument, and an
+        # f-string evaluated inside the body would stringify that Column.
+        salt = F.lit(f"{i}:")
+        return F.array_min(F.transform(toks, lambda t: F.xxhash64(F.concat(salt, t))))
+
+    sig = F.array(*[one_hash(i) for i in range(n_hashes)])
     return df.select(F.col(id_col).alias("did"), sig.alias("sig"))
 
 
@@ -131,20 +153,21 @@ def minhash_lsh_candidates(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
 
 def minhash_dedup_pairs(df: DataFrame, threshold: float, n_hashes: int = 64,
                         bands: int = 16, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id", keyset=norm_tokens) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
     EXACT Jaccard verification of candidates only (array_intersect on
-    the small per-doc token arrays — no second token explosion).
+    the small per-doc key arrays — no second explosion).
 
-    With bands=16 x rows=4, P(miss | j=0.9) = (1-0.9^4)^16 ≈ 4e-8, so
+    With bands=32 x rows=4, P(miss | j=0.8) = (1-0.8^4)^32 ≈ 5e-8, so
     the verified output equals the exhaustive `jaccard_pairs` result
     with overwhelming probability while touching ~O(n·dups) pairs
-    instead of O(n^2)."""
+    instead of O(n^2) — which is why its DuckDB oracle can simply BE the
+    exhaustive-Jaccard SQL."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, n_hashes, text_col, id_col)
+    sigs = minhash_signatures(df, n_hashes, text_col, id_col, keyset)
     cands = minhash_lsh_candidates(sigs, bands, rows)
     docs = df.select(F.col(id_col).alias("did"),
-                     norm_tokens(F.col(text_col)).alias("toks"))
+                     keyset(F.col(text_col)).alias("toks"))
     d1 = docs.select(F.col("did").alias("d1"), F.col("toks").alias("t1"))
     d2 = docs.select(F.col("did").alias("d2"), F.col("toks").alias("t2"))
     inter = F.size(F.array_intersect("t1", "t2"))
@@ -162,11 +185,12 @@ def simhash64(text: Column) -> Column:
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def bit_vote(i: int) -> Column:
-        # sum over token hashes of +-1 for bit i
-        return F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h, i=i: acc
-            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"))
+        # sum over token hashes of +-1 for bit i; the merge lambda must be
+        # exactly 2-arg (acc, element) for pyspark's higher-order aggregate.
+        def step(acc: Column, h: Column) -> Column:
+            return acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+
+        return F.aggregate(hashes, F.lit(0), step)
 
     out = F.lit(0).cast("bigint")
     for i in range(64):

@@ -1,0 +1,393 @@
+"""Tier C extension queries (SURVEY.md §2.C): the training-data-pipeline
+operators — dedup, similarity search, text analysis, multimodal plumbing,
+event-time windows (batch + Structured Streaming) — each registered with
+a DuckDB oracle wherever the semantics are SQL-expressible.
+
+The reference has none of these (its whole query surface is the SQLite
+passthrough at reference src/main.rs:220); they are the north-star
+extensions, built on the operator library in `excel_to_db_spark.operators`
+and `excel_to_db_spark.streaming`.
+
+Oracle discipline: identical arithmetic on both sides (integer-exact
+where possible, rounded floats elsewhere), identical aliases, and for
+randomized algorithms (MinHash-LSH) a threshold/parameter choice that
+makes the approximate output provably equal to the exact one (miss
+probability ~5e-8), so the exact SQL serves as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ..streaming import run_tumbling_stream, session_agg, tumbling_agg
+from .registry import query
+from .relational import T
+
+EMB_DIM = 64  # embeddings.embedding is list<float>[64] (TESTDATA.md)
+
+
+# ------------------------------------------------------------------ dedup
+
+@query("dedup_exact", oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM f GROUP BY fp
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact (normalized) dedup: one representative per content
+    fingerprint (md5 of the sorted distinct token set) + group size.
+    One hash-partitioned aggregation — the cheapest dedup at 100 TB."""
+    return D.exact_dedup(T(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = """
+    WITH t AS (
+        SELECT doc_id AS did, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT did,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                     for i in range(1, len(toks) - 1)])) AS s
+        FROM t WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT did, count(*) AS n FROM sh GROUP BY did),
+    inter AS (
+        SELECT a.did AS d1, b.did AS d2, count(*) AS ni
+        FROM sh a JOIN sh b ON a.s = b.s AND a.did < b.did
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(ni / (s1.n + s2.n - ni), 6) AS jaccard
+    FROM inter JOIN sizes s1 ON s1.did = d1 JOIN sizes s2 ON s2.did = d2
+    WHERE ni / (s1.n + s2.n - ni) >= 0.8
+"""
+
+
+@query("dedup_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_jaccard(spark, sf_dir):
+    """Exhaustive 3-gram-shingle Jaccard near-dup pairs (threshold 0.8)
+    via the inverted shingle index — hash joins only, no cross join.
+    Shingles, not token sets: with a ~30-word vocabulary token-set
+    Jaccard saturates near 1.0 for unrelated docs, while shingle Jaccard
+    cleanly separates the planted near-dups (~1.0) from noise (<=0.1)."""
+    d = T(spark, sf_dir, "documents")
+    j = D.jaccard_pairs(d, threshold=0.8, keyset=D.shingles)
+    return j.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_minhash", oracle=_JACCARD_ORACLE)
+def dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs over the same shingle sets. 32 bands x
+    4 rows: P(missing a pair at j=0.8) = (1-0.8^4)^32 ~= 5e-8, and LSH
+    candidates are verified with exact Jaccard — so the output EQUALS the
+    exhaustive `dedup_jaccard` result (same oracle) while scaling as
+    O(n·dups) instead of O(n^2): the 100 TB dedup path."""
+    d = T(spark, sf_dir, "documents")
+    m = D.minhash_dedup_pairs(d, threshold=0.8, n_hashes=128, bands=32,
+                              keyset=D.shingles)
+    return m.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_simhash")  # rows-only: SimHash approximates cosine, no SQL twin
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (hamming <= 8 over 64-bit fingerprints,
+    pigeonhole-blocked into 4 chunks). Candidate semantics are
+    hash-function-specific (xxhash64), so the driver records the weaker
+    rows-only check (SURVEY.md §2.C)."""
+    return D.simhash_pairs(T(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def _plane_sql(j: int) -> str:
+    vals = ", ".join(str(float(w)) for w in S._plane(j, EMB_DIM))
+    return f"[{vals}]::DOUBLE[]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(%(v)s, {_plane_sql(j)}) > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(S.N_PLANES)
+)
+
+_COS_SQL = ("list_dot_product(%(a)s, %(b)s) / "
+            "(sqrt(list_dot_product(%(a)s, %(a)s)) * sqrt(list_dot_product(%(b)s, %(b)s)))")
+
+
+@query("dedup_embedding", oracle=f"""
+    WITH v AS (
+        SELECT vec_id AS vid, embedding::DOUBLE[] AS vec,
+               {_BUCKET_SQL % {'v': 'embedding::DOUBLE[]'}} AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vid AS id1, b.vid AS id2,
+               {_COS_SQL % {'a': 'a.vec', 'b': 'b.vec'}} AS c
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vid < b.vid
+    )
+    SELECT id1, id2, round(c, 6) AS cos_sim FROM pairs WHERE c >= 0.4
+""")
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos >= 0.4) with SRP blocking:
+    candidates only within a signed-random-projection bucket, so the join
+    is an equi-join on bucket id, never all-pairs. The hyperplanes are
+    small exact integers, so DuckDB reproduces the identical buckets —
+    the contract is the full algorithm, blocking included."""
+    e = T(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(e, threshold=0.4, dim=EMB_DIM)
+
+
+# ------------------------------------------------------------- similarity
+
+_TOPK_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS n_vec FROM embeddings),
+    scored AS (
+        SELECT q_id, n_id, {_COS_SQL % {'a': 'q_vec', 'b': 'n_vec'}} AS c
+        FROM c JOIN q ON q_id <> n_id
+    ),
+    ranked AS (
+        SELECT q_id, n_id, c,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id ASC)
+                    AS BIGINT) AS rk
+        FROM scored
+    )
+    SELECT q_id, n_id, round(c, 6) AS cos_sim, rk FROM ranked WHERE rk <= 10
+"""
+
+
+@query("similarity_topk", oracle=_TOPK_ORACLE)
+def similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-10: broadcast the query set (every 100th
+    vector) against the corpus, rank per query. The exact-ANN baseline:
+    corpus streams through executors once, no shuffle until the
+    per-query rank of the already-reduced scored pairs."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return S.topk_bruteforce(e, q, k=10)
+
+
+@query("similarity_ann", oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               {_BUCKET_SQL % {'v': 'embedding::DOUBLE[]'}} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, vec AS q_vec, bucket FROM v WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q_id, c.vec_id AS n_id, {_COS_SQL % {'a': 'q_vec', 'b': 'c.vec'}} AS s
+        FROM v c JOIN q USING (bucket) WHERE q_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, n_id, s,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id ASC)
+                    AS BIGINT) AS rk
+        FROM scored
+    )
+    SELECT q_id, n_id, round(s, 6) AS cos_sim, rk FROM ranked WHERE rk <= 10
+""")
+def similarity_ann(spark, sf_dir):
+    """Approximate top-10 via SRP-LSH bucketing: candidates share the
+    query's sign-pattern bucket, turning the cross product into one
+    equi-join — the 100 TB ANN path. Deterministic integer hyperplanes
+    make the bucketing engine-independent, so the oracle runs the same
+    algorithm (contract = algorithm, not just 'some neighbors')."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return S.topk_srp_lsh(e, q, k=10, dim=EMB_DIM)
+
+
+# ------------------------------------------------------------------- text
+
+_SW = {k: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+       for k, ws in X.LANG_STOPWORDS.items()}
+
+
+@query("text_tokens", oracle="""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+""")
+def text_tokens(spark, sf_dir):
+    """Corpus token-frequency table (the classic wordcount): explode +
+    count with map-side partial aggregation — one shuffle on token."""
+    return X.token_frequencies(T(spark, sf_dir, "documents"))
+
+
+@query("text_quality", oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_dis,
+               length(text) AS n_ch,
+               len(list_filter(string_split(text, ' '),
+                               t -> list_contains({_SW['en']}, t))) AS stop
+        FROM documents
+    )
+    SELECT doc_id, n_tok,
+           round(n_dis / n_tok, 6) AS type_token_ratio,
+           round((n_ch - n_tok + 1) / n_tok, 6) AS mean_tok_len,
+           round(stop / n_tok, 6) AS stop_ratio,
+           round(least(n_tok / 20.0, 1.0)
+                 * least(n_dis / n_tok * 2, 1.0)
+                 * least(stop * 10.0 / n_tok, 1.0), 6) AS quality_score
+    FROM b
+""")
+def text_quality(spark, sf_dir):
+    """Per-document quality features + composite score: token count,
+    type-token ratio, mean token length, stopword ratio. One projection,
+    zero shuffles — scales linearly with corpus bytes."""
+    return X.quality_features(T(spark, sf_dir, "documents"))
+
+
+@query("text_langid", oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"len(list_filter(string_split(text, ' '), "
+                   f"t -> list_contains({_SW[lang]}, t))) AS s_{lang}"
+                   for lang in sorted(X.LANG_STOPWORDS))}
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE {" ".join(
+               f"WHEN s_{lang} = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN '{lang}'"
+               for lang in sorted(X.LANG_STOPWORDS))}
+           END AS pred_lang,
+           greatest(s_de, s_en, s_es, s_fr, s_zh) AS stop_hits
+    FROM s
+""")
+def text_langid(spark, sf_dir):
+    """Stopword-vote language ID: argmax of per-language stopword hits,
+    ties broken by language code ascending — the same strictly-greater
+    fold rule the CASE ladder expresses, so both engines agree exactly."""
+    return X.langid(T(spark, sf_dir, "documents"))
+
+
+@query("text_fingerprint", oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp_set,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(string_split(text, ' '),
+                                           t -> CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT))),
+               (acc, h) -> (acc * 131 + h) % 2147483647) AS fp_rolling
+    FROM documents
+""")
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprints: order-insensitive (md5 of sorted distinct
+    tokens) + order-SENSITIVE rolling polynomial hash (h = (h*131 + tok_h)
+    mod 2^31-1, exact integer arithmetic in any engine)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("fp_set"),
+        X.rolling_fingerprint(F.col("text")).alias("fp_rolling"))
+
+
+# ------------------------------------------------------------- multimodal
+
+@query("multimodal_decode", oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                ELSE 64 + octet_length(encode(text)) % 577 END AS INTEGER) AS width,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                ELSE 64 + (octet_length(encode(text)) * 31) % 389 END AS INTEGER) AS height,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                ELSE 3 END AS INTEGER) AS n_channels
+    FROM documents
+""")
+def multimodal_decode(spark, sf_dir):
+    """Binary-payload decode through mapInPandas (Arrow batches in/out):
+    the Spark-side multimodal plumbing is real — schema, batch shape,
+    permissive NULLs on undecodable payloads — while the codec itself is
+    a deterministic stub (no image libs in this env; see
+    operators/multimodal._decode_image_bytes), so the oracle can state
+    the stub's arithmetic exactly."""
+    d = M.with_payload(T(spark, sf_dir, "documents"))
+    return M.decode_images(d)
+
+
+@query("multimodal_frames", oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(floor(length(text) / 16.0) AS INT) AS nf
+        FROM documents WHERE length(text) >= 16
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           md5(substring(text, CAST(f * 16 + 1 AS INT), 16)) AS frame_checksum
+    FROM (SELECT doc_id, text, unnest(range(0, nf, 10)) AS f FROM d)
+""")
+def multimodal_frames(spark, sf_dir):
+    """Frame sampling over a fake fixed-frame-size video payload: the
+    sample-index array is computed JVM-side and exploded, so only sampled
+    frames ever reach the (stubbed) decode boundary — the pattern that
+    keeps video pipelines tractable at 100 TB."""
+    d = M.with_payload(T(spark, sf_dir, "documents"))
+    return M.sample_frames(d, every_k=10, frame_bytes=16)
+
+
+# ------------------------------------------- event-time windows / streaming
+
+_TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS win_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling", oracle=_TUMBLING_ORACLE)
+def events_tumbling(spark, sf_dir):
+    """Tumbling 10-minute event-time windows (batch mode). The identical
+    expression runs under Structured Streaming in `stream_tumbling` —
+    one definition, two execution modes."""
+    return tumbling_agg(T(spark, sf_dir, "events"))
+
+
+@query("events_session", oracle="""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           min(ts) AS sess_start,
+           max(ts) + INTERVAL '5 minutes' AS sess_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+""")
+def events_session(spark, sf_dir):
+    """Per-user session windows (5-minute gap): Spark session_window vs
+    the classic gaps-and-islands SQL — same semantics, session end =
+    last event + gap, new session when the gap is reached exactly."""
+    return session_agg(T(spark, sf_dir, "events"))
+
+
+@query("stream_tumbling", oracle=_TUMBLING_ORACLE)
+def stream_tumbling(spark, sf_dir):
+    """The tumbling aggregation executed by the Structured Streaming
+    engine: events replayed through a file-source stream (availableNow),
+    aggregated with watermark + window state, materialized via a memory
+    sink. On finite input the final state equals the batch result, so the
+    SAME DuckDB oracle verifies the streaming path value-for-value."""
+    return run_tumbling_stream(spark, sf_dir)

@@ -1,0 +1,16 @@
+"""Structured Streaming operators (SURVEY.md §2.C streaming tier).
+
+The reference is strictly single-shot batch (reference src/main.rs:130-177
+— one load, one REPL); streaming is a Tier C extension. Design rule:
+every streaming aggregation here is the SAME `pyspark.sql.functions`
+window expression as its batch twin in `queries/extensions.py`, so the
+batch oracle checks the streaming semantics (Spark guarantees the two
+paths agree on finite input).
+"""
+
+from .windows import (  # noqa: F401
+    events_stream_reader,
+    run_tumbling_stream,
+    session_agg,
+    tumbling_agg,
+)

@@ -1,0 +1,93 @@
+"""Event-time window aggregations, batch + streaming from one definition.
+
+`tumbling_agg` / `session_agg` are plain DataFrame transforms: applied to
+a batch DataFrame they are ordinary window aggregations (DuckDB-oracle
+checkable); applied to a streaming DataFrame they become stateful
+streaming aggregates. `run_tumbling_stream` replays the events parquet
+through a real file-source stream and returns the materialized result —
+proving the operator runs under the streaming engine, not just batch.
+
+Scale notes (streaming at production rates):
+
+- Tumbling windows with a watermark bound state: expired windows are
+  evicted once the watermark passes window.end + no late data can arrive.
+- `availableNow` trigger = incremental backfill of a parquet directory
+  with streaming semantics (the standard replay/bootstrap path).
+- The memory sink is test-only; production uses kafka/delta/parquet
+  sinks through the same writeStream call.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time windows: count + sum(value) per window.
+    Batch and streaming share this exact plan fragment."""
+    return (events
+            .groupBy(F.window("ts", width).alias("win"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "n_events", "sum_value"))
+
+
+def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events arrive within `gap`; end = last event + gap (Spark
+    session_window semantics, matched by the gaps-and-islands oracle)."""
+    return (events
+            .groupBy("user_id", F.session_window("ts", gap).alias("sess"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id",
+                    F.col("sess.start").alias("sess_start"),
+                    F.col("sess.end").alias("sess_end"),
+                    "n_events", "sum_value"))
+
+
+def events_stream_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet. The file source needs an
+    explicit schema; we take it from a batch read (ts arrives as a
+    nanosecond long under nanosAsLong, converted exactly as the batch
+    loader does — see tables.load_table)."""
+    from ..tables import load_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source wants a directory basePath; the sf dir holds
+    # every table, so select just the events file with a glob filter.
+    stream = (spark.readStream.schema(raw_schema)
+              .format("parquet")
+              .option("pathGlobFilter", "events.parquet")
+              .load(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str,
+                        width: str = "10 minutes",
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Replay events through Structured Streaming, aggregate with
+    `tumbling_agg`, materialize via a memory sink, return the result.
+
+    Complete output mode: on finite replayed input the final state equals
+    the batch aggregation exactly, so the batch DuckDB oracle verifies the
+    streaming path value-for-value. (Append mode + watermark is the
+    production configuration; complete mode keeps the contract exact —
+    append would hold back windows newer than max(ts) - watermark.)"""
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    stream = events_stream_reader(spark, sf_dir).withWatermark("ts", watermark)
+    q = (tumbling_agg(stream, width)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
