@@ -113,19 +113,23 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 64,
                        text_col: str = "text", id_col: str = "doc_id",
                        keyset=norm_tokens) -> DataFrame:
     """MinHash signature per doc: hash_i(doc) = min over keys of
-    xxhash64(i || key). Pure column expressions — the whole signature
-    is computed in one codegen'd projection, no shuffle at all."""
-    toks = keyset(F.col(text_col))
+    xxhash64(i || key), as explode + n_hashes parallel min-aggregations.
 
-    def one_hash(i: int) -> Column:
-        # Salt must be materialized OUTSIDE the lambda: a 2-arg lambda
-        # would receive the element index as its second argument, and an
-        # f-string evaluated inside the body would stringify that Column.
-        salt = F.lit(f"{i}:")
-        return F.array_min(F.transform(toks, lambda t: F.xxhash64(F.concat(salt, t))))
-
-    sig = F.array(*[one_hash(i) for i in range(n_hashes)])
-    return df.select(F.col(id_col).alias("did"), sig.alias("sig"))
+    Why not a single projection of nested array lambdas: Spark's
+    common-subexpression elimination does not reach inside higher-order
+    function lambdas, so an `array(array_min(transform(keyset, ...)) x n)`
+    expression recomputes the keyset n times per row (measured 70x slower
+    at sf0.1). The explode form computes the keyset once per row; the
+    per-key hash columns are cheap JVM calls, and partial (map-side) min
+    aggregation means the shuffle carries one n_hashes-wide row per doc
+    per partition — the standard distributed MinHash shape at 100 TB."""
+    toks = df.select(F.col(id_col).alias("did"),
+                     F.explode(keyset(F.col(text_col))).alias("tok"))
+    mins = toks.groupBy("did").agg(*[
+        F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ])
+    return mins.select("did", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -177,11 +181,11 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float, n_hashes: int = 64,
             .filter(F.col("jaccard") >= threshold))
 
 
-def simhash64(text: Column) -> Column:
+def simhash64(text: Column, keyset=norm_tokens) -> Column:
     """64-bit SimHash of the token set: bit i of the fingerprint is the
     sign of sum over tokens of (2*bit_i(xxhash64(token)) - 1). Computed
     entirely with higher-order array functions (no explode, no shuffle)."""
-    toks = norm_tokens(text)
+    toks = keyset(text)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def bit_vote(i: int) -> Column:
@@ -203,7 +207,7 @@ def simhash64(text: Column) -> Column:
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 8,
                   text_col: str = "text", id_col: str = "doc_id",
-                  n_blocks: int = 4) -> DataFrame:
+                  n_blocks: int = 4, keyset=norm_tokens) -> DataFrame:
     """SimHash near-dup candidates: block the 64-bit fingerprint into
     `n_blocks` chunks; by pigeonhole any pair within hamming distance
     < n_blocks shares at least one exact chunk — join on chunk equality,
@@ -215,7 +219,7 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8,
     (SURVEY.md §2.C)."""
     bits_per = 64 // n_blocks
     fp = df.select(F.col(id_col).alias("did"),
-                   simhash64(F.col(text_col)).alias("sh"))
+                   simhash64(F.col(text_col), keyset).alias("sh"))
     chunks = fp.select(
         "did", "sh",
         F.explode(F.array(*[

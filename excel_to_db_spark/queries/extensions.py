@@ -96,11 +96,14 @@ def dedup_minhash(spark, sf_dir):
 
 @query("dedup_simhash")  # rows-only: SimHash approximates cosine, no SQL twin
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates (hamming <= 8 over 64-bit fingerprints,
-    pigeonhole-blocked into 4 chunks). Candidate semantics are
-    hash-function-specific (xxhash64), so the driver records the weaker
-    rows-only check (SURVEY.md §2.C)."""
-    return D.simhash_pairs(T(spark, sf_dir, "documents"), max_hamming=8)
+    """SimHash near-dup candidates (hamming <= 3 over 64-bit fingerprints
+    of the shingle set, pigeonhole-blocked into 4 chunks). Candidate
+    semantics are hash-function-specific (xxhash64), so the driver
+    records the weaker rows-only check (SURVEY.md §2.C). Shingle keysets
+    for the same reason as dedup_jaccard: token-set bits saturate on a
+    30-word vocabulary."""
+    return D.simhash_pairs(T(spark, sf_dir, "documents"), max_hamming=3,
+                           keyset=D.shingles)
 
 
 def _plane_sql(j: int) -> str:

@@ -1,0 +1,73 @@
+"""Dedup operators: crafted micro-corpora with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from excel_to_db_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"),        # near dup of 0
+        (3, "dog lazy the over jumps fox brown quick the"),          # reorder of 0
+        (4, "completely different words about spark and parquet"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_shingles_basic(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    [row] = df.select(D.shingles(F.col("text")).alias("s")).collect()
+    assert row.s == ["a b c", "b c d"]
+    # short doc -> empty shingle set, not an error
+    df2 = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    assert df2.select(D.shingles(F.col("text")).alias("s")).collect()[0].s == []
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.doc_id: r.n_dups for r in D.exact_dedup(docs).collect()}
+    # 0,1 identical; 3 is a reorder => same token SET fingerprint
+    assert out[0] == 3
+    assert out[2] == 1
+    assert out[4] == 1
+
+
+def test_jaccard_pairs_tokensets(docs):
+    pairs = {(r.d1, r.d2): r.jaccard
+             for r in D.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 3)] == 1.0          # token-set view can't see order
+    assert (0, 4) not in pairs
+    # 0 vs 2: tokens {the,quick,brown,fox,jumps,over,lazy/sleepy,dog}
+    assert pairs[(0, 2)] == pytest.approx(7 / 9)
+
+
+def test_shingle_jaccard_sees_order(docs):
+    pairs = {(r.d1, r.d2)
+             for r in D.jaccard_pairs(docs, threshold=0.5,
+                                      keyset=D.shingles).collect()}
+    assert (0, 1) in pairs       # identical
+    assert (0, 3) not in pairs   # reordered doc shares almost no shingles
+    assert (0, 2) in pairs       # one-word substitution keeps most shingles
+
+
+def test_minhash_equals_exact_jaccard(docs):
+    exact = {(r.d1, r.d2, round(r.jaccard, 6))
+             for r in D.jaccard_pairs(docs, threshold=0.5,
+                                      keyset=D.shingles).collect()}
+    mh = {(r.d1, r.d2, round(r.jaccard, 6))
+          for r in D.minhash_dedup_pairs(docs, threshold=0.5, n_hashes=128,
+                                         bands=32, keyset=D.shingles).collect()}
+    assert mh == exact
+
+
+def test_simhash_identical_docs_distance_zero(docs):
+    out = {(r.d1, r.d2): r.hamming
+           for r in D.simhash_pairs(docs, max_hamming=8,
+                                    keyset=D.shingles).collect()}
+    assert out[(0, 1)] == 0

@@ -1,0 +1,97 @@
+"""Excel ingest: reference-executed semantics (SURVEY.md §1) + golden
+demo.xlsx values (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from excel_to_db_spark.ingest import (
+    DuplicateKeyError,
+    IngestOptions,
+    coerce_row,
+    load_excel_table,
+    rows_to_dataframe,
+)
+from excel_to_db_spark.sources.xlsx import read_xlsx_rows, sheet_names
+from excel_to_db_spark.sources.xlsx_writer import write_xlsx
+
+DEMO = "/root/reference/demo.xlsx"
+
+
+def test_demo_sheet_names():
+    assert sheet_names(DEMO)  # at least one sheet
+
+
+def test_demo_golden_rows(spark):
+    df = load_excel_table(spark, DEMO)
+    rows = {r.service_name: r for r in df.collect()}
+    assert set(rows) == {"ent_XXX_V2", "ent_XXX_YYY_V2"}
+    r1 = rows["ent_XXX_V2"]
+    assert r1.average_response_time_95_ms == pytest.approx(12001.12)
+    assert r1["count"] == 100
+    assert r1.max_response_time_95_ms == pytest.approx(12001.12)
+    assert r1.min_response_time_95_ms == pytest.approx(11.0)
+    assert rows["ent_XXX_YYY_V2"].min_response_time_95_ms == pytest.approx(10.0)
+
+
+def test_coerce_defaults_mode():
+    # missing/non-numeric -> 0.0 / 0 (reference unwrap_or semantics)
+    opts = IngestOptions()
+    row = coerce_row(["svc", None, "x", None, None], opts)
+    assert row == ("svc", 0.0, 0, 0.0, 0.0)
+    # calamine as_i64 truncates floats: 2.7 -> 2 (ADVICE r1 fix)
+    assert coerce_row(["svc", 1.5, 2.7, 3.0, 4.0], opts)[2] == 2
+    # calamine get_float is strict for REAL columns (string -> default),
+    # while as_i64 parses numeric strings for the count column
+    assert coerce_row(["svc", "1.5", "7", "3", "4"], opts) == ("svc", 0.0, 7, 0.0, 0.0)
+
+
+def test_coerce_null_preserving_mode():
+    opts = IngestOptions(null_preserving=True)
+    row = coerce_row(["svc", None, "x", None, None], opts)
+    assert row == ("svc", None, None, None, None)
+
+
+def test_short_row_permissive_vs_failfast():
+    assert coerce_row(["svc"], IngestOptions()) == ("svc", 0.0, 0, 0.0, 0.0)
+    with pytest.raises(Exception):
+        coerce_row(["svc"], IngestOptions(mode="FAILFAST"))
+
+
+def test_unique_key_enforced(spark, tmp_path):
+    p = str(tmp_path / "dup.xlsx")
+    write_xlsx(p, [["h1", "h2", "h3", "h4", "h5"],
+                   ["a", 1, 2, 3, 4],
+                   ["a", 5, 6, 7, 8]])
+    with pytest.raises(DuplicateKeyError):
+        load_excel_table(spark, p)
+    # and non-duplicate loads fine with the check on
+    p2 = str(tmp_path / "ok.xlsx")
+    write_xlsx(p2, [["h", "h", "h", "h", "h"],
+                    ["a", 1, 2, 3, 4],
+                    ["b", 5, 6, 7, 8]])
+    assert load_excel_table(spark, p2).count() == 2
+
+
+def test_header_always_skipped(spark, tmp_path):
+    p = str(tmp_path / "hdr.xlsx")
+    write_xlsx(p, [["svc", 9, 9, 9, 9], ["a", 1, 2, 3, 4]])
+    df = load_excel_table(spark, p)
+    assert [r.service_name for r in df.collect()] == ["a"]
+
+
+def test_roundtrip_own_writer(spark, tmp_path):
+    rows = [["hdr"] * 5] + [[f"s{i}", i * 1.5, i, i * 2.0, i * 0.5]
+                            for i in range(50)]
+    p = str(tmp_path / "big.xlsx")
+    write_xlsx(p, rows)
+    assert len(read_xlsx_rows(p)) == 51
+    df = load_excel_table(spark, p)
+    assert df.count() == 50
+
+
+def test_rows_to_dataframe_schema(spark):
+    df = rows_to_dataframe(spark, [["h"] * 5, ["a", "1", "2", "3", "4"]],
+                           IngestOptions())
+    assert [f.dataType.simpleString() for f in df.schema.fields] == \
+        ["string", "double", "bigint", "double", "double"]

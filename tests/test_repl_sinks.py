@@ -1,0 +1,51 @@
+"""REPL parsing, display formatting, CSV sink, sqlite-compat dialect."""
+
+from __future__ import annotations
+
+import os
+
+from excel_to_db_spark.compat.sqlite_dialect import rewrite
+from excel_to_db_spark.repl import parse_out_suffix
+from excel_to_db_spark.sinks.csv_sink import export_csv
+from excel_to_db_spark.sinks.display import format_cell
+
+
+def test_parse_out_suffix_intended_semantics():
+    # export ONLY when |out= present (reference defect 1 fixed: its
+    # split('|out=').last() made EVERY query take the export path)
+    sql, out = parse_out_suffix("SELECT 1;")
+    assert out is None and sql == "SELECT 1;"
+    sql, out = parse_out_suffix("SELECT 1; |out=/tmp/x.csv")
+    assert out == "/tmp/x.csv" and sql.strip() == "SELECT 1;"
+
+
+def test_format_cell_reference_parity():
+    assert format_cell(None) == "NULL"
+    assert format_cell(b"\x01") == "BLOB"
+    assert format_cell(1234567) == "1,234,567"       # thousands separators
+    assert format_cell(12001.12) == "12,001.12"
+    assert format_cell("text,with,commas") == "text,with,commas"
+
+
+def test_csv_export_modes(spark, tmp_path):
+    df = spark.createDataFrame([("a,b", 1234)], ["name", "n"])
+    clean = str(tmp_path / "clean.csv")
+    export_csv(df, clean)
+    body = open(clean).read()
+    assert "1234" in body and '"a,b"' in body       # proper quoting
+    bug = str(tmp_path / "bug.csv")
+    export_csv(df, bug, bug_compat=True)
+    body = open(bug).read()
+    # reference strips ALL commas from rendered cells (src/main.rs:275)
+    assert "ab" in body and "1,234" not in body
+    assert os.path.exists(clean) and os.path.exists(bug)
+
+
+def test_sqlite_dialect_rewrite_preserves_literals():
+    # LIKE -> ILIKE outside literals only (ADVICE r1 fix)
+    out = rewrite("SELECT * FROM t WHERE a LIKE 'x%' AND note = 'I like cats'")
+    assert "ILIKE 'x%'" in out
+    assert "I like cats" in out
+    out2 = rewrite("SELECT CAST(x AS INT), 'cast( not this' FROM t")
+    assert "TRY_CAST" in out2.upper()
+    assert "'cast( not this'" in out2

@@ -1,0 +1,59 @@
+"""Similarity search: crafted vectors with known neighbors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, FloatType, LongType, StructField,
+                               StructType)
+
+from excel_to_db_spark.operators import similarity as S
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    def unit(i):  # basis-ish vectors plus one near-duplicate of v0
+        v = [0.0] * DIM
+        v[i] = 1.0
+        return v
+
+    # scaled copy of v0: identical direction (cos=1), so it must share
+    # v0's SRP bucket (sign pattern is scale-invariant) — a perturbed
+    # vector could flip a bit whose hyperplane dot is exactly 0 for v0
+    near0 = [0.9] + [0.0] * (DIM - 1)
+    rows = [(0, unit(0)), (1, unit(1)), (2, unit(2)), (3, near0)]
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding", ArrayType(FloatType()))])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_dot_and_cosine(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    a = F.array(*[F.lit(v) for v in [1.0, 2.0, 3.0]])
+    b = F.array(*[F.lit(v) for v in [4.0, 5.0, 6.0]])
+    [r] = df.select(S.dot(a, b).alias("d"), S.norm(a).alias("n")).collect()
+    assert r.d == pytest.approx(32.0)
+    assert r.n == pytest.approx(14 ** 0.5)
+
+
+def test_topk_bruteforce_finds_near_duplicate(vecs):
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = S.topk_bruteforce(vecs, q, k=1).collect()
+    assert len(out) == 1
+    assert out[0].n_id == 3          # the near-duplicate of v0
+    assert out[0].cos_sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_srp_bucket_groups_near_duplicates(vecs):
+    b = vecs.select(
+        "vec_id",
+        S.srp_bucket(S.as_double(F.col("embedding")), DIM).alias("bucket"))
+    buckets = {r.vec_id: r.bucket for r in b.collect()}
+    assert buckets[0] == buckets[3]  # near-identical vectors share a bucket
+
+
+def test_cosine_near_dup_pairs(vecs):
+    out = S.cosine_near_dup_pairs(vecs, threshold=0.8, dim=DIM).collect()
+    assert {(r.id1, r.id2) for r in out} == {(0, 3)}
