@@ -12,6 +12,7 @@ from .registry import REGISTRY, QuerySpec, oracle_sqls, query, spark_queries
 from . import relational  # noqa: E402,F401  Tier B: scans/joins/aggs/windows/setops
 from . import functions   # noqa: E402,F401  Tier B: scalar function packs + UDF/approx
 from . import extensions  # noqa: E402,F401  Tier C: dedup/similarity/text/multimodal/streaming
+from . import parity      # noqa: E402,F401  Tier A: excel scan/load/display/csv golden parity
 
 __all__ = [
     "REGISTRY",

@@ -274,3 +274,119 @@ def approx_distinct(spark, sf_dir):
             .select("n_exact",
                     (F.abs(F.col("n_approx") - F.col("n_exact"))
                      / F.col("n_exact") < 0.05).alias("approx_within_5pct")))
+
+
+@query("agg_groupconcat", oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer WHERE c_acctbal > 9900.0
+    GROUP BY c_mktsegment
+""")
+def agg_groupconcat(spark, sf_dir):
+    """SQLite group_concat == Spark concat_ws over a SORTED collect_list
+    (both sides pin element order — the unordered variants are
+    legitimately non-deterministic in SQLite AND Spark, SURVEY §7.3)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900.0)
+    return (c.groupBy("c_mktsegment")
+            .agg(F.concat_ws(",", F.array_sort(F.collect_list("c_name")))
+                  .alias("names")))
+
+
+@query("window_ntile", oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT)  AS quartile,
+           percent_rank() OVER w            AS pct_rank,
+           cume_dist() OVER w               AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+""")
+def window_ntile(spark, sf_dir):
+    """ntile / percent_rank / cume_dist (SQLite >=3.25 window set)."""
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc()))
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"))
+
+
+@query("window_nth", oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_totalprice, 2) OVER wf AS second_price,
+           last_value(o_orderkey) OVER wf     AS last_order
+    FROM orders
+    WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def window_nth(spark, sf_dir):
+    """nth_value / last_value over the full-partition frame (the default
+    running frame makes last_value useless — classic window gotcha,
+    identical in SQLite, DuckDB, and Spark)."""
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.last("o_orderkey").over(w).alias("last_order"))
+
+
+@query("date_epoch", oracle="""
+    SELECT o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT)              AS unix_sec,
+           epoch(o_orderdate) / 86400.0 + 2440587.5        AS julian_day,
+           CAST(strftime(o_orderdate, '%w') AS INT)        AS dow_sun0
+    FROM orders
+""")
+def date_epoch(spark, sf_dir):
+    """SQLite unixepoch()/julianday()/strftime('%w') equivalents:
+    unix_timestamp, the julian-day affine map (exact double arithmetic,
+    no libm), and day-of-week with SQLite's Sunday=0 convention
+    (Spark dayofweek is Sunday=1)."""
+    o = T(spark, sf_dir, "orders")
+    sec = F.unix_timestamp("o_orderdate").cast("double")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+        (sec / 86400.0 + 2440587.5).alias("julian_day"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow_sun0"))
+
+
+@query("str_funcs2", oracle="""
+    SELECT p_partkey,
+           lower(hex(p_brand))                       AS brand_hex,
+           chr(65 + CAST(p_partkey % 26 AS INT))     AS letter,
+           unicode(p_name)                           AS first_cp,
+           printf('%08d', p_partkey)                 AS key_pad,
+           repeat(p_brand, 2)                        AS brand2,
+           left(p_name, 5)                           AS name_l5,
+           right(p_name, 5)                          AS name_r5,
+           split_part(p_type, ' ', 2)                AS type_word2,
+           contains(p_type, 'BRASS')                 AS has_brass,
+           starts_with(p_type, 'PROMO')              AS is_promo,
+           translate(p_brand, '#', '_')              AS brand_us
+    FROM part
+""")
+def str_funcs2(spark, sf_dir):
+    """Second string pack: hex/chr/unicode/printf/repeat/left/right/
+    split_part/contains/starts_with/translate (SQLite core + printf).
+    hex() case differs across engines -> normalized with lower()."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.hex(F.col("p_brand"))).alias("brand_hex"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias("letter"),
+        F.ascii("p_name").alias("first_cp"),
+        F.format_string("%08d", "p_partkey").alias("key_pad"),
+        F.repeat(F.col("p_brand"), 2).alias("brand2"),
+        F.substring("p_name", 1, 5).alias("name_l5"),
+        F.col("p_name").substr(F.length("p_name") - 4, F.lit(5)).alias("name_r5"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_word2"),
+        F.contains(F.col("p_type"), F.lit("BRASS")).alias("has_brass"),
+        F.startswith(F.col("p_type"), F.lit("PROMO")).alias("is_promo"),
+        F.translate(F.col("p_brand"), "#", "_").alias("brand_us"))
