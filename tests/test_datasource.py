@@ -1,0 +1,47 @@
+"""Python Data Source API: spark.read.format('xlsx') partitioned reads."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def register(spark):
+    from excel_to_db_spark.sources.datasource import XlsxDataSource
+
+    spark.dataSource.register(XlsxDataSource)
+
+
+def test_reads_demo_like_driver_path(spark):
+    from excel_to_db_spark.ingest import load_excel_table
+
+    via_ds = (spark.read.format("xlsx")
+              .option("path", "/root/reference/demo.xlsx").load())
+    via_driver = load_excel_table(spark, "/root/reference/demo.xlsx")
+    assert sorted(map(tuple, via_ds.collect())) == \
+        sorted(map(tuple, via_driver.collect()))
+
+
+def test_multi_file_glob_parallelism(spark, tmp_path):
+    from excel_to_db_spark.sources.xlsx_writer import write_xlsx
+
+    for i in range(3):
+        write_xlsx(str(tmp_path / f"b{i}.xlsx"),
+                   [["h"] * 5] + [[f"s{i}_{j}", j, j, j, j] for j in range(4)])
+    df = (spark.read.format("xlsx")
+          .option("path", str(tmp_path / "*.xlsx")).load())
+    assert df.count() == 12
+    # one partition per (file, sheet)
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_null_preserving_option(spark, tmp_path):
+    from excel_to_db_spark.sources.xlsx_writer import write_xlsx
+
+    p = str(tmp_path / "n.xlsx")
+    write_xlsx(p, [["h"] * 5, ["a", None, None, 1.5, None]])
+    df = (spark.read.format("xlsx").option("path", p)
+          .option("null_preserving", "true").load())
+    [r] = df.collect()
+    assert (r[1], r[2], r[4]) == (None, None, None)
+    assert r[3] == 1.5
