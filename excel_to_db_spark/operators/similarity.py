@@ -134,3 +134,53 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float, dim: int,
                     cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold)
             .select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim")))
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance via zip_with + sequential fold."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str,
+               vec_col: str = "vec") -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (min squared distance, centroid id ascending tie-break).
+    centroids is small -> broadcast cross join + per-row rank; the
+    output adds a `cell` column. At 100 TB the assignment is one
+    broadcast pass, and the corpus can be written partitioned BY cell so
+    probes touch one partition (classic IVF file layout)."""
+    c = centroids.select(F.col("cid"), F.col("cvec"))
+    scored = (vectors.crossJoin(F.broadcast(c))
+              .withColumn("d2", sq_dist(F.col(vec_col), F.col("cvec"))))
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk", "d2", "cvec")
+            .withColumnRenamed("cid", "cell"))
+
+
+def topk_ivf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> DataFrame:
+    """IVF search with nprobe=1: score only corpus vectors in the query's
+    nearest-centroid cell. Complements SRP-LSH as the second ANN scale
+    path (SURVEY.md §2.C): the candidate join is an equi-join on `cell`.
+    With a deterministic coarse quantizer (fixed centroid list) the whole
+    algorithm is engine-independent, so the DuckDB oracle runs it too."""
+    cvecs = centroids.select("cid", F.col("cvec").cast("array<double>").alias("cvec"))
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       as_double(F.col(vec_col)).alias("q_vec"))
+    q = ivf_assign(q, cvecs, "q_id", "q_vec")
+    c = corpus.select(F.col(id_col).alias("n_id"),
+                      as_double(F.col(vec_col)).alias("n_vec"))
+    c = ivf_assign(c, cvecs, "n_id", "n_vec")
+    scored = (c.join(F.broadcast(q), on="cell")
+              .filter(F.col("q_id") != F.col("n_id"))
+              .select("q_id", "n_id",
+                      cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(),
+                                           F.col("n_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= k)
+            .select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"))

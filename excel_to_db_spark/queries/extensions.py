@@ -394,3 +394,83 @@ def stream_tumbling(spark, sf_dir):
     sink. On finite input the final state equals the batch result, so the
     SAME DuckDB oracle verifies the streaming path value-for-value."""
     return run_tumbling_stream(spark, sf_dir)
+
+
+@query("similarity_ivf", oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id < 16
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    assign AS (
+        SELECT vec_id, vec, cell FROM (
+            SELECT v.vec_id, v.vec, c.cid AS cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       (list_dot_product(v.vec, v.vec)
+                        - 2 * list_dot_product(v.vec, c.cvec)
+                        + list_dot_product(c.cvec, c.cvec)) ASC,
+                       c.cid ASC) AS rk
+            FROM v CROSS JOIN cent c)
+        WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS q_id, vec AS q_vec, cell FROM assign
+          WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q_id, a.vec_id AS n_id,
+               {_COS_SQL % {'a': 'q_vec', 'b': 'a.vec'}} AS s
+        FROM assign a JOIN q USING (cell) WHERE q_id <> a.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, n_id, s,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id ASC)
+                    AS BIGINT) AS rk
+        FROM scored
+    )
+    SELECT q_id, n_id, round(s, 6) AS cos_sim, rk FROM ranked WHERE rk <= 10
+""")
+def similarity_ivf(spark, sf_dir):
+    """IVF-partitioned ANN (nprobe=1): a fixed 16-centroid coarse
+    quantizer (first 16 vectors — deterministic, so the oracle runs the
+    identical algorithm) assigns every vector to a cell; search scores
+    only the query's cell. The second ANN scale path next to SRP-LSH:
+    at 100 TB the corpus is written partitioned by cell and a probe
+    reads one partition."""
+    e = T(spark, sf_dir, "embeddings")
+    cents = (e.filter(F.col("vec_id") < 16)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").cast("array<double>").alias("cvec")))
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return S.topk_ivf(e, q, cents, k=10)
+
+
+@query("join_salted", oracle="""
+    SELECT s.s_nationkey, round(sum(l.l_quantity), 2) AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+""")
+def join_salted(spark, sf_dir):
+    """Salted equi-join (operators/skew.py): hot fact keys split across
+    n_salts shuffle partitions, dim side replicated n_salts x. The
+    oracle is the PLAIN join — salting must be invisible in the result.
+    (AQE skew-split handles most cases automatically; explicit salting
+    is the tool when a single key overwhelms even a split task.)"""
+    from ..operators.skew import salted_join
+
+    le = T(spark, sf_dir, "lineitem")
+    su = T(spark, sf_dir, "supplier")
+    j = salted_join(le, su, "l_suppkey", "s_suppkey", n_salts=8)
+    return (j.groupBy("s_nationkey")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count("*").alias("n_items")))
+
+
+@query("stream_dedup", oracle="SELECT DISTINCT event_id FROM events")
+def stream_dedup(spark, sf_dir):
+    """Streaming deduplication under the Structured Streaming engine:
+    every event replayed TWICE (two unioned file streams), deduplicated
+    by (event_id, ts) with watermark-bounded state. Output == DISTINCT
+    event ids of the batch table."""
+    from ..streaming import run_stream_dedup
+
+    return run_stream_dedup(spark, sf_dir)

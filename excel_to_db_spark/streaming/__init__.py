@@ -10,6 +10,7 @@ paths agree on finite input).
 
 from .windows import (  # noqa: F401
     events_stream_reader,
+    run_stream_dedup,
     run_tumbling_stream,
     session_agg,
     tumbling_agg,

@@ -91,3 +91,26 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str,
+                     watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication: the events file replayed through TWO
+    stream sources unioned (every event arrives twice), deduplicated by
+    (event_id, ts) under a watermark — the state-store dedup pattern.
+    The watermark bounds state: ids older than max(ts) - watermark are
+    evicted, which is what makes dedup feasible on an unbounded stream.
+    Finite replay => output equals DISTINCT event_id of the batch table."""
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    a = events_stream_reader(spark, sf_dir)
+    b = events_stream_reader(spark, sf_dir)
+    q = (a.union(b)
+         .withWatermark("ts", watermark)
+         .dropDuplicates(["event_id", "ts"])
+         .select("event_id")
+         .writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,46 @@
+"""Salted join equivalence + IVF assignment sanity + stream dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, FloatType, LongType,
+                               StructField, StructType)
+
+from excel_to_db_spark.operators.skew import salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.createDataFrame(
+        [(i % 3, f"row{i}") for i in range(100)], ["k", "payload"])
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["sk", "tag"])
+    plain = big.join(small, big.k == small.sk).select("k", "payload", "tag")
+    salted = salted_join(big, small, "k", "sk", n_salts=4).select(
+        "k", "payload", "tag")
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+
+def test_ivf_assign_nearest_centroid(spark):
+    from excel_to_db_spark.operators.similarity import ivf_assign
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        StructType([StructField("cid", LongType()),
+                    StructField("cvec", ArrayType(DoubleType()))]))
+    vecs = spark.createDataFrame(
+        [(100, [1.0, 1.0]), (101, [9.0, 9.5])],
+        StructType([StructField("vid", LongType()),
+                    StructField("vec", ArrayType(DoubleType()))]))
+    out = {r.vid: r.cell for r in
+           ivf_assign(vecs, cents, "vid", "vec").collect()}
+    assert out == {100: 0, 101: 1}
+
+
+def test_stream_dedup_removes_replayed_duplicates(spark, sf_dir):
+    from excel_to_db_spark.streaming import run_stream_dedup
+    from excel_to_db_spark.tables import load_table
+
+    out = run_stream_dedup(spark, sf_dir)
+    n_batch = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert out.count() == n_batch                 # doubled input, deduped
+    assert out.select("event_id").distinct().count() == n_batch
