@@ -40,9 +40,14 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "similarity_topk",
+    "similarity_ann",
+    "similarity_ivf",
+    "join_salted",
     "text_quality",
     "text_langid",
     "events_tumbling",
+    "events_hopping",
+    "stream_tumbling",
 ]
 
 

@@ -36,10 +36,22 @@ def apply_session_mode(spark: SparkSession, sqlite_compat: bool) -> None:
 
 _LIKE_RE = re.compile(r"(?i)(?<![a-z0-9_])like(?![a-z0-9_])")
 _CAST_RE = re.compile(r"(?i)(?<![a-z0-9_])cast\s*\(")
+_GLOB_RE = re.compile(r"(?i)(?<![a-z0-9_])glob(?![a-z0-9_])\s*$")
 
 # Split into alternating [code, literal, code, literal, ...] segments.
 # A SQLite string literal is '...' with '' as the escaped quote.
 _LITERAL_RE = re.compile(r"('(?:[^']|'')*')")
+
+
+def _glob_pattern_to_like(lit: str) -> str:
+    """SQLite GLOB pattern literal -> LIKE pattern literal: * -> %,
+    ? -> _, with pre-existing %/_ escaped (LIKE ... ESCAPE '\\' added by
+    the caller). Character classes [...] are not translatable to LIKE
+    and pass through unchanged (documented corner)."""
+    body = lit[1:-1]
+    body = body.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+    body = body.replace("*", "%").replace("?", "_")
+    return f"'{body}'"
 
 
 def rewrite(sql: str, *, sqlite_compat: bool = True) -> str:
@@ -54,4 +66,10 @@ def rewrite(sql: str, *, sqlite_compat: bool = True) -> str:
     parts = _LITERAL_RE.split(sql)
     for i in range(0, len(parts), 2):  # even indices = non-literal code
         parts[i] = _CAST_RE.sub("TRY_CAST(", _LIKE_RE.sub("ILIKE", parts[i]))
+        # GLOB: case-SENSITIVE wildcard match. `x GLOB 'a*'` becomes
+        # `x LIKE 'a%' ESCAPE '\'` — keyword rewritten here, the pattern
+        # literal (the next odd segment) translated alongside.
+        if _GLOB_RE.search(parts[i]) and i + 1 < len(parts):
+            parts[i] = _GLOB_RE.sub("LIKE", parts[i])
+            parts[i + 1] = _glob_pattern_to_like(parts[i + 1]) + " ESCAPE '\\\\'"
     return "".join(parts)

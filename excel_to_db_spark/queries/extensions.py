@@ -474,3 +474,29 @@ def stream_dedup(spark, sf_dir):
     from ..streaming import run_stream_dedup
 
     return run_stream_dedup(spark, sf_dir)
+
+
+@query("events_hopping", oracle="""
+    SELECT ws AS win_start, ws + INTERVAL '10 minutes' AS win_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (
+        SELECT value,
+               unnest([time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws
+        FROM events
+    )
+    GROUP BY ws
+""")
+def events_hopping(spark, sf_dir):
+    """Hopping (sliding) windows: width 10 min, slide 5 min — every event
+    lands in exactly two windows. Spark's window(ts, width, slide)
+    replicates rows JVM-side; the oracle derives the same two window
+    starts per event with time_bucket arithmetic."""
+    ev = T(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "n_events", "sum_value"))

@@ -390,3 +390,30 @@ def str_funcs2(spark, sf_dir):
         F.contains(F.col("p_type"), F.lit("BRASS")).alias("has_brass"),
         F.startswith(F.col("p_type"), F.lit("PROMO")).alias("is_promo"),
         F.translate(F.col("p_brand"), "#", "_").alias("brand_us"))
+
+
+@query("approx_percentile", oracle="""
+    SELECT round(quantile_cont(l_extendedprice, 0.5), 2)  AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_exact,
+           true AS approx_within_1pct
+    FROM lineitem
+""")
+def approx_percentile(spark, sf_dir):
+    """approx_percentile (t-digest-style sketch). Like approx_distinct,
+    the sketch value is engine-specific, so the hashed contract is the
+    tolerance CLAIM (|approx-exact|/exact < 1% at both quantiles) plus
+    the exact interpolated percentiles themselves (Spark `percentile` ==
+    DuckDB quantile_cont, both linear interpolation). At 100 TB the
+    sketch path is one pass + tiny merge state; the exact path sorts."""
+    le = T(spark, sf_dir, "lineitem")
+    agg = le.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("e95"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("a95"))
+    return agg.select(
+        F.round("e50", 2).alias("p50_exact"),
+        F.round("e95", 2).alias("p95_exact"),
+        ((F.abs(F.col("a50") - F.col("e50")) / F.col("e50") < 0.01)
+         & (F.abs(F.col("a95") - F.col("e95")) / F.col("e95") < 0.01))
+        .alias("approx_within_1pct"))

@@ -49,3 +49,17 @@ def test_sqlite_dialect_rewrite_preserves_literals():
     out2 = rewrite("SELECT CAST(x AS INT), 'cast( not this' FROM t")
     assert "TRY_CAST" in out2.upper()
     assert "'cast( not this'" in out2
+
+
+def test_glob_rewrite(spark):
+    out = rewrite("SELECT * FROM t WHERE name GLOB 'ent_*' AND x = 'keep glob'")
+    assert "LIKE" in out and "GLOB" not in out.replace("'keep glob'", "")
+    assert r"'ent\_%' ESCAPE '\\'" in out
+    assert "'keep glob'" in out
+    # semantic check through spark.sql: GLOB is case-sensitive * wildcard
+    spark.createDataFrame([("ent_A",), ("ENT_A",), ("xent_A",)], ["name"]) \
+         .createOrReplaceTempView("t_glob")
+    got = {r.name for r in
+           spark.sql(rewrite("SELECT name FROM t_glob WHERE name GLOB 'ent_*'"))
+                .collect()}
+    assert got == {"ent_A"}
