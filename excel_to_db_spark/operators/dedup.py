@@ -258,3 +258,37 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8,
                      ham.alias("hamming"))
              .distinct()
              .filter(F.col("hamming") <= max_hamming))
+
+
+def dedup_clusters(pairs: DataFrame, ids: DataFrame) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc gets
+    the MIN doc id reachable through near-dup edges as its cluster
+    representative — the step that turns pairwise dedup output into
+    "keep one per cluster" deletions.
+
+    Iterative label propagation (the standard distributed CC): each
+    round, every node adopts the minimum label among itself and its
+    neighbors; converges in O(diameter) rounds. The loop is a driver-side
+    while over DataFrame joins — each iteration is one shuffle, state
+    stays distributed, and the convergence check is an aggregate, so the
+    pattern runs unchanged on a cluster (GraphX/GraphFrames do the same
+    under the hood). Near-dup cluster diameters are tiny (most are
+    cliques), so 2-4 rounds suffice in practice."""
+    edges = (pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+             .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b"))))
+    labels = ids.select(F.col("did"), F.col("did").alias("lbl"))
+    while True:
+        neighbor_min = (edges.join(labels, edges.b == labels.did)
+                        .groupBy("a").agg(F.min("lbl").alias("nlbl")))
+        new_labels = (labels.join(neighbor_min, labels.did == neighbor_min.a, "left")
+                      .select("did", F.least("lbl", F.coalesce("nlbl", "lbl"))
+                              .alias("lbl")))
+        new_labels = new_labels.persist()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "did")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("did").alias("doc_id"), F.col("lbl").alias("cluster"))

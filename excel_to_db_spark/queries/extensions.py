@@ -500,3 +500,56 @@ def events_hopping(spark, sf_dir):
             .select(F.col("win.start").alias("win_start"),
                     F.col("win.end").alias("win_end"),
                     "n_events", "sum_value"))
+
+
+@query("text_bpe_tokens", oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+               AS n_bpeish
+    FROM documents
+""")
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish sub-word token count (RE2-safe regex shared with the
+    oracle): the tokenizer-cost estimator every corpus pipeline runs."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    X.bpe_ish_token_count(F.col("text")).alias("n_bpeish"))
+
+
+@query("dedup_clusters", oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT d1 AS a, d2 AS b FROM ({jac}) UNION
+        SELECT d2 AS a, d1 AS b FROM ({jac})
+    ),
+    reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT src AS doc_id, min(node) AS cluster FROM reach GROUP BY src
+""".format(jac=_JACCARD_ORACLE))
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the shingle-Jaccard
+    pair graph (threshold 0.8), label = min reachable doc id. Spark side
+    is iterative label propagation (driver loop over joins — the
+    'iterative algorithm' pattern); oracle side is a recursive CTE
+    computing full reachability. Both yield the canonical
+    min-id-per-component labeling."""
+    d = T(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, threshold=0.8, keyset=D.shingles)
+    ids = d.select(F.col("doc_id").alias("did"))
+    return D.dedup_clusters(pairs, ids)
+
+
+@query("stream_stateful", oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+""")
+def stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-
+    user running totals held in the executor state store, updated by
+    Arrow-batched Python per micro-batch. On the single-batch replay the
+    final update per key equals the batch GROUP BY — the oracle."""
+    from ..streaming.stateful import run_stateful_totals
+
+    return run_stateful_totals(spark, sf_dir)

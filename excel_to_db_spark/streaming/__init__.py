@@ -8,6 +8,7 @@ batch oracle checks the streaming semantics (Spark guarantees the two
 paths agree on finite input).
 """
 
+from .stateful import run_stateful_totals, stateful_user_totals  # noqa: F401
 from .windows import (  # noqa: F401
     events_stream_reader,
     run_stream_dedup,

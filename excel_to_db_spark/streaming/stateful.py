@@ -1,0 +1,69 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Window/session aggregation and dedup are built-in stateful operators
+(windows.py); this is the escape hatch for semantics Spark doesn't ship:
+arbitrary per-key state updated batch-by-batch with Arrow-batched Python
+(`applyInPandasWithState`), the Structured Streaming analogue of
+`applyInPandas`.
+
+Scale notes: state lives in the executor state store (RocksDB-backed in
+production), partitioned by key — the Python function only ever sees one
+key's rows + state, so state size per task is bounded by the hottest
+key, not the stream. Timeouts (processing/event time) are how real
+pipelines flush idle keys; the replay harness here uses NoTimeout and
+emits on every update.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .windows import events_stream_reader
+
+OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+STATE_SCHEMA = "n bigint, s double"
+
+
+def _update_user_totals(key: tuple, pdfs: Iterator[pd.DataFrame],
+                        state: GroupState) -> Iterable[pd.DataFrame]:
+    """Per-user running totals: state = (event count, value sum); emits
+    the updated totals once per micro-batch the key appears in."""
+    (user_id,) = key
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [user_id],
+                        "n_events": [n],
+                        "sum_value": [round(s, 2)]})
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """The streaming transform itself (composable / testable)."""
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(_update_user_totals,
+                                    outputStructType=OUT_SCHEMA,
+                                    stateStructType=STATE_SCHEMA,
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events through the stateful operator. The single-file
+    parquet source is one availableNow batch, so each key updates exactly
+    once and the emitted totals equal the batch GROUP BY — which is the
+    DuckDB oracle for the `stream_stateful` query key."""
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (stateful_user_totals(events_stream_reader(spark, sf_dir))
+         .writeStream.outputMode("update")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

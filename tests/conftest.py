@@ -16,8 +16,11 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     from pyspark.sql import SparkSession
 
+    import tempfile
+
     s = (SparkSession.builder.master("local[4]")
          .appName("excel_to_db_spark-tests")
+         .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="e2db_wh_"))
          .config("spark.sql.shuffle.partitions", "4")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
