@@ -37,6 +37,7 @@ def apply_session_mode(spark: SparkSession, sqlite_compat: bool) -> None:
 _LIKE_RE = re.compile(r"(?i)(?<![a-z0-9_])like(?![a-z0-9_])")
 _CAST_RE = re.compile(r"(?i)(?<![a-z0-9_])cast\s*\(")
 _GLOB_RE = re.compile(r"(?i)(?<![a-z0-9_])glob(?![a-z0-9_])\s*$")
+_IIF_RE = re.compile(r"(?i)(?<![a-z0-9_])iif\s*\(")
 
 # Split into alternating [code, literal, code, literal, ...] segments.
 # A SQLite string literal is '...' with '' as the escaped quote.
@@ -66,6 +67,7 @@ def rewrite(sql: str, *, sqlite_compat: bool = True) -> str:
     parts = _LITERAL_RE.split(sql)
     for i in range(0, len(parts), 2):  # even indices = non-literal code
         parts[i] = _CAST_RE.sub("TRY_CAST(", _LIKE_RE.sub("ILIKE", parts[i]))
+        parts[i] = _IIF_RE.sub("IF(", parts[i])  # SQLite iif == Spark if
         # GLOB: case-SENSITIVE wildcard match. `x GLOB 'a*'` becomes
         # `x LIKE 'a%' ESCAPE '\'` — keyword rewritten here, the pattern
         # literal (the next odd segment) translated alongside.

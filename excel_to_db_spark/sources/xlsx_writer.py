@@ -7,9 +7,14 @@ cell grids without any third-party Excel library.
 
 from __future__ import annotations
 
+import re
 import zipfile
 from typing import Any, Iterable
 from xml.sax.saxutils import escape
+
+# XML 1.0 forbids control chars other than \t \n \r; real Excel encodes
+# them as _xHHHH_ escapes — out of scope for a fixture writer, so strip.
+_XML_INVALID = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -46,7 +51,8 @@ def _cell_xml(ref: str, value: Any) -> str:
         return f'<c r="{ref}" t="b"><v>{1 if value else 0}</v></c>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+    text = escape(_XML_INVALID.sub("", str(value)))
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
 
 
 def write_xlsx(path: str, rows: Iterable[Iterable[Any]], sheet_name: str = "Sheet1") -> str:
