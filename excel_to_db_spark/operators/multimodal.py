@@ -106,3 +106,34 @@ def sample_frames(df: DataFrame, every_k: int = 10, id_col: str = "doc_id",
     return base.select(F.col(id_col),
                        F.col("frame_idx").cast("bigint").alias("frame_idx"),
                        F.md5(frame).alias("frame_checksum"))
+
+
+FEATURE_SCHEMA = "doc_id bigint, feat array<double>"
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas: emits a
+    fixed-width feature vector per payload. The featurizer is a
+    deterministic byte-statistics stand-in (a real deployment swaps in a
+    model forward pass over the decoded image — same signature, same
+    Arrow batch shape); kept SQL-expressible so the oracle can verify
+    the full pipeline: [n_bytes, n_spaces, n_vowels, mean_byte/255]."""
+    pay = payload_col
+
+    def featurize(batches):
+        for pdf in batches:
+            feats = []
+            for buf in pdf[pay]:
+                b = bytes(buf)
+                n = len(b)
+                feats.append([
+                    float(n),
+                    float(b.count(b" ")),
+                    float(sum(b.count(v) for v in (b"a", b"e", b"i", b"o", b"u"))),
+                    (sum(b) / n / 255.0) if n else 0.0,
+                ])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": feats})
+
+    return (df.select(F.col(id_col), F.col(payload_col))
+            .mapInPandas(featurize, schema=FEATURE_SCHEMA))

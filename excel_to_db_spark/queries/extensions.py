@@ -553,3 +553,31 @@ def stream_stateful(spark, sf_dir):
     from ..streaming.stateful import run_stateful_totals
 
     return run_stateful_totals(spark, sf_dir)
+
+
+@query("multimodal_features", oracle="""
+    SELECT doc_id,
+           [CAST(length(text) AS DOUBLE),
+            CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE),
+            CAST(length(text) - length(replace(replace(replace(replace(replace(
+                 text, 'a', ''), 'e', ''), 'i', ''), 'o', ''), 'u', ''))
+                 AS DOUBLE),
+            round(list_sum(list_transform(string_split(text, ''),
+                                          ch -> ascii(ch)))
+                  / length(text) / 255.0, 9)] AS feat
+    FROM documents
+""")
+def multimodal_features(spark, sf_dir):
+    """Feature-extraction plumbing over binary payloads (mapInPandas,
+    Arrow batches): fixed-width vector per payload. The deterministic
+    byte-statistics featurizer keeps the whole pipeline value-checkable;
+    a model featurizer is a drop-in with the same schema/batch shape."""
+    d = M.with_payload(T(spark, sf_dir, "documents"))
+    out = M.extract_features(d)
+    # round the mean-byte feature so both engines' division order can't
+    # flip the hash; the first three features are exact integers
+    return out.select(
+        "doc_id",
+        F.transform(F.col("feat"),
+                    lambda x, i: F.when(i == 3, F.round(x, 9)).otherwise(x))
+         .alias("feat"))
