@@ -73,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--null-preserving", action="store_true",
                     help="missing cells -> NULL instead of the reference's 0/0.0")
     ap.add_argument("--row-cap", type=int, default=1000)
+    ap.add_argument("--to-sqlite", metavar="DB_PATH", default=None,
+                    help="also persist excel_rows into this SQLite file "
+                         "(the reference's in-memory DB, made durable)")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -86,6 +89,15 @@ def main(argv: list[str] | None = None) -> int:
         opts=IngestOptions(null_preserving=args.null_preserving))
     print(f"-- loaded {df.count()} rows into excel_rows "
           f"({time.perf_counter() - t0:.3f}s)")
+
+    if args.to_sqlite:
+        from .sinks.db import write_sqlite
+
+        t0 = time.perf_counter()
+        n = write_sqlite(df, args.to_sqlite, "excel_rows",
+                         unique_key="service_name")
+        print(f"-- wrote {n} rows to sqlite {args.to_sqlite} "
+              f"({time.perf_counter() - t0:.3f}s)")
 
     try:
         import readline  # noqa: F401  line editing + history when available
