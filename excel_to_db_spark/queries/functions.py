@@ -417,3 +417,21 @@ def approx_percentile(spark, sf_dir):
         ((F.abs(F.col("a50") - F.col("e50")) / F.col("e50") < 0.01)
          & (F.abs(F.col("a95") - F.col("e95")) / F.col("e95") < 0.01))
         .alias("approx_within_1pct"))
+
+
+@query("filter_glob", oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_name LIKE '%bolt%' AND p_name GLOB '*steel*'
+""")
+def filter_glob(spark, sf_dir):
+    """SQLite GLOB through the compat layer: the Spark side runs
+    rewrite() on a GLOB query (GLOB 'pat' -> LIKE with */? translated,
+    ESCAPE for literal %/_), proving the dialect layer inside the t2
+    gate. DuckDB has GLOB natively, so the oracle states both spellings."""
+    from ..compat.sqlite_dialect import rewrite
+
+    T(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(rewrite(
+        "SELECT p_partkey, p_name FROM part "
+        "WHERE p_name LIKE '%bolt%' AND p_name GLOB '*steel*'",
+        sqlite_compat=True).replace("ILIKE", "LIKE"))

@@ -61,3 +61,20 @@ def test_stateful_totals_equals_batch(spark, sf_dir):
                             F.round(F.sum("value"), 2).alias("sum_value"))
                        ).collect()}
     assert stream == batch
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """write.partitionBy + a partition-key filter: the scan must show a
+    partition filter and read only the matching directory — partition
+    pruning, the other half of the 100 TB layout story next to bucketing."""
+    from excel_to_db_spark.tables import load_table
+
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, sf_dir, "events").write.partitionBy("event_type") \
+        .mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    n_click = (load_table(spark, sf_dir, "events")
+               .filter(F.col("event_type") == "click").count())
+    assert df.count() == n_click
