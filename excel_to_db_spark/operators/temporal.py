@@ -1,0 +1,56 @@
+"""Temporal/range join operators — semantics Spark has no native join
+type for, built as compositions of DataFrame ops (SURVEY.md §2 custom-
+operator rule: composition first, Pandas UDF only if impossible).
+
+- `asof_join`: each left row matched to the most recent right row at or
+  before its timestamp, per key. Implemented with the union+window
+  trick: tag both sides, sort within key by (ts, tag), and carry the
+  last right-side timestamp forward with `last(..., ignorenulls=True)`.
+  ONE shuffle on the key — the naive correlated-subquery form (which the
+  DuckDB oracle uses, because correctness there is what matters) would
+  be a per-row rescan.
+- `range_join`: join a fact column into contiguous, non-overlapping
+  [lo, hi) bands. A BETWEEN theta-join is O(rows x bands) nested-loop;
+  when bands are uniform, mapping the value to its band index turns it
+  into an equi-join — O(rows). That rewrite is the classic range-join
+  optimization (Databricks' range-join hints do the binning internally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
+              right_ts_alias: str = "asof_ts") -> DataFrame:
+    """For every left row: max right.ts <= left.ts within the `on` key
+    (NULL when no prior right row). Both inputs must expose `on` + `ts`;
+    left's other columns are preserved."""
+    lt = left.withColumn("_tag", F.lit(1))
+    rt = (right.select(on, ts).withColumn("_tag", F.lit(0))
+          .select(*[F.lit(None).cast(t).alias(c) if c not in (on, ts, "_tag")
+                    else F.col(c)
+                    for c, t in lt.dtypes]))
+    u = lt.unionByName(rt)
+    # right rows sort before left rows at equal ts (tag 0 < 1), so a
+    # right row at exactly left.ts matches — the standard >= asof rule.
+    w = (Window.partitionBy(on).orderBy(F.col(ts).asc(), F.col("_tag").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = u.withColumn(
+        right_ts_alias,
+        F.last(F.when(F.col("_tag") == 0, F.col(ts)), ignorenulls=True).over(w))
+    return carried.filter(F.col("_tag") == 1).drop("_tag")
+
+
+def range_join_binned(fact: DataFrame, value_col: str, bands: DataFrame,
+                      width: float, how: str = "inner") -> DataFrame:
+    """Join `fact.value_col` into uniform contiguous bands
+    (bands: band_id, lo, hi with hi-lo == width, lo == band_id*width):
+    band index = floor(value/width), then broadcast equi-join. Result is
+    identical to `value >= lo AND value < hi` but runs as a hash join."""
+    f = fact.withColumn("_bin", F.floor(F.col(value_col) / width).cast("bigint"))
+    b = bands.withColumn("_bin", F.floor(F.col("lo") / width).cast("bigint"))
+    return (f.join(F.broadcast(b), "_bin", how)
+            .drop("_bin"))

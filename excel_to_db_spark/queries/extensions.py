@@ -581,3 +581,48 @@ def multimodal_features(spark, sf_dir):
         F.transform(F.col("feat"),
                     lambda x, i: F.when(i == 3, F.round(x, 9)).otherwise(x))
          .alias("feat"))
+
+
+@query("join_asof", oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts <= e.ts) AS asof_ts
+    FROM events e WHERE e.event_type = 'error'
+""")
+def join_asof(spark, sf_dir):
+    """As-of join (operators/temporal.py): every error event matched to
+    the user's most recent click at or before it. Spark side is the
+    union+window composition (one shuffle on user_id); the oracle states
+    the semantics as a correlated max — same answer, O(n^2) plan, which
+    is exactly why the engine-side composition exists."""
+    from ..operators.temporal import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return (asof_join(errors, clicks, on="user_id", ts="ts")
+            .select("event_id", "user_id", "ts", "asof_ts"))
+
+
+@query("join_range", oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, b.band_id
+    FROM orders o JOIN (
+        SELECT band_id, band_id * 100000.0 AS lo, (band_id + 1) * 100000.0 AS hi
+        FROM (SELECT unnest(range(0, 7)) AS band_id)
+    ) b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+""")
+def join_range(spark, sf_dir):
+    """Range join into uniform price bands. The oracle is the BETWEEN
+    theta-join; the Spark side maps each price to floor(price/width) and
+    equi-joins — the O(rows x bands) -> O(rows) range-join rewrite
+    (operators/temporal.py)."""
+    from ..operators.temporal import range_join_binned
+
+    o = T(spark, sf_dir, "orders")
+    bands = spark.range(7).select(
+        F.col("id").cast("bigint").alias("band_id"),
+        (F.col("id") * 100000.0).alias("lo"),
+        ((F.col("id") + 1) * 100000.0).alias("hi"))
+    return (range_join_binned(o, "o_totalprice", bands, 100000.0)
+            .select("o_orderkey", "o_totalprice", "band_id"))

@@ -44,3 +44,18 @@ def test_stream_dedup_removes_replayed_duplicates(spark, sf_dir):
     n_batch = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert out.count() == n_batch                 # doubled input, deduped
     assert out.select("event_id").distinct().count() == n_batch
+
+
+def test_asof_join_semantics(spark):
+    from excel_to_db_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (2, 5, "e3")],
+        ["k", "ts", "eid"])
+    right = spark.createDataFrame(
+        [(1, 10), (1, 15), (2, 9)], ["k", "ts"])
+    out = {r.eid: r.asof_ts
+           for r in asof_join(left, right, on="k", ts="ts").collect()}
+    assert out["e1"] == 10    # exact tie matches (>= rule)
+    assert out["e2"] == 15    # most recent prior
+    assert out["e3"] is None  # no right row at or before ts=5
