@@ -287,7 +287,7 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame) -> DataFrame:
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "did")
                    .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels.unpersist()  # no-op on the initial unpersisted frame
         labels = new_labels
         if changed == 0:
             break

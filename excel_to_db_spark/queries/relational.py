@@ -547,3 +547,28 @@ def subquery_correlated(spark, sf_dir):
         WHERE c_acctbal > (SELECT 2 * avg(c2.c_acctbal) FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
     """)
+
+
+@query("window_frame_range", oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                          RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)
+               AS n_within_500,
+           round(sum(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                                      RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW), 2)
+               AS sum_below
+    FROM customer
+""")
+def window_frame_range(spark, sf_dir):
+    """RANGE (value-based) window frames — peers counted by ORDER BY
+    value distance, not row offsets (vs the ROWS frames in
+    window_frame_sum). Completes the SQLite frame-spec matrix; Spark has
+    no GROUPS frames or EXCLUDE (documented unsupported corner,
+    SURVEY.md §2.B)."""
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal"))
+    return c.select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.count("*").over(w.rangeBetween(-500, 500)).alias("n_within_500"),
+        F.round(F.sum("c_acctbal").over(w.rangeBetween(-500, 0)), 2)
+         .alias("sum_below"))
