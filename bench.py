@@ -78,6 +78,18 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = E.queries()
+
+    # Warmup: touch every table once (parquet footer reads, JVM/codegen
+    # spin-up) so the timings below measure steady-state execution, not
+    # first-query session warmup.
+    from excel_to_db_spark.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
