@@ -97,6 +97,7 @@ def filter_pred(spark, sf_dir):
     WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
 """)
 def filter_between_in(spark, sf_dir):
+    """BETWEEN + IN predicate filters; both push to the parquet scan."""
     le = T(spark, sf_dir, "lineitem")
     return (le.filter(le.l_quantity.between(10, 20)
                       & le.l_returnflag.isin("A", "R"))
@@ -175,6 +176,7 @@ def join_full(spark, sf_dir):
     SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
 """)
 def join_cross(spark, sf_dir):
+    """Cartesian product of two tiny dims (5 x 25 rows)."""
     return (T(spark, sf_dir, "region").crossJoin(T(spark, sf_dir, "nation"))
             .select("r_name", "n_name"))
 
@@ -281,6 +283,7 @@ def agg_groupby(spark, sf_dir):
     FROM lineitem
 """)
 def agg_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) aggregates — an extra shuffle per distinct key set."""
     le = T(spark, sf_dir, "lineitem")
     return le.agg(F.countDistinct("l_partkey").alias("n_parts"),
                   F.countDistinct("l_suppkey").alias("n_supps"),
@@ -292,6 +295,7 @@ def agg_distinct(spark, sf_dir):
     FROM orders GROUP BY o_custkey HAVING count(*) >= 15
 """)
 def agg_having(spark, sf_dir):
+    """GROUP BY + HAVING == aggregate then filter on the aggregate."""
     return (T(spark, sf_dir, "orders")
             .groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
             .filter(F.col("n_orders") >= 15))
@@ -368,6 +372,7 @@ def window_rank(spark, sf_dir):
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """)
 def window_lag_lead(spark, sf_dir):
+    """lag/lead/first_value analytics over per-customer order history."""
     w = (Window.partitionBy("o_custkey")
          .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
     o = T(spark, sf_dir, "orders")
@@ -434,6 +439,7 @@ def topk(spark, sf_dir):
     SELECT s_nationkey AS nk FROM supplier
 """)
 def set_union(spark, sf_dir):
+    """UNION (distinct) of the two nation-key projections."""
     c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.union(s).distinct()
@@ -445,6 +451,7 @@ def set_union(spark, sf_dir):
     SELECT s_nationkey AS nk FROM supplier
 """)
 def set_intersect(spark, sf_dir):
+    """INTERSECT (distinct semantics, as in SQLite)."""
     c = (T(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0.0)
          .select(F.col("c_nationkey").alias("nk")))
     s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
@@ -469,6 +476,7 @@ def set_except(spark, sf_dir):
     SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
 """)
 def distinct_rows(spark, sf_dir):
+    """SELECT DISTINCT — the reference's only native dedup surface."""
     return T(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
@@ -526,6 +534,7 @@ def cte_recursive(spark, sf_dir):
     WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
 """)
 def subquery_scalar(spark, sf_dir):
+    """Uncorrelated scalar subquery as a filter bound (one extra job)."""
     T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql("""
         SELECT count(*) AS n_above FROM orders
