@@ -413,8 +413,17 @@ def stream_tumbling(spark, sf_dir):
             FROM v CROSS JOIN cent c)
         WHERE rk = 1
     ),
-    q AS (SELECT vec_id AS q_id, vec AS q_vec, cell FROM assign
-          WHERE vec_id % 100 = 0),
+    q AS (
+        SELECT vec_id AS q_id, vec AS q_vec, cell FROM (
+            SELECT v.vec_id, v.vec, c.cid AS cell,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       (list_dot_product(v.vec, v.vec)
+                        - 2 * list_dot_product(v.vec, c.cvec)
+                        + list_dot_product(c.cvec, c.cvec)) ASC,
+                       c.cid ASC) AS rk
+            FROM v CROSS JOIN cent c WHERE v.vec_id % 100 = 0)
+        WHERE rk <= 2
+    ),
     scored AS (
         SELECT q_id, a.vec_id AS n_id,
                {_COS_SQL % {'a': 'q_vec', 'b': 'a.vec'}} AS s

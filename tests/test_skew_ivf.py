@@ -59,3 +59,19 @@ def test_asof_join_semantics(spark):
     assert out["e1"] == 10    # exact tie matches (>= rule)
     assert out["e2"] == 15    # most recent prior
     assert out["e3"] is None  # no right row at or before ts=5
+
+
+def test_ann_recall_floors(spark, sf_dir):
+    """Approximation-quality gauge: both ANN paths must recover a
+    meaningful fraction of the exact top-10 (conservative floors — the
+    contract queries already pin exact algorithm equality; this guards
+    against a silent quality collapse, e.g. a broken bucket function
+    sending everything to one cell's complement)."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    exact = {(r.q_id, r.n_id) for r in qs["similarity_topk"](spark, sf_dir).collect()}
+    ann = {(r.q_id, r.n_id) for r in qs["similarity_ann"](spark, sf_dir).collect()}
+    ivf = {(r.q_id, r.n_id) for r in qs["similarity_ivf"](spark, sf_dir).collect()}
+    assert len(ann & exact) / len(exact) >= 0.1
+    assert len(ivf & exact) / len(exact) >= 0.1
