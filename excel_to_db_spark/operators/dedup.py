@@ -160,11 +160,12 @@ def minhash_lsh_candidates(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
             for b in range(bands)
         ])).alias("bb"))
     banded = banded.select("did", "bb.band", "bb.bucket")
-    # The self-join would otherwise recompute the whole signature pipeline
-    # for each side; the banded table is tiny (docs x bands rows), so cache
-    # it. At cluster scale this is the "materialize signatures" step every
-    # production MinHash pipeline has (usually a parquet checkpoint).
-    banded = banded.persist()
+    # Self-join: the signature pipeline feeds both sides, but its last
+    # step is a shuffle (the groupBy), so Spark's ReusedExchange computes
+    # it once. No persist — a cached DF per invocation would accumulate
+    # in long-lived sessions (measured: cache churn made repeated runs
+    # 3-6x slower). At cluster scale the production shape is an explicit
+    # parquet checkpoint of signatures, not executor cache.
     x = banded.alias("x")
     y = banded.alias("y")
     return (x.join(y, (F.col("x.band") == F.col("y.band"))
