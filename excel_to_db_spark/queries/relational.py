@@ -581,3 +581,68 @@ def window_frame_range(spark, sf_dir):
         F.count("*").over(w.rangeBetween(-500, 500)).alias("n_within_500"),
         F.round(F.sum("c_acctbal").over(w.rangeBetween(-500, 0)), 2)
          .alias("sum_below"))
+
+
+@query("agg_pivot", oracle="""
+    SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_A,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_N,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+""")
+def agg_pivot(spark, sf_dir):
+    """PIVOT: rows -> columns per return flag. Spark's groupBy().pivot()
+    with an EXPLICIT value list (omitting it adds a distinct-scan job to
+    discover values — never do that at 100 TB); semantically identical
+    to the conditional-aggregation ANSI form the oracle states."""
+    le = T(spark, sf_dir, "lineitem")
+    p = (le.groupBy("l_linestatus")
+         .pivot("l_returnflag", ["A", "N", "R"])
+         .agg(F.round(F.sum("l_quantity"), 2)))
+    return p.select("l_linestatus",
+                    F.col("A").alias("qty_A"),
+                    F.col("N").alias("qty_N"),
+                    F.col("R").alias("qty_R"))
+
+
+@query("agg_stats", oracle="""
+    SELECT round(stddev_samp(l_extendedprice), 4)             AS sd_price,
+           round(var_samp(l_extendedprice), 2)                AS var_price,
+           round(skewness(l_extendedprice), 4)                AS skew_price,
+           round(kurtosis(l_extendedprice), 4)                AS kurt_price,
+           round(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS covar_qty_price
+    FROM lineitem
+""")
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates: stddev/variance/skewness/kurtosis/
+    corr/covar — single-pass distributed moment computation (partial
+    aggregation merges moment states across partitions). Rounded at 4dp:
+    both engines' one-pass formulas agree to >=6 significant digits
+    [measured]; skew/kurt differ last-ulp past that."""
+    le = T(spark, sf_dir, "lineitem")
+    return le.agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4)
+         .alias("covar_qty_price"))
+
+
+@query("sample_bernoulli", oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total, true AS sample_within_2pct
+    FROM lineitem
+""")
+def sample_bernoulli(spark, sf_dir):
+    """TABLESAMPLE: Bernoulli 10% sample (seeded — deterministic within
+    an engine, but engine-specific RNG, so like the approx sketches the
+    hashed contract is the tolerance CLAIM: |rate - 0.1| < 0.02). At
+    100 TB sampling is the front door of every profiling/quality job."""
+    le = T(spark, sf_dir, "lineitem")
+    sampled = le.sample(fraction=0.1, seed=42).count()
+    return (le.agg(F.count("*").cast("bigint").alias("n_total"))
+            .select("n_total",
+                    (F.abs(F.lit(sampled) / F.col("n_total") - 0.1) < 0.02)
+                    .alias("sample_within_2pct")))
