@@ -32,6 +32,13 @@ HEADLINE = [
     "subquery_correlated",# decorrelated correlated subquery
     "distinct_rows",
     "agg_rollup",
+    # TPC-H-derived warehouse suite (queries/tpch.py)
+    "tpch_q3",            # dim-broadcast + fact shuffle + top-k
+    "tpch_q5",            # 6-way join, one shuffle
+    "tpch_q8",            # deepest join tree (8 relations)
+    "tpch_q13",           # outer join + double aggregation
+    "tpch_q17",           # decorrelated per-key threshold join
+    "tpch_q18",           # semi join + 100-row top-k
     # scalar-heavy projections (codegen throughput)
     "project_expr",
     "str_funcs",

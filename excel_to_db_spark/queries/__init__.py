@@ -13,6 +13,7 @@ from . import relational  # noqa: E402,F401  Tier B: scans/joins/aggs/windows/se
 from . import functions   # noqa: E402,F401  Tier B: scalar function packs + UDF/approx
 from . import extensions  # noqa: E402,F401  Tier C: dedup/similarity/text/multimodal/streaming
 from . import parity      # noqa: E402,F401  Tier A: excel scan/load/display/csv golden parity
+from . import tpch        # noqa: E402,F401  Tier B: TPC-H-derived warehouse suite
 
 __all__ = [
     "REGISTRY",

@@ -1,0 +1,617 @@
+"""TPC-H-derived analytics suite over the driver's star schema.
+
+The reference reaches this query class through its SQL passthrough
+(reference src/main.rs:220 — any SELECT SQLite can run); TPC-H is the
+canonical exercise of that surface at warehouse scale, so each query here
+is the Spark-DataFrame expression of a TPC-H shape, adapted to the
+columns the driver's synthetic schema actually has (TESTDATA.md: no
+partsupp table; no l_commitdate/l_receiptdate/l_shipmode, no c_phone,
+no o_shippriority).  Q2/Q11/Q20/Q21 are unreachable without those
+columns; Q9/Q12/Q16/Q22 carry documented adaptations; Q1 already ships
+as `agg_groupby`.
+
+Scale posture (the reason this suite matters at 100 TB):
+- every dim→fact join broadcasts the dim side (region/nation/customer/
+  supplier/part are MBs even at sf100k) so the lineitem stream never
+  shuffles for enrichment;
+- fact⋈fact joins (orders⋈lineitem) shuffle on the join key once and
+  AQE coalesces post-shuffle partitions;
+- top-k queries end in TakeOrderedAndProject (no global sort);
+- aggregates use map-side partial aggregation (the only rows crossing
+  the wire are group keys × partial states).
+
+Oracle discipline: revenue sums round(…, 2); ratio aggregates
+round(…, 4/6); top-k queries pin a total order with a unique tie-break
+key so LIMIT is deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from .relational import T
+
+
+def _revenue(le):
+    return le.l_extendedprice * (1 - le.l_discount)
+
+
+# --------------------------------------------------------------- Q3/Q10
+
+
+@query("tpch_q3", oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+""")
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping-priority: unshipped high-revenue orders.
+
+    customer broadcasts into orders (dim⋈fact), then orders⋈lineitem
+    shuffles on orderkey; final top-10 is TakeOrderedAndProject.
+    Tie-break on l_orderkey pins LIMIT determinism cross-engine."""
+    cutoff = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    le = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(le, le.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(_revenue(le)), 2).alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate")
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+@query("tpch_q10", oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+""")
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: top 20 customers by lost
+    revenue in a quarter. The only shuffle is orders⋈lineitem on
+    orderkey + the final groupBy on custkey; nation broadcasts."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    o = (T(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)))
+    le = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (o.join(le, le.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(_revenue(le)), 2).alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
+# --------------------------------------------------------------- Q4/Q12
+
+
+@query("tpch_q4", oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+""")
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 order-priority checking, adapted: the reference schema
+    has no l_commitdate/l_receiptdate, so "late" = any line item shipped
+    more than 60 days after the order date. EXISTS lowers to a left-semi
+    join on orderkey (no row multiplication before the count)."""
+    lo = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-10-01 00:00:00").cast("timestamp")
+    o = (T(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)))
+    le = T(spark, sf_dir, "lineitem")
+    cond = (le.l_orderkey == o.o_orderkey) & \
+           (le.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (o.join(le, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+@query("tpch_q12", oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate >  o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+""")
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipping-mode/priority, adapted: no l_shipmode column,
+    so lines group by l_linestatus and "late arrival" = shipped >90 days
+    after order date. Conditional counts via sum(CASE …) keep it one
+    aggregate pass (no second join or union)."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    o = T(spark, sf_dir, "orders")
+    le = (T(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (le.join(o, (o.o_orderkey == le.l_orderkey)
+                    & (le.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+# ------------------------------------------------------------ Q5/Q7/Q8
+
+
+@query("tpch_q5", oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+""")
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier volume: 6-way join where only
+    orders⋈lineitem shuffles; customer/supplier/nation/region all
+    broadcast. The c_nationkey = s_nationkey "local" condition rides on
+    the supplier broadcast join."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    c = T(spark, sf_dir, "customer")
+    o = (T(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)))
+    le = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (o.join(le, le.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), (le.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(_revenue(le)), 2).alias("revenue")))
+
+
+@query("tpch_q7", oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+""")
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping between two nations. The nation table is
+    joined twice under different roles (supplier side / customer side) —
+    both broadcast; the OR'd nation-pair predicate lands after both
+    enrichments, before the aggregate."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    s = T(spark, sf_dir, "supplier")
+    le = (T(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)))
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")))
+    return (le.join(o, o.o_orderkey == le.l_orderkey)
+            .join(F.broadcast(s), s.s_suppkey == le.l_suppkey)
+            .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+            .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+            .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(_revenue(le)), 2).alias("revenue")))
+
+
+@query("tpch_q8", oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+""")
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share: the deepest join tree in the
+    suite (8 relations). Every dim broadcasts; lineitem⋈orders is the
+    single shuffle. The share ratio is a conditional-sum / sum over the
+    same aggregate pass — no second scan."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    le = T(spark, sf_dir, "lineitem")
+    o = (T(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)))
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = _revenue(le)
+    return (le.join(o, le.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(p), p.p_partkey == le.l_partkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+            .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+            .join(F.broadcast(s), le.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+            .select(F.year("o_orderdate").alias("o_year"),
+                    vol.alias("volume"), F.col("nation"))
+            .groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume"))
+                      .otherwise(F.lit(0.0))) / F.sum("volume"), 6)
+                .alias("mkt_share")))
+
+
+# ---------------------------------------------------------------- Q6/Q14
+
+
+@query("tpch_q6", oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+""")
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue change: pure scan+filter+agg; all
+    four predicates push into the parquet scan (PushedFilters), the
+    aggregate is a single partial+final sum — the minimal-shuffle query."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    le = T(spark, sf_dir, "lineitem")
+    return (le.filter((le.l_shipdate >= lo) & (le.l_shipdate < hi)
+                      & le.l_discount.between(0.05, 0.07)
+                      & (le.l_quantity < 24))
+            .agg(F.round(F.sum(le.l_extendedprice * le.l_discount), 2)
+                 .alias("revenue")))
+
+
+@query("tpch_q14", oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""")
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion effect: part broadcasts into the filtered
+    lineitem scan; promo share computed as conditional-sum / sum in one
+    aggregate (single-row result)."""
+    lo = F.lit("1997-03-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp")
+    p = T(spark, sf_dir, "part")
+    le = (T(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)))
+    rev = _revenue(le)
+    return (le.join(F.broadcast(p), le.l_partkey == p.p_partkey)
+            .agg(F.round(100.0 * F.sum(F.when(p.p_type == "PROMO", rev)
+                                       .otherwise(F.lit(0.0))) / F.sum(rev), 4)
+                 .alias("promo_revenue")))
+
+
+# ---------------------------------------------------------------- Q9/Q15
+
+
+@query("tpch_q9", oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY nation, o_year
+""")
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 product-type profit, adapted: the schema has no partsupp
+    (hence no ps_supplycost), so unit cost is modeled as
+    0.6 * p_retailprice. Join/aggregation topology is Q9's: part filter
+    → lineitem → supplier/orders/nation, grouped by nation × year."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    le = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation")
+    amount = (_revenue(le) - 0.6 * p.p_retailprice * le.l_quantity)
+    return (le.join(o, le.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(p), p.p_partkey == le.l_partkey)
+            .join(F.broadcast(s), le.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .select(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").alias("o_year"),
+                    amount.alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg(F.round(F.sum("amount"), 2).alias("sum_profit")))
+
+
+@query("tpch_q15", oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier. The textbook form scans lineitem twice
+    (once for per-supplier revenue, once for its max); here the max is a
+    whole-relation window over the already-aggregated revenue table —
+    supplier-cardinality, so the single-partition window holds a few
+    rows per thousand executors and lineitem is scanned exactly once.
+    Rounded revenue makes the float equality against max() exact on
+    both engines."""
+    from pyspark.sql.window import Window
+
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp")
+    le = T(spark, sf_dir, "lineitem")
+    rev = (le.filter((le.l_shipdate >= lo) & (le.l_shipdate < hi))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.round(F.sum(_revenue(le)), 2).alias("total_revenue")))
+    s = T(spark, sf_dir, "supplier")
+    return (rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy()))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .join(s, s.s_suppkey == F.col("supplier_no"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+# ------------------------------------------------------------- Q13/Q16
+
+
+@query("tpch_q13", oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+""")
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution (the comment-filter
+    becomes a priority filter — no o_comment column). Left join keeps
+    zero-order customers; the two aggregations are a custkey shuffle
+    then a tiny c_count shuffle."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy(c.c_custkey)
+                .agg(F.count(o.o_orderkey).alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+@query("tpch_q16", oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (5, 10, 15, 20)
+    GROUP BY p_brand, p_type, p_size
+""")
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 parts/supplier relationship, adapted: supplier-per-part
+    counts come from lineitem (no partsupp table). COUNT(DISTINCT) runs
+    as a two-phase aggregate (dedup shuffle then count)."""
+    p = (T(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(5, 10, 15, 20)))
+    le = T(spark, sf_dir, "lineitem")
+    return (le.join(F.broadcast(p), le.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+# ------------------------------------------------------------- Q17/Q18/Q19
+
+
+@query("tpch_q17", oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS agg_partkey,
+                 0.5 * avg(l_quantity) AS avg_qty_threshold
+          FROM lineitem GROUP BY l_partkey) part_agg
+      ON agg_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < avg_qty_threshold
+""")
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue: correlated avg-quantity
+    subquery decorrelated into a per-part aggregate joined back to the
+    fact table (threshold 0.5·avg; TPC-H's 0.2 is empty on this synthetic
+    uniform-quantity data). Two passes over lineitem — at 100 TB the
+    per-part aggregate is the cheap one (distinct partkeys ≪ rows)."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    le = T(spark, sf_dir, "lineitem")
+    thresholds = (le.groupBy(F.col("l_partkey").alias("agg_partkey"))
+                  .agg((0.5 * F.avg("l_quantity")).alias("avg_qty_threshold")))
+    return (le.join(F.broadcast(p), le.l_partkey == p.p_partkey)
+            .join(thresholds, le.l_partkey == F.col("agg_partkey"))
+            .filter(le.l_quantity < F.col("avg_qty_threshold"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
+
+
+@query("tpch_q18", oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 210)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+""")
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers: the IN-subquery (orders whose
+    total quantity exceeds a threshold) lowers to a left-semi join; the
+    threshold 210 fits this data's ~4 lines/order (TPC-H's 300 assumes 7).
+    Tie-break on o_orderkey pins the LIMIT."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    le = T(spark, sf_dir, "lineitem")
+    big = (le.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("tq"))
+           .filter(F.col("tq") > 210)
+           .select("l_orderkey"))
+    return (o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+            .join(le, o.o_orderkey == le.l_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.sum("l_quantity").alias("total_qty"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(100))
+
+
+@query("tpch_q19", oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+""")
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 discounted-revenue: three OR'd brand/size/quantity
+    predicate groups across the join (p_container replaced by p_size
+    ranges — no container column). Catalyst extracts the common
+    p_partkey = l_partkey conjunct so it still runs as an equi-join
+    (hash, not nested-loop) with the OR as a post-join filter."""
+    p = T(spark, sf_dir, "part")
+    le = T(spark, sf_dir, "lineitem")
+    clause = (
+        ((p.p_brand == "Brand#1") & p.p_size.between(1, 15)
+         & le.l_quantity.between(1, 21))
+        | ((p.p_brand == "Brand#12") & p.p_size.between(1, 30)
+           & le.l_quantity.between(10, 30))
+        | ((p.p_brand == "Brand#21") & p.p_size.between(1, 50)
+           & le.l_quantity.between(20, 40)))
+    return (le.join(F.broadcast(p), le.l_partkey == p.p_partkey)
+            .filter(clause)
+            .agg(F.round(F.sum(_revenue(le)), 2).alias("revenue")))
+
+
+# ------------------------------------------------------------------ Q22
+
+
+@query("tpch_q22", oracle="""
+    SELECT n_name,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n_name
+""")
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global sales opportunity, adapted: no c_phone column,
+    so "country code" grouping becomes the customer's nation. Wealthy
+    (above global positive-balance average) customers with no recent
+    orders: scalar subquery broadcast + left-anti join on the filtered
+    orders."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    o = (T(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate")
+                 >= F.lit("2000-01-01 00:00:00").cast("timestamp")))
+    avg_bal = (c.filter(c.c_acctbal > 0.0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    return (c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("ab"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
