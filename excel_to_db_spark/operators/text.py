@@ -124,6 +124,19 @@ def rolling_fingerprint(text: Column) -> Column:
                        lambda acc, h: (acc * 131 + h) % m)
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """All word n-grams of a document as space-joined strings (the unit
+    of exact-substring overlap detection / decontamination). Documents
+    shorter than n tokens yield an empty array, not an error — guarded
+    because Spark's sequence(1, k) with k <= 0 would count DOWNWARD."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
 def token_frequencies(df: DataFrame, text_col: str = "text",
                       min_count: int = 1) -> DataFrame:
     """Corpus-level token frequency table: explode + count. The classic

@@ -14,6 +14,7 @@ from . import functions   # noqa: E402,F401  Tier B: scalar function packs + UDF
 from . import extensions  # noqa: E402,F401  Tier C: dedup/similarity/text/multimodal/streaming
 from . import parity      # noqa: E402,F401  Tier A: excel scan/load/display/csv golden parity
 from . import tpch        # noqa: E402,F401  Tier B: TPC-H-derived warehouse suite
+from . import pipeline    # noqa: E402,F401  Tier C: training-data pipeline composites
 
 __all__ = [
     "REGISTRY",

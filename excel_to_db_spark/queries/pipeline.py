@@ -1,0 +1,181 @@
+"""Training-data pipeline composites (Tier C, SURVEY.md §2.C).
+
+Single text operators live in queries/extensions.py; this module holds
+the corpus-level compositions an LLM-data pipeline actually runs over
+the `documents` table: cross-document span overlap (decontamination),
+inverse document frequency, and the end-to-end filter→dedup→measure
+pipeline. The reference has no analogue (its surface ends at SQLite
+passthrough, reference src/main.rs:220); these are the north-star
+extensions the 100 TB design exists for.
+
+Scale posture: every query here is explode-shuffle-aggregate over
+corpus-cardinality keys (grams/tokens), the shape Spark's map-side
+partial aggregation + AQE handle natively. The exact n-gram overlap is
+the precise-but-heavy path (gram-space ~ corpus bytes); MinHash-LSH
+(`dedup_minhash`) is its approximate cousin when even one gram shuffle
+is too much.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import text as X
+from .registry import query
+from .relational import T
+
+_SW_EN = "[" + ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"]) + "]"
+
+
+@query("text_ngram_overlap", oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(t[i:i+7], ' ')
+                           for i in range(1, greatest(len(t) - 6, 1))]) AS gram
+            FROM toks)
+    ),
+    shared AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+    ),
+    per AS (
+        SELECT g.doc_id, count(*) AS n_shared
+        FROM g JOIN shared USING (gram) GROUP BY g.doc_id
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(t.n_grams, 0) AS n_grams,
+           coalesce(p.n_shared, 0) AS n_shared,
+           round(coalesce(p.n_shared, 0) * 1.0
+                 / greatest(coalesce(t.n_grams, 0), 1), 6) AS dup_ratio
+    FROM documents d
+    LEFT JOIN totals t ON d.doc_id = t.doc_id
+    LEFT JOIN per    p ON d.doc_id = p.doc_id
+""")
+def text_ngram_overlap(spark, sf_dir):
+    """Cross-document 8-gram overlap (exact-substring dedup /
+    decontamination): for each document, how many of its distinct word
+    8-grams also appear in at least one other document.
+
+    Plan: explode distinct (doc, gram) pairs once, aggregate the gram's
+    document-frequency, join the shared grams back, re-aggregate per doc
+    — two gram-keyed shuffles and one doc-keyed one, all with partial
+    aggregation. At 100 TB, gram-space is ~corpus-size: this is the
+    exact path; `dedup_minhash` is the constant-space approximation."""
+    d = T(spark, sf_dir, "documents")
+    per_doc = (d.select("doc_id",
+                        F.explode(X.word_ngrams(F.col("text"), 8)).alias("gram"))
+               .distinct())
+    shared = (per_doc.groupBy("gram").agg(F.count("*").alias("nd"))
+              .filter(F.col("nd") >= 2).select("gram"))
+    n_shared = (per_doc.join(shared, "gram")
+                .groupBy("doc_id").agg(F.count("*").alias("n_shared")))
+    totals = per_doc.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (d.select("doc_id")
+            .join(totals, "doc_id", "left")
+            .join(n_shared, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                F.round(F.coalesce("n_shared", F.lit(0))
+                        / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                        6).alias("dup_ratio")))
+
+
+@query("text_idf", oracle="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    )
+    SELECT tok, count(*) AS df,
+           round(ln((SELECT count(*) FROM documents) * 1.0 / count(*)), 6)
+               AS idf
+    FROM dt GROUP BY tok
+""")
+def text_idf(spark, sf_dir):
+    """Inverse document frequency table (the scoring half of TF-IDF):
+    document frequency per token over distinct (doc, token) pairs,
+    idf = ln(N / df). N rides in as a broadcast scalar, so the fact-side
+    explode+aggregate stays a single token-keyed shuffle."""
+    d = T(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    dt = (d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+          .distinct())
+    return (dt.groupBy("tok").agg(F.count("*").alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .select("tok", "df",
+                    F.round(F.log(F.col("n_docs") / F.col("df")), 6)
+                    .alias("idf")))
+
+
+@query("pipeline_training_data", oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                               t -> list_contains({_SW_EN}, t))) AS stop,
+               len(list_distinct(string_split(text, ' '))) AS n_dis,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fp
+        FROM documents
+    ),
+    scored AS (
+        SELECT *, round(least(n_tok / 20.0, 1.0)
+                        * least(n_dis * 2.0 / n_tok, 1.0)
+                        * least(stop * 10.0 / n_tok, 1.0), 6) AS q
+        FROM feat
+    ),
+    kept0 AS (
+        SELECT * FROM scored WHERE q >= 0.5 AND stop > 0
+    ),
+    kept AS (
+        SELECT * FROM kept0
+        WHERE doc_id = (SELECT min(doc_id) FROM kept0 k2 WHERE k2.fp = kept0.fp)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(avg(q), 6) AS avg_quality
+    FROM kept GROUP BY source
+""")
+def pipeline_training_data(spark, sf_dir):
+    """End-to-end corpus curation pipeline: quality-score every document
+    (composite of length / lexical diversity / stopword fluency), keep
+    fluent docs scoring >= 0.5, drop normalized-exact duplicates (keep
+    the lowest doc_id per content fingerprint), report kept-document and
+    token counts per source.
+
+    The whole pipeline is one narrow projection chain plus two shuffles
+    (fingerprint window for dedup, source aggregate) — the shape that
+    curates a 100 TB crawl without ever materializing an intermediate
+    corpus. The dedup uses min(doc_id)-over-fingerprint, the same
+    keep-first rule as `dedup_exact`."""
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = X.token_count(t)
+    n_dis = X.distinct_token_count(t)
+    stop = X.stopword_hits(t, X.LANG_STOPWORDS["en"])
+    q = F.round(F.least(n_tok / 20.0, F.lit(1.0))
+                * F.least(n_dis * 2.0 / n_tok, F.lit(1.0))
+                * F.least(stop * 10.0 / n_tok, F.lit(1.0)), 6)
+    scored = d.select("doc_id", "source",
+                      n_tok.alias("n_tok"), stop.alias("stop"),
+                      q.alias("q"), X.fingerprint(t).alias("fp"))
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    kept = (scored
+            .filter((F.col("q") >= 0.5) & (F.col("stop") > 0))
+            .withColumn("keep_id", keeper)
+            .filter(F.col("doc_id") == F.col("keep_id")))
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.round(F.avg("q"), 6).alias("avg_quality")))

@@ -58,3 +58,14 @@ def test_bpe_ish_token_count(spark):
     df = spark.createDataFrame([(0, "ab 12 c!")], ["doc_id", "text"])
     [r] = df.select(X.bpe_ish_token_count(F.col("text")).alias("n")).collect()
     assert r.n == 4   # ab | 12 | c | !
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b"), (2, "")], ["doc_id", "text"])
+    rows = df.select("doc_id",
+                     X.word_ngrams(F.col("text"), 3).alias("g")).collect()
+    by_id = {r.doc_id: r.g for r in rows}
+    assert by_id[0] == ["a b c", "b c d"]
+    assert by_id[1] == []    # shorter than n: empty, NOT a reversed sequence
+    assert by_id[2] == []
