@@ -358,7 +358,7 @@ def events_tumbling(spark, sf_dir):
     return tumbling_agg(T(spark, sf_dir, "events"))
 
 
-@query("events_session", oracle="""
+_SESSION_ORACLE = """
     WITH o AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
@@ -378,7 +378,10 @@ def events_tumbling(spark, sf_dir):
            count(*) AS n_events,
            round(sum(value), 2) AS sum_value
     FROM s GROUP BY user_id, sid
-""")
+"""
+
+
+@query("events_session", oracle=_SESSION_ORACLE)
 def events_session(spark, sf_dir):
     """Per-user session windows (5-minute gap): Spark session_window vs
     the classic gaps-and-islands SQL — same semantics, session end =
@@ -394,6 +397,19 @@ def stream_tumbling(spark, sf_dir):
     sink. On finite input the final state equals the batch result, so the
     SAME DuckDB oracle verifies the streaming path value-for-value."""
     return run_tumbling_stream(spark, sf_dir)
+
+
+@query("stream_session", oracle=_SESSION_ORACLE)
+def stream_session(spark, sf_dir):
+    """Per-user session windows executed by the Structured Streaming
+    engine (stateful merging sessions in the state store), replayed from
+    the file source and materialized via a memory sink; finite input +
+    complete mode make the batch gaps-and-islands oracle exact. Same
+    session_agg expression as `events_session` — one definition, two
+    execution modes."""
+    from ..streaming import run_session_stream
+
+    return run_session_stream(spark, sf_dir)
 
 
 @query("similarity_ivf", oracle=f"""

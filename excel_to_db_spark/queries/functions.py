@@ -435,3 +435,18 @@ def filter_glob(spark, sf_dir):
         "SELECT p_partkey, p_name FROM part "
         "WHERE p_name LIKE '%bolt%' AND p_name GLOB '*steel*'",
         sqlite_compat=True).replace("ILIKE", "LIKE"))
+
+
+@query("json_kv_explode", oracle="""
+    SELECT event_id, k, CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS v
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+""")
+def json_kv_explode(spark, sf_dir):
+    """Lateral key/value explode of a JSON object column — SQLite's
+    json_each table-valued function (the reference reaches it through the
+    passthrough). Spark: one from_json into map<string,bigint>, then
+    explode — parse once, not once per key."""
+    ev = T(spark, sf_dir, "events")
+    return (ev.select("event_id",
+                      F.explode(F.from_json("props", "map<string,bigint>"))
+                      .alias("k", "v")))

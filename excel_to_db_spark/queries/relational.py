@@ -646,3 +646,93 @@ def sample_bernoulli(spark, sf_dir):
             .select("n_total",
                     (F.abs(F.lit(sampled) / F.col("n_total") - 0.1) < 0.02)
                     .alias("sample_within_2pct")))
+
+
+@query("agg_cube", oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def agg_cube(spark, sf_dir):
+    """CUBE: all 2^k grouping combinations in one pass. Spark expands the
+    grouping sets before the aggregate, so it stays a single shuffle with
+    partial aggregation (not k separate scans unioned). SQLite has no
+    CUBE — extension beyond the reference surface, same as agg_rollup."""
+    le = T(spark, sf_dir, "lineitem")
+    return (le.cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count("*").alias("n")))
+
+
+@query("agg_grouping_sets", oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() markers (the only way to
+    tell a real NULL group key from a rollup placeholder). Expressed via
+    the SQL passthrough — the DataFrame API exposes only cube/rollup."""
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@query("window_cume", oracle="""
+    SELECT s_suppkey, s_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+""")
+def window_cume(spark, sf_dir):
+    """percent_rank + cume_dist (the remaining SQLite ranking functions).
+    Unique tie-break key (s_suppkey) makes both distributions exact."""
+    s = T(spark, sf_dir, "supplier")
+    w = (Window.partitionBy("s_nationkey")
+         .orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc()))
+    return s.select(
+        "s_suppkey", "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+@query("unpivot_melt", oracle="""
+    SELECT p_partkey, metric, value
+    FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+                 p_retailprice AS retailprice FROM part)
+    UNPIVOT (value FOR metric IN (size, retailprice))
+""")
+def unpivot_melt(spark, sf_dir):
+    """UNPIVOT / melt: wide -> long without a join or union-of-scans
+    (Spark Expand node, one pass over part). Inverse of agg_pivot."""
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"))
+    return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@query("set_union_by_name", oracle="""
+    SELECT a, b FROM (SELECT s_suppkey AS a, s_name AS b FROM supplier)
+    UNION ALL BY NAME (SELECT s_name AS b, s_suppkey AS a FROM supplier)
+""")
+def set_union_by_name(spark, sf_dir):
+    """UNION ALL BY NAME: schema alignment by column name, not position
+    — the safe union for evolving pipelines (a positional union here
+    would scramble a bigint into a string column)."""
+    s = T(spark, sf_dir, "supplier")
+    left = s.select(F.col("s_suppkey").alias("a"), F.col("s_name").alias("b"))
+    right = s.select(F.col("s_name").alias("b"), F.col("s_suppkey").alias("a"))
+    return left.unionByName(right)

@@ -93,6 +93,30 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def run_session_stream(spark: SparkSession, sf_dir: str,
+                       gap: str = "5 minutes",
+                       watermark: str = "30 minutes") -> DataFrame:
+    """Session-window aggregation executed by the Structured Streaming
+    engine (the stateful merging-session operator): events replayed via
+    the file source, sessions per user merged in the state store as
+    events arrive, materialized through a memory sink.
+
+    Complete output mode on finite replayed input => final state equals
+    the batch `session_agg`, so the batch gaps-and-islands oracle
+    verifies the streaming operator value-for-value (append mode would
+    withhold sessions newer than max(ts) - watermark; see
+    run_tumbling_stream for the same reasoning)."""
+    name = f"session_{uuid.uuid4().hex[:8]}"
+    stream = events_stream_reader(spark, sf_dir).withWatermark("ts", watermark)
+    q = (session_agg(stream, gap)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_dedup(spark: SparkSession, sf_dir: str,
                      watermark: str = "1 hour") -> DataFrame:
     """Streaming deduplication: the events file replayed through TWO
