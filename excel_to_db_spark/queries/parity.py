@@ -90,3 +90,53 @@ def csv_export(spark, sf_dir):
     schema = StructType([StructField("line_no", LongType()),
                          StructField("line", StringType())])
     return spark.createDataFrame(list(enumerate(lines)), schema)
+
+
+@query("excel_datasource", oracle="""
+    SELECT * FROM (VALUES
+        ('ent_XXX_V2',     12001.12, CAST(100 AS BIGINT), 12001.12, 11.0),
+        ('ent_XXX_YYY_V2', 12001.12, CAST(100 AS BIGINT), 12001.12, 10.0)
+    ) AS t(service_name, average_response_time_95_ms, "count",
+           max_response_time_95_ms, min_response_time_95_ms)
+""")
+def excel_datasource(spark, sf_dir):
+    """The scale path for Excel ingest: spark.read.format("xlsx") via the
+    Python Data Source API (sources/datasource.py) — one input partition
+    per (file, sheet), so a thousand workbooks parse on a thousand cores
+    instead of the driver (the reference parses single-threaded on its
+    one thread, src/main.rs:61-77). Same golden demo.xlsx values as
+    `excel_scan`, proving the two ingest paths agree."""
+    from ..sources.datasource import XlsxDataSource
+
+    spark.dataSource.register(XlsxDataSource)
+    return (spark.read.format("xlsx")
+            .option("path", DEMO_XLSX).load())
+
+
+@query("sink_parquet_partitioned", oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+""")
+def sink_parquet_partitioned(spark, sf_dir):
+    """Partitioned parquet sink + partition-pruned read-back: write
+    events partitioned by event_type (the layout that turns a 100 TB
+    scan-by-type into reading one directory), then aggregate two types
+    from the round-tripped copy. The read-back filter prunes at the
+    PartitionFilters level — no row of the other types is decoded
+    (asserted in tests/test_repl_sinks.py::test_partitioned_sink_prunes)."""
+    import shutil
+    import tempfile
+
+    from ..tables import load_table
+
+    out = tempfile.mkdtemp(prefix="e2db_part_")
+    shutil.rmtree(out)
+    (load_table(spark, sf_dir, "events")
+     .write.mode("overwrite").partitionBy("event_type").parquet(out))
+    back = spark.read.parquet(out)
+    return (back.filter(F.col("event_type").isin("click", "purchase"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))

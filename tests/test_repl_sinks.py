@@ -63,3 +63,23 @@ def test_glob_rewrite(spark):
            spark.sql(rewrite("SELECT name FROM t_glob WHERE name GLOB 'ent_*'"))
                 .collect()}
     assert got == {"ent_A"}
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    """The event_type filter on the partitioned round-trip copy must be a
+    PartitionFilter (directory pruning), not a row-level DataFilter."""
+    from pyspark.sql import functions as F
+
+    from excel_to_db_spark.tables import load_table
+
+    out = str(tmp_path / "events_by_type")
+    (load_table(spark, "/root/testdata/sf0.001", "events")
+     .write.partitionBy("event_type").parquet(out))
+    q = (spark.read.parquet(out)
+         .filter(F.col("event_type") == "click")
+         .groupBy("event_type").count())
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan \
+        or "PartitionFilters: [(event_type" in plan, plan
+    # the pruned scan must not carry the predicate as a post-scan filter
+    assert "PushedFilters: [IsNotNull(event_type)" not in plan.split("PartitionFilters")[0]
