@@ -179,3 +179,68 @@ def pipeline_training_data(spark, sf_dir):
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tok").alias("total_tokens"),
                  F.round(F.avg("q"), 6).alias("avg_quality")))
+
+
+@query("embedding_centroids", oracle="""
+    SELECT label, i AS pos,
+           round(avg((embedding::DOUBLE[])[i]), 6) AS centroid_val,
+           count(*) AS n
+    FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+    GROUP BY label, i
+""")
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding column, element-wise (the
+    K-means/IVF training step, and the class-prototype primitive):
+    posexplode to (label, dim, value), aggregate mean per (label, dim).
+    One shuffle keyed on label x 64 dims — tiny state regardless of
+    corpus size, the canonical 100 TB reduce."""
+    e = T(spark, sf_dir, "embeddings")
+    return (e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+            .select("label", (F.col("pos0") + 1).alias("pos"),
+                    F.col("v").cast("double").alias("v"))
+            .groupBy("label", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("centroid_val"),
+                 F.count("*").alias("n")))
+
+
+@query("embedding_quantize", oracle="""
+    WITH e AS (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(1, 65)) AS pos
+        FROM embeddings
+    ),
+    m AS (SELECT pos, max(abs(v)) AS maxabs FROM e GROUP BY pos),
+    q AS (
+        SELECT vec_id,
+               CAST(floor(v / maxabs * 127 + 0.5) AS INT) AS qv,
+               abs(CAST(floor(v / maxabs * 127 + 0.5) AS INT) * maxabs / 127 - v) AS err
+        FROM e JOIN m USING (pos)
+    )
+    SELECT vec_id, CAST(sum(qv) AS BIGINT) AS q_sum,
+           min(qv) AS q_min, max(qv) AS q_max,
+           round(sum(err), 6) AS abs_err
+    FROM q GROUP BY vec_id
+""")
+def embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column (the 4x storage/
+    bandwidth cut that makes 100 TB of vectors shippable): per-dimension
+    max-abs calibration over the corpus, symmetric quantize
+    q = floor(v/maxabs*127 + 0.5), plus per-vector reconstruction error.
+    The calibration table (64 rows) broadcasts back onto the exploded
+    fact — the same two-pass calibrate-then-apply shape as tpch_q17.
+    floor(x+0.5) is identical IEEE arithmetic in both engines (the
+    round()-free discipline of project_expr)."""
+    e = T(spark, sf_dir, "embeddings")
+    ex = (e.select("vec_id", F.posexplode("embedding").alias("pos0", "vf"))
+          .select("vec_id", (F.col("pos0") + 1).alias("pos"),
+                  F.col("vf").cast("double").alias("v")))
+    m = ex.groupBy("pos").agg(F.max(F.abs(F.col("v"))).alias("maxabs"))
+    qv = F.floor(F.col("v") / F.col("maxabs") * 127 + 0.5).cast("int")
+    return (ex.join(F.broadcast(m), "pos")
+            .select("vec_id", qv.alias("qv"),
+                    F.abs(qv.cast("double") * F.col("maxabs") / 127
+                          - F.col("v")).alias("err"))
+            .groupBy("vec_id")
+            .agg(F.sum("qv").cast("bigint").alias("q_sum"),
+                 F.min("qv").alias("q_min"), F.max("qv").alias("q_max"),
+                 F.round(F.sum("err"), 6).alias("abs_err")))
