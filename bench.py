@@ -52,6 +52,9 @@ HEADLINE = [
     "join_salted",
     "text_quality",
     "text_langid",
+    "text_ngram_overlap", # exact cross-doc span overlap
+    "pipeline_training_data",  # end-to-end curation pipeline
+    "embedding_quantize", # calibrate-then-apply over exploded vectors
     "events_tumbling",
     "events_hopping",
     "stream_tumbling",

@@ -450,3 +450,38 @@ def json_kv_explode(spark, sf_dir):
     return (ev.select("event_id",
                       F.explode(F.from_json("props", "map<string,bigint>"))
                       .alias("k", "v")))
+
+
+@query("array_funcs", oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT vec_id,
+           len(list_filter(e, x -> x > 0.0)) AS n_pos,
+           round(list_reduce(list_transform(e, x -> abs(x)), (a,b) -> a + b), 6)
+               AS l1,
+           round(list_reduce(e[1:8], (a,b) -> a + b), 6) AS head8_sum,
+           round(list_dot_product(e, list_reverse(e)), 6) AS dot_rev,
+           len(list_filter(e, x -> abs(x) > 0.3)) > 0 AS has_large
+    FROM v
+""")
+def array_funcs(spark, sf_dir):
+    """Higher-order array function pack — the JVM-side primitives the
+    whole Tier C vector/text library is built on (filter, transform,
+    aggregate/fold, zip_with, slice, exists): all evaluated inside
+    whole-stage codegen, no Python boundary. Left-fold order is pinned
+    on both engines, so the float results are exact matches.
+
+    NB per the build-loop notes: no common-subexpression elimination
+    inside HOF lambdas — each lambda body here touches its element once."""
+    e = T(spark, sf_dir, "embeddings")
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(arr, lambda x: x > 0.0)).alias("n_pos"),
+        F.round(F.aggregate(F.transform(arr, lambda x: F.abs(x)),
+                            F.lit(0.0), lambda a, b: a + b), 6).alias("l1"),
+        F.round(F.aggregate(F.slice(arr, 1, 8), F.lit(0.0),
+                            lambda a, b: a + b), 6).alias("head8_sum"),
+        F.round(F.aggregate(F.zip_with(arr, F.reverse(arr),
+                                       lambda a, b: a * b),
+                            F.lit(0.0), lambda a, b: a + b), 6).alias("dot_rev"),
+        F.exists(arr, lambda x: F.abs(x) > 0.3).alias("has_large"))
