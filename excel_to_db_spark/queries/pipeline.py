@@ -244,3 +244,55 @@ def embedding_quantize(spark, sf_dir):
             .agg(F.sum("qv").cast("bigint").alias("q_sum"),
                  F.min("qv").alias("q_min"), F.max("qv").alias("q_max"),
                  F.round(F.sum("err"), 6).alias("abs_err")))
+
+
+@query("text_repetition", oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               [array_to_string(t[i:i+2], ' ')
+                for i in range(1, greatest(len(t) - 1, 1))] AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           len(list_distinct(grams)) AS n_distinct,
+           round(1.0 - len(list_distinct(grams)) * 1.0
+                 / greatest(len(grams), 1), 6) AS rep_ratio
+    FROM g
+""")
+def text_repetition(spark, sf_dir):
+    """Within-document repetition ratio over word 3-grams (the
+    Gopher-style repetition quality filter: high ratio = boilerplate or
+    degenerate text). Pure per-row array arithmetic — zero shuffles,
+    scales with corpus bytes like text_quality."""
+    d = T(spark, sf_dir, "documents")
+    grams = X.word_ngrams(F.col("text"), 3)
+    return d.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+        F.round(1.0 - F.size(F.array_distinct(grams))
+                / F.greatest(F.size(grams), F.lit(1)), 6).alias("rep_ratio"))
+
+
+@query("sample_stratified", oracle="""
+    SELECT source, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+    FROM documents
+    WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10 < 3
+    GROUP BY source
+""")
+def sample_stratified(spark, sf_dir):
+    """Deterministic hash-based sampling (30% by md5 of the key), the
+    reproducible alternative to RNG TABLESAMPLE: the same rows are
+    sampled on any engine, any partitioning, any run — which is what a
+    training-data pipeline needs for resumable, auditable subsampling.
+    Per-source counts make it a stratification report."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("bigint") % 10)
+    return (d.filter(bucket < 3)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.sum("n_chars").cast("bigint").alias("chars_sampled")))
