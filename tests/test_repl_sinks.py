@@ -83,3 +83,19 @@ def test_partitioned_sink_prunes(spark, tmp_path):
         or "PartitionFilters: [(event_type" in plan, plan
     # the pruned scan must not carry the predicate as a post-scan filter
     assert "PushedFilters: [IsNotNull(event_type)" not in plan.split("PartitionFilters")[0]
+
+
+def test_repl_ddl_dml_passthrough(spark, capsys):
+    """DDL/DML typed at the REPL reaches the engine unchanged, like the
+    reference's passthrough (its REPL forwards CREATE/INSERT to SQLite,
+    reference src/main.rs:220). Temp views + CTAS-style SELECT INTO a
+    view cover the catalog path without touching a warehouse dir."""
+    from excel_to_db_spark.repl import run_line
+
+    run_line(spark, "CREATE OR REPLACE TEMPORARY VIEW repl_tv AS "
+                    "SELECT 41 + 1 AS answer")
+    run_line(spark, "SELECT answer FROM repl_tv")
+    out = capsys.readouterr().out
+    assert "42" in out
+    run_line(spark, "DROP VIEW repl_tv")
+    assert "repl_tv" not in [t.name for t in spark.catalog.listTables()]
