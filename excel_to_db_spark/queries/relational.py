@@ -736,3 +736,61 @@ def set_union_by_name(spark, sf_dir):
     left = s.select(F.col("s_suppkey").alias("a"), F.col("s_name").alias("b"))
     right = s.select(F.col("s_name").alias("b"), F.col("s_suppkey").alias("a"))
     return left.unionByName(right)
+
+
+@query("window_topk_per_group", oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           event_id, value,
+           CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY event_type, time_bucket(INTERVAL '10 minutes', ts)
+              ORDER BY value DESC, event_id ASC) AS rn
+          FROM events)
+    WHERE rn <= 2
+""")
+def window_topk_per_group(spark, sf_dir):
+    """Top-k per group per time window (the 'best event per type per
+    10 minutes' shape): rank inside (type, window), keep k. Catalyst
+    inserts WindowGroupLimit below the shuffle, so each partition prunes
+    to k rows per group BEFORE the exchange — the windowed analogue of
+    TakeOrderedAndProject (see PLANS.md similarity_topk). Unique
+    tie-break (event_id) pins determinism."""
+    ev = T(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type", F.window("ts", "10 minutes"))
+         .orderBy(F.col("value").desc(), F.col("event_id").asc()))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("event_type",
+                    F.window("ts", "10 minutes").start.alias("win_start"),
+                    "event_id", "value", "rn"))
+
+
+@query("cohort_retention", oracle="""
+    WITH fo AS (
+        SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(f.cohort AS DATE) AS cohort_month,
+           CAST(date_diff('month', f.cohort,
+                          date_trunc('month', o.o_orderdate)) AS INT)
+               AS months_since,
+           count(DISTINCT o.o_custkey) AS active_customers
+    FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+""")
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: customers grouped by first-order month, counted
+    distinct per months-elapsed. The first-order table is a
+    customer-cardinality aggregate of the fact table itself (a derived
+    dim); at 100 TB both sides shuffle on custkey once and AQE picks the
+    join strategy. Month arithmetic is exact on both engines because
+    both operands are month-truncated."""
+    o = T(spark, sf_dir, "orders")
+    mo = F.date_trunc("month", "o_orderdate")
+    fo = (o.groupBy("o_custkey").agg(F.min(mo).alias("cohort")))
+    return (o.join(fo, "o_custkey")
+            .groupBy(F.col("cohort").cast("date").alias("cohort_month"),
+                     F.months_between(mo, F.col("cohort")).cast("int")
+                     .alias("months_since"))
+            .agg(F.countDistinct("o_custkey").alias("active_customers")))
