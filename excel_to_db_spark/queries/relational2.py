@@ -1,0 +1,279 @@
+"""Tier B relational surface, second pack (SURVEY.md §2.B addendum).
+
+Fills the remaining SQL-surface corners a user of the reference's SQLite
+passthrough (reference src/main.rs:220) would reach for next: exact
+percentiles/median, argmin/argmax, order-deterministic string
+aggregation, boolean/bitwise aggregates, calendar-spine gap fill,
+per-key top-n via LATERAL, map-typed columns, date/interval arithmetic,
+and a regexp pack. Everything is built-in pyspark.sql.functions (JVM
+codegen); oracle = DuckDB SQL on the same parquet views.
+
+Oracle discipline as in queries/registry.py: identical aliases both
+sides, floats rounded, explicit casts where the engines' natural widths
+differ, deterministic tie-breaks everywhere ordering feeds the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import query
+from .relational import T
+
+
+# ------------------------------------------------------- exact order stats
+
+@query("agg_percentile_exact", oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6)        AS qty_p50,
+           round(quantile_cont(l_quantity, 0.9), 6)        AS qty_p90,
+           round(median(l_extendedprice), 6)               AS price_med
+    FROM lineitem
+    GROUP BY l_returnflag
+""")
+def agg_percentile_exact(spark, sf_dir):
+    """EXACT percentiles (sort-based, linear interpolation) per group —
+    the precise counterpart of `approx_percentile`'s sketch. Both
+    engines interpolate identically, so values hash-match. At 100 TB the
+    exact path costs a per-group sort; the approx sketch is the default
+    and this is the audit tool."""
+    li = T(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_p50"),
+                 F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("qty_p90"),
+                 F.round(F.median("l_extendedprice"), 6).alias("price_med")))
+
+
+@query("agg_argminmax", oracle="""
+    WITH per_price AS (
+        SELECT o_orderpriority, o_totalprice,
+               max(o_orderkey) AS max_k, min(o_orderkey) AS min_k
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           max_by(max_k, o_totalprice)      AS top_order,
+           min_by(min_k, o_totalprice)      AS bottom_order,
+           round(max(o_totalprice), 2)      AS top_price
+    FROM per_price
+    GROUP BY o_orderpriority
+""")
+def agg_argminmax(spark, sf_dir):
+    """argmax/argmin per group via max_by/min_by. Price ties are broken
+    structurally: a pre-aggregation per (group, price) keeps max/min
+    orderkey, so the argmax input has unique ordering keys and the
+    answer is engine-independent (DuckDB's arg_max takes no composite
+    ordering key, so a struct tie-break wouldn't port). Both levels are
+    map-side-combinable aggregations — no window, no self-join."""
+    o = T(spark, sf_dir, "orders")
+    per_price = (o.groupBy("o_orderpriority", "o_totalprice")
+                 .agg(F.max("o_orderkey").alias("max_k"),
+                      F.min("o_orderkey").alias("min_k")))
+    return (per_price.groupBy("o_orderpriority")
+            .agg(F.max_by("max_k", "o_totalprice").alias("top_order"),
+                 F.min_by("min_k", "o_totalprice").alias("bottom_order"),
+                 F.round(F.max("o_totalprice"), 2).alias("top_price")))
+
+
+@query("agg_listagg", oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT)                AS n_nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+""")
+def agg_listagg(spark, sf_dir):
+    """Order-deterministic string aggregation (SQLite group_concat /
+    LISTAGG): collect_list -> array_sort -> array_join pins the element
+    order that plain group_concat leaves partition-dependent — the only
+    way a concatenated aggregate can hash-match across engines (or
+    across two runs of the same cluster)."""
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation")
+    return (r.join(n, r.r_regionkey == n.n_regionkey)
+            .groupBy("r_name")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                  .alias("nations"),
+                 F.count("*").alias("n_nations")))
+
+
+@query("agg_bool_bit", oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity < 50)                        AS all_small,
+           bool_or(l_discount > 0.09)                       AS any_deep_disc,
+           CAST(bit_and(l_orderkey % 256) AS BIGINT)        AS key_bit_and,
+           CAST(bit_or(l_orderkey % 256) AS BIGINT)         AS key_bit_or,
+           CAST(bit_xor(l_orderkey % 256) AS BIGINT)        AS key_bit_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+""")
+def agg_bool_bit(spark, sf_dir):
+    """Boolean (every/any) and bitwise (AND/OR/XOR) aggregates — the
+    flag-summary primitives. All five are single-pass, map-side
+    combinable, O(1) state per group."""
+    li = T(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey") % 256
+    return (li.groupBy("l_returnflag")
+            .agg(F.bool_and(F.col("l_quantity") < 50).alias("all_small"),
+                 F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
+                 F.bit_and(k).alias("key_bit_and"),
+                 F.bit_or(k).alias("key_bit_or"),
+                 F.bit_xor(k).alias("key_bit_xor")))
+
+
+# ------------------------------------------------------------ calendar spine
+
+@query("date_spine", oracle="""
+    WITH spine AS (
+        SELECT CAST(d AS DATE) AS day
+        FROM generate_series(DATE '1995-06-01', DATE '1995-06-30',
+                             INTERVAL 1 DAY) AS t(d)
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               count(*)                  AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+          AND o_orderdate <  TIMESTAMP '1995-07-01'
+        GROUP BY 1
+    )
+    SELECT s.day,
+           CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+           coalesce(revenue, 0.0)                AS revenue
+    FROM spine s LEFT JOIN daily USING (day)
+""")
+def date_spine(spark, sf_dir):
+    """Calendar-spine gap fill: generate the full day range with
+    sequence()+explode, left-join the daily aggregate, zero-fill missing
+    days. The spine is generated (no scan) and tiny; the fact aggregation
+    carries the pushed-down date filter — the standard time-series
+    densification with no driver-side loop."""
+    o = T(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit("1995-06-01").cast("date"),
+                             F.lit("1995-06-30").cast("date"))).alias("day"))
+    daily = (o.filter((F.col("o_orderdate") >= "1995-06-01")
+                      & (F.col("o_orderdate") < "1995-07-01"))
+             .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.count("*").alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    return (spine.join(daily, "day", "left")
+            .select("day",
+                    F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                    F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
+
+
+# ------------------------------------------------------------- lateral top-n
+
+@query("lateral_topn", oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM orders o,
+         LATERAL (SELECT l_linenumber, l_extendedprice
+                  FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey
+                  ORDER BY l_extendedprice DESC, l_linenumber
+                  LIMIT 2) l
+    WHERE o.o_totalprice > 450000
+""")
+def lateral_topn(spark, sf_dir):
+    """Per-key top-n as a correlated LATERAL subquery (SQL form) —
+    Catalyst decorrelates it into a join + per-key WindowGroupLimit, the
+    same plan the explicit window rewrite produces, so the nested-loop
+    the SQL text implies never executes. Tie-break on l_linenumber makes
+    the 2-row cut deterministic."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_lv")
+    return spark.sql("""
+        SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM orders_lv o,
+             LATERAL (SELECT l_linenumber, l_extendedprice
+                      FROM lineitem_lv
+                      WHERE l_orderkey = o.o_orderkey
+                      ORDER BY l_extendedprice DESC, l_linenumber
+                      LIMIT 2) l
+        WHERE o.o_totalprice > 450000
+    """)
+
+
+# --------------------------------------------------------------- map columns
+
+@query("map_funcs", oracle="""
+    SELECT o_orderkey, k, v, CAST(2 AS INT) AS n_keys
+    FROM (
+        SELECT o_orderkey, 'status' AS k, o_orderstatus  AS v FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'priority',    o_orderpriority      FROM orders
+    )
+    WHERE o_orderkey < 1000
+""")
+def map_funcs(spark, sf_dir):
+    """Map-typed column plumbing: build map<string,string> per row with
+    map_from_arrays, take size(), explode to (key, value) rows. Maps are
+    first-class in Spark SQL (the natural carrier for sparse per-row
+    attributes); the oracle states the same rows relationally."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    m = F.map_from_arrays(F.array(F.lit("status"), F.lit("priority")),
+                          F.array("o_orderstatus", "o_orderpriority"))
+    return (o.select("o_orderkey", m.alias("m"))
+            .select("o_orderkey", F.explode("m").alias("k", "v"),
+                    F.size("m").alias("n_keys"))
+            .select("o_orderkey", "k", "v", "n_keys"))
+
+
+# ------------------------------------------------------- interval arithmetic
+
+@query("interval_arith", oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 DAY  AS DATE)      AS ship_by,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS DATE)     AS review_month,
+           CAST(date_trunc('month', o_orderdate) AS DATE)   AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '1998-01-01') AS INT)        AS days_to_98,
+           CAST(isodow(o_orderdate) - 1 AS INT)             AS weekday_mon0,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT)   AS qtr
+    FROM orders WHERE o_orderkey < 2000
+""")
+def interval_arith(spark, sf_dir):
+    """Date/interval arithmetic pack (SQLite's date(x, '+N day', 'start
+    of month', …) modifiers): interval add, month add (end-clamped the
+    same way in both engines), truncation, last_day, day difference,
+    Monday-based weekday, quarter. All codegen'd date math on the int
+    epoch-day representation."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d.cast("date"), 3).alias("ship_by"),
+        F.add_months(d.cast("date"), 2).alias("review_month"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date"))
+         .cast("int").alias("days_to_98"),
+        F.weekday(d.cast("date")).cast("int").alias("weekday_mon0"),
+        F.quarter(d).cast("int").alias("qtr"))
+
+
+# ------------------------------------------------------------------- regexp
+
+@query("regexp_pack", oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1)                  AS noun,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')             AS devoweled,
+           regexp_matches(p_name, '^(red|blue)')                   AS is_primary
+    FROM part
+""")
+def regexp_pack(spark, sf_dir):
+    """Regexp pack: extract / count / global replace / match-test.
+    Patterns kept in the common Java-regex ∩ RE2 subset (no backrefs,
+    no lookaround) so both engines agree. All four run inside
+    whole-stage codegen — regexps are JVM-side, never a Python UDF."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("noun"),
+        F.regexp_count("p_name", F.lit(r"[aeiou]")).cast("int").alias("n_vowels"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike(r"^(red|blue)").alias("is_primary"))
