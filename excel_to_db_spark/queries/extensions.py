@@ -651,3 +651,22 @@ def join_range(spark, sf_dir):
         ((F.col("id") + 1) * 100000.0).alias("hi"))
     return (range_join_binned(o, "o_totalprice", bands, 100000.0)
             .select("o_orderkey", "o_totalprice", "band_id"))
+
+
+@query("stream_join_static", oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)               AS n_events,
+           round(sum(value), 2)                   AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+""")
+def stream_join_static(spark, sf_dir):
+    """Stream-static enrichment join executed by the Structured
+    Streaming engine: the replayed events stream joined per micro-batch
+    against the static customer dimension (broadcast lookup, no join
+    state), aggregated per market segment. Finite replay + complete mode
+    == the batch join, so a plain DuckDB join verifies the streaming
+    path value-for-value."""
+    from ..streaming import run_stream_static_join
+
+    return run_stream_static_join(spark, sf_dir)

@@ -19,6 +19,7 @@ is too much.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import text as X
 from .registry import query
@@ -296,3 +297,137 @@ def sample_stratified(spark, sf_dir):
             .groupBy("source")
             .agg(F.count("*").alias("n_sampled"),
                  F.sum("n_chars").cast("bigint").alias("chars_sampled")))
+
+
+@query("pipeline_pack_sequences", oracle="""
+    WITH toks AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n_tok AS start_off
+        FROM toks
+    )
+    SELECT source,
+           CAST(start_off // 512 AS BIGINT)  AS block,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)        AS n_tokens
+    FROM placed
+    GROUP BY source, block
+""")
+def pipeline_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing — the LLM-pretraining step that
+    turns a document stream into fixed-budget training blocks: docs are
+    laid end to end in deterministic (source, doc_id) order; each doc's
+    block = floor(start_offset / 512). One window cumsum per source
+    partition + one aggregation; at 100 TB the window is per-source (the
+    natural shard key), so no single-task global sort — and packing
+    stays reproducible because the order is data-defined, not
+    partition-defined."""
+    d = T(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = d.select("source", "doc_id",
+                    F.size(F.split("text", " ")).alias("n_tok"))
+    placed = toks.withColumn(
+        "start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (placed
+            .groupBy("source",
+                     (F.col("start_off").cast("bigint") / 512)
+                     .cast("bigint").alias("block"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens")))
+
+
+@query("text_vocab_mask", oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '\\b(customer|spark|vector)\\b')) AS INT)       AS n_masked,
+           md5(regexp_replace(text, '\\b(customer|spark|vector)\\b',
+                '[MASK]', 'g'))                                  AS masked_md5
+    FROM documents
+""")
+def text_vocab_mask(spark, sf_dir):
+    """Vocabulary masking / term redaction — the shape of PII scrubbing
+    and benchmark-term filtering: global regexp_replace of a term list
+    with a deterministic digest of the result, plus a per-doc hit count.
+    Pure codegen'd regexps (Java ∩ RE2 subset), no UDF; the md5 keeps
+    the full masked text out of the hashed comparison while still
+    pinning every byte of it."""
+    d = T(spark, sf_dir, "documents")
+    pat = r"\b(customer|spark|vector)\b"
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).cast("int").alias("n_masked"),
+        F.md5(F.regexp_replace("text", pat, "[MASK]")).alias("masked_md5"))
+
+
+@query("sample_rebalance", oracle="""
+    WITH rated AS (
+        SELECT lang, n_chars,
+               CASE lang WHEN 'en' THEN 3 WHEN 'zh' THEN 10 ELSE 8 END AS rate10,
+               CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)          AS n_kept,
+           CAST(sum(n_chars) AS BIGINT)      AS chars_kept
+    FROM rated WHERE bucket < rate10
+    GROUP BY lang
+""")
+def sample_rebalance(spark, sf_dir):
+    """Language rebalancing: per-group deterministic downsampling to
+    target rates (en 30%, zh 100%, others 80%) via the same md5-bucket
+    device as `sample_stratified` — the mixture-reweighting step of a
+    pretraining data recipe. Hash sampling keeps the choice stable
+    across engines, partitionings and reruns; the rate table is a CASE
+    expression, so the whole thing is one filtered aggregation with the
+    filter evaluated scan-side."""
+    d = T(spark, sf_dir, "documents")
+    rate10 = (F.when(F.col("lang") == "en", 3)
+               .when(F.col("lang") == "zh", 10).otherwise(8))
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("bigint") % 10)
+    return (d.filter(bucket < rate10)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("n_chars").cast("bigint").alias("chars_kept")))
+
+
+@query("docs_length_quantile", oracle="""
+    WITH q AS (
+        SELECT doc_id, source, n_chars,
+               quantile_cont(n_chars, 0.1) OVER (PARTITION BY source) AS p10,
+               quantile_cont(n_chars, 0.9) OVER (PARTITION BY source) AS p90
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)              AS n_kept,
+           round(avg(n_chars), 6)                AS avg_chars
+    FROM q WHERE n_chars >= p10 AND n_chars <= p90
+    GROUP BY source
+""")
+def docs_length_quantile(spark, sf_dir):
+    """Per-source length-quantile trimming (drop the shortest and
+    longest 10% per source) — the outlier-filtering stage of corpus
+    curation, done with an EXACT windowed percentile so both engines
+    agree bit-for-bit. At 100 TB the exact per-source window is
+    affordable because it partitions by the shard key; the approx
+    sketch (`approx_percentile`) is the two-pass alternative when even
+    that sort is too much."""
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    q = d.select(
+        "doc_id", "source", "n_chars",
+        F.percentile("n_chars", F.lit(0.1)).over(w).alias("p10"),
+        F.percentile("n_chars", F.lit(0.9)).over(w).alias("p90"))
+    return (q.filter((F.col("n_chars") >= F.col("p10"))
+                     & (F.col("n_chars") <= F.col("p90")))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars")))

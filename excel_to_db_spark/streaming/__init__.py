@@ -13,6 +13,7 @@ from .windows import (  # noqa: F401
     events_stream_reader,
     run_session_stream,
     run_stream_dedup,
+    run_stream_static_join,
     run_tumbling_stream,
     session_agg,
     tumbling_agg,

@@ -138,3 +138,32 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str,
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Stream-static join: the replayed events stream enriched against
+    the static customer dimension (micro-batch side lookup), then a
+    windowless grouped aggregation per market segment.
+
+    The static side is re-read per micro-batch and broadcast by Catalyst
+    (it's dim-sized) — the standard streaming-enrichment shape; no state
+    is kept for the join itself, only for the aggregation. Complete mode
+    on finite replay == the batch join+agg, so a plain DuckDB join SQL
+    verifies the streaming execution value-for-value."""
+    from ..tables import load_table
+
+    name = f"sjoin_{uuid.uuid4().hex[:8]}"
+    customers = load_table(spark, sf_dir, "customer")
+    stream = events_stream_reader(spark, sf_dir).withWatermark("ts", watermark)
+    joined = stream.join(customers,
+                         stream.user_id == customers.c_custkey, "inner")
+    agg = (joined.groupBy("c_mktsegment")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
