@@ -43,6 +43,28 @@ _IIF_RE = re.compile(r"(?i)(?<![a-z0-9_])iif\s*\(")
 # A SQLite string literal is '...' with '' as the escaped quote.
 _LITERAL_RE = re.compile(r"('(?:[^']|'')*')")
 
+# SQLite strftime('%Y-%m', expr) -> Spark date_format(expr, 'yyyy-MM').
+# Only simple column/identifier args are rewritten (no nested calls —
+# a textual rewrite must not guess paren nesting), and only when every
+# %-directive in the format translates; otherwise the call is left
+# untouched and Spark reports the unknown function, loudly not wrongly.
+_STRFTIME_RE = re.compile(
+    r"(?i)(?<![a-z0-9_])strftime\s*\(\s*'([^']*)'\s*,\s*([A-Za-z_][A-Za-z0-9_.]*)\s*\)")
+_STRFTIME_MAP = (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
+                 ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%j", "DDD"))
+
+
+def _xlat_strftime(m: re.Match) -> str:
+    fmt, arg = m.group(1), m.group(2)
+    if fmt == "%s":                      # epoch seconds directive
+        return f"unix_timestamp({arg})"
+    out = fmt
+    for k, v in _STRFTIME_MAP:
+        out = out.replace(k, v)
+    if "%" in out:                       # untranslatable directive
+        return m.group(0)
+    return f"date_format({arg}, '{out}')"
+
 
 def _glob_pattern_to_like(lit: str) -> str:
     """SQLite GLOB pattern literal -> LIKE pattern literal: * -> %,
@@ -64,6 +86,19 @@ def rewrite(sql: str, *, sqlite_compat: bool = True) -> str:
     the SQLite VDBE of this engine)."""
     if not sqlite_compat:
         return sql
+    # strftime spans code AND its format literal, so it runs on the whole
+    # text first — but only at match positions OUTSIDE string literals
+    # (the format literal belongs to the call; a literal CONTAINING the
+    # word strftime must stay untouched).
+    lit_spans = [m.span() for m in _LITERAL_RE.finditer(sql)]
+
+    def _outside_literals(m: re.Match) -> str:
+        # the call site is inside a literal iff its '(' (not the format
+        # argument) starts within a span that began before the match
+        return m.group(0) if any(a < m.start() < b for a, b in lit_spans) \
+            else _xlat_strftime(m)
+
+    sql = _STRFTIME_RE.sub(_outside_literals, sql)
     parts = _LITERAL_RE.split(sql)
     for i in range(0, len(parts), 2):  # even indices = non-literal code
         parts[i] = _CAST_RE.sub("TRY_CAST(", _LIKE_RE.sub("ILIKE", parts[i]))

@@ -485,3 +485,69 @@ def array_funcs(spark, sf_dir):
                                        lambda a, b: a * b),
                             F.lit(0.0), lambda a, b: a + b), 6).alias("dot_rev"),
         F.exists(arr, lambda x: F.abs(x) > 0.3).alias("has_large"))
+
+
+@query("date_strftime_compat", oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m')            AS ym,
+           strftime(o_orderdate, '%j')               AS doy,
+           CAST(epoch(o_orderdate) AS BIGINT)        AS epoch_s
+    FROM orders WHERE o_orderkey < 1000
+""")
+def date_strftime_compat(spark, sf_dir):
+    """SQLite strftime through the compat layer: the Spark side submits
+    the SQLite-dialect text and rewrite() translates strftime('%Y-%m',
+    col) -> date_format(col, 'yyyy-MM') and strftime('%s', col) ->
+    unix_timestamp(col) (sqlite_dialect._STRFTIME_MAP). DuckDB has
+    C-style strftime natively (args flipped), so the oracle states the
+    same values directly — three engines, one answer."""
+    from ..compat.sqlite_dialect import rewrite
+
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(rewrite(
+        "SELECT o_orderkey, "
+        "strftime('%Y-%m', o_orderdate) AS ym, "
+        "strftime('%j', o_orderdate) AS doy, "
+        "strftime('%s', o_orderdate) AS epoch_s "
+        "FROM orders WHERE o_orderkey < 1000",
+        sqlite_compat=True))
+
+
+@query("udtf_chunks", oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST((i - 1) // 40 AS INT)                  AS chunk_id,
+           CAST(len(t[i:i+39]) AS INT)                 AS n_tok,
+           md5(array_to_string(t[i:i+39], ' '))        AS chunk_md5
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 40)) AS i
+          FROM toks)
+""")
+def udtf_chunks(spark, sf_dir):
+    """Python UDTF (Spark 3.5+ table function API): split each document
+    into fixed 40-token chunks — the context-window chunking step of an
+    embedding/RAG pipeline — called via a correlated LATERAL join so one
+    input row fans out to N output rows. UDTFs are the third Python
+    extension surface next to scalar pandas_udf (`udf_scalar`) and
+    grouped applyInPandas (`group_zscore_pandas`); rows stream through
+    the Python worker, nothing collects to the driver."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, n_tok int, chunk_md5 string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for ci in range(0, len(toks), 40):
+                chunk = toks[ci:ci + 40]
+                yield (ci // 40, len(chunk),
+                       hashlib.md5(" ".join(chunk).encode()).hexdigest())
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents_u")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_id, c.n_tok, c.chunk_md5
+        FROM documents_u d, LATERAL chunk_doc(d.text) c
+    """)

@@ -431,3 +431,36 @@ def docs_length_quantile(spark, sf_dir):
             .groupBy("source")
             .agg(F.count("*").alias("n_kept"),
                  F.round(F.avg("n_chars"), 6).alias("avg_chars")))
+
+
+@query("group_zscore_pandas", oracle="""
+    SELECT doc_id,
+           round(CASE WHEN cnt < 2 OR sd = 0 OR sd IS NULL THEN 0.0
+                      ELSE (n_chars - mu) / sd END, 6) AS z
+    FROM (SELECT doc_id, n_chars,
+                 count(*) OVER w          AS cnt,
+                 avg(n_chars) OVER w      AS mu,
+                 stddev_samp(n_chars) OVER w AS sd
+          FROM documents WINDOW w AS (PARTITION BY source))
+""")
+def group_zscore_pandas(spark, sf_dir):
+    """Per-source z-score normalization via applyInPandas (Arrow grouped
+    map) — the custom-python-per-group escape hatch for semantics the
+    built-ins can't express (here they could: the window oracle IS the
+    built-in form — which is exactly what makes the pandas path
+    hash-checkable). Each source group arrives as one pandas DataFrame
+    in the Python worker; degenerate groups (n<2 or zero spread) emit
+    z=0 so the contract is total. groupBy key = the shard key, so the
+    shuffle is the one the pipeline already needs."""
+    import pandas as pd
+
+    d = T(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf.n_chars.mean()
+        sd = pdf.n_chars.std(ddof=1)
+        z = ((pdf.n_chars - mu) / sd if len(pdf) >= 2 and sd and sd == sd
+             else pdf.n_chars * 0.0)
+        return pd.DataFrame({"doc_id": pdf.doc_id, "z": z.round(6)})
+
+    return d.groupBy("source").applyInPandas(zscore, "doc_id long, z double")

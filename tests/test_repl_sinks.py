@@ -99,3 +99,12 @@ def test_repl_ddl_dml_passthrough(spark, capsys):
     assert "42" in out
     run_line(spark, "DROP VIEW repl_tv")
     assert "repl_tv" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_strftime_rewrite():
+    out = rewrite("SELECT strftime('%Y-%m', d) AS ym, strftime('%s', d) AS e FROM t")
+    assert "date_format(d, 'yyyy-MM')" in out and "unix_timestamp(d)" in out
+    # untranslatable directive -> untouched; literal containing the word -> untouched
+    out2 = rewrite("SELECT strftime('%w', d), 'call strftime(''%Y'', d) later' FROM t")
+    assert "strftime('%w', d)" in out2
+    assert "strftime(''%Y'', d)" in out2
