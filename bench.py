@@ -58,6 +58,10 @@ HEADLINE = [
     "events_tumbling",
     "events_hopping",
     "stream_tumbling",
+    # round-2 late additions
+    "lateral_topn",            # decorrelated LATERAL top-n
+    "pipeline_pack_sequences", # one-shuffle sequence packing
+    "udtf_chunks",             # Python UDTF throughput
 ]
 
 

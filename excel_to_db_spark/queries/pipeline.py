@@ -143,7 +143,7 @@ def text_idf(spark, sf_dir):
     SELECT source,
            count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-           round(avg(q), 6) AS avg_quality
+           round(avg(q), 4) AS avg_quality
     FROM kept GROUP BY source
 """)
 def pipeline_training_data(spark, sf_dir):
@@ -179,7 +179,7 @@ def pipeline_training_data(spark, sf_dir):
     return (kept.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tok").alias("total_tokens"),
-                 F.round(F.avg("q"), 6).alias("avg_quality")))
+                 F.round(F.avg("q"), 4).alias("avg_quality")))
 
 
 @query("embedding_centroids", oracle="""
