@@ -251,8 +251,8 @@ def agg_basic(spark, sf_dir):
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+           round(sum(l_discount), 2) / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
@@ -271,8 +271,15 @@ def agg_groupby(spark, sf_dir):
                  F.round(F.sum(disc), 2).alias("sum_disc_price"),
                  F.round(F.sum(disc * (1 + le.l_tax)), 2).alias("sum_charge"),
                  F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 # avg of exact-2dp values: snap the SUM to cents, then
+                 # divide — both engines then hold bit-identical doubles,
+                 # immune to the midpoint flake that round(avg(x), k)
+                 # has when the true average lands on a k-dp boundary
+                 # (avg_qty is exempt: integer quantities sum exactly).
+                 (F.round(F.sum("l_extendedprice"), 2) / F.count("*"))
+                 .alias("avg_price"),
+                 (F.round(F.sum("l_discount"), 2) / F.count("*"))
+                 .alias("avg_disc"),
                  F.count("*").alias("count_order")))
 
 
