@@ -670,3 +670,35 @@ def stream_join_static(spark, sf_dir):
     from ..streaming import run_stream_static_join
 
     return run_stream_static_join(spark, sf_dir)
+
+
+@query("events_latest_state", oracle="""
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           ts AS last_ts
+    FROM (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = 1
+""")
+def events_latest_state(spark, sf_dir):
+    """CDC-style latest-state compaction / point-in-time snapshot: the
+    most recent event per user at a cutoff timestamp (ties broken by
+    event_id, so the snapshot is total and engine-independent). The
+    row_number-over-desc-ts shape is what compacts a changelog into a
+    current-state table; at 100 TB the cutoff filter pushes to the scan
+    and WindowGroupLimit prunes each map task to one row per user
+    before the shuffle — the snapshot never materializes the history."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    return (e.filter(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("last_type"),
+                    F.col("value").alias("last_value"),
+                    F.col("ts").alias("last_ts")))
