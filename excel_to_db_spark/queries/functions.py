@@ -421,7 +421,7 @@ def approx_percentile(spark, sf_dir):
 
 @query("filter_glob", oracle="""
     SELECT p_partkey, p_name FROM part
-    WHERE p_name LIKE '%bolt%' AND p_name GLOB '*steel*'
+    WHERE p_name LIKE '%bolt%' AND p_name GLOB 'blue*'
 """)
 def filter_glob(spark, sf_dir):
     """SQLite GLOB through the compat layer: the Spark side runs
@@ -433,7 +433,7 @@ def filter_glob(spark, sf_dir):
     T(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(rewrite(
         "SELECT p_partkey, p_name FROM part "
-        "WHERE p_name LIKE '%bolt%' AND p_name GLOB '*steel*'",
+        "WHERE p_name LIKE '%bolt%' AND p_name GLOB 'blue*'",
         sqlite_compat=True).replace("ILIKE", "LIKE"))
 
 
