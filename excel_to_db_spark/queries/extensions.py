@@ -702,3 +702,46 @@ def events_latest_state(spark, sf_dir):
             .select("user_id", F.col("event_type").alias("last_type"),
                     F.col("value").alias("last_value"),
                     F.col("ts").alias("last_ts")))
+
+
+@query("events_funnel", oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT)                            AS n_users,
+           CAST(count(t_view) AS BIGINT)                       AS viewed,
+           CAST(count(CASE WHEN t_click > t_view
+                           THEN 1 END) AS BIGINT)              AS then_clicked,
+           CAST(count(CASE WHEN t_buy > t_click
+                            AND t_click > t_view
+                           THEN 1 END) AS BIGINT)              AS then_bought
+    FROM firsts
+""")
+def events_funnel(spark, sf_dir):
+    """Ordered funnel analysis (view -> click -> purchase): per user,
+    the first occurrence of each step via conditional min aggregation,
+    then one pass counting users whose step timestamps are strictly
+    increasing. Two map-side-combinable aggregations, no self-join, no
+    explode — the funnel over a 100 TB event log shuffles one 3-column
+    row per user. (The conditional-min trick is the standard rewrite of
+    the naive k-way self-join funnel.)"""
+    e = T(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = (e.groupBy("user_id")
+              .agg(first_ts("view").alias("t_view"),
+                   first_ts("click").alias("t_click"),
+                   first_ts("purchase").alias("t_buy")))
+    clicked = F.col("t_click") > F.col("t_view")
+    bought = (F.col("t_buy") > F.col("t_click")) & clicked
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("viewed"),
+        F.count(F.when(clicked, 1)).alias("then_clicked"),
+        F.count(F.when(bought, 1)).alias("then_bought"))
