@@ -277,3 +277,49 @@ def regexp_pack(spark, sf_dir):
         F.regexp_count("p_name", F.lit(r"[aeiou]")).cast("int").alias("n_vowels"),
         F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
         F.col("p_name").rlike(r"^(red|blue)").alias("is_primary"))
+
+
+@query("customer_rfm", oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         DATE '2001-09-01')       AS recency_days,
+               count(*)                            AS frequency,
+               round(sum(o_totalprice), 2)         AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT *,
+               ntile(4) OVER (ORDER BY recency_days, o_custkey)      AS r,
+               ntile(4) OVER (ORDER BY frequency DESC, o_custkey)    AS f,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey)     AS m
+        FROM rfm
+    )
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT)        AS n_customers,
+           round(sum(monetary), 2)         AS segment_value
+    FROM scored GROUP BY r, f, m
+""")
+def customer_rfm(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quartiles): one
+    per-customer aggregation, three ntile windows (each tie-broken by
+    custkey so quartile edges are engine-independent), then a segment
+    rollup. The global ntile sort is over the CUSTOMER aggregate, not
+    the fact table — at 100 TB that's dim-cardinality, and each window
+    is one range-partitioned sort of 3-column rows."""
+    o = T(spark, sf_dir, "orders")
+    rfm = (o.groupBy("o_custkey")
+           .agg(F.datediff(F.lit("2001-09-01").cast("date"),
+                           F.max("o_orderdate").cast("date")).alias("recency_days"),
+                F.count("*").alias("frequency"),
+                F.round(F.sum("o_totalprice"), 2).alias("monetary")))
+    scored = rfm.select(
+        "*",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(),
+                                       "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(),
+                                       "o_custkey")).alias("m"))
+    return (scored.groupBy("r", "f", "m")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("monetary"), 2).alias("segment_value")))
