@@ -464,3 +464,54 @@ def group_zscore_pandas(spark, sf_dir):
         return pd.DataFrame({"doc_id": pdf.doc_id, "z": z.round(6)})
 
     return d.groupBy("source").applyInPandas(zscore, "doc_id long, z double")
+
+
+@query("text_keywords", oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0
+                                / df.df), 6) AS score
+        FROM tf JOIN df USING (tok)
+    ),
+    ranked AS (
+        SELECT doc_id, tok, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, tok) AS rn
+        FROM scored
+    )
+    SELECT doc_id, tok AS keyword, score, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 3
+""")
+def text_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf * ln(N/df), ties broken lexically. The document-frequency table
+    is token-cardinality (vocabulary-sized), so it broadcasts; the
+    per-doc rank is a WindowGroupLimit-pruned window over the tf pairs.
+    Keyword extraction at 100 TB = one token-keyed aggregation + one
+    doc-keyed pruned window; ln() stays in the hashed output only
+    because both engines call the same libm on the same doubles —
+    score ties are broken BEFORE the transcendental (by raw tf*idf
+    ordering being identical on both sides)."""
+    d = T(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(F.broadcast(df), "tok")
+              .select("doc_id", "tok",
+                      F.round(F.col("tf") * F.log(F.lit(float(n_docs))
+                                                  / F.col("df")), 6)
+                      .alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("doc_id", F.col("tok").alias("keyword"), "score",
+                    F.col("rn").cast("int").alias("rank")))
