@@ -323,3 +323,63 @@ def customer_rfm(spark, sf_dir):
     return (scored.groupBy("r", "f", "m")
             .agg(F.count("*").alias("n_customers"),
                  F.round(F.sum("monetary"), 2).alias("segment_value")))
+
+
+@query("set_bag_ops", oracle="""
+    WITH a AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+               FROM lineitem WHERE l_orderkey < 3000),
+         b AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+               FROM lineitem WHERE l_orderkey >= 1500 AND l_orderkey < 4500)
+    SELECT f, q, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT * FROM a INTERSECT ALL SELECT * FROM b
+    ) GROUP BY f, q
+""")
+def set_bag_ops(spark, sf_dir):
+    """Bag-semantics set operation (INTERSECT ALL): duplicates preserved
+    up to the minimum multiplicity on each side — the multiset algebra
+    SQLite's compound SELECTs only offer in distinct form for INTERSECT.
+    Spark's intersectAll implements it as one aggregation of per-side
+    counts, no join. Output re-aggregated so the check compares
+    multiplicities explicitly."""
+    li = T(spark, sf_dir, "lineitem")
+    a = (li.filter(F.col("l_orderkey") < 3000)
+         .select(F.col("l_returnflag").alias("f"),
+                 F.col("l_quantity").cast("bigint").alias("q")))
+    b = (li.filter((F.col("l_orderkey") >= 1500) & (F.col("l_orderkey") < 4500))
+         .select(F.col("l_returnflag").alias("f"),
+                 F.col("l_quantity").cast("bigint").alias("q")))
+    return (a.intersectAll(b)
+            .groupBy("f", "q").agg(F.count("*").alias("n")))
+
+
+@query("window_ignore_nulls", oracle="""
+    SELECT o_orderkey,
+           first_value(big_price IGNORE NULLS) OVER w  AS first_big,
+           last_value(big_price IGNORE NULLS)  OVER w  AS running_last_big
+    FROM (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_totalprice > 300000
+                    THEN round(o_totalprice, 2) END AS big_price
+        FROM orders WHERE o_orderkey < 2000
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def window_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS navigation: first/last non-null value over a running
+    frame — the gap-filling / last-observation-carried-forward primitive
+    (sparse sensor readings, sessionized attributes). NULLs are
+    manufactured with a CASE so the skip behavior is actually exercised;
+    same single window sort serves both functions."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    from pyspark.sql.window import Window as W
+    w = (W.partitionBy("o_custkey").orderBy("o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    big = F.when(F.col("o_totalprice") > 300000,
+                 F.round(F.col("o_totalprice"), 2))
+    return (o.select("o_orderkey", "o_custkey", big.alias("big_price"))
+            .select("o_orderkey",
+                    F.first("big_price", ignorenulls=True).over(w)
+                     .alias("first_big"),
+                    F.last("big_price", ignorenulls=True).over(w)
+                     .alias("running_last_big")))
