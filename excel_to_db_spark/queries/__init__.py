@@ -11,6 +11,7 @@ from .registry import REGISTRY, QuerySpec, oracle_sqls, query, spark_queries
 # Registration side effects — each import adds its operators to REGISTRY.
 from . import relational  # noqa: E402,F401  Tier B: scans/joins/aggs/windows/setops
 from . import relational2  # noqa: E402,F401  Tier B: order stats/lateral/maps/intervals/regexp
+from . import relational3  # noqa: E402,F401  Tier B: NULL semantics/division/gaps/frame emulation
 from . import functions   # noqa: E402,F401  Tier B: scalar function packs + UDF/approx
 from . import extensions  # noqa: E402,F401  Tier C: dedup/similarity/text/multimodal/streaming
 from . import parity      # noqa: E402,F401  Tier A: excel scan/load/display/csv golden parity

@@ -1,0 +1,293 @@
+"""Tier B relational surface, third pack (SURVEY.md §2.B addendum).
+
+Semantic corners of the SQL surface where engines classically diverge —
+the places a user migrating off the reference's SQLite passthrough
+(reference src/main.rs:220) gets silently different answers if the
+rebuild is careless: three-valued-logic NOT IN, null-safe equality
+joins, relational division, gaps-and-islands, window frames SQLite has
+(EXCLUDE, GROUPS) that Spark lacks and must emulate, deterministic mode,
+histogram binning, and metric-based fuzzy matching with blocking.
+
+All implementations are built-in pyspark.sql.functions (JVM codegen);
+window-frame emulations use exact integer cents so the float summation
+order can never flip the driver's value hash. Oracle = DuckDB SQL on the
+same parquet views (DuckDB supports EXCLUDE but not GROUPS frames, so
+the GROUPS oracle uses the same dense_rank+RANGE rewrite — a
+cross-engine check of the rewrite, not of the engine's native frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import query
+from .relational import T
+
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+# ------------------------------------------------- NULL semantics corners
+
+@query("anti_join_nulls", oracle="""
+    WITH probe AS (SELECT nullif(o_custkey % 97, 7) AS k FROM orders)
+    SELECT
+      (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe))
+        AS not_in_cnt,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey))
+        AS not_exists_cnt
+""")
+def anti_join_nulls(spark, sf_dir):
+    """Three-valued-logic NOT IN vs NOT EXISTS. The probe side contains a
+    NULL, so `NOT IN` is UNKNOWN for every row (count 0) while the anti
+    join keeps every non-matching row — the classic silent-wrong-answer
+    trap. Spark plans the NOT IN as a null-aware anti join
+    (BroadcastNestedLoopJoin when the build side may hold a NULL) and the
+    NOT EXISTS as a plain left-anti hash join; at 100 TB the null-aware
+    variant is the one to avoid unless the probe is provably NOT NULL.
+    SQLite passthrough (reference src/main.rs:220) follows the same
+    standard semantics."""
+    for t in ("orders", "customer"):
+        T(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        WITH probe AS (SELECT nullif(o_custkey % 97, 7) AS k FROM orders)
+        SELECT
+          (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM probe))  AS not_in_cnt,
+          (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM probe p
+                              WHERE p.k = c.c_custkey))    AS not_exists_cnt
+    """)
+
+
+@query("join_null_safe", oracle="""
+    SELECT n.k AS nk, count(*) AS cnt
+    FROM (SELECT nullif(c_nationkey, 5) AS k FROM customer) c
+    JOIN (SELECT nullif(n_nationkey, 5) AS k FROM nation) n
+      ON c.k IS NOT DISTINCT FROM n.k
+    GROUP BY n.k
+""")
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing. Spark's eqNullSafe keeps the
+    join hashable (EqualNullSafe is a valid hash-join key), so unlike a
+    `c.k = n.k OR (c.k IS NULL AND n.k IS NULL)` rewrite it does NOT
+    degrade to a nested-loop join — the plan a 100 TB CDC merge needs."""
+    c = (T(spark, sf_dir, "customer")
+         .select(F.expr("nullif(c_nationkey, 5)").alias("ck")))
+    n = (T(spark, sf_dir, "nation")
+         .select(F.expr("nullif(n_nationkey, 5)").alias("nk")))
+    return (c.join(F.broadcast(n), c["ck"].eqNullSafe(n["nk"]), "inner")
+            .groupBy("nk").agg(F.count("*").alias("cnt")))
+
+
+# ------------------------------------------------------ classic shapes
+
+@query("relational_division", oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    HAVING count(DISTINCT o.o_orderpriority) =
+           (SELECT count(DISTINCT o_orderpriority) FROM orders)
+""")
+def relational_division(spark, sf_dir):
+    """Relational division ("for all"): customers who placed orders in
+    EVERY priority class. Implemented as count-distinct-per-group matched
+    against a broadcast 1-row universe count — two map-side-combinable
+    aggregations and a broadcast join, never the naive double-NOT-EXISTS
+    (which would be two correlated anti joins over the fact table)."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    universe = o.agg(F.countDistinct("o_orderpriority").alias("n_prio"))
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.countDistinct("o_orderpriority").alias("np")))
+    full = per_cust.join(F.broadcast(universe),
+                         per_cust["np"] == universe["n_prio"], "inner")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (full.join(c, full["o_custkey"] == c["c_custkey"], "inner")
+            .select("c_custkey", "c_name"))
+
+
+@query("sequence_gaps", oracle="""
+    WITH k AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+         s AS (SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM k)
+    SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS gap_len
+    FROM s WHERE nxt > k + 1
+""")
+def sequence_gaps(spark, sf_dir):
+    """Gaps-and-islands: missing ranges in the surviving key sequence
+    after a filter. The oracle's single global-ORDER-BY window is the
+    textbook form but serializes onto one task; here the Spark plan is
+    the scale-safe two-level version: lead() within hash-partitioned
+    key buckets (k div 1024) finds intra-bucket gaps in parallel, and a
+    window over the tiny per-bucket min/max aggregate (keys/1024 rows)
+    finds the cross-bucket gaps — identical result, no single-partition
+    shuffle of the full sequence at 100 TB."""
+    k = (T(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select(F.col("o_orderkey").alias("k")))
+    b = k.withColumn("bucket", F.expr("k div 1024"))
+
+    w_in = Window.partitionBy("bucket").orderBy("k")
+    within = (b.withColumn("nxt", F.lead("k").over(w_in))
+              .filter(F.col("nxt") > F.col("k") + 1)
+              .select((F.col("k") + 1).alias("gap_start"),
+                      (F.col("nxt") - 1).alias("gap_end")))
+
+    agg = b.groupBy("bucket").agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+    w_b = Window.orderBy("bucket")  # rows = distinct buckets (tiny)
+    across = (agg.withColumn("next_lo", F.lead("lo").over(w_b))
+              .filter(F.col("next_lo") > F.col("hi") + 1)
+              .select((F.col("hi") + 1).alias("gap_start"),
+                      (F.col("next_lo") - 1).alias("gap_end")))
+
+    return (within.unionAll(across)
+            .withColumn("gap_len",
+                        F.col("gap_end") - F.col("gap_start") + F.lit(1)))
+
+
+@query("agg_mode", oracle="""
+    WITH freq AS (
+        SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (SELECT g, max(c) AS mc FROM freq GROUP BY g)
+    SELECT f.g AS l_returnflag, min(f.v) AS mode_qty, max(f.c) AS mode_cnt
+    FROM freq f JOIN m ON m.g = f.g AND f.c = m.mc
+    GROUP BY f.g
+""")
+def agg_mode(spark, sf_dir):
+    """Deterministic mode per group. Built-in `mode()` (Spark 3.4+ and
+    DuckDB both have it) breaks frequency ties engine-dependently, so
+    this computes it structurally: frequency table -> per-group max
+    count (broadcast) -> smallest value among the tied argmaxes. Both
+    levels are partial-aggregable; no window, no sort of the fact."""
+    li = T(spark, sf_dir, "lineitem")
+    freq = (li.groupBy(F.col("l_returnflag").alias("g"),
+                       F.col("l_quantity").alias("v"))
+            .agg(F.count("*").alias("c")))
+    m = freq.groupBy(F.col("g").alias("mg")).agg(F.max("c").alias("mc"))
+    return (freq.join(F.broadcast(m),
+                      (freq["g"] == m["mg"]) & (freq["c"] == m["mc"]))
+            .groupBy(F.col("g").alias("l_returnflag"))
+            .agg(F.min("v").alias("mode_qty"), F.max("c").alias("mode_cnt")))
+
+
+@query("agg_histogram", oracle="""
+    WITH b AS (
+        SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+               o_totalprice AS p
+        FROM orders
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(p), 2) AS lo_price, round(max(p), 2) AS hi_price,
+           round(100.0 * count(*) / sum(count(*)) OVER (), 4) AS pct
+    FROM b GROUP BY bucket
+""")
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram by explicit binning (floor division — the
+    form that stays in codegen and partial-aggregates map-side; Spark's
+    width_bucket would also work but DuckDB lacks it). The pct column is
+    a window over the ~dozen bucket rows post-aggregation — trivially
+    small, unlike a pre-aggregation window over the fact table."""
+    o = T(spark, sf_dir, "orders")
+    binned = (o.groupBy(F.expr("CAST(floor(o_totalprice / 50000) AS INT)")
+                        .alias("bucket"))
+              .agg(F.count("*").alias("n"),
+                   F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+                   F.round(F.max("o_totalprice"), 2).alias("hi_price")))
+    return binned.withColumn(
+        "pct", F.round(100.0 * F.col("n") / F.sum("n").over(
+            Window.partitionBy()), 4))
+
+
+# ----------------------------------------------- window-frame emulations
+
+@query("window_exclude", oracle=f"""
+    WITH t AS (SELECT o_custkey, o_orderkey, {_CENTS} AS cents FROM orders)
+    SELECT o_custkey, o_orderkey,
+           sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                            EXCLUDE CURRENT ROW) / 100.0 AS neighbor_sum
+    FROM t
+""")
+def window_exclude(spark, sf_dir):
+    """EXCLUDE CURRENT ROW frame emulation (SQLite and DuckDB have
+    EXCLUDE, Spark does not): sum the full +/-2-rows frame and subtract
+    the current row's value — exact because the measure is summed as
+    integer cents, so inclusion-then-subtraction cannot drift from the
+    oracle's native exclusion. Empty exclusion frames (single-row
+    partitions) yield NULL on both sides via the frame-count guard."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.expr(_CENTS)
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderkey")
+         .rowsBetween(-2, 2))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.when(F.count("*").over(w) > 1,
+               (F.sum(cents).over(w) - cents) / 100.0)
+        .alias("neighbor_sum"))
+
+
+@query("window_groups_frame", oracle=f"""
+    WITH t AS (
+        SELECT o_orderkey, o_orderpriority, {_CENTS} AS cents,
+               dense_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY date_trunc('month', o_orderdate))
+                 AS dr
+        FROM orders
+    )
+    SELECT o_orderkey,
+           sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY dr
+                            RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+             / 100.0 AS grp_sum
+    FROM t
+""")
+def window_groups_frame(spark, sf_dir):
+    """GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING emulation (SQLite has
+    GROUPS frames; neither Spark nor DuckDB does): dense_rank the peer
+    groups, then a RANGE frame of +/-1 over the rank — peer-group
+    framing expressed with primitives every engine optimizes. One
+    shuffle on the partition key serves both windows (same partitioning,
+    compatible ordering); integer cents keep the sums exact."""
+    o = T(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    t = o.select("o_orderkey", "o_orderpriority",
+                 F.expr(_CENTS).alias("cents"),
+                 F.dense_rank().over(
+                     Window.partitionBy("o_orderpriority").orderBy(month))
+                 .alias("dr"))
+    w = (Window.partitionBy("o_orderpriority").orderBy("dr")
+         .rangeBetween(-1, 1))
+    return t.select("o_orderkey",
+                    (F.sum("cents").over(w) / 100.0).alias("grp_sum"))
+
+
+# ------------------------------------------------------- fuzzy matching
+
+@query("str_fuzzy_match", oracle="""
+    WITH t AS (SELECT DISTINCT p_name AS v FROM part)
+    SELECT a.v AS name_a, b.v AS name_b, levenshtein(a.v, b.v) AS dist
+    FROM t a JOIN t b
+      ON a.v < b.v
+     AND abs(length(a.v) - length(b.v)) <= 2
+    WHERE levenshtein(a.v, b.v) <= 3
+""")
+def str_fuzzy_match(spark, sf_dir):
+    """Edit-distance fuzzy matching with candidate blocking: distinct
+    names self-paired under a cheap length-band predicate BEFORE the
+    O(len^2) levenshtein runs — the block-then-verify shape every
+    record-linkage pipeline uses. The distinct name list is small
+    relative to the fact table, so Spark broadcasts it and the pair
+    generation never shuffles; at 100 TB the same plan holds as long as
+    the blocking key (here length) bounds candidates per name."""
+    names = T(spark, sf_dir, "part").select(F.col("p_name").alias("v")).distinct()
+    a, b = names.alias("a"), names.alias("b")
+    cond = ((F.col("a.v") < F.col("b.v"))
+            & (F.abs(F.length("a.v") - F.length("b.v")) <= 2))
+    return (a.join(F.broadcast(b), cond, "inner")
+            .filter(F.levenshtein(F.col("a.v"), F.col("b.v")) <= 3)
+            .select(F.col("a.v").alias("name_a"),
+                    F.col("b.v").alias("name_b"),
+                    F.levenshtein(F.col("a.v"), F.col("b.v")).alias("dist")))
