@@ -15,6 +15,7 @@ from . import relational3  # noqa: E402,F401  Tier B: NULL semantics/division/ga
 from . import functions   # noqa: E402,F401  Tier B: scalar function packs + UDF/approx
 from . import extensions  # noqa: E402,F401  Tier C: dedup/similarity/text/multimodal/streaming
 from . import parity      # noqa: E402,F401  Tier A: excel scan/load/display/csv golden parity
+from . import roundtrip   # noqa: E402,F401  Tier A sinks widened: sqlite/csv/jsonl round trips
 from . import tpch        # noqa: E402,F401  Tier B: TPC-H-derived warehouse suite
 from . import pipeline    # noqa: E402,F401  Tier C: training-data pipeline composites
 
