@@ -515,3 +515,87 @@ def text_keywords(spark, sf_dir):
             .filter(F.col("rn") <= 3)
             .select("doc_id", F.col("tok").alias("keyword"), "score",
                     F.col("rn").cast("int").alias("rank")))
+
+
+@query("text_pii_scrub", oracle="""
+    WITH inj AS (
+        SELECT doc_id,
+               'Contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or call 555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '. ' || text
+                 AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s,
+                '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(s, '555-[0-9]{4}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(s,
+                '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+                '555-[0-9]{4}', '[PHONE]', 'g')) AS digest
+    FROM inj
+""")
+def text_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over the corpus: count and replace
+    email / phone patterns, returning a digest of the scrubbed text so
+    the oracle proves byte-identical redaction, not just equal counts.
+    The PII is injected deterministically from doc_id (the synthetic
+    corpus has none) so the detector has known ground truth at every
+    scale. All regexp work is JVM codegen (Spark regexp_replace is
+    global by default; DuckDB needs the 'g' flag — a dialect delta the
+    compat layer documents). At 100 TB this is the embarrassingly
+    parallel map stage: no shuffle at all — the plan is scan -> project."""
+    email_pat = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    phone_pat = "555-[0-9]{4}"
+    d = T(spark, sf_dir, "documents")
+    s = F.concat(F.lit("Contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or call 555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                 F.lit(". "), F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(s, email_pat, "[EMAIL]"), phone_pat, "[PHONE]")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(s, F.lit(email_pat), 0))
+         .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(s, F.lit(phone_pat), 0))
+         .cast("bigint").alias("n_phones"),
+        F.md5(scrubbed).alias("digest"))
+
+
+@query("text_entropy", oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM toks WHERE w <> '' GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+    FROM f GROUP BY doc_id
+""")
+def text_entropy(spark, sf_dir):
+    """Token-level Shannon entropy per document — the information-density
+    quality signal (near-zero entropy = boilerplate/repetition, the
+    Gopher-style filter's statistical cousin). Computed as
+    log2(n) - sum(c*log2 c)/n over the (doc, token) frequency table, so
+    the only shuffle is the frequency groupBy; the per-doc reduce is
+    map-side combinable. Rounded to 4dp: the term order of the float
+    sum differs between engines and 1e-14 drift must not flip the hash."""
+    d = T(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+            .filter(F.col("w") != ""))
+    f = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return (f.groupBy("doc_id")
+            .agg(n.alias("n_tokens"),
+                 F.count("*").alias("n_distinct"),
+                 F.round(F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4)
+                 .alias("entropy")))
