@@ -284,10 +284,15 @@ def str_fuzzy_match(spark, sf_dir):
     the blocking key (here length) bounds candidates per name."""
     names = T(spark, sf_dir, "part").select(F.col("p_name").alias("v")).distinct()
     a, b = names.alias("a"), names.alias("b")
+    # All three predicates in ONE join condition, cheapest first: codegen
+    # short-circuits conjunctions left-to-right, so levenshtein only runs
+    # on pairs that pass the length band. (A separate .filter would be
+    # pushed into the join ahead of the cheap predicates by Catalyst's
+    # filter-into-join merge — measured, tests/test_plans_r3.py.)
     cond = ((F.col("a.v") < F.col("b.v"))
-            & (F.abs(F.length("a.v") - F.length("b.v")) <= 2))
+            & (F.abs(F.length("a.v") - F.length("b.v")) <= 2)
+            & (F.levenshtein(F.col("a.v"), F.col("b.v")) <= 3))
     return (a.join(F.broadcast(b), cond, "inner")
-            .filter(F.levenshtein(F.col("a.v"), F.col("b.v")) <= 3)
             .select(F.col("a.v").alias("name_a"),
                     F.col("b.v").alias("name_b"),
                     F.levenshtein(F.col("a.v"), F.col("b.v")).alias("dist")))

@@ -1,0 +1,86 @@
+"""Physical-plan regression guards for the relational-corners and text
+packs added after the round-2 audit (queries/relational3.py,
+queries/pipeline.py additions).
+
+Same contract as tests/test_plans_r2.py: each assertion pins the plan
+property that makes the operator survive a 100x scale-up, so a future
+edit that silently degrades it (nested-loop fallback, extra shuffle,
+lost map-side prune) fails here before any benchmark notices.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from excel_to_db_spark.queries import REGISTRY
+    return REGISTRY
+
+
+def test_null_safe_join_stays_hashable(spark, registry):
+    plan = _plan(registry["join_null_safe"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, \
+        "eqNullSafe must hash-join (EqualNullSafe is a valid hash key)"
+    assert "BroadcastNestedLoopJoin" not in plan, \
+        "null-safe equality must not degrade to nested-loop"
+
+
+def test_relational_division_broadcasts_universe(spark, registry):
+    plan = _plan(registry["relational_division"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_gaps_bucketed_window(spark, registry):
+    plan = _plan(registry["sequence_gaps"].fn(spark, SF_DIR))
+    assert "hashpartitioning(bucket" in plan, \
+        "full-sequence lead() must run inside hash-partitioned buckets"
+    # exactly one single-partition exchange: the per-bucket min/max
+    # aggregate (rows = keys/1024), never the raw key sequence
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_window_exclude_single_shuffle(spark, registry):
+    plan = _plan(registry["window_exclude"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, \
+        "count guard and sum must share one window shuffle"
+
+
+def test_window_groups_frame_single_shuffle(spark, registry):
+    plan = _plan(registry["window_groups_frame"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, \
+        "dense_rank and RANGE frame share the partition key -> one shuffle"
+
+
+def test_fuzzy_match_blocks_before_metric(spark, registry):
+    plan = _plan(registry["str_fuzzy_match"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan  # theta join by design
+    cond = plan.split("BroadcastNestedLoopJoin")[1].split("\n")[0]
+    assert "levenshtein" in cond and "length" in cond
+    assert cond.index("length") < cond.index("levenshtein"), \
+        "short-circuit order: cheap length band must precede levenshtein"
+
+
+def test_agg_mode_broadcasts_max_counts(spark, registry):
+    plan = _plan(registry["agg_mode"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_is_pure_map(spark, registry):
+    plan = _plan(registry["text_pii_scrub"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, \
+        "regex scrub is scan->project; any shuffle is a regression"
+
+
+def test_entropy_two_shuffles_max(spark, registry):
+    plan = _plan(registry["text_entropy"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 2, \
+        "(doc,token) freq + per-doc reduce; more means a lost combine"
