@@ -599,3 +599,98 @@ def text_entropy(spark, sf_dir):
                  F.count("*").alias("n_distinct"),
                  F.round(F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4)
                  .alias("entropy")))
+
+
+@query("text_bigram_lm", oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bge AS (
+        SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest([{'w1': t[i], 'w2': t[i+1]}
+                           for i in range(1, len(t))]) AS b
+            FROM toks)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bge GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bge GROUP BY w1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(log2(c2 * 1.0 / c1)), 4) AS avg_logp
+    FROM bge JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id
+""")
+def text_bigram_lm(spark, sf_dir):
+    """Corpus bigram language-model scoring — the classic cheap fluency /
+    perplexity signal for data curation: train bigram + left-unigram
+    counts over the whole corpus, then score each document by its mean
+    log2 conditional probability. Bigrams come straight out of the token
+    array with transform() (no posexplode+window hop); the two count
+    tables are vocabulary-sized, so they broadcast back onto the bigram
+    stream — at 100 TB the only big shuffle is the bigram groupBy, and
+    scoring is broadcast-join + one doc-keyed reduce. Normalizing by the
+    LEFT-unigram count (sum over w2 of c2 = c1) keeps p(.|w1) a proper
+    distribution with no end-of-doc off-by-one."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bg = (toks.select("doc_id", F.explode(F.expr(
+              "transform(slice(t, 1, size(t)-1),"
+              " (x, i) -> struct(x AS w1, t[i+1] AS w2))")).alias("b"))
+          .select("doc_id", "b.w1", "b.w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (bg.join(F.broadcast(c2), ["w1", "w2"])
+            .join(F.broadcast(c1), ["w1"])
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg(F.log2(F.col("c2") * 1.0 / F.col("c1"))), 4)
+                 .alias("avg_logp")))
+
+
+@query("embedding_outliers", oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(1, 65)) AS pos
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, pos, round(avg(v), 6) AS c FROM ex GROUP BY label, pos
+    ),
+    per AS (
+        SELECT vec_id, ex.label AS label,
+               round(1 - sum(v * c) / (sqrt(sum(v * v)) * sqrt(sum(c * c))),
+                     6) AS dist
+        FROM ex JOIN cent ON cent.label = ex.label AND cent.pos = ex.pos
+        GROUP BY vec_id, ex.label
+    )
+    SELECT label, vec_id, dist, rnk FROM (
+        SELECT label, vec_id, dist,
+               CAST(row_number() OVER (PARTITION BY label
+                    ORDER BY dist DESC, vec_id) AS INT) AS rnk
+        FROM per)
+    WHERE rnk <= 3
+""")
+def embedding_outliers(spark, sf_dir):
+    """Centroid-distance outlier mining: cosine distance of every vector
+    to its own label's centroid, top-3 per label — the mislabeled-sample
+    / contamination sweep over an embedded corpus. Centroid values are
+    rounded to 6dp BEFORE the cosine so both engines rank from identical
+    inputs, and the rank key is the ROUNDED distance with vec_id
+    tie-break — float summation order can never flip the top-k. Shape at
+    100 TB: one (label,dim)-keyed reduce (tiny state), centroids
+    broadcast back, one vec-keyed reduce, WindowGroupLimit top-k."""
+    e = T(spark, sf_dir, "embeddings")
+    ex = (e.select("vec_id", "label",
+                   F.posexplode("embedding").alias("pos0", "vf"))
+          .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+                  F.col("vf").cast("double").alias("v")))
+    cent = (ex.groupBy("label", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("c")))
+    per = (ex.join(F.broadcast(cent), ["label", "pos"])
+           .groupBy("vec_id", "label")
+           .agg(F.round(
+               1 - F.sum(F.col("v") * F.col("c"))
+               / (F.sqrt(F.sum(F.col("v") * F.col("v")))
+                  * F.sqrt(F.sum(F.col("c") * F.col("c")))), 6)
+               .alias("dist")))
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return (per.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= 3)
+            .select("label", "vec_id", "dist", "rnk"))
