@@ -18,6 +18,7 @@ from . import parity      # noqa: E402,F401  Tier A: excel scan/load/display/csv
 from . import roundtrip   # noqa: E402,F401  Tier A sinks widened: sqlite/csv/jsonl round trips
 from . import tpch        # noqa: E402,F401  Tier B: TPC-H-derived warehouse suite
 from . import pipeline    # noqa: E402,F401  Tier C: training-data pipeline composites
+from . import warehouse2  # noqa: E402,F401  Tier B/C: basket/markov/interp/pareto/MAD
 
 __all__ = [
     "REGISTRY",
