@@ -19,6 +19,7 @@ from . import roundtrip   # noqa: E402,F401  Tier A sinks widened: sqlite/csv/js
 from . import tpch        # noqa: E402,F401  Tier B: TPC-H-derived warehouse suite
 from . import pipeline    # noqa: E402,F401  Tier C: training-data pipeline composites
 from . import warehouse2  # noqa: E402,F401  Tier B/C: basket/markov/interp/pareto/MAD
+from . import events_graph  # noqa: E402,F401  Tier C: rolling anomaly/inter-arrival/pagerank
 
 __all__ = [
     "REGISTRY",

@@ -1,0 +1,205 @@
+"""Event-stream depth + iterative graph analytics (Tier C extensions).
+
+Shapes a warehouse user reaches past plain SQL: rolling-window anomaly
+detection on a stream, exact inter-arrival statistics, and an iterative
+fixed-point algorithm (PageRank) unrolled into declarative joins so
+Catalyst still sees the whole plan. The reference's analogue surface is
+its SQL passthrough (reference src/main.rs:220); these exercise what a
+100 TB deployment needs beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .registry import query
+from .relational import T
+
+
+# ---------------------------------------------------- rolling anomaly
+
+@query("events_rolling_anomaly", oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               avg(value)         OVER w AS mu,
+               stddev_samp(value) OVER w AS sigma,
+               count(*)           OVER w AS n_hist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           count(*) AS n_checked,
+           CAST(sum(CASE WHEN round(abs(value - mu) / sigma, 4) > 3.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM r
+    WHERE n_hist >= 5 AND sigma > 0
+    GROUP BY event_type
+""")
+def events_rolling_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection: each event scored against the
+    mean/stddev of its user's previous 10 events (current row excluded
+    so a spike can't mask itself); |z| > 3 with >= 5 history rows flags.
+
+    One shuffle on user_id serves all three window aggregates (same
+    frame); scoring is JVM-side whole-stage codegen, no Python. The
+    z-score is rounded before thresholding so both engines compare the
+    same 4-dp number — a strict float threshold would be a cross-engine
+    coin flip at the boundary."""
+    e = T(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-10, -1))
+    r = e.select(
+        "event_type", "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_hist"))
+    z = F.round(F.abs(F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (r.filter((F.col("n_hist") >= 5) & (F.col("sigma") > 0))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_checked"),
+                 F.sum(F.when(z > 3.0, 1).otherwise(0))
+                  .alias("n_anomalies")))
+
+
+# ----------------------------------------------------- inter-arrival
+
+@query("events_inter_arrival", oracle="""
+    WITH d AS (
+        SELECT event_type,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id))
+               / 1000000.0 AS delta_s
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(delta_s), 4) AS avg_s,
+           round(quantile_cont(delta_s, 0.5), 4)  AS p50_s,
+           round(quantile_cont(delta_s, 0.95), 4) AS p95_s
+    FROM d WHERE delta_s IS NOT NULL
+    GROUP BY event_type
+""")
+def events_inter_arrival(spark, sf_dir):
+    """Inter-arrival time distribution per event type: seconds since the
+    same user's previous event (any type), with exact median and p95.
+
+    Deltas are computed on integer epoch-microseconds (unix_micros /
+    epoch_us) so both engines subtract exact BIGINTs — casting
+    timestamps to float seconds first would give last-ulp drift. The
+    lag window shuffles once on user_id (stream order), the stats
+    aggregation once on the tiny event_type key set; exact percentiles
+    interpolate identically to DuckDB's quantile_cont."""
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    d = e.select(
+        "event_type",
+        ((us - F.lag(us).over(w)) / F.lit(1000000.0)).alias("delta_s"))
+    return (d.filter(F.col("delta_s").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("delta_s"), 4).alias("avg_s"),
+                 F.round(F.percentile("delta_s", 0.5), 4).alias("p50_s"),
+                 F.round(F.percentile("delta_s", 0.95), 4).alias("p95_s")))
+
+
+# -------------------------------------------------- unrolled pagerank
+
+_PR_ORACLE = """
+    WITH edges AS (
+        SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+               sum(l_extendedprice * (1 - l_discount)) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2
+    ),
+    norm AS (
+        SELECT src, dst,
+               w / sum(w) OVER (PARTITION BY src) AS p
+        FROM edges
+    ),
+    sz AS (SELECT count(*) AS n FROM nation),
+    r0 AS (SELECT n_nationkey AS node, 1.0 / n AS rank FROM nation, sz),
+    r1 AS (
+        SELECT n.node,
+               0.15 / (SELECT n FROM sz)
+               + 0.85 * coalesce(sum(r.rank * e.p), 0) AS rank
+        FROM r0 n
+        LEFT JOIN norm e ON e.dst = n.node
+        LEFT JOIN r0 r   ON r.node = e.src
+        GROUP BY n.node
+    ),
+    r2 AS (
+        SELECT n.node,
+               0.15 / (SELECT n FROM sz)
+               + 0.85 * coalesce(sum(r.rank * e.p), 0) AS rank
+        FROM r1 n
+        LEFT JOIN norm e ON e.dst = n.node
+        LEFT JOIN r1 r   ON r.node = e.src
+        GROUP BY n.node
+    ),
+    r3 AS (
+        SELECT n.node,
+               0.15 / (SELECT n FROM sz)
+               + 0.85 * coalesce(sum(r.rank * e.p), 0) AS rank
+        FROM r2 n
+        LEFT JOIN norm e ON e.dst = n.node
+        LEFT JOIN r2 r   ON r.node = e.src
+        GROUP BY n.node
+    )
+    SELECT node, round(rank, 6) AS rank
+    FROM r3
+"""
+
+
+@query("graph_pagerank3", oracle=_PR_ORACLE)
+def graph_pagerank3(spark, sf_dir):
+    """PageRank (damping 0.85, 3 iterations) over the nation-level trade
+    graph: edge customer-nation -> supplier-nation weighted by revenue.
+
+    The iterative fixed point is UNROLLED into the logical plan — each
+    iteration is a broadcast join of the (|nations|-row) rank vector
+    against the normalized edge list, so Catalyst sees one declarative
+    DAG and the fact table is touched exactly once at runtime: AQE
+    materializes the edge shuffle for iteration 1 and iterations 2-3
+    read it back as ReusedExchange (guarded in tests/test_plans_r4.py).
+    At 100 TB the edge aggregation dominates; iterations cost
+    |edges| * k regardless of fact size. Dangling nodes keep the
+    0.15/N floor (sink mass is dropped, identically on both engines)."""
+    le = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"))
+
+    edges = (le.join(o, le.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(s), le.l_suppkey == s.s_suppkey)
+             .groupBy(F.col("c_nationkey").alias("src"),
+                      F.col("s_nationkey").alias("dst"))
+             .agg(F.sum(le.l_extendedprice * (1 - le.l_discount))
+                  .alias("w")))
+    norm = edges.select(
+        "src", "dst",
+        (F.col("w") / F.sum("w").over(W.partitionBy("src"))).alias("p"))
+
+    n_nodes = nation.count()  # driver scalar: |nation| (25), not a fact scan
+    ranks = nation.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(3):
+        contrib = (F.broadcast(ranks)
+                   .join(norm, ranks.node == norm.src)
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("rank") * F.col("p")).alias("c")))
+        ranks = (nation.join(F.broadcast(contrib), "node", "left")
+                 .select("node",
+                         (F.lit(0.15 / n_nodes)
+                          + F.lit(0.85) * F.coalesce("c", F.lit(0.0)))
+                         .alias("rank")))
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

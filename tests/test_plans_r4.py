@@ -66,6 +66,34 @@ def test_pareto_share_partial_aggregation(spark, registry):
         "the cumulative window runs on the aggregate, post-shuffle"
 
 
+def test_rolling_anomaly_one_stream_shuffle_no_python(spark, registry):
+    plan = _plan(registry["events_rolling_anomaly"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, \
+        "all three window aggregates share one user_id shuffle"
+    assert "EvalPython" not in plan, \
+        "z-scoring must stay JVM-side (whole-stage codegen)"
+
+
+def test_inter_arrival_two_shuffles_exact_micros(spark, registry):
+    plan = _plan(registry["events_inter_arrival"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "unix_micros" in plan, \
+        "deltas must subtract integer microseconds, not float seconds"
+
+
+def test_pagerank_scans_fact_once_at_runtime(spark, registry):
+    df = registry["graph_pagerank3"].fn(spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan
+    plan = _plan(df)
+    # the three unrolled iterations inline the edge subtree statically,
+    # but AQE must collapse them: the edge shuffle executes once and the
+    # later iterations read it back as ReusedExchange.
+    assert plan.count("ReusedExchange") >= 2, \
+        "iterations 2 and 3 must reuse the materialized edge shuffle"
+    assert "BroadcastHashJoin" in plan, \
+        "the |nations|-row rank vector must broadcast into each iteration"
+
+
 def test_group_mad_outliers_broadcasts_stats(spark, registry):
     plan = _plan(registry["group_mad_outliers"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, \
