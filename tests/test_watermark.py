@@ -22,9 +22,11 @@ SCHEMA = StructType([StructField("ts", TimestampType()),
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 
-def _write(spark, rows, path):
+def _write(spark, rows, path, mtime):
     # a real single FILE (pyarrow), not a Spark output directory — the
     # file stream source lists plain files under the load path
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -34,11 +36,19 @@ def _write(spark, rows, path):
                   "value": pa.array([r[1] for r in rows],
                                     type=pa.float64())}),
         path)
+    # FileStreamSource orders files by modification time in MILLISECONDS;
+    # three sub-millisecond writes can collide and replay out of order,
+    # which breaks the batch sequencing this test depends on. Pin
+    # strictly increasing mtimes so batch order is deterministic.
+    os.utime(path, (mtime, mtime))
 
 
 def test_late_event_dropped_by_watermark(spark, tmp_path):
+    import time
+
     src = str(tmp_path / "stream_src")
     (tmp_path / "stream_src").mkdir()
+    base_mtime = time.time() - 10
     # Drop of too-late data is guaranteed only once the window's state
     # was EVICTED in an earlier batch (a straggler arriving in the same
     # batch that finalizes its window may still merge — documented
@@ -47,14 +57,17 @@ def test_late_event_dropped_by_watermark(spark, tmp_path):
     # 01:00 will push the watermark to 00:50 after this batch
     _write(spark, [(T0 + dt.timedelta(minutes=1), 1.0),
                    (T0 + dt.timedelta(minutes=2), 1.0),
-                   (T0 + dt.timedelta(minutes=60), 1.0)], src + "/a.parquet")
+                   (T0 + dt.timedelta(minutes=60), 1.0)],
+           src + "/a.parquet", base_mtime)
     # batch 2 ('b'): runs with watermark 00:50 -> finalizes + evicts the
     # first window (emitted with n=2)
-    _write(spark, [(T0 + dt.timedelta(minutes=61), 1.0)], src + "/b.parquet")
+    _write(spark, [(T0 + dt.timedelta(minutes=61), 1.0)],
+           src + "/b.parquet", base_mtime + 2)
     # batch 3 ('c'): a straggler back into the evicted window — must be
     # dropped (its window is final; append mode can never re-emit it)
     _write(spark, [(T0 + dt.timedelta(minutes=3), 100.0),
-                   (T0 + dt.timedelta(minutes=62), 1.0)], src + "/c.parquet")
+                   (T0 + dt.timedelta(minutes=62), 1.0)],
+           src + "/c.parquet", base_mtime + 4)
 
     stream = (spark.readStream.schema(SCHEMA).format("parquet")
               .option("maxFilesPerTrigger", "1").load(src))
