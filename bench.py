@@ -62,6 +62,10 @@ HEADLINE = [
     "lateral_topn",            # decorrelated LATERAL top-n
     "pipeline_pack_sequences", # one-shuffle sequence packing
     "udtf_chunks",             # Python UDTF throughput
+    "basket_affinity",         # per-basket pair combinatorics, no self-join
+    "events_rolling_anomaly",  # 3 window aggs on one stream shuffle
+    "graph_pagerank3",         # iterative joins + AQE exchange reuse
+    "ts_interpolate",          # spine densify + bidirectional fill
 ]
 
 
