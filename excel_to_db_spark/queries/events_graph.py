@@ -203,3 +203,112 @@ def graph_pagerank3(spark, sf_dir):
                           + F.lit(0.85) * F.coalesce("c", F.lit(0.0)))
                          .alias("rank")))
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ------------------------------------------------------ streaming hop
+
+_HOPPING_ORACLE = """
+    SELECT ws AS win_start, ws + INTERVAL '10 minutes' AS win_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (
+        SELECT value,
+               unnest([time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws
+        FROM events
+    )
+    GROUP BY ws
+"""
+
+
+@query("stream_hopping", oracle=_HOPPING_ORACLE)
+def stream_hopping(spark, sf_dir):
+    """Hopping windows executed by the Structured Streaming engine
+    (events replayed through the file source, width 10 min / slide
+    5 min, watermark-bounded state, memory sink). Complete mode on
+    finite input makes the batch `events_hopping` oracle exact —
+    completing the batch/streaming parity matrix for all three window
+    kinds (tumbling, session, hopping)."""
+    from ..streaming import run_hopping_stream
+
+    return run_hopping_stream(spark, sf_dir)
+
+
+# ----------------------------------------------------------- ewma
+
+@query("window_ewma", oracle="""
+    WITH lasts AS (
+        SELECT user_id, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                   AS vals,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, vals,
+               list_transform(generate_series(1, len(vals)),
+                              j -> power(0.9, len(vals) - j)) AS wts
+        FROM lasts WHERE rn = 1
+    )
+    SELECT user_id,
+           round(list_dot_product(vals, wts)
+                 / list_aggregate(wts, 'sum'), 4) AS ewma
+    FROM w
+""")
+def window_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (alpha-decay 0.9, last 20
+    observations) of each user's value stream, reported at the stream
+    head — the standard smoothing statistic for monitoring series.
+
+    collect_list over a bounded ROWS frame keeps state at 20 values per
+    row regardless of stream length; the weighted reduction runs as
+    JVM higher-order functions (zip_with + aggregate), no Python, and
+    both engines reduce the identical list in identical order. One
+    user_id shuffle serves the frame collection and the head-row pick."""
+    e = T(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-19, 0))
+    wdesc = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    lasts = (e.select("user_id",
+                      F.collect_list("value").over(w).alias("vals"),
+                      F.row_number().over(wdesc).alias("rn"))
+             .filter(F.col("rn") == 1))
+    n = F.size("vals")
+    wts = F.transform(F.sequence(F.lit(1), n),
+                      lambda j: F.pow(F.lit(0.9), n - j))
+    num = F.aggregate(F.zip_with("vals", wts, lambda x, wt: x * wt),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    den = F.aggregate(wts, F.lit(0.0), lambda acc, x: acc + x)
+    return lasts.select(
+        "user_id",
+        F.round(num / den, 4).alias("ewma"))
+
+
+# ---------------------------------------------------- exact decimals
+
+@query("agg_decimal_exact", oracle="""
+    SELECT l_returnflag,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           sum(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+""")
+def agg_decimal_exact(spark, sf_dir):
+    """Exact DECIMAL money aggregation: sums carry no float error, so
+    both engines agree to the last cent with NO rounding discipline —
+    unlike the double sums everywhere else (and unlike the reference,
+    whose REAL columns make SQLite sum in floating point; reference
+    src/main.rs:184-187). Spark's decimal sum stays inside Tungsten's
+    long-backed decimal128 fast path; partial aggregation applies as
+    with any sum."""
+    le = T(spark, sf_dir, "lineitem")
+    return (le.groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .alias("sum_price"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .alias("sum_qty"),
+                 F.count("*").alias("n")))

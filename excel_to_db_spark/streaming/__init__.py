@@ -11,6 +11,8 @@ paths agree on finite input).
 from .stateful import run_stateful_totals, stateful_user_totals  # noqa: F401
 from .windows import (  # noqa: F401
     events_stream_reader,
+    hopping_agg,
+    run_hopping_stream,
     run_session_stream,
     run_stream_dedup,
     run_stream_static_join,

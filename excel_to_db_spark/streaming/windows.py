@@ -37,6 +37,20 @@ def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
                     "n_events", "sum_value"))
 
 
+def hopping_agg(events: DataFrame, width: str = "10 minutes",
+                slide: str = "5 minutes") -> DataFrame:
+    """Hopping (sliding) event-time windows: width/slide overlap means
+    each event lands in width/slide windows. Same fragment runs batch
+    (events_hopping) and streaming (stream_hopping)."""
+    return (events
+            .groupBy(F.window("ts", width, slide).alias("win"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "n_events", "sum_value"))
+
+
 def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Session windows per user: a session extends while consecutive
     events arrive within `gap`; end = last event + gap (Spark
@@ -85,6 +99,25 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str,
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
     stream = events_stream_reader(spark, sf_dir).withWatermark("ts", watermark)
     q = (tumbling_agg(stream, width)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_hopping_stream(spark: SparkSession, sf_dir: str,
+                       width: str = "10 minutes",
+                       slide: str = "5 minutes",
+                       watermark: str = "30 minutes") -> DataFrame:
+    """Replay events through Structured Streaming with hopping windows;
+    complete mode on finite input == the batch aggregation (see
+    run_tumbling_stream for the reasoning). State per overlapping window
+    is still watermark-bounded: width/slide live windows per key."""
+    name = f"hopping_{uuid.uuid4().hex[:8]}"
+    stream = events_stream_reader(spark, sf_dir).withWatermark("ts", watermark)
+    q = (hopping_agg(stream, width, slide)
          .writeStream.outputMode("complete")
          .format("memory").queryName(name)
          .trigger(availableNow=True)

@@ -94,6 +94,21 @@ def test_pagerank_scans_fact_once_at_runtime(spark, registry):
         "the |nations|-row rank vector must broadcast into each iteration"
 
 
+def test_window_ewma_one_shuffle_no_python(spark, registry):
+    plan = _plan(registry["window_ewma"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, \
+        "frame collection and head-row pick share one user_id shuffle"
+    assert "EvalPython" not in plan, \
+        "the weighted reduction must run as JVM higher-order functions"
+
+
+def test_agg_decimal_exact_partial_aggregation(spark, registry):
+    plan = _plan(registry["agg_decimal_exact"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, \
+        "decimal sums must partial-aggregate map-side like any sum"
+    assert "sum_price" in plan
+
+
 def test_group_mad_outliers_broadcasts_stats(spark, registry):
     plan = _plan(registry["group_mad_outliers"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, \
