@@ -20,6 +20,7 @@ from . import tpch        # noqa: E402,F401  Tier B: TPC-H-derived warehouse sui
 from . import pipeline    # noqa: E402,F401  Tier C: training-data pipeline composites
 from . import warehouse2  # noqa: E402,F401  Tier B/C: basket/markov/interp/pareto/MAD
 from . import events_graph  # noqa: E402,F401  Tier C: rolling anomaly/inter-arrival/pagerank
+from . import warehouse3  # noqa: E402,F401  Tier B/C: growth/concurrency/rolling median
 
 __all__ = [
     "REGISTRY",

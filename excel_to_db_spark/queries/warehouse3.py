@@ -1,0 +1,158 @@
+"""Reporting & sweep-line pack (Tier B/C extensions).
+
+Period-over-period growth, sweep-line concurrency over derived
+intervals, and rolling medians — the reporting shapes a warehouse user
+runs daily through the reference's SQL passthrough (reference
+src/main.rs:220), each expressed as declarative window/aggregate plans
+whose shuffle structure is scale-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .registry import query
+from .relational import T
+from ..streaming import session_agg
+
+
+# ------------------------------------------------------ period growth
+
+@query("mom_growth", oracle="""
+    WITH monthly AS (
+        SELECT c_mktsegment AS segment,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT segment, month, revenue,
+           round((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w, 6) AS mom
+    FROM monthly
+    WINDOW w AS (PARTITION BY segment ORDER BY month)
+""")
+def mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth per market segment — the
+    standard period-over-period report.
+
+    The fact aggregates down to |segments| x |months| rows in one
+    shuffle (customer dim broadcasts in first); the lag window then
+    runs on that tiny aggregate. Revenue is snapped to cents before
+    the ratio so both engines divide identical doubles; the first
+    month of each segment reports NULL growth, as SQL lag defines."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+               .groupBy(F.col("c_mktsegment").alias("segment"),
+                        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"))
+               .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    w = W.partitionBy("segment").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "segment", "month", "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom"))
+
+
+# ------------------------------------------------ sweep concurrency
+
+@query("interval_concurrency", oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+        FROM o
+    ),
+    sess AS (
+        SELECT min(ts) AS sess_start,
+               max(ts) + INTERVAL '5 minutes' AS sess_end
+        FROM s GROUP BY user_id, sid
+    ),
+    sweep AS (
+        SELECT t, delta,
+               sum(delta) OVER (ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS live
+        FROM (
+            SELECT sess_start AS t, 1  AS delta FROM sess
+            UNION ALL
+            SELECT sess_end   AS t, -1 AS delta FROM sess
+        )
+    )
+    SELECT CAST(max(live) AS BIGINT) AS max_concurrent,
+           min(t) FILTER (WHERE live = (SELECT max(live) FROM sweep))
+               AS first_peak_ts
+    FROM sweep
+""")
+def interval_concurrency(spark, sf_dir):
+    """Peak concurrency via a sweep line: derive per-user sessions
+    (5-minute gap), explode each into a +1 boundary at start and -1 at
+    end, order all boundaries globally, and take the running sum's
+    maximum — the classic 'how many sessions were live at once'.
+
+    Session derivation is the one heavy shuffle (user_id); the sweep
+    runs on 2x|sessions| boundary rows. Ends sort before starts at the
+    same instant (delta ascending), so a session ending exactly when
+    another starts never double-counts. The global running sum is
+    bounded by session cardinality, not event volume — at larger scale
+    you'd pre-aggregate boundaries per time bucket first."""
+    sess = session_agg(T(spark, sf_dir, "events")).select(
+        "sess_start", "sess_end")
+    bounds = (sess.select(F.col("sess_start").alias("t"),
+                          F.lit(1).alias("delta"))
+              .unionAll(sess.select(F.col("sess_end").alias("t"),
+                                    F.lit(-1).alias("delta"))))
+    wsweep = (W.orderBy("t", "delta")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    sweep = bounds.select("t", F.sum("delta").over(wsweep).alias("live"))
+    peak = sweep.agg(F.max("live").alias("mx"))
+    return (sweep.join(F.broadcast(peak), sweep.live == peak.mx)
+            .agg(F.max("live").cast("bigint").alias("max_concurrent"),
+                 F.min("t").alias("first_peak_ts")))
+
+
+# ------------------------------------------------- rolling median
+
+@query("window_rolling_median", oracle="""
+    WITH r AS (
+        SELECT user_id, event_id, value,
+               quantile_cont(value, 0.5) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS med,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, round(med, 4) AS rolling_med
+    FROM r WHERE rn = 1
+""")
+def window_rolling_median(spark, sf_dir):
+    """Rolling median of each user's last 11 values, reported at the
+    stream head — the robust alternative to a moving average (one
+    outlier can't drag it).
+
+    Exact percentile runs as a window aggregate over a bounded ROWS
+    frame: state is 11 values per row, and the same single user_id
+    shuffle serves the frame and the head-row pick. Interpolation
+    matches DuckDB's windowed quantile_cont."""
+    e = T(spark, sf_dir, "events")
+    wmed = (W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(-10, 0))
+    wdesc = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    r = e.select(
+        "user_id", "event_id",
+        F.percentile("value", 0.5).over(wmed).alias("med"),
+        F.row_number().over(wdesc).alias("rn"))
+    return (r.filter(F.col("rn") == 1)
+            .select("user_id", "event_id",
+                    F.round("med", 4).alias("rolling_med")))

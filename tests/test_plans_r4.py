@@ -109,6 +109,20 @@ def test_agg_decimal_exact_partial_aggregation(spark, registry):
     assert "sum_price" in plan
 
 
+def test_mom_growth_broadcast_dim_single_fact_shuffle(spark, registry):
+    plan = _plan(registry["mom_growth"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "customer dim must broadcast"
+    assert "SortMergeJoin" not in plan
+    # one fact shuffle (monthly agg); the lag window runs on the aggregate
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_rolling_median_single_user_shuffle(spark, registry):
+    plan = _plan(registry["window_rolling_median"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, \
+        "frame median and head-row pick share one user_id shuffle"
+
+
 def test_group_mad_outliers_broadcasts_stats(spark, registry):
     plan = _plan(registry["group_mad_outliers"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, \
