@@ -21,6 +21,7 @@ from . import pipeline    # noqa: E402,F401  Tier C: training-data pipeline comp
 from . import warehouse2  # noqa: E402,F401  Tier B/C: basket/markov/interp/pareto/MAD
 from . import events_graph  # noqa: E402,F401  Tier C: rolling anomaly/inter-arrival/pagerank
 from . import warehouse3  # noqa: E402,F401  Tier B/C: growth/concurrency/rolling median
+from . import operational  # noqa: E402,F401  Tier B/C: CDC merge/WAU/attribution
 
 __all__ = [
     "REGISTRY",

@@ -123,6 +123,21 @@ def test_rolling_median_single_user_shuffle(spark, registry):
         "frame median and head-row pick share one user_id shuffle"
 
 
+def test_rolling_wau_explode_not_range_join(spark, registry):
+    plan = _plan(registry["rolling_wau"].fn(spark, SF_DIR))
+    assert "Generate explode" in plan, \
+        "WAU must explode bounded 7-day contributions, not range-join"
+    # the only nested-loop join allowed is the 1-row max_day clip
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_attribution_single_window_no_self_join(spark, registry):
+    plan = _plan(registry["attribution_last_touch"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, \
+        "carry-forward click runs in one user_id window shuffle"
+    assert "Join" not in plan, "no purchase x click self-join"
+
+
 def test_group_mad_outliers_broadcasts_stats(spark, registry):
     plan = _plan(registry["group_mad_outliers"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, \
