@@ -22,6 +22,7 @@ from . import warehouse2  # noqa: E402,F401  Tier B/C: basket/markov/interp/pare
 from . import events_graph  # noqa: E402,F401  Tier C: rolling anomaly/inter-arrival/pagerank
 from . import warehouse3  # noqa: E402,F401  Tier B/C: growth/concurrency/rolling median
 from . import operational  # noqa: E402,F401  Tier B/C: CDC merge/WAU/attribution
+from . import stats_tests  # noqa: E402,F401  Tier B/C: welch-t/chi2/regr_*/path mining
 
 __all__ = [
     "REGISTRY",

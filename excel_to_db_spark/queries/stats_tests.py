@@ -1,0 +1,180 @@
+"""Statistical testing pack (Tier B/C extensions).
+
+Hypothesis-test and model-fit aggregates computed as single-pass
+SQL aggregations — the SQL-native statistics a warehouse user runs
+through the reference's passthrough (src/main.rs:220) on engines that
+ship them (DuckDB/Postgres regr_*), here with Spark's built-in
+regression aggregates and closed-form test statistics. Everything is
+one or two partial-aggregated shuffles; nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .registry import query
+from .relational import T
+
+
+@query("stats_welch_t", oracle="""
+    WITH g AS (
+        SELECT
+            avg(value)  FILTER (WHERE event_type = 'click')    AS m1,
+            var_samp(value) FILTER (WHERE event_type = 'click') AS v1,
+            count(*)    FILTER (WHERE event_type = 'click')    AS n1,
+            avg(value)  FILTER (WHERE event_type = 'error')    AS m2,
+            var_samp(value) FILTER (WHERE event_type = 'error') AS v2,
+            count(*)    FILTER (WHERE event_type = 'error')    AS n2
+        FROM events
+    )
+    SELECT n1, n2,
+           round(m1 - m2, 4) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 2) AS welch_df
+    FROM g
+""")
+def stats_welch_t(spark, sf_dir):
+    """Welch's unequal-variance t statistic comparing 'click' vs
+    'error' event values, with the Welch-Satterthwaite degrees of
+    freedom — the A/B-test primitive.
+
+    One pass over the fact: six FILTERed aggregates partial-aggregate
+    map-side into a single 1-row state, so the test costs exactly one
+    scan at any data size (no per-group sub-queries, no second pass)."""
+    e = T(spark, sf_dir, "events")
+
+    def fagg(fn, typ):
+        return fn(F.when(F.col("event_type") == typ, F.col("value")))
+
+    g = e.agg(
+        fagg(F.avg, "click").alias("m1"),
+        fagg(F.var_samp, "click").alias("v1"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n1"),
+        fagg(F.avg, "error").alias("m2"),
+        fagg(F.var_samp, "error").alias("v2"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n2"))
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return g.select(
+        "n1", "n2",
+        F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4)
+         .alias("t_stat"),
+        F.round(F.pow(se2, 2)
+                / (F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                   + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)),
+                2).alias("welch_df"))
+
+
+@query("stats_chi_square", oracle="""
+    WITH obs AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+               count(*) AS o
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT seg, pri, o,
+               sum(o) OVER (PARTITION BY seg) AS row_tot,
+               sum(o) OVER (PARTITION BY pri) AS col_tot,
+               sum(o) OVER ()                 AS n
+        FROM obs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+                     / (row_tot * col_tot / CAST(n AS DOUBLE))), 4)
+               AS chi2
+    FROM tot
+""")
+def stats_chi_square(spark, sf_dir):
+    """Chi-square independence statistic for market segment x order
+    priority: observed cell counts vs the independence expectation
+    row_tot * col_tot / N.
+
+    The contingency table is one fact shuffle (customer broadcasts
+    in); the marginals come from windows OVER the tiny |seg| x |pri|
+    cell table, so the full test is scan + one small-cardinality agg
+    regardless of fact size."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .groupBy(F.col("c_mktsegment").alias("seg"),
+                    F.col("o_orderpriority").alias("pri"))
+           .agg(F.count("*").alias("o")))
+    tot = obs.select(
+        "o",
+        F.sum("o").over(W.partitionBy("seg")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("pri")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy()).alias("n"))
+    exp = (F.col("row_tot") * F.col("col_tot")
+           / F.col("n").cast("double"))
+    return tot.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 4).alias("chi2"))
+
+
+@query("agg_regression", oracle="""
+    SELECT event_type,
+           regr_count(value, epoch_us(ts) / 86400000000.0) AS n,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6)
+               AS slope_per_day,
+           round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 2)
+               AS intercept,
+           round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6) AS r2
+    FROM events
+    GROUP BY event_type
+""")
+def agg_regression(spark, sf_dir):
+    """Per-group OLS trend fit with the SQL-standard regression
+    aggregates (regr_slope / regr_intercept / regr_r2) — value
+    regressed on time-in-days. Both engines ship the identical
+    closed-form aggregates, so this is direct function parity.
+
+    x is built from integer epoch-microseconds scaled to days, so both
+    engines regress on identical doubles; the aggregates partial-
+    combine map-side like any sum (sufficient statistics: n, Sx, Sy,
+    Sxx, Syy, Sxy)."""
+    e = T(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(86400000000.0)
+    y = F.col("value")
+    return (e.groupBy("event_type")
+            .agg(F.regr_count(y, x).alias("n"),
+                 F.round(F.regr_slope(y, x), 6).alias("slope_per_day"),
+                 F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+                 F.round(F.regr_r2(y, x), 6).alias("r2")))
+
+
+@query("events_path3", oracle="""
+    WITH seq AS (
+        SELECT event_type AS a,
+               lead(event_type, 1) OVER w AS b,
+               lead(event_type, 2) OVER w AS c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a, b, c, count(*) AS n
+    FROM seq WHERE c IS NOT NULL
+    GROUP BY a, b, c
+    ORDER BY n DESC, a ASC, b ASC, c ASC
+    LIMIT 10
+""")
+def events_path3(spark, sf_dir):
+    """Sequence mining: the 10 most frequent 3-step event-type paths
+    across user streams (order-2 context, vs events_markov's order-1).
+
+    Two leads over ONE user_id window shuffle produce every length-3
+    path without self-joins; the path groupBy is bounded by |types|^3
+    keys and the top-10 is a heap merge (TakeOrderedAndProject)."""
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"))
+    return (seq.filter(F.col("c").isNotNull())
+            .groupBy("a", "b", "c").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(),
+                     F.col("b").asc(), F.col("c").asc())
+            .limit(10))
