@@ -23,6 +23,7 @@ from . import events_graph  # noqa: E402,F401  Tier C: rolling anomaly/inter-arr
 from . import warehouse3  # noqa: E402,F401  Tier B/C: growth/concurrency/rolling median
 from . import operational  # noqa: E402,F401  Tier B/C: CDC merge/WAU/attribution
 from . import stats_tests  # noqa: E402,F401  Tier B/C: welch-t/chi2/regr_*/path mining
+from . import warehouse4  # noqa: E402,F401  Tier B/C: profiling/benford/diff/keyset/rank moves
 
 __all__ = [
     "REGISTRY",
