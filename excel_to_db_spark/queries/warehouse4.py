@@ -284,3 +284,90 @@ def rank_movement(spark, sf_dir):
                     (F.col("a.rk") - F.col("b.rk")).alias("moved_up"))
             .orderBy(F.col("moved_up").desc(), F.col("s_suppkey").asc())
             .limit(15))
+
+
+# ---------------------------------------------------- time rollup
+
+@query("time_rollup", oracle="""
+    SELECT coalesce(CAST(yr AS VARCHAR), '(all)') AS yr,
+           coalesce(CAST(qtr AS VARCHAR), '(all)') AS qtr,
+           coalesce(CAST(mon AS VARCHAR), '(all)') AS mon,
+           CAST(GROUPING(yr) + GROUPING(qtr) + GROUPING(mon) AS INTEGER)
+               AS lvl,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM (
+        SELECT year(l_shipdate) AS yr, quarter(l_shipdate) AS qtr,
+               month(l_shipdate) AS mon,
+               l_extendedprice, l_discount
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+    )
+    GROUP BY ROLLUP(yr, qtr, mon)
+""")
+def time_rollup(spark, sf_dir):
+    """Time-hierarchy rollup (year -> quarter -> month plus grand
+    total) in one pass — the hypertable/continuous-aggregate shape:
+    every coarser granularity materializes from the same scan, so a
+    dashboard hitting month AND quarter AND year costs one fact read.
+
+    ROLLUP expands to 4 grouping sets that share the partial-aggregate
+    shuffle; `lvl` counts rolled-up hierarchy levels (0 = month rows,
+    3 = grand total). The year filter is pushed to the parquet scan."""
+    le = T(spark, sf_dir, "lineitem")
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    base = (le.filter((F.col("l_shipdate") >= lo)
+                      & (F.col("l_shipdate") < hi))
+            .select(F.year("l_shipdate").alias("yr"),
+                    F.quarter("l_shipdate").alias("qtr"),
+                    F.month("l_shipdate").alias("mon"),
+                    "l_extendedprice", "l_discount"))
+    return (base.rollup("yr", "qtr", "mon")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"),
+                 (F.grouping("yr") + F.grouping("qtr") + F.grouping("mon"))
+                 .cast("int").alias("lvl"))
+            .select(F.coalesce(F.col("yr").cast("string"), F.lit("(all)"))
+                     .alias("yr"),
+                    F.coalesce(F.col("qtr").cast("string"), F.lit("(all)"))
+                     .alias("qtr"),
+                    F.coalesce(F.col("mon").cast("string"), F.lit("(all)"))
+                     .alias("mon"),
+                    "lvl", "n", "revenue"))
+
+
+# ------------------------------------------- schema evolution read
+
+@query("schema_evolution_read", oracle="""
+    SELECT r_regionkey, r_name, NULL AS ingest_batch FROM region
+    UNION ALL
+    SELECT r_regionkey + 100, upper(r_name), 2 FROM region
+""")
+def schema_evolution_read(spark, sf_dir):
+    """Schema-evolution read: two parquet batches written with
+    DIFFERENT schemas (v2 adds an ingest_batch column) unify under one
+    mergeSchema scan, v1 rows null-filling the new column — how a
+    long-lived 100 TB table absorbs schema change without rewriting
+    history.
+
+    mergeSchema reconciles footers at planning time; each file still
+    reads only its own columns (no data rewrite, no cast pass). The
+    v2 batch derives deterministically from region so the oracle can
+    replay both batches as a UNION."""
+    import tempfile
+
+    r = T(spark, sf_dir, "region")
+    out = tempfile.mkdtemp(prefix="e2db_schevo_")
+    r.select("r_regionkey", "r_name").write.mode("overwrite").parquet(
+        f"{out}/v1")
+    (r.select((F.col("r_regionkey") + 100).alias("r_regionkey"),
+              F.upper("r_name").alias("r_name"),
+              F.lit(2).alias("ingest_batch"))
+     .write.mode("overwrite").parquet(f"{out}/v2"))
+    back = (spark.read.option("mergeSchema", "true")
+            .parquet(f"{out}/v1", f"{out}/v2"))
+    return back.select("r_regionkey", "r_name", "ingest_batch")
