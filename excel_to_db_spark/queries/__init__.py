@@ -24,6 +24,7 @@ from . import warehouse3  # noqa: E402,F401  Tier B/C: growth/concurrency/rollin
 from . import operational  # noqa: E402,F401  Tier B/C: CDC merge/WAU/attribution
 from . import stats_tests  # noqa: E402,F401  Tier B/C: welch-t/chi2/regr_*/path mining
 from . import warehouse4  # noqa: E402,F401  Tier B/C: profiling/benford/diff/keyset/rank moves
+from . import warehouse5  # noqa: E402,F401  Tier B/C: re-agg/SCD2/cumulative distinct
 
 __all__ = [
     "REGISTRY",
