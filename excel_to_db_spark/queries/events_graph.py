@@ -93,7 +93,10 @@ def events_inter_arrival(spark, sf_dir):
     interpolate identically to DuckDB's quantile_cont."""
     e = T(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    # ts arrives as TIMESTAMP_NTZ from parquet; unix_micros needs TIMESTAMP.
+    # The session timezone is pinned UTC, so the cast is value-preserving
+    # and matches DuckDB's epoch_us on the same naive timestamps.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     d = e.select(
         "event_type",
         ((us - F.lag(us).over(w)) / F.lit(1000000.0)).alias("delta_s"))

@@ -137,7 +137,9 @@ def agg_regression(spark, sf_dir):
     combine map-side like any sum (sufficient statistics: n, Sx, Sy,
     Sxx, Syy, Sxy)."""
     e = T(spark, sf_dir, "events")
-    x = F.unix_micros("ts") / F.lit(86400000000.0)
+    # NTZ->TIMESTAMP cast is value-preserving under the pinned UTC session
+    # timezone (same integers as DuckDB's epoch_us on naive timestamps).
+    x = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000.0)
     y = F.col("value")
     return (e.groupBy("event_type")
             .agg(F.regr_count(y, x).alias("n"),
