@@ -62,11 +62,29 @@ def get_spark(app_name: str = "excel_to_db_spark", *, master: str | None = None,
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable behavior confs to an externally-created
     session (the driver owns the session in the verify harness)."""
+    import sys
+
     for k, v in _BEHAVIOR_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
+        except Exception as exc:
             # Static confs (none currently in the list) can't be set after
-            # session start; ignore rather than fail the query path.
-            pass
+            # session start; log loudly rather than silently diverge.
+            print(f"tune_session: could not set {k}={v}: {exc}",
+                  file=sys.stderr)
+    require_utc(spark)
     return spark
+
+
+def require_utc(spark: SparkSession) -> None:
+    """Fail loudly if the session timezone is not UTC.
+
+    Event-time correctness (the NTZ->TIMESTAMP cast in
+    tables.normalize_event_ts, and every unix_micros/epoch comparison
+    against the DuckDB oracle) assumes UTC; a non-UTC session would shift
+    epochs by the tz offset and silently diverge."""
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"spark.sql.session.timeZone must be UTC, got {tz!r}; "
+            "event-time queries would silently shift epochs")

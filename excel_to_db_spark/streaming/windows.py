@@ -67,12 +67,18 @@ def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
 
 def events_stream_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet. The file source needs an
-    explicit schema; we take it from a batch read (ts arrives as a
-    nanosecond long under nanosAsLong, converted exactly as the batch
-    loader does — see tables.load_table)."""
-    from ..tables import load_table
+    explicit schema; we take it from a batch read of the same file.
+
+    The raw `ts` arrives as TIMESTAMP_NTZ (timestamp[us]-no-tz parquet)
+    or, under nanosAsLong, as a nanosecond long — neither is accepted by
+    `withWatermark` (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE for NTZ), so the
+    shared `tables.normalize_event_ts` converts to TimestampType exactly
+    as the batch loader does; batch and stream share one normalization."""
+    from ..session import require_utc
+    from ..tables import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require_utc(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source wants a directory basePath; the sf dir holds
     # every table, so select just the events file with a glob filter.
@@ -80,9 +86,7 @@ def events_stream_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
               .format("parquet")
               .option("pathGlobFilter", "events.parquet")
               .load(sf_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def run_tumbling_stream(spark: SparkSession, sf_dir: str,
