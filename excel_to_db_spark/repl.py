@@ -25,6 +25,7 @@ import time
 from pyspark.sql import SparkSession
 
 from .compat.sqlite_dialect import apply_session_mode, rewrite
+from .dml import try_dml
 from .ingest import IngestOptions, load_excel_table
 from .sinks.csv_sink import export_csv
 from .sinks.display import show
@@ -50,6 +51,15 @@ def run_line(spark: SparkSession, line: str, *, sqlite_compat: bool = False,
     if not sql:
         return
     t0 = time.perf_counter()
+    # DML/DDL first: the reference's passthrough executes INSERT/UPDATE/
+    # DELETE/CREATE/DROP against SQLite (src/main.rs:220); we re-express
+    # them as temp-view re-registration (see dml.py). Non-matching
+    # statements fall through to the plain spark.sql passthrough.
+    msg = try_dml(spark, rewrite(sql, sqlite_compat=sqlite_compat))
+    if msg is not None:
+        print(msg)
+        print(f"-- {time.perf_counter() - t0:.3f}s")
+        return
     df = spark.sql(rewrite(sql, sqlite_compat=sqlite_compat))
     show(df, row_cap=row_cap)
     if out_path:
