@@ -15,6 +15,27 @@ This is a pure query-rewrite/function-choice layer — no Catalyst rule.
 keyword-level substitutions for SQL text, skipping string literals so
 data inside quotes is never touched.
 
+Function-call translations (paren-aware, nested args supported):
+
+- ``ifnull(a, b)``          -> ``nvl(a, b)``
+- ``group_concat(x[, sep])``-> ``concat_ws(sep, collect_list(x))``
+  (both skip NULLs; default separator ``,``)
+- ``total(x)``              -> ``coalesce(sum(CAST(x AS DOUBLE)), 0.0)``
+- ``unixepoch([t, mods…])`` -> ``unix_timestamp(…)``
+- ``julianday(t[, mods…])`` -> epoch-µs/86 400e6 + 2 440 587.5
+- ``date/datetime/time(t[, mods…])`` -> ``date_format`` with the SQLite
+  output shape (TEXT ``yyyy-MM-dd`` / ``yyyy-MM-dd HH:mm:ss`` / ``HH:mm:ss``)
+- ``strftime(fmt, t[, mods…])`` -> ``date_format`` via a %-directive map
+- date modifiers ``'±N day/month/year/hour/minute/second'`` ->
+  ``+ INTERVAL``, ``'start of day/month/year'`` -> ``date_trunc``;
+  ``'now'`` -> ``current_timestamp()``. Untranslatable modifiers
+  (``'localtime'``, ``'weekday N'``) leave the whole call untouched so
+  Spark fails loudly rather than silently shifting values.
+  Documented divergence: month-end overflow — SQLite *normalizes*
+  (``'2024-01-31','+1 month'`` -> ``2024-03-02``, i.e. Feb 31 rolls
+  forward) while Spark's INTERVAL *clamps* to the last day of the month
+  (-> ``2024-02-29``); pinned in tests/test_sqlite_compat_funcs.py.
+
 The int-division delta (SQLite 1/2 -> 0) is NOT rewritten: `/` between
 integer columns cannot be retargeted to `div` textually without a real
 parser knowing operand types, and a wrong rewrite silently corrupts
@@ -25,6 +46,7 @@ explicitly (documented divergence).
 from __future__ import annotations
 
 import re
+from typing import Callable
 
 from pyspark.sql import SparkSession
 
@@ -38,75 +60,319 @@ _LIKE_RE = re.compile(r"(?i)(?<![a-z0-9_])like(?![a-z0-9_])")
 _CAST_RE = re.compile(r"(?i)(?<![a-z0-9_])cast\s*\(")
 _GLOB_RE = re.compile(r"(?i)(?<![a-z0-9_])glob(?![a-z0-9_])\s*$")
 _IIF_RE = re.compile(r"(?i)(?<![a-z0-9_])iif\s*\(")
+_IFNULL_RE = re.compile(r"(?i)(?<![a-z0-9_])ifnull\s*\(")
 
 # Split into alternating [code, literal, code, literal, ...] segments.
 # A SQLite string literal is '...' with '' as the escaped quote.
 _LITERAL_RE = re.compile(r"('(?:[^']|'')*')")
 
-# SQLite strftime('%Y-%m', expr) -> Spark date_format(expr, 'yyyy-MM').
-# Only simple column/identifier args are rewritten (no nested calls —
-# a textual rewrite must not guess paren nesting), and only when every
-# %-directive in the format translates; otherwise the call is left
-# untouched and Spark reports the unknown function, loudly not wrongly.
-_STRFTIME_RE = re.compile(
-    r"(?i)(?<![a-z0-9_])strftime\s*\(\s*'([^']*)'\s*,\s*([A-Za-z_][A-Za-z0-9_.]*)\s*\)")
 _STRFTIME_MAP = (("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
-                 ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%j", "DDD"))
+                 ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%j", "DDD"),
+                 ("%e", "d"), ("%F", "yyyy-MM-dd"), ("%T", "HH:mm:ss"),
+                 ("%R", "HH:mm"))
+
+# ---------------------------------------------------------------------------
+# paren-aware call scanning
 
 
-def _xlat_strftime(m: re.Match) -> str:
-    fmt, arg = m.group(1), m.group(2)
-    if fmt == "%s":                      # epoch seconds directive
-        return f"unix_timestamp({arg})"
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    return [m.span() for m in _LITERAL_RE.finditer(sql)]
+
+
+def _in_literal(spans: list[tuple[int, int]], pos: int) -> bool:
+    return any(a <= pos < b for a, b in spans)
+
+
+def _matching_paren(sql: str, open_pos: int) -> int:
+    """Index of the ')' closing the '(' at open_pos, honoring nested
+    parens and string literals; -1 if unbalanced."""
+    depth, i, n = 0, open_pos, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":                      # skip literal ('' = escaped quote)
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 1
+                    else:
+                        break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _split_args(text: str) -> list[str]:
+    """Split a call's argument text on top-level commas."""
+    parts, depth, i, start, n = [], 0, 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        i += 1
+                    else:
+                        break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+        i += 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts]
+
+
+def _rewrite_calls(sql: str, fname: str,
+                   xlat: Callable[[list[str]], str | None]) -> str:
+    """Replace every top-level-visible call `fname(args…)` outside string
+    literals with xlat(args); xlat returning None leaves that call
+    untouched (loud-not-wrong for untranslatable forms). Calls are
+    processed right-to-left so earlier spans stay valid; nested calls of
+    the same function are handled by the recursive rescan below."""
+    pat = re.compile(rf"(?i)(?<![a-z0-9_]){re.escape(fname)}\s*\(")
+    while True:
+        spans = _literal_spans(sql)
+        changed = False
+        for m in reversed(list(pat.finditer(sql))):
+            if _in_literal(spans, m.start()):
+                continue
+            open_pos = m.end() - 1
+            close = _matching_paren(sql, open_pos)
+            if close == -1:
+                continue
+            inner = sql[open_pos + 1:close]
+            args = _split_args(inner) if inner.strip() else []
+            # translate inner same-name calls first (rare, but correct)
+            out = xlat(args)
+            if out is None:
+                continue
+            sql = sql[:m.start()] + out + sql[close + 1:]
+            changed = True
+            break                          # re-scan: spans moved
+        if not changed:
+            return sql
+
+
+# ---------------------------------------------------------------------------
+# SQLite date/time machinery
+
+_MOD_STEP = re.compile(
+    r"(?i)^([+-]?\d+(?:\.\d+)?)\s+(day|month|year|hour|minute|second)s?$")
+_MOD_START = re.compile(r"(?i)^start\s+of\s+(day|month|year)$")
+
+
+def _strip_quotes(arg: str) -> str | None:
+    a = arg.strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+        return a[1:-1]
+    return None
+
+
+def _time_expr(arg: str, need_ts: bool) -> str:
+    """SQLite time-value argument -> Spark expression. `need_ts` forces a
+    TIMESTAMP cast (required for INTERVAL arithmetic / epoch extraction);
+    formatting-only callers pass the argument through untouched, since
+    date_format accepts timestamp, date, and parseable strings alike."""
+    lit = _strip_quotes(arg)
+    if lit is not None and lit.strip().lower() == "now":
+        return "current_timestamp()"
+    return f"CAST({arg.strip()} AS TIMESTAMP)" if need_ts else arg.strip()
+
+
+def _apply_modifiers(expr: str, mods: list[str]) -> str | None:
+    """Fold SQLite date modifiers over a timestamp expression; None if
+    any modifier is untranslatable (caller leaves the call untouched)."""
+    for raw in mods:
+        lit = _strip_quotes(raw)
+        if lit is None:
+            return None
+        lit = lit.strip()
+        if m := _MOD_STEP.match(lit):
+            n, unit = m.group(1), m.group(2).upper()
+            expr = f"({expr} + INTERVAL '{n}' {unit})"
+        elif m := _MOD_START.match(lit):
+            expr = f"date_trunc('{m.group(1).upper()}', {expr})"
+        else:
+            return None                    # 'localtime', 'weekday N', …
+    return expr
+
+
+def _xlat_fmt(fmt: str) -> str | None:
     out = fmt
     for k, v in _STRFTIME_MAP:
         out = out.replace(k, v)
-    if "%" in out:                       # untranslatable directive
-        return m.group(0)
-    return f"date_format({arg}, '{out}')"
+    return None if "%" in out else out
+
+
+def _xlat_strftime(args: list[str]) -> str | None:
+    if len(args) < 2:
+        return None
+    fmt = _strip_quotes(args[0])
+    if fmt is None:
+        return None
+    expr = _apply_modifiers(_time_expr(args[1], bool(args[2:])), args[2:])
+    if expr is None:
+        return None
+    if fmt == "%s":                        # epoch-seconds directive
+        return f"unix_timestamp({expr})"
+    out = _xlat_fmt(fmt)
+    return None if out is None else f"date_format({expr}, '{out}')"
+
+
+def _xlat_datefn(out_fmt: str) -> Callable[[list[str]], str | None]:
+    def xlat(args: list[str]) -> str | None:
+        if not args:
+            return None
+        expr = _apply_modifiers(_time_expr(args[0], bool(args[1:])), args[1:])
+        return None if expr is None else f"date_format({expr}, '{out_fmt}')"
+    return xlat
+
+
+def _xlat_julianday(args: list[str]) -> str | None:
+    if not args:
+        return None
+    expr = _apply_modifiers(_time_expr(args[0], True), args[1:])
+    if expr is None:
+        return None
+    # Julian day number: days since 4714-11-24 BC noon; unix epoch day 0
+    # = JD 2440587.5. Micro-second arithmetic keeps sub-second precision.
+    return f"(CAST(unix_micros({expr}) AS DOUBLE) / 86400000000.0 + 2440587.5)"
+
+
+def _xlat_unixepoch(args: list[str]) -> str | None:
+    if not args:
+        return "unix_timestamp()"
+    expr = _apply_modifiers(_time_expr(args[0], True), args[1:])
+    return None if expr is None else f"unix_timestamp({expr})"
+
+
+def _xlat_group_concat(args: list[str]) -> str | None:
+    if len(args) == 1:
+        return f"concat_ws(',', collect_list({args[0]}))"
+    if len(args) == 2:
+        return f"concat_ws({args[1]}, collect_list({args[0]}))"
+    return None
+
+
+def _xlat_total(args: list[str]) -> str | None:
+    if len(args) != 1:
+        return None
+    return f"coalesce(sum(CAST({args[0]} AS DOUBLE)), CAST(0.0 AS DOUBLE))"
+
+
+_CALL_XLATS: tuple[tuple[str, Callable[[list[str]], str | None]], ...] = (
+    ("strftime", _xlat_strftime),
+    ("group_concat", _xlat_group_concat),
+    ("total", _xlat_total),
+    ("julianday", _xlat_julianday),
+    ("unixepoch", _xlat_unixepoch),
+    ("datetime", _xlat_datefn("yyyy-MM-dd HH:mm:ss")),
+    ("date", _xlat_datefn("yyyy-MM-dd")),
+    ("time", _xlat_datefn("HH:mm:ss")),
+)
+
+
+# ---------------------------------------------------------------------------
+# GLOB patterns
+
+_REGEX_META = set(".^$+{}()|\\")
 
 
 def _glob_pattern_to_like(lit: str) -> str:
     """SQLite GLOB pattern literal -> LIKE pattern literal: * -> %,
     ? -> _, with pre-existing %/_ escaped (LIKE ... ESCAPE '\\' added by
-    the caller). Character classes [...] are not translatable to LIKE
-    and pass through unchanged (documented corner)."""
+    the caller)."""
     body = lit[1:-1]
     body = body.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
     body = body.replace("*", "%").replace("?", "_")
     return f"'{body}'"
 
 
+def _glob_pattern_to_regex(lit: str) -> str | None:
+    """SQLite GLOB pattern with [...] character classes -> anchored
+    regex literal for RLIKE (case-sensitive full match, like GLOB).
+    Classes pass through ([a-z], [^abc] — SQLite and regex agree on ^
+    negation); metacharacters outside classes are escaped. Returns None
+    for patterns containing escaped quotes (rare; left untouched)."""
+    body = lit[1:-1]
+    if "''" in body:
+        return None
+    out, i, n = ["^"], 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = i + 1
+            if j < n and body[j] in "^!":
+                j += 1
+            if j < n and body[j] == "]":   # leading ] is a member
+                j += 1
+            j = body.find("]", j)
+            if j == -1:
+                out.append(re.escape(c))
+            else:
+                cls = body[i + 1:j]
+                if cls.startswith("!"):    # SQLite also accepts [!...]
+                    cls = "^" + cls[1:]
+                out.append("[" + cls.replace("\\", "\\\\") + "]")
+                i = j
+        elif c in _REGEX_META:
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    out.append("$")
+    # Spark SQL literals treat backslash as an escape: double them.
+    return "'" + "".join(out).replace("\\", "\\\\") + "'"
+
+
+# ---------------------------------------------------------------------------
+
+
 def rewrite(sql: str, *, sqlite_compat: bool = True) -> str:
     """Best-effort textual rewrite of a SQLite-dialect query into Spark
     SQL with matching semantics. Intentionally conservative: only the
-    unambiguous keyword-level substitutions (LIKE -> ILIKE, CAST ->
-    TRY_CAST), applied outside string literals; everything else is
-    already shared syntax and goes straight to `spark.sql` (Catalyst is
-    the SQLite VDBE of this engine)."""
+    unambiguous substitutions, applied outside string literals; anything
+    untranslatable is left untouched so Spark errors loudly. Everything
+    else is already shared syntax and goes straight to `spark.sql`
+    (Catalyst is the SQLite VDBE of this engine)."""
     if not sqlite_compat:
         return sql
-    # strftime spans code AND its format literal, so it runs on the whole
-    # text first — but only at match positions OUTSIDE string literals
-    # (the format literal belongs to the call; a literal CONTAINING the
-    # word strftime must stay untouched).
-    lit_spans = [m.span() for m in _LITERAL_RE.finditer(sql)]
-
-    def _outside_literals(m: re.Match) -> str:
-        # the call site is inside a literal iff its '(' (not the format
-        # argument) starts within a span that began before the match
-        return m.group(0) if any(a < m.start() < b for a, b in lit_spans) \
-            else _xlat_strftime(m)
-
-    sql = _STRFTIME_RE.sub(_outside_literals, sql)
+    # Call-level translations span code AND argument literals, so they
+    # run on the whole text first with their own literal awareness.
+    for fname, xlat in _CALL_XLATS:
+        sql = _rewrite_calls(sql, fname, xlat)
     parts = _LITERAL_RE.split(sql)
     for i in range(0, len(parts), 2):  # even indices = non-literal code
         parts[i] = _CAST_RE.sub("TRY_CAST(", _LIKE_RE.sub("ILIKE", parts[i]))
         parts[i] = _IIF_RE.sub("IF(", parts[i])  # SQLite iif == Spark if
+        parts[i] = _IFNULL_RE.sub("nvl(", parts[i])
         # GLOB: case-SENSITIVE wildcard match. `x GLOB 'a*'` becomes
-        # `x LIKE 'a%' ESCAPE '\'` — keyword rewritten here, the pattern
-        # literal (the next odd segment) translated alongside.
+        # `x LIKE 'a%' ESCAPE '\'`; patterns with [...] classes become
+        # an anchored RLIKE regex instead (LIKE can't express classes).
         if _GLOB_RE.search(parts[i]) and i + 1 < len(parts):
-            parts[i] = _GLOB_RE.sub("LIKE", parts[i])
-            parts[i + 1] = _glob_pattern_to_like(parts[i + 1]) + " ESCAPE '\\\\'"
+            lit = parts[i + 1]
+            if "[" in lit:
+                rx = _glob_pattern_to_regex(lit)
+                if rx is not None:
+                    parts[i] = _GLOB_RE.sub("RLIKE", parts[i])
+                    parts[i + 1] = rx
+            else:
+                parts[i] = _GLOB_RE.sub("LIKE", parts[i])
+                parts[i + 1] = _glob_pattern_to_like(lit) + " ESCAPE '\\\\'"
     return "".join(parts)
