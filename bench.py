@@ -61,7 +61,7 @@ HEADLINE = [
     # round-2 late additions
     "lateral_topn",            # decorrelated LATERAL top-n
     "pipeline_pack_sequences", # one-shuffle sequence packing
-    "udtf_chunks",             # Python UDTF throughput
+    "udtf_chunks",             # JVM-side 40-token chunking (explode+slice+md5)
     "basket_affinity",         # per-basket pair combinatorics, no self-join
     "events_rolling_anomaly",  # 3 window aggs on one stream shuffle
     "graph_pagerank3",         # iterative joins + AQE exchange reuse

@@ -525,13 +525,54 @@ def date_strftime_compat(spark, sf_dir):
           FROM toks)
 """)
 def udtf_chunks(spark, sf_dir):
-    """Python UDTF (Spark 3.5+ table function API): split each document
-    into fixed 40-token chunks — the context-window chunking step of an
-    embedding/RAG pipeline — called via a correlated LATERAL join so one
-    input row fans out to N output rows. UDTFs are the third Python
-    extension surface next to scalar pandas_udf (`udf_scalar`) and
-    grouped applyInPandas (`group_zscore_pandas`); rows stream through
-    the Python worker, nothing collects to the driver."""
+    """Fixed 40-token document chunking — the context-window chunking
+    step of an embedding/RAG pipeline — expressed entirely JVM-side:
+    split -> sequence(0, (n-1) div 40) -> explode -> slice -> md5, all
+    whole-stage-codegen built-ins, no Python worker in the loop.
+
+    This was originally a Python UDTF via LATERAL (kept as the smaller
+    `udtf_lateral` key to demonstrate that API surface); re-expressing
+    the fan-out as explode(sequence(...)) removed the Arrow hop and cut
+    the sf0.1 bench time ~10x (VERDICT r2 #5). At 100 TB the chunk
+    expansion is a narrow transformation — no shuffle, no state; md5 and
+    slice run inside codegen over the exploded rows."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (d.select("doc_id", toks.alias("toks"))
+            .select("doc_id", "toks",
+                    F.explode(F.expr(
+                        "cast(sequence(0, (size(toks)-1) div 40) "
+                        "as array<int>)")).alias("chunk_id"))
+            .select(
+                "doc_id", "chunk_id",
+                F.slice("toks", F.col("chunk_id") * 40 + 1, 40).alias("chunk"))
+            .select(
+                "doc_id", "chunk_id",
+                F.size("chunk").cast("int").alias("n_tok"),
+                F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5")))
+
+
+@query("udtf_lateral", oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id <= 50
+    )
+    SELECT doc_id,
+           CAST((i - 1) // 40 AS INT)                  AS chunk_id,
+           CAST(len(t[i:i+39]) AS INT)                 AS n_tok,
+           md5(array_to_string(t[i:i+39], ' '))        AS chunk_md5
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 40)) AS i
+          FROM toks)
+""")
+def udtf_lateral(spark, sf_dir):
+    """Python UDTF (Spark 3.5+ table function API) demo: the same
+    40-token chunking as `udtf_chunks`, but through a user-defined table
+    function called via a correlated LATERAL join — one input row fans
+    out to N output rows through the Python worker. UDTFs are the third
+    Python extension surface next to scalar pandas_udf (`udf_scalar`)
+    and grouped applyInPandas (`group_zscore_pandas`). Deliberately
+    bounded to 50 docs: the hot path belongs JVM-side (`udtf_chunks`);
+    this key proves the API, not throughput."""
     import hashlib
 
     from pyspark.sql.functions import udtf
@@ -546,7 +587,8 @@ def udtf_chunks(spark, sf_dir):
                        hashlib.md5(" ".join(chunk).encode()).hexdigest())
 
     spark.udtf.register("chunk_doc", ChunkDoc)
-    T(spark, sf_dir, "documents").createOrReplaceTempView("documents_u")
+    (T(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+     .createOrReplaceTempView("documents_u"))
     return spark.sql("""
         SELECT d.doc_id, c.chunk_id, c.n_tok, c.chunk_md5
         FROM documents_u d, LATERAL chunk_doc(d.text) c
