@@ -69,6 +69,29 @@ HEADLINE = [
 ]
 
 
+def _previous_times(repo_dir: str) -> tuple[str, dict[str, float]]:
+    """Per-query times from the newest parseable BENCH_r{N}.json, for
+    round-over-round regression flagging. Returns ("", {}) if none."""
+    import glob
+    import re
+
+    best: tuple[int, str, dict[str, float]] | None = None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            doc = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = doc.get("parsed") if isinstance(doc, dict) else None
+        queries = (parsed or {}).get("queries") or {}
+        if queries and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), os.path.basename(path),
+                    {k: float(v) for k, v in queries.items()})
+    return (best[1], best[2]) if best else ("", {})
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -123,6 +146,17 @@ def main() -> int:
         dt = round(time.perf_counter() - t0, 3)
         times[name] = dt
         total += dt
+
+    # Round-over-round comparability: flag queries >1.5x their time in
+    # the newest recorded BENCH_r{N}.json (stderr only — stdout stays
+    # the one-line JSON contract). Sub-second timings are skipped: at
+    # that scale local[32] scheduling noise swamps real regressions.
+    prev_name, prev = _previous_times(os.path.dirname(os.path.abspath(__file__)))
+    for name, dt in times.items():
+        p = prev.get(name)
+        if p and p >= 1.0 and dt > 1.5 * p:
+            print(f"bench: REGRESSION {name}: {dt:.3f}s vs {p:.3f}s "
+                  f"in {prev_name}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_suite_seconds",

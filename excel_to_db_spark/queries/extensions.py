@@ -94,14 +94,18 @@ def dedup_minhash(spark, sf_dir):
     return m.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("dedup_simhash")  # rows-only: SimHash approximates cosine, no SQL twin
+@query("dedup_simhash")  # no SQL twin (DuckDB lacks xxhash64) — but NOT
+# unchecked: tools/check.py compares value-for-value against the
+# independent pure-Python reimplementation in tools/simhash_oracle.py
+# (spec XXH64 + same shingle/vote/blocking semantics), and
+# tests/test_simhash_oracle.py pins fingerprint + candidate-set parity.
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates (hamming <= 3 over 64-bit fingerprints
     of the shingle set, pigeonhole-blocked into 4 chunks). Candidate
-    semantics are hash-function-specific (xxhash64), so the driver
-    records the weaker rows-only check (SURVEY.md §2.C). Shingle keysets
-    for the same reason as dedup_jaccard: token-set bits saturate on a
-    30-word vocabulary."""
+    semantics are hash-function-specific (xxhash64), so the SQL driver
+    records rows-only — the full deterministic contract is enforced by
+    the Python oracle instead. Shingle keysets for the same reason as
+    dedup_jaccard: token-set bits saturate on a 30-word vocabulary."""
     return D.simhash_pairs(T(spark, sf_dir, "documents"), max_hamming=3,
                            keyset=D.shingles)
 

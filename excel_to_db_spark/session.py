@@ -77,13 +77,22 @@ def tune_session(spark: SparkSession) -> SparkSession:
 
 
 def require_utc(spark: SparkSession) -> None:
-    """Fail loudly if the session timezone is not UTC.
+    """Ensure the session timezone is UTC, failing loudly if it can't be.
 
     Event-time correctness (the NTZ->TIMESTAMP cast in
     tables.normalize_event_ts, and every unix_micros/epoch comparison
     against the DuckDB oracle) assumes UTC; a non-UTC session would shift
-    epochs by the tz offset and silently diverge."""
+    epochs by the tz offset and silently diverge. The conf is
+    runtime-settable, so externally-created sessions (driver harness,
+    bench) are healed rather than rejected; the raise only fires if the
+    set itself failed."""
     tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz != "UTC":
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
     if tz != "UTC":
         raise RuntimeError(
             f"spark.sql.session.timeZone must be UTC, got {tz!r}; "
