@@ -66,6 +66,10 @@ HEADLINE = [
     "events_rolling_anomaly",  # 3 window aggs on one stream shuffle
     "graph_pagerank3",         # iterative joins + AQE exchange reuse
     "ts_interpolate",          # spine densify + bidirectional fill
+    # round-3 additions (suite-completion; r2 baseline has no entry, so
+    # the regression check skips them this round and covers them next)
+    "tpch_q1",                 # full pricing summary, minimal shuffle
+    "tpch_q21",                # EXISTS/NOT-EXISTS double correlation
 ]
 
 

@@ -6,9 +6,11 @@ canonical exercise of that surface at warehouse scale, so each query here
 is the Spark-DataFrame expression of a TPC-H shape, adapted to the
 columns the driver's synthetic schema actually has (TESTDATA.md: no
 partsupp table; no l_commitdate/l_receiptdate/l_shipmode, no c_phone,
-no o_shippriority).  Q2/Q11/Q20/Q21 are unreachable without those
-columns; Q9/Q12/Q16/Q22 carry documented adaptations; Q1 already ships
-as `agg_groupby`.
+no o_shippriority). ALL 22 queries ship: Q9/Q12/Q16/Q22 carry
+documented adaptations; Q2/Q11/Q20 derive a supply relation from
+lineitem in place of partsupp; Q21 derives lateness from
+l_shipdate - o_orderdate; Q1 is verbatim (and its reduced shape also
+ships as `agg_groupby`).
 
 Scale posture (the reason this suite matters at 100 TB):
 - every dim→fact join broadcasts the dim side (region/nation/customer/
@@ -615,3 +617,266 @@ def tpch_q22(spark, sf_dir):
             .groupBy("n_name")
             .agg(F.count("*").alias("numcust"),
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+# ------------------------------------------------- Q1/Q2/Q11/Q20/Q21
+# Round-3 completions: the five shapes previously marked unreachable.
+# Q1 is the verbatim pricing summary (the schema has every column it
+# needs); Q2/Q11/Q20 substitute a lineitem-derived supply relation for
+# the missing partsupp table; Q21 derives "late" from l_shipdate vs
+# o_orderdate (no l_commitdate/l_receiptdate). Each keeps the original
+# query's JOIN/subquery structure — that structure, not the column
+# names, is what exercises the planner.
+
+
+@query("tpch_q1", oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_extendedprice), 6)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the full 10-column report (the reduced
+    shape ships as `agg_groupby`). One scan, map-side partial aggregation
+    into at most |returnflag|x|linestatus| groups: the canonical
+    smallest-shuffle query — at 100 TB only a handful of partial-state
+    rows cross the wire per task."""
+    le = (T(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate")
+                  <= F.lit("2001-06-01 00:00:00").cast("timestamp")))
+    disc = le.l_extendedprice * (1 - le.l_discount)
+    return (le.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                 F.round(F.sum(disc * (1 + le.l_tax)), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+_SUPPLY_SQL = """
+        SELECT l_partkey AS sp_partkey, l_suppkey AS sp_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+"""
+
+
+@query("tpch_q2", oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL}),
+    europe AS (
+        SELECT sp_partkey, sp_suppkey, unit_cost,
+               s_acctbal, s_name, n_name
+        FROM supply
+        JOIN supplier ON sp_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           round(unit_cost, 6) AS unit_cost
+    FROM europe JOIN part ON sp_partkey = p_partkey
+    WHERE p_size <= 10
+      AND unit_cost = (SELECT min(e2.unit_cost) FROM europe e2
+                       WHERE e2.sp_partkey = europe.sp_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+""")
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier, adapted: no partsupp table, so
+    the supply relation is derived from lineitem (min observed unit
+    price per (part, supplier)). The Q2 structure is intact: a
+    correlated min subquery per part over region-filtered suppliers,
+    decorrelated here into a partition-min window — one shuffle on
+    partkey; supplier/nation/region broadcast; top-100 ends in
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    le = T(spark, sf_dir, "lineitem")
+    supply = (le.groupBy(le.l_partkey.alias("sp_partkey"),
+                         le.l_suppkey.alias("sp_suppkey"))
+              .agg(F.min(le.l_extendedprice / le.l_quantity)
+                   .alias("unit_cost")))
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dims = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("s_suppkey", "s_acctbal", "s_name", "n_name"))
+    europe = supply.join(F.broadcast(dims),
+                         F.col("sp_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("sp_partkey")
+    best = (europe.withColumn("min_cost", F.min("unit_cost").over(w))
+            .filter(F.col("unit_cost") == F.col("min_cost")))
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (best.join(F.broadcast(p), F.col("sp_partkey") == p.p_partkey)
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                    F.round("unit_cost", 6).alias("unit_cost"))
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+@query("tpch_q11", oracle="""
+    WITH value AS (
+        SELECT l_partkey AS partkey,
+               sum(l_extendedprice * (1 - l_discount)) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+    )
+    SELECT partkey, round(val, 2) AS value
+    FROM value
+    WHERE val > (SELECT sum(val) * 0.001 FROM value)
+    ORDER BY value DESC, partkey
+""")
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 important stock identification, adapted: partsupp's
+    ps_supplycost*ps_availqty becomes the revenue supplied through ASIA
+    suppliers per part. Structure intact: grouped value relation
+    filtered by a global-scalar-subquery threshold. The value relation
+    aggregates once on partkey; the scalar total is a single-row
+    broadcast cross join (no second scan of lineitem — Catalyst reuses
+    the aggregated exchange via AQE)."""
+    le = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("s_suppkey"))
+    value = (le.join(F.broadcast(dims), le.l_suppkey == F.col("s_suppkey"))
+             .groupBy(le.l_partkey.alias("partkey"))
+             .agg(F.sum(_revenue(le)).alias("val")))
+    threshold = value.agg((F.sum("val") * 0.001).alias("thr"))
+    return (value.join(F.broadcast(threshold), F.col("val") > F.col("thr"))
+            .select("partkey", F.round("val", 2).alias("value"))
+            .orderBy(F.col("value").desc(), "partkey"))
+
+
+@query("tpch_q20", oracle="""
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 50
+    )
+    ORDER BY s_name
+""")
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 potential part promotion, adapted: partsupp availqty
+    becomes shipped quantity — EUROPE suppliers who moved > 50 units of
+    any red part in 1997. The nested semi-join chain is intact:
+    part-filter -> lineitem aggregate -> IN (left-semi) -> supplier.
+    part broadcasts into lineitem; the HAVING aggregate shuffles on
+    (suppkey, partkey) once; the semi join against ~100 suppliers is a
+    broadcast."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    le = (T(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)))
+    movers = (le.join(F.broadcast(p), le.l_partkey == p.p_partkey)
+              .groupBy("l_suppkey", "l_partkey")
+              .agg(F.sum("l_quantity").alias("qty"))
+              .filter(F.col("qty") > 50)
+              .select("l_suppkey").distinct())
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .join(movers, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+            .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+            .orderBy("s_name"))
+
+
+@query("tpch_q21", oracle="""
+    WITH flines AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM flines l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND l1.late
+      AND EXISTS (SELECT 1 FROM flines l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM flines l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+""")
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 suppliers-who-kept-orders-waiting, adapted: "late" =
+    shipped more than 60 days after the order date (no l_commitdate /
+    l_receiptdate in this schema, same adaptation as Q4).
+
+    The oracle keeps Q21's literal EXISTS / NOT-EXISTS double
+    correlation; the Spark plan collapses it to per-order supplier
+    counts — a row survives iff it is late, its order has >= 2 distinct
+    suppliers (the EXISTS), and exactly 1 distinct LATE supplier (the
+    NOT EXISTS: the only late one is this row's own). That turns three
+    scans of the lineitem⋈orders join (the naive l1/l2/l3 self-join
+    plan) into ONE scan with two window aggregates over a single
+    orderkey shuffle — the difference between 3x and 1x fact traffic at
+    100 TB. Measured here: the l1/l2/l3 formulation shuffles flines 3x
+    (plans 292/739/767, no exchange reuse once AQE broadcast-converts
+    the semi/anti sides)."""
+    from pyspark.sql import Window
+
+    le = T(spark, sf_dir, "lineitem")
+    o = (T(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F"))
+    flines = (le.join(o, le.l_orderkey == o.o_orderkey)
+              .select("l_orderkey", "l_suppkey",
+                      (F.col("l_shipdate")
+                       > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+                      .alias("late")))
+    w = Window.partitionBy("l_orderkey")
+    cand = (flines
+            .withColumn("n_supp",
+                        F.size(F.collect_set("l_suppkey").over(w)))
+            .withColumn("n_late_supp",
+                        F.size(F.collect_set(
+                            F.when(F.col("late"), F.col("l_suppkey"))).over(w)))
+            .filter(F.col("late") & (F.col("n_supp") >= 2)
+                    & (F.col("n_late_supp") == 1)))
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (cand.join(F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                 .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                 .select("s_suppkey", "s_name")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name"))
