@@ -119,7 +119,14 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 64,
     common-subexpression elimination does not reach inside higher-order
     function lambdas, so an `array(array_min(transform(keyset, ...)) x n)`
     expression recomputes the keyset n times per row (measured 70x slower
-    at sf0.1). The explode form computes the keyset once per row; the
+    at sf0.1). A materialized-projection HOF variant (keyset and base
+    hashes as intermediate columns, then n x array_min(transform)) avoids
+    the recompute and wins on a signatures-only benchmark (0.8s vs 2.4s,
+    64 hashes), but loses end-to-end at the real 128-hash shingle
+    parameters (6.7s vs 5.5s at sf0.1 even with a repartition barrier for
+    exchange reuse; 10.7s without) — the groupBy's shuffle is what lets
+    the LSH self-join reuse one signature computation, so the explode
+    form stays. The explode form computes the keyset once per row; the
     per-key hash columns are cheap JVM calls, and partial (map-side) min
     aggregation means the shuffle carries one n_hashes-wide row per doc
     per partition — the standard distributed MinHash shape at 100 TB."""

@@ -25,6 +25,7 @@ from . import operational  # noqa: E402,F401  Tier B/C: CDC merge/WAU/attributio
 from . import stats_tests  # noqa: E402,F401  Tier B/C: welch-t/chi2/regr_*/path mining
 from . import warehouse4  # noqa: E402,F401  Tier B/C: profiling/benford/diff/keyset/rank moves
 from . import warehouse5  # noqa: E402,F401  Tier B/C: re-agg/SCD2/cumulative distinct
+from . import storage     # noqa: E402,F401  Storage layout: bucketed join, ORC/xlsx round trips
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Front-load the
@@ -39,7 +40,8 @@ _PRIORITY: tuple[str, ...] = (
     "sqlite_roundtrip", "csv_roundtrip", "jsonl_roundtrip",
     # Structured Streaming family
     "stream_tumbling", "stream_session", "stream_hopping",
-    "stream_dedup", "stream_join_static", "stream_stateful",
+    "stream_dedup", "stream_join_static", "stream_stream_join",
+    "stream_stateful",
     # Dedup flagships
     "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "dedup_clusters",
@@ -62,7 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof", "join_range", "join_salted",
     # Sketches + operational flagships
     "approx_distinct", "approx_percentile",
-    "cdc_merge_upsert", "rolling_wau",
+    "cdc_merge_upsert",
 )
 
 

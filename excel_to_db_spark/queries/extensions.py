@@ -676,6 +676,27 @@ def stream_join_static(spark, sf_dir):
     return run_stream_static_join(spark, sf_dir)
 
 
+@query("stream_stream_join", oracle="""
+    SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+           epoch_us(v.ts) - epoch_us(c.ts) AS delay_us
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts > c.ts AND v.ts <= c.ts + INTERVAL '10 minutes'
+""")
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join under the Structured Streaming
+    engine: clicks and views replayed as TWO independent file-source
+    streams, each with its own watermark, joined per user on an
+    event-time interval (view within 10 min after the click) — the
+    symmetric-hash-join operator with state on both sides, evicted by
+    watermark + the interval bound. Inner join on finite replay emits
+    exactly the batch self-join pairs, so the SQL oracle is exact."""
+    from ..streaming import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)
+
+
 @query("events_latest_state", oracle="""
     SELECT user_id, event_type AS last_type, value AS last_value,
            ts AS last_ts

@@ -1,0 +1,141 @@
+"""Storage-layout queries: bucketed co-located joins + extra format
+round trips (ORC, xlsx).
+
+The reference's storage story is a single SQLite file (reference
+src/main.rs:87-128); at 100 TB the equivalent decisions are table
+LAYOUT decisions — bucketing to pre-shuffle the join keys once at write
+time, columnar formats with predicate pushdown, and a spreadsheet hop
+for the reference's own xlsx surface. Each query here is a full
+write-then-read-back round trip whose DuckDB oracle reproduces the
+result from the ORIGINAL parquet, so the check proves losslessness of
+the layout hop, not just that it ran.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+from .registry import query
+from .relational import T
+
+
+def write_bucketed(df: DataFrame, name: str, key: str, buckets: int = 8,
+                   path: str | None = None) -> str:
+    """Write `df` as a bucketed, per-bucket-sorted external table and
+    return the catalog name. `repartition(buckets, key)` first, so each
+    write task holds exactly one bucket's rows (repartition and bucketing
+    share the same Murmur3 `hash pmod n` routing) — one file per bucket,
+    which is what lets the scan keep the sort order and the join skip
+    both the Exchange and (with sorted single files) the Sort.
+
+    This is the write-once/join-many contract: the shuffle that a plain
+    join would pay per query is paid once at layout time. At 100 TB the
+    same pattern is the difference between re-shuffling the fact table
+    on every join and never shuffling it again."""
+    path = path or tempfile.mkdtemp(prefix=f"e2db_bkt_{name}_")
+    (df.repartition(buckets, F.col(key))
+       .write.mode("overwrite")
+       .bucketBy(buckets, key).sortBy(key)
+       .option("path", path)
+       .saveAsTable(name))
+    return name
+
+
+def bucketed_join_pair(spark: SparkSession, sf_dir: str, buckets: int = 8
+                       ) -> DataFrame:
+    """Bucket orders and customer on custkey, then join the two bucketed
+    tables. Both scans are already hash-distributed by the join key, so
+    the SortMergeJoin runs with NO Exchange on either side (asserted in
+    tests/test_storage.py). The merge hint pins SMJ — broadcast would
+    also be exchange-free but wouldn't demonstrate co-location."""
+    run = uuid.uuid4().hex[:8]
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    to = write_bucketed(o, f"bkt_orders_{run}", "o_custkey", buckets)
+    tc = write_bucketed(c, f"bkt_customer_{run}", "c_custkey", buckets)
+    return (spark.table(to).hint("merge")
+            .join(spark.table(tc),
+                  F.col("o_custkey") == F.col("c_custkey")))
+
+
+@query("join_bucketed", oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+""")
+def join_bucketed(spark, sf_dir):
+    """Co-located join via bucketed storage: orders and customer written
+    once as 8-bucket tables on custkey, then joined bucket-to-bucket —
+    zero Exchange on either join side (the only shuffle left is the
+    final segment aggregation). The round trip through the bucketed
+    layout is verified value-for-value against the original parquet."""
+    return (bucketed_join_pair(spark, sf_dir)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@query("orc_roundtrip", oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(sum(l_quantity), 2)      AS sum_qty
+    FROM lineitem WHERE l_discount > 0.05
+    GROUP BY l_returnflag
+""")
+def orc_roundtrip(spark, sf_dir):
+    """ORC sink + source round trip (the second big columnar format —
+    same DataFrame API, different physical encoder): write a lineitem
+    projection as ORC, read it back, and push the discount filter down
+    to the ORC scan (ORC keeps min/max stripe stats just like parquet
+    row groups, so the pushed filter skips stripes). Aggregation over
+    the round-tripped copy must equal DuckDB over the original parquet."""
+    out = tempfile.mkdtemp(prefix="e2db_orcrt_")
+    (T(spark, sf_dir, "lineitem")
+     .select("l_returnflag", "l_extendedprice", "l_quantity", "l_discount")
+     .write.mode("overwrite").orc(out))
+    back = spark.read.orc(out).filter(F.col("l_discount") > 0.05)
+    return (back.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+@query("excel_roundtrip", oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderkey % 500 = 0
+""")
+def excel_roundtrip(spark, sf_dir):
+    """xlsx sink + source round trip on NON-golden data: an orders slice
+    written through the pure-Python workbook writer (inline strings, the
+    reference's sheet shape) and read back through the same parser the
+    Tier A queries use (sources/xlsx.py) — proving the xlsx surface is a
+    real bidirectional format hop, not a demo.xlsx-only path. The hop is
+    driver-side single-file by nature (as in the reference, src/main.rs:
+    49-85); the slice is filtered down BEFORE leaving the cluster."""
+    from ..sources.xlsx import read_xlsx_rows
+    from ..sources.xlsx_writer import write_xlsx
+
+    rows = (T(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 500 == 0)
+            .select("o_orderkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("price"))
+            .toLocalIterator())
+    path = tempfile.mktemp(prefix="e2db_xlsxrt_", suffix=".xlsx")
+    header = ["o_orderkey", "o_orderstatus", "price"]
+    write_xlsx(path, [header] + [list(r) for r in rows])
+    back = read_xlsx_rows(path)[1:]  # skip header
+    typed = [(int(r[0]), str(r[1]), float(r[2])) for r in back]
+    schema = Ty.StructType([
+        Ty.StructField("o_orderkey", Ty.LongType()),
+        Ty.StructField("o_orderstatus", Ty.StringType()),
+        Ty.StructField("price", Ty.DoubleType()),
+    ])
+    return spark.createDataFrame(typed, schema)

@@ -177,6 +177,54 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def run_stream_stream_join(spark: SparkSession, sf_dir: str,
+                           within: str = "10 minutes",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream interval join: click events joined to the view
+    events that follow them within `within`, per user — both sides are
+    real file-source streams with their own watermarks, so this runs the
+    symmetric-hash-join operator with watermark-bounded state on BOTH
+    sides (the missing-piece operator beyond stream-static enrichment).
+
+    State story at production rates: each side buffers only rows newer
+    than its watermark minus the join's time bound — the interval
+    condition lets the engine evict a click once watermark >
+    click_ts + within (no view can match it anymore), so state is
+    O(rate x (watermark + within)), not O(stream).
+
+    Inner join + finite replay => every matched pair is emitted exactly
+    once regardless of watermark timing, so the batch self-join SQL is
+    an exact oracle (append is the only supported mode here)."""
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    clicks = (events_stream_reader(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    views = (events_stream_reader(spark, sf_dir)
+             .filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark))
+    joined = (clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") > F.col("click_ts"))
+        & (F.col("view_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "inner")
+        .select(F.col("c_user").alias("user_id"), "click_id", "view_id",
+                (F.unix_micros(F.col("view_ts"))
+                 - F.unix_micros(F.col("click_ts"))).alias("delay_us")))
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_static_join(spark: SparkSession, sf_dir: str,
                            watermark: str = "30 minutes") -> DataFrame:
     """Stream-static join: the replayed events stream enriched against

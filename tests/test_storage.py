@@ -1,0 +1,56 @@
+"""Storage-layout queries: bucketed join plan shape, format round trips,
+and the stream-stream interval join vs its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_pair_is_exchange_free(spark, sf_dir):
+    """The registered join_bucketed query's join subtree must be a
+    SortMergeJoin with no Exchange on either side (co-located buckets)."""
+    from excel_to_db_spark.queries.storage import bucketed_join_pair
+
+    j = bucketed_join_pair(spark, sf_dir)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan[plan.index("SortMergeJoin"):]
+
+
+def test_excel_roundtrip_lossless(spark, sf_dir):
+    from excel_to_db_spark.queries.storage import excel_roundtrip
+
+    back = excel_roundtrip(spark, sf_dir)
+    orig = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderkey") % 500 == 0)
+            .select("o_orderkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("price")))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Finite replay through the symmetric stream-stream join emits
+    exactly the batch interval-join pairs."""
+    from excel_to_db_spark.streaming import run_stream_stream_join
+    from excel_to_db_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    c = (e.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("cu"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("cts")))
+    v = (e.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("vu"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("vts")))
+    # sf0.001 is sparse: no click->view pair lands within 10 min, so the
+    # test widens the interval (the registered query keeps 10 min, which
+    # has matches at the driver's sf0.01).
+    batch = (c.join(v, (F.col("cu") == F.col("vu"))
+                    & (F.col("vts") > F.col("cts"))
+                    & (F.col("vts") <= F.col("cts") + F.expr("INTERVAL 120 MINUTES")))
+             .select(F.col("cu").alias("user_id"), "click_id", "view_id",
+                     (F.unix_micros("vts") - F.unix_micros("cts")).alias("delay_us")))
+    streamed = run_stream_stream_join(spark, sf_dir, within="120 minutes")
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+    assert streamed.count() > 0
