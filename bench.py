@@ -70,6 +70,8 @@ HEADLINE = [
     # the regression check skips them this round and covers them next)
     "tpch_q1",                 # full pricing summary, minimal shuffle
     "tpch_q21",                # EXISTS/NOT-EXISTS double correlation
+    "stream_stream_join",      # symmetric watermarked interval join
+    "join_bucketed",           # write-once bucketed co-located SMJ
 ]
 
 
