@@ -697,6 +697,21 @@ def stream_stream_join(spark, sf_dir):
     return run_stream_stream_join(spark, sf_dir)
 
 
+@query("stream_python_source", oracle="""
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+""")
+def stream_python_source(spark, sf_dir):
+    """Custom Python streaming Data Source (DataSourceStreamReader):
+    the events parquet replayed as Kafka-style row-offset micro-batches
+    planned on the driver and read on executors, aggregated per
+    event_type under the streaming engine. Fully drained finite replay
+    + complete mode == the batch GROUP BY (the oracle)."""
+    from ..sources.replay_stream import run_replay_source_agg
+
+    return run_replay_source_agg(spark, sf_dir)
+
+
 @query("events_latest_state", oracle="""
     SELECT user_id, event_type AS last_type, value AS last_value,
            ts AS last_ts

@@ -54,3 +54,18 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     streamed = run_stream_stream_join(spark, sf_dir, within="120 minutes")
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
     assert streamed.count() > 0
+
+
+def test_python_replay_source_incremental_and_exact(spark, sf_dir):
+    """The custom Python streaming source must replay in MULTIPLE
+    micro-batches (row-offset incrementality) and still aggregate to
+    exactly the batch GROUP BY."""
+    from excel_to_db_spark.sources.replay_stream import run_replay_source_agg
+    from pyspark.sql import functions as F
+
+    out = run_replay_source_agg(spark, sf_dir, batch_rows=700)
+    batch = (spark.read.parquet(f"{sf_dir}/events.parquet")
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value")))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
