@@ -108,6 +108,42 @@ def orc_roundtrip(spark, sf_dir):
                  F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
 
 
+@query("excel_sink_partitioned", oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(round(o_totalprice, 2)), 2) AS sum_price
+    FROM orders WHERE o_orderkey % 100 = 0
+    GROUP BY o_orderstatus
+""")
+def excel_sink_partitioned(spark, sf_dir):
+    """Distributed xlsx sink + source: `df.write.format("xlsx")` fans
+    the slice out to executor tasks (one part-N.xlsx each; driver-side
+    commit writes a _SUCCESS manifest naming exactly the committed
+    parts), then `spark.read.format("xlsx").schema(...)` reads the
+    manifest's parts back in parallel with generic positional coercion.
+    Write + read both executor-parallel — Excel as a real distributed
+    format, not the reference's single-threaded driver parse
+    (src/main.rs:49-85). Aggregation over the round trip must equal
+    DuckDB over the original parquet."""
+    import tempfile as _tf
+
+    from ..sources.datasource import XlsxDataSource
+
+    spark.dataSource.register(XlsxDataSource)
+    out = _tf.mkdtemp(prefix="e2db_xlsx_sink_")
+    (T(spark, sf_dir, "orders")
+     .filter(F.col("o_orderkey") % 100 == 0)
+     .select("o_orderkey", "o_orderstatus",
+             F.round("o_totalprice", 2).alias("price"))
+     .repartition(4)
+     .write.format("xlsx").mode("overwrite").option("path", out).save())
+    back = (spark.read.format("xlsx")
+            .schema("o_orderkey bigint, o_orderstatus string, price double")
+            .option("path", out).load())
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("price"), 2).alias("sum_price")))
+
+
 @query("excel_roundtrip", oracle="""
     SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
     FROM orders WHERE o_orderkey % 500 = 0

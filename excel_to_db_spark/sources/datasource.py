@@ -30,7 +30,9 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
 
 from ..ingest import EXCEL_ROWS_SCHEMA, EXCEL_ROWS_SCHEMA_NULLABLE, IngestOptions
 
@@ -43,17 +45,39 @@ class SheetPartition(InputPartition):
 
 def _expand_paths(path_opt: str) -> list[str]:
     if os.path.isdir(path_opt):
+        # A directory written by XlsxWriter carries a _SUCCESS manifest
+        # naming the committed part files; honoring it means a reader
+        # never sees orphans left by retried/speculative write tasks.
+        manifest = os.path.join(path_opt, "_SUCCESS")
+        if os.path.exists(manifest):
+            import json
+
+            try:
+                parts = json.load(open(manifest)).get("parts")
+                if parts is not None:
+                    return sorted(parts)
+            except (OSError, ValueError):
+                pass  # plain marker file (other writers) -> glob below
         return sorted(_glob.glob(os.path.join(path_opt, "*.xlsx")))
     hits = sorted(_glob.glob(path_opt))
     return hits or [path_opt]
 
 
+_EXCEL_ROWS_NAMES = [f.name for f in EXCEL_ROWS_SCHEMA.fields]
+
+
 class XlsxReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema=None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("xlsx datasource requires .option('path', ...)")
         self.sheet = options.get("sheet")  # None => every sheet
+        # user-provided .schema(...) switches to the generic positional
+        # coercion path; the default schema keeps the reference's
+        # excel_rows coercion semantics byte-for-byte
+        self.user_schema = None
+        if schema is not None and [f.name for f in schema.fields] != _EXCEL_ROWS_NAMES:
+            self.user_schema = schema
         self.opts = IngestOptions(
             mode=options.get("mode", "PERMISSIVE").upper(),
             null_preserving=str(options.get("null_preserving", "false")).lower()
@@ -80,10 +104,96 @@ class XlsxReader(DataSourceReader):
 
         rows = iter_xlsx_rows(partition.path, partition.sheet)
         next(rows, None)  # header skipped unconditionally (src/main.rs:67)
+        if self.user_schema is not None:
+            coercers = [_field_coercer(f.dataType) for f in self.user_schema.fields]
+            for cells in rows:
+                vals = list(cells)
+                yield tuple(
+                    co(vals[i]) if i < len(vals) else None
+                    for i, co in enumerate(coercers))
+            return
         for cells in rows:
             out = coerce_row(list(cells), self.opts)
             if out is not None:
                 yield out
+
+
+def _field_coercer(dtype):
+    """Positional cell -> Spark type coercion for user-schema reads
+    (xlsx numeric cells always parse as float; '' and None are NULL)."""
+    from pyspark.sql.types import (BooleanType, DoubleType, FloatType,
+                                   IntegerType, LongType)
+
+    def null_if_empty(fn):
+        return lambda v: None if v is None or v == "" else fn(v)
+
+    if isinstance(dtype, (LongType, IntegerType)):
+        return null_if_empty(lambda v: int(float(v)))
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return null_if_empty(float)
+    if isinstance(dtype, BooleanType):
+        return null_if_empty(lambda v: bool(v) if not isinstance(v, str)
+                             else v.strip().lower() in ("1", "true"))
+    return null_if_empty(str)
+
+
+class XlsxCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str | None, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class XlsxWriter(DataSourceWriter):
+    """Executor-parallel xlsx sink: each task writes one part-N.xlsx
+    (header + its partition's rows) under the target directory with a
+    collision-free name; the driver-side commit writes a _SUCCESS
+    manifest naming exactly the committed parts. Readers honor the
+    manifest (_expand_paths), so a retried task's orphan file is
+    invisible — the same rename-free commit protocol cloud object
+    stores need. abort() deletes whatever the failed job wrote."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("xlsx sink requires .option('path', ...)")
+        self.header = [f.name for f in schema.fields]
+        os.makedirs(self.dir, exist_ok=True)
+        if overwrite:  # driver-side, before any task launches
+            for p in _glob.glob(os.path.join(self.dir, "*.xlsx")):
+                os.remove(p)
+            marker = os.path.join(self.dir, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        from .xlsx_writer import write_xlsx
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        rows = [list(r) for r in iterator]
+        if not rows:  # empty partition: no file, nothing to commit
+            return XlsxCommitMessage(None, 0)
+        path = os.path.join(self.dir,
+                            f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.xlsx")
+        write_xlsx(path, [self.header] + rows)
+        return XlsxCommitMessage(path, len(rows))
+
+    def commit(self, messages):
+        import json
+
+        parts = sorted(m.path for m in messages if m and m.path)
+        total = sum(m.rows for m in messages if m)
+        with open(os.path.join(self.dir, "_SUCCESS"), "w") as fh:
+            json.dump({"parts": parts, "rows": total}, fh)
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
 
 
 class XlsxDataSource(DataSource):
@@ -97,4 +207,7 @@ class XlsxDataSource(DataSource):
         return EXCEL_ROWS_SCHEMA
 
     def reader(self, schema) -> XlsxReader:
-        return XlsxReader(dict(self.options))
+        return XlsxReader(dict(self.options), schema)
+
+    def writer(self, schema, overwrite: bool) -> XlsxWriter:
+        return XlsxWriter(dict(self.options), schema, overwrite)

@@ -45,3 +45,37 @@ def test_null_preserving_option(spark, tmp_path):
     [r] = df.collect()
     assert (r[1], r[2], r[4]) == (None, None, None)
     assert r[3] == 1.5
+
+
+def test_xlsx_writer_commit_manifest_hides_orphans(spark, tmp_path):
+    """df.write.format('xlsx') commits a _SUCCESS manifest naming its
+    parts; a stray .xlsx dropped in the directory (a retried task's
+    orphan) must be invisible to manifest-honoring reads."""
+    from excel_to_db_spark.sources.xlsx_writer import write_xlsx
+
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(20)], ["k", "s", "v"])
+    (df.repartition(3).write.format("xlsx")
+     .mode("overwrite").option("path", out).save())
+    back = (spark.read.format("xlsx")
+            .schema("k bigint, s string, v double")
+            .option("path", out).load())
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # drop an orphan: same shape, values that would corrupt the result
+    write_xlsx(f"{out}/part-99999-orphan.xlsx",
+               [["k", "s", "v"], [999, "orphan", 1e9]])
+    again = (spark.read.format("xlsx")
+             .schema("k bigint, s string, v double")
+             .option("path", out).load())
+    assert again.count() == 20
+    assert again.filter("s = 'orphan'").count() == 0
+
+    # overwrite drops old parts AND the stale manifest
+    df2 = spark.createDataFrame([(1, "x", 1.0)], ["k", "s", "v"])
+    (df2.write.format("xlsx").mode("overwrite").option("path", out).save())
+    final = (spark.read.format("xlsx")
+             .schema("k bigint, s string, v double")
+             .option("path", out).load())
+    assert [tuple(r) for r in final.collect()] == [(1, "x", 1.0)]
