@@ -697,6 +697,43 @@ def stream_stream_join(spark, sf_dir):
     return run_stream_stream_join(spark, sf_dir)
 
 
+@query("stream_custom_sink", oracle="""
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events WHERE value > 5.0 GROUP BY event_type
+""")
+def stream_custom_sink(spark, sf_dir):
+    """Custom Python streaming SINK (DataSourceStreamWriter): the
+    replayed events stream filtered and written through the exactly-once
+    CSV commit-log protocol (executor-staged part files + per-batch
+    driver commit logs), then read back via the commit logs only and
+    aggregated. The round trip through the sink must equal DuckDB over
+    the original parquet — proving the staged/committed output is
+    complete and duplicate-free."""
+    import tempfile
+    import uuid
+
+    from ..sources.stream_sink import CsvCommitLogDataSource, read_committed
+    from ..streaming import events_stream_reader
+
+    spark.dataSource.register(CsvCommitLogDataSource)
+    out = tempfile.mkdtemp(prefix="e2db_csvlog_")
+    ckpt = tempfile.mkdtemp(prefix="e2db_csvlog_ckpt_")
+    q = (events_stream_reader(spark, sf_dir)
+         .filter(F.col("value") > 5.0)
+         .select("event_id", "event_type", "value")
+         .writeStream.format("csv_commitlog")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    back = read_committed(spark, out,
+                          "event_id bigint, event_type string, value double")
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
 @query("stream_python_source", oracle="""
     SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
     FROM events GROUP BY event_type

@@ -1,0 +1,104 @@
+"""`writeStream.format("csv_commitlog")` — a Python streaming sink
+(Spark >= 4.0 DataSourceStreamWriter) with an exactly-once commit-log
+protocol over plain CSV part files.
+
+The reference's only sink is a driver-side CSV file (reference
+src/main.rs:264-286). This is the streaming, distributed, failure-safe
+version of the same idea, and the write-side twin of
+`replay_stream.EventsReplayDataSource`:
+
+- `write()` runs per partition per micro-batch on EXECUTORS, staging a
+  uniquely-named CSV under `_data/` (never a destination rename).
+- `commit(messages, batchId)` runs on the driver once per successful
+  batch and writes `_commits/<batchId>` naming exactly the staged files
+  of that batch. A restarted/replayed batch OVERWRITES the same log
+  entry — the idempotence that turns at-least-once micro-batch
+  execution into exactly-once output.
+- Readers (`read_committed`) take the union of files named by the
+  commit logs; a failed attempt's stragglers are unreferenced and
+  invisible, the same manifest discipline as the xlsx batch writer.
+
+At 100 TB the identical protocol works against an object store: staged
+writes are immutable puts, the commit log is the only mutation point,
+and no rename/move is ever needed.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+from pyspark.sql.datasource import (DataSource, DataSourceStreamWriter,
+                                    WriterCommitMessage)
+
+
+class CsvCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str | None, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class CsvCommitLogStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict, schema):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("csv_commitlog sink requires .option('path', ...)")
+        self.fields = [f.name for f in schema.fields]
+        os.makedirs(os.path.join(self.dir, "_data"), exist_ok=True)
+        os.makedirs(os.path.join(self.dir, "_commits"), exist_ok=True)
+
+    def write(self, iterator):
+        import csv
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        path = os.path.join(self.dir, "_data",
+                            f"{uuid.uuid4().hex}-p{pid}.csv")
+        n = 0
+        with open(path, "w", newline="") as fh:
+            w = csv.writer(fh)
+            for row in iterator:
+                w.writerow(list(row))
+                n += 1
+        if n == 0:  # empty partition: stage nothing
+            os.remove(path)
+            return CsvCommitMessage(None, 0)
+        return CsvCommitMessage(path, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = sorted(m.path for m in messages if m and m.path)
+        rows = sum(m.rows for m in messages if m)
+        # overwrite, not append: replaying batchId N after a restart
+        # re-stages new files and REPLACES this log entry, so the old
+        # attempt's files become unreferenced — exactly-once output
+        with open(os.path.join(self.dir, "_commits", str(batchId)), "w") as fh:
+            json.dump({"files": files, "rows": rows}, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class CsvCommitLogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "csv_commitlog"
+
+    def streamWriter(self, schema, overwrite: bool) -> CsvCommitLogStreamWriter:
+        return CsvCommitLogStreamWriter(dict(self.options), schema)
+
+
+def read_committed(spark, out_dir: str, schema: str):
+    """Batch-read exactly the files the commit logs reference."""
+    files: list[str] = []
+    for log in sorted(_glob.glob(os.path.join(out_dir, "_commits", "*"))):
+        with open(log) as fh:
+            files.extend(json.load(fh)["files"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).csv(files)

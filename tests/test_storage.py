@@ -69,3 +69,34 @@ def test_python_replay_source_incremental_and_exact(spark, sf_dir):
              .agg(F.count("*").alias("n_events"),
                   F.round(F.sum("value"), 2).alias("sum_value")))
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_csv_commitlog_sink_ignores_uncommitted_stragglers(spark, sf_dir):
+    """Files staged under _data but never named by a commit log (a
+    failed attempt's leftovers) must be invisible to readers."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from excel_to_db_spark.sources.stream_sink import (CsvCommitLogDataSource,
+                                                       read_committed)
+    from excel_to_db_spark.streaming import events_stream_reader
+
+    spark.dataSource.register(CsvCommitLogDataSource)
+    out = tempfile.mkdtemp(prefix="csvlog_t_")
+    ckpt = tempfile.mkdtemp(prefix="csvlog_t_ckpt_")
+    q = (events_stream_reader(spark, sf_dir)
+         .select("event_id", "event_type", "value")
+         .writeStream.format("csv_commitlog")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    with open(f"{out}/_data/deadbeef-p9.csv", "w") as fh:
+        fh.write("999999,orphan,1000000.0\n")  # straggler, never committed
+
+    back = read_committed(spark, out,
+                          "event_id bigint, event_type string, value double")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert back.count() == n_events
+    assert back.filter(F.col("event_type") == "orphan").count() == 0
