@@ -134,7 +134,8 @@ def _field_coercer(dtype):
     if isinstance(dtype, BooleanType):
         return null_if_empty(lambda v: bool(v) if not isinstance(v, str)
                              else v.strip().lower() in ("1", "true"))
-    return null_if_empty(str)
+    # strings: only a truly absent cell is NULL — '' is a value
+    return lambda v: None if v is None else str(v)
 
 
 class XlsxCommitMessage(WriterCommitMessage):

@@ -60,3 +60,35 @@ def test_roundtrip_values_survive(rows, tmp_path_factory):
                 assert g == v or (v == "" and g is None)
             else:
                 assert g is not None and float(g) == float(v)
+
+
+typed_row = st.tuples(
+    st.integers(min_value=-2**40, max_value=2**40),
+    st.text(alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            max_size=12),
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-1e12, max_value=1e12),
+    st.booleans(),
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(typed_row, min_size=1, max_size=10))
+def test_generic_schema_coercion_roundtrip(rows, tmp_path_factory):
+    """The user-schema positional coercion path (datasource._field_coercer)
+    recovers exactly the typed values the xlsx writer emitted — the pure
+    core of the distributed write->read round trip."""
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StringType)
+
+    from excel_to_db_spark.sources.datasource import _field_coercer
+
+    p = str(tmp_path_factory.mktemp("hyp_typed") / "t.xlsx")
+    write_xlsx(p, [["k", "s", "v", "b"]] + [list(r) for r in rows])
+    back = read_xlsx_rows(p)[1:]
+    coercers = [_field_coercer(t()) for t in
+                (LongType, StringType, DoubleType, BooleanType)]
+    got = [tuple(co(cells[i]) if i < len(cells) else None
+                 for i, co in enumerate(coercers)) for cells in back]
+    assert got == [tuple(r) for r in rows]
