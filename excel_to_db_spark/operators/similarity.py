@@ -162,6 +162,44 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, id_col: str,
             .withColumnRenamed("cid", "cell"))
 
 
+def lloyd_kmeans(vectors: DataFrame, init_centroids: DataFrame,
+                 iters: int = 2, id_col: str = "vec_id",
+                 vec_col: str = "vec") -> tuple[DataFrame, DataFrame]:
+    """Unrolled Lloyd's k-means: `iters` rounds of (assign to nearest
+    centroid -> recompute element-wise means), returning the final
+    (assignment, centroids). The IVF training step made a first-class
+    iterative operator.
+
+    Determinism across engines (the oracle contract): centroid means
+    are ROUNDED to 6 dp each round, so the next round's distances are
+    computed from bit-identical centroids in Spark and DuckDB — an
+    ulp-level difference in summation order can never flip an argmin.
+    Ties break by centroid id (ivf_assign).
+
+    Scale shape per round: one broadcast cross join (k centroids) +
+    per-row rank for assignment, one posexplode shuffle keyed on
+    (cluster, dim) for the mean — state is k x dim regardless of corpus
+    size, and the loop is driver-side orchestration over distributed
+    rounds, exactly like dedup's label propagation."""
+    cents = init_centroids.select("cid", "cvec")
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, cents, id_col, vec_col)
+        cents = (assigned
+                 .select(F.col("cell").alias("cid"),
+                         F.posexplode(F.col(vec_col)).alias("pos", "v"))
+                 .groupBy("cid", "pos")
+                 .agg(F.round(F.avg("v"), 6).alias("m"))
+                 .groupBy("cid")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s["m"]).alias("cvec")))
+    final = (ivf_assign(vectors, cents, id_col, vec_col)
+             .join(F.broadcast(cents.withColumnRenamed("cid", "cell")), "cell")
+             .withColumn("d2", sq_dist(F.col(vec_col), F.col("cvec")))
+             .drop("cvec"))
+    return final, cents
+
+
 def topk_ivf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int, id_col: str = "vec_id", vec_col: str = "embedding",
              nprobe: int = 2) -> DataFrame:

@@ -694,3 +694,58 @@ def embedding_outliers(spark, sf_dir):
     return (per.withColumn("rnk", F.row_number().over(w).cast("int"))
             .filter(F.col("rnk") <= 3)
             .select("label", "vec_id", "dist", "rnk"))
+
+
+def _km_assign(src_v: str, src_c: str) -> str:
+    """DuckDB CTE: nearest-centroid assignment (min L2^2, cid tie-break)."""
+    d2 = (f"list_dot_product(v.vec, v.vec) "
+          f"- 2 * list_dot_product(v.vec, c.cvec) "
+          f"+ list_dot_product(c.cvec, c.cvec)")
+    return f"""SELECT vec_id, vec, cell, d2 FROM (
+        SELECT v.vec_id, v.vec, c.cid AS cell, {d2} AS d2,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2} ASC, c.cid ASC) AS rk
+        FROM {src_v} v CROSS JOIN {src_c} c) WHERE rk = 1"""
+
+
+def _km_mean(src_a: str) -> str:
+    """DuckDB CTE: element-wise centroid mean, rounded 6dp (the
+    cross-engine determinism contract of operators.similarity
+    .lloyd_kmeans)."""
+    return f"""SELECT cell AS cid, list(m ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos, round(avg(val), 6) AS m FROM (
+            SELECT cell, unnest(vec) AS val, unnest(range(1, 65)) AS pos
+            FROM {src_a})
+        GROUP BY cell, pos) GROUP BY cell"""
+
+
+@query("kmeans_lloyd", oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+           FROM embeddings WHERE vec_id < 8),
+    a1 AS ({_km_assign('v', 'c0')}),
+    c1 AS ({_km_mean('a1')}),
+    a2 AS ({_km_assign('v', 'c1')}),
+    c2 AS ({_km_mean('a2')}),
+    af AS ({_km_assign('v', 'c2')})
+    SELECT cell AS cluster, count(*) AS n, round(sum(d2), 3) AS inertia
+    FROM af GROUP BY cell
+""")
+def kmeans_lloyd(spark, sf_dir):
+    """Unrolled Lloyd's k-means (2 iterations, k=8, deterministic first-k
+    init) over the embedding corpus — the IVF-training/clustering step as
+    a first-class iterative operator: per round one broadcast assignment
+    pass + one (cluster, dim)-keyed mean shuffle whose state is k x 64
+    regardless of corpus size. Centroid means round to 6dp each round so
+    DuckDB replays the identical trajectory (see lloyd_kmeans docstring);
+    output is per-cluster size + inertia under the final centroids."""
+    from ..operators import similarity as S
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double(F.col("embedding")).alias("vec"))
+    init = (e.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")))
+    final, _cents = S.lloyd_kmeans(e, init, iters=2)
+    return (final.groupBy(F.col("cell").alias("cluster"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("d2"), 3).alias("inertia")))

@@ -57,3 +57,23 @@ def test_srp_bucket_groups_near_duplicates(vecs):
 def test_cosine_near_dup_pairs(vecs):
     out = S.cosine_near_dup_pairs(vecs, threshold=0.8, dim=DIM).collect()
     assert {(r.id1, r.id2) for r in out} == {(0, 3)}
+
+
+def test_kmeans_inertia_nonincreasing(spark, sf_dir):
+    """Lloyd iterations must not increase total inertia (up to the 6dp
+    centroid rounding the cross-engine contract introduces)."""
+    from pyspark.sql import functions as F
+
+    from excel_to_db_spark.operators import similarity as S
+
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+         .select("vec_id", S.as_double(F.col("embedding")).alias("vec")))
+    init = (e.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")))
+
+    def inertia(iters):
+        final, _ = S.lloyd_kmeans(e, init, iters=iters)
+        return final.agg(F.sum("d2")).collect()[0][0]
+
+    i1, i3 = inertia(1), inertia(3)
+    assert i3 <= i1 + 1e-3
