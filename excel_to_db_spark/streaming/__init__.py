@@ -8,7 +8,13 @@ batch oracle checks the streaming semantics (Spark guarantees the two
 paths agree on finite input).
 """
 
-from .stateful import run_stateful_totals, stateful_user_totals  # noqa: F401
+from .stateful import (  # noqa: F401
+    run_stateful_max,
+    run_stateful_totals,
+    stateful_user_max,
+    stateful_user_totals,
+    transform_with_state_available,
+)
 from .windows import (  # noqa: F401
     events_stream_reader,
     hopping_agg,

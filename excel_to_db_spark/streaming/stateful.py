@@ -54,6 +54,90 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
                                     timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+TWS_OUT_SCHEMA = "user_id bigint, n_events bigint, max_value double"
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class UserMaxProcessor(StatefulProcessor):
+    """transformWithState processor (the Spark 4 stateful API that
+    supersedes applyInPandasWithState): per-user event count + running
+    max value held in a typed ValueState. Unlike the GroupState API,
+    state here is composable (value/list/map states per key), timers are
+    first-class, and the state store is RocksDB — the production-scale
+    backend where per-key state spills to disk instead of executor heap."""
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState("agg", "n bigint, mx double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as _pd
+
+        prev = self._agg.get() if self._agg.exists() else None
+        n, mx = prev if prev is not None else (0, float("-inf"))
+        for pdf in rows:
+            n += len(pdf)
+            mx = max(mx, float(pdf["value"].max()))
+        self._agg.update((n, mx))
+        yield _pd.DataFrame({"user_id": [key[0]],
+                             "n_events": [n],
+                             "max_value": [round(mx, 2)]})
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_max(events: DataFrame) -> DataFrame:
+    """The transformWithState transform (composable / testable)."""
+    return (events.groupBy("user_id")
+            .transformWithStateInPandas(UserMaxProcessor(),
+                                        outputStructType=TWS_OUT_SCHEMA,
+                                        outputMode="Update",
+                                        timeMode="None"))
+
+
+def transform_with_state_available() -> bool:
+    """transformWithState's state-server protocol needs a working
+    protobuf runtime (google.protobuf.descriptor); absent/broken
+    protobuf crashes the Python driver worker at query start. Gate
+    callers behind this check (no pip installs in this environment)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def run_stateful_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events through the transformWithState operator. RocksDB is
+    the required state store provider for this API; the conf is set for
+    the query start and restored after (other queries keep the default
+    provider). Requires `transform_with_state_available()`."""
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, rocks)
+    try:
+        q = (stateful_user_max(events_stream_reader(spark, sf_dir))
+             .writeStream.outputMode("update")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table(name)
+
+
 def run_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay events through the stateful operator. The single-file
     parquet source is one availableNow batch, so each key updates exactly
