@@ -72,6 +72,7 @@ HEADLINE = [
     "tpch_q21",                # EXISTS/NOT-EXISTS double correlation
     "stream_stream_join",      # symmetric watermarked interval join
     "join_bucketed",           # write-once bucketed co-located SMJ
+    "kmeans_lloyd",            # iterative broadcast-assign + mean shuffle
 ]
 
 
