@@ -372,7 +372,9 @@ def tpch_q14(spark, sf_dir):
 
 
 @query("tpch_q9", oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           round(sum(CAST(round(amount * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_profit
     FROM (
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount)
@@ -390,7 +392,13 @@ def tpch_q9(spark, sf_dir):
     """TPC-H Q9 product-type profit, adapted: the schema has no partsupp
     (hence no ps_supplycost), so unit cost is modeled as
     0.6 * p_retailprice. Join/aggregation topology is Q9's: part filter
-    → lineitem → supplier/orders/nation, grouped by nation × year."""
+    → lineitem → supplier/orders/nation, grouped by nation × year.
+
+    The profit aggregates in integer CENTS (sqlite_roundtrip's
+    discipline): per-row doubles round once to cents, then the sum is
+    exact integer arithmetic — order-independent, so engine summation
+    order can never flip the final 2dp rounding (it did at sf0.001:
+    686823.585 landed on opposite sides of the boundary)."""
     p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     le = T(spark, sf_dir, "lineitem")
     s = T(spark, sf_dir, "supplier")
@@ -403,9 +411,9 @@ def tpch_q9(spark, sf_dir):
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .select(F.col("n_name").alias("nation"),
                     F.year("o_orderdate").alias("o_year"),
-                    amount.alias("amount"))
+                    F.round(amount * 100).cast("bigint").alias("cents"))
             .groupBy("nation", "o_year")
-            .agg(F.round(F.sum("amount"), 2).alias("sum_profit")))
+            .agg(F.round(F.sum("cents") / 100.0, 2).alias("sum_profit")))
 
 
 @query("tpch_q15", oracle="""
