@@ -22,9 +22,11 @@ Scale posture (the reason this suite matters at 100 TB):
 - aggregates use map-side partial aggregation (the only rows crossing
   the wire are group keys × partial states).
 
-Oracle discipline: revenue sums round(…, 2); ratio aggregates
-round(…, 4/6); top-k queries pin a total order with a unique tie-break
-key so LIMIT is deterministic on both engines.
+Oracle discipline: every money aggregate sums in exact integer CENTS
+(`_cents_sum` + its SQL twin) so summation order can never flip a
+rounding boundary (see _cents_sum); ratio aggregates divide cents sums
+and round 4/6 dp; top-k queries pin a total order with a unique
+tie-break key so LIMIT is deterministic on both engines.
 """
 
 from __future__ import annotations
@@ -39,12 +41,24 @@ def _revenue(le):
     return le.l_extendedprice * (1 - le.l_discount)
 
 
+def _cents_sum(col):
+    """Exact money sum: round each row to integer cents, sum in long
+    arithmetic, divide back. Float summation is order-dependent; when a
+    group's true sum sits near a half-cent, Spark's partial-aggregation
+    order and DuckDB's sequential order can round to different cents
+    (observed on tpch_q9 at sf0.001). Integer sums are associative, so
+    this makes every money aggregate engine- and partitioning-
+    independent. SQL twin: round(sum(CAST(round(expr * 100) AS BIGINT))
+    / 100.0, 2)."""
+    return F.round(F.sum(F.round(col * 100).cast("bigint")) / 100.0, 2)
+
+
 # --------------------------------------------------------------- Q3/Q10
 
 
 @query("tpch_q3", oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -69,7 +83,7 @@ def tpch_q3(spark, sf_dir):
     return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .join(le, le.l_orderkey == o.o_orderkey)
             .groupBy("l_orderkey", "o_orderdate")
-            .agg(F.round(F.sum(_revenue(le)), 2).alias("revenue"))
+            .agg(_cents_sum(_revenue(le)).alias("revenue"))
             .select("l_orderkey", "revenue", "o_orderdate")
             .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
             .limit(10))
@@ -77,7 +91,7 @@ def tpch_q3(spark, sf_dir):
 
 @query("tpch_q10", oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -105,7 +119,7 @@ def tpch_q10(spark, sf_dir):
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-            .agg(F.round(F.sum(_revenue(le)), 2).alias("revenue"))
+            .agg(_cents_sum(_revenue(le)).alias("revenue"))
             .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
             .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
             .limit(20))
@@ -176,7 +190,7 @@ def tpch_q12(spark, sf_dir):
 
 @query("tpch_q5", oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -209,12 +223,12 @@ def tpch_q5(spark, sf_dir):
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("n_name")
-            .agg(F.round(F.sum(_revenue(le)), 2).alias("revenue")))
+            .agg(_cents_sum(_revenue(le)).alias("revenue")))
 
 
 @query("tpch_q7", oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           round(sum(CAST(round((volume) * 100) AS BIGINT)) / 100.0, 2) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
@@ -258,13 +272,14 @@ def tpch_q7(spark, sf_dir):
             .filter(pair)
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").alias("l_year"))
-            .agg(F.round(F.sum(_revenue(le)), 2).alias("revenue")))
+            .agg(_cents_sum(_revenue(le)).alias("revenue")))
 
 
 @query("tpch_q8", oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           round(sum(CAST(round((CASE WHEN nation = 'NATION_5'
+                               THEN volume ELSE 0 END) * 100) AS BIGINT))
+                 / sum(CAST(round(volume * 100) AS BIGINT)), 6) AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -310,11 +325,12 @@ def tpch_q8(spark, sf_dir):
             .join(F.broadcast(s), le.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
             .select(F.year("o_orderdate").alias("o_year"),
-                    vol.alias("volume"), F.col("nation"))
+                    F.round(vol * 100).cast("bigint").alias("cents"),
+                    F.col("nation"))
             .groupBy("o_year")
             .agg(F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume"))
-                      .otherwise(F.lit(0.0))) / F.sum("volume"), 6)
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("cents"))
+                      .otherwise(F.lit(0))) / F.sum("cents"), 6)
                 .alias("mkt_share")))
 
 
@@ -322,7 +338,7 @@ def tpch_q8(spark, sf_dir):
 
 
 @query("tpch_q6", oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(sum(CAST(round((l_extendedprice * l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -339,15 +355,16 @@ def tpch_q6(spark, sf_dir):
     return (le.filter((le.l_shipdate >= lo) & (le.l_shipdate < hi)
                       & le.l_discount.between(0.05, 0.07)
                       & (le.l_quantity < 24))
-            .agg(F.round(F.sum(le.l_extendedprice * le.l_discount), 2)
+            .agg(_cents_sum(le.l_extendedprice * le.l_discount)
                  .alias("revenue")))
 
 
 @query("tpch_q14", oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+    SELECT round(100.0 * sum(CAST(round((CASE WHEN p_type = 'PROMO'
                                   THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+                                  ELSE 0 END) * 100) AS BIGINT))
+                 / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                            AS BIGINT)), 4) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -361,10 +378,10 @@ def tpch_q14(spark, sf_dir):
     p = T(spark, sf_dir, "part")
     le = (T(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)))
-    rev = _revenue(le)
+    cents = F.round(_revenue(le) * 100).cast("bigint")
     return (le.join(F.broadcast(p), le.l_partkey == p.p_partkey)
-            .agg(F.round(100.0 * F.sum(F.when(p.p_type == "PROMO", rev)
-                                       .otherwise(F.lit(0.0))) / F.sum(rev), 4)
+            .agg(F.round(100.0 * F.sum(F.when(p.p_type == "PROMO", cents)
+                                       .otherwise(F.lit(0))) / F.sum(cents), 4)
                  .alias("promo_revenue")))
 
 
@@ -419,7 +436,7 @@ def tpch_q9(spark, sf_dir):
 @query("tpch_q15", oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -444,7 +461,7 @@ def tpch_q15(spark, sf_dir):
     le = T(spark, sf_dir, "lineitem")
     rev = (le.filter((le.l_shipdate >= lo) & (le.l_shipdate < hi))
            .groupBy(F.col("l_suppkey").alias("supplier_no"))
-           .agg(F.round(F.sum(_revenue(le)), 2).alias("total_revenue")))
+           .agg(_cents_sum(_revenue(le)).alias("total_revenue")))
     s = T(spark, sf_dir, "supplier")
     return (rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy()))
             .filter(F.col("total_revenue") == F.col("mx"))
@@ -503,7 +520,7 @@ def tpch_q16(spark, sf_dir):
 
 
 @query("tpch_q17", oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN (SELECT l_partkey AS agg_partkey,
@@ -525,7 +542,9 @@ def tpch_q17(spark, sf_dir):
     return (le.join(F.broadcast(p), le.l_partkey == p.p_partkey)
             .join(thresholds, le.l_partkey == F.col("agg_partkey"))
             .filter(le.l_quantity < F.col("avg_qty_threshold"))
-            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
+            .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * 100)
+                          .cast("bigint")) / 100.0 / 7.0, 2)
+                 .alias("avg_yearly")))
 
 
 @query("tpch_q18", oracle="""
@@ -563,7 +582,7 @@ def tpch_q18(spark, sf_dir):
 
 
 @query("tpch_q19", oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 21)
@@ -589,7 +608,7 @@ def tpch_q19(spark, sf_dir):
            & le.l_quantity.between(20, 40)))
     return (le.join(F.broadcast(p), le.l_partkey == p.p_partkey)
             .filter(clause)
-            .agg(F.round(F.sum(_revenue(le)), 2).alias("revenue")))
+            .agg(_cents_sum(_revenue(le)).alias("revenue")))
 
 
 # ------------------------------------------------------------------ Q22
@@ -598,7 +617,7 @@ def tpch_q19(spark, sf_dir):
 @query("tpch_q22", oracle="""
     SELECT n_name,
            count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           round(sum(CAST(round((c_acctbal) * 100) AS BIGINT)) / 100.0, 2) AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                        WHERE c_acctbal > 0.0)
@@ -624,7 +643,7 @@ def tpch_q22(spark, sf_dir):
             .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
             .groupBy("n_name")
             .agg(F.count("*").alias("numcust"),
-                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+                 _cents_sum(F.col("c_acctbal")).alias("totacctbal")))
 
 
 # ------------------------------------------------- Q1/Q2/Q11/Q20/Q21
@@ -639,10 +658,10 @@ def tpch_q22(spark, sf_dir):
 
 @query("tpch_q1", oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum(CAST(round((l_quantity) * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,
+           round(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS sum_disc_price,
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT)) / 100.0, 2) AS sum_charge,
            round(avg(l_quantity), 6)                                   AS avg_qty,
            round(avg(l_extendedprice), 6)                              AS avg_price,
            round(avg(l_discount), 6)                                   AS avg_disc,
@@ -662,10 +681,10 @@ def tpch_q1(spark, sf_dir):
                   <= F.lit("2001-06-01 00:00:00").cast("timestamp")))
     disc = le.l_extendedprice * (1 - le.l_discount)
     return (le.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
-                 F.round(F.sum(disc * (1 + le.l_tax)), 2).alias("sum_charge"),
+            .agg(_cents_sum(F.col("l_quantity")).alias("sum_qty"),
+                 _cents_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 _cents_sum(disc).alias("sum_disc_price"),
+                 _cents_sum(disc * (1 + le.l_tax)).alias("sum_charge"),
                  F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
                  F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
                  F.round(F.avg("l_discount"), 6).alias("avg_disc"),
