@@ -225,9 +225,17 @@ def join_anti(spark, sf_dir):
 
 # ------------------------------------------------------------- aggregates
 
+def _cents_sum(col):
+    """Exact money sum in integer cents — order-independent, so engine/
+    partitioning summation order can never flip the 2dp rounding (see
+    queries/tpch.py tpch_q9: observed flip at sf0.001). SQL twin:
+    round(sum(CAST(round((expr) * 100) AS BIGINT)) / 100.0, 2)."""
+    return F.round(F.sum(F.round(col * 100).cast("bigint")) / 100.0, 2)
+
+
 @query("agg_basic", oracle="""
     SELECT count(*) AS n_rows,
-           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(CAST(round((l_quantity) * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            min(l_extendedprice) AS min_price,
            max(l_extendedprice) AS max_price
@@ -238,7 +246,7 @@ def agg_basic(spark, sf_dir):
     le = T(spark, sf_dir, "lineitem")
     return le.agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        _cents_sum(F.col("l_quantity")).alias("sum_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"))
@@ -246,13 +254,13 @@ def agg_basic(spark, sf_dir):
 
 @query("agg_groupby", oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum(CAST(round((l_quantity) * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,
+           round(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS sum_disc_price,
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT)) / 100.0, 2) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
-           round(sum(l_extendedprice), 2) / count(*) AS avg_price,
-           round(sum(l_discount), 2) / count(*) AS avg_disc,
+           round(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) / 100.0, 2) / count(*) AS avg_price,
+           round(sum(CAST(round((l_discount) * 100) AS BIGINT)) / 100.0, 2) / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
@@ -266,19 +274,19 @@ def agg_groupby(spark, sf_dir):
     disc = le.l_extendedprice * (1 - le.l_discount)
     return (le.filter(le.l_shipdate <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
-                 F.round(F.sum(disc * (1 + le.l_tax)), 2).alias("sum_charge"),
+            .agg(_cents_sum(F.col("l_quantity")).alias("sum_qty"),
+                 _cents_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 _cents_sum(disc).alias("sum_disc_price"),
+                 _cents_sum(disc * (1 + le.l_tax)).alias("sum_charge"),
                  F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
                  # avg of exact-2dp values: snap the SUM to cents, then
                  # divide — both engines then hold bit-identical doubles,
                  # immune to the midpoint flake that round(avg(x), k)
                  # has when the true average lands on a k-dp boundary
                  # (avg_qty is exempt: integer quantities sum exactly).
-                 (F.round(F.sum("l_extendedprice"), 2) / F.count("*"))
+                 (_cents_sum(F.col("l_extendedprice")) / F.count("*"))
                  .alias("avg_price"),
-                 (F.round(F.sum("l_discount"), 2) / F.count("*"))
+                 (_cents_sum(F.col("l_discount")) / F.count("*"))
                  .alias("avg_disc"),
                  F.count("*").alias("count_order")))
 
@@ -311,7 +319,8 @@ def agg_having(spark, sf_dir):
 @query("agg_filter", oracle="""
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_quantity > 25) AS n_big,
-           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS sum_hidisc
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     FILTER (WHERE l_discount > 0.05) / 100.0, 2) AS sum_hidisc
     FROM lineitem GROUP BY l_returnflag
 """)
 def agg_filter(spark, sf_dir):
@@ -319,7 +328,9 @@ def agg_filter(spark, sf_dir):
     le = T(spark, sf_dir, "lineitem")
     return (le.groupBy("l_returnflag")
             .agg(F.count(F.when(le.l_quantity > 25, 1)).alias("n_big"),
-                 F.round(F.sum(F.when(le.l_discount > 0.05, le.l_extendedprice)), 2)
+                 F.round(F.sum(F.when(le.l_discount > 0.05,
+                                      F.round(le.l_extendedprice * 100)
+                                      .cast("bigint"))) / 100.0, 2)
                   .alias("sum_hidisc")))
 
 

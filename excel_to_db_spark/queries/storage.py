@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as Ty
 
 from .registry import query
-from .relational import T
+from .relational import T, _cents_sum
 
 
 def write_bucketed(df: DataFrame, name: str, key: str, buckets: int = 8,
@@ -67,7 +67,7 @@ def bucketed_join_pair(spark: SparkSession, sf_dir: str, buckets: int = 8
 
 @query("join_bucketed", oracle="""
     SELECT c_mktsegment, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100.0, 2) AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
 """)
@@ -80,13 +80,13 @@ def join_bucketed(spark, sf_dir):
     return (bucketed_join_pair(spark, sf_dir)
             .groupBy("c_mktsegment")
             .agg(F.count("*").alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+                 _cents_sum(F.col("o_totalprice")).alias("revenue")))
 
 
 @query("orc_roundtrip", oracle="""
     SELECT l_returnflag, count(*) AS n,
-           round(sum(l_extendedprice), 2) AS sum_price,
-           round(sum(l_quantity), 2)      AS sum_qty
+           round(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) / 100.0, 2) AS sum_price,
+           round(sum(CAST(round((l_quantity) * 100) AS BIGINT)) / 100.0, 2) AS sum_qty
     FROM lineitem WHERE l_discount > 0.05
     GROUP BY l_returnflag
 """)
@@ -104,13 +104,13 @@ def orc_roundtrip(spark, sf_dir):
     back = spark.read.orc(out).filter(F.col("l_discount") > 0.05)
     return (back.groupBy("l_returnflag")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+                 _cents_sum(F.col("l_extendedprice")).alias("sum_price"),
+                 _cents_sum(F.col("l_quantity")).alias("sum_qty")))
 
 
 @query("excel_sink_partitioned", oracle="""
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(round(o_totalprice, 2)), 2) AS sum_price
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price
     FROM orders WHERE o_orderkey % 100 = 0
     GROUP BY o_orderstatus
 """)
@@ -141,7 +141,8 @@ def excel_sink_partitioned(spark, sf_dir):
             .option("path", out).load())
     return (back.groupBy("o_orderstatus")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("price"), 2).alias("sum_price")))
+                 F.round(F.sum(F.round(F.col("price") * 100).cast("bigint")) / 100.0, 2)
+                 .alias("sum_price")))
 
 
 @query("excel_roundtrip", oracle="""

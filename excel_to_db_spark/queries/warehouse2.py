@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .registry import query
-from .relational import T
+from .relational import T, _cents_sum
 
 
 # ------------------------------------------------------- market basket
@@ -128,7 +128,7 @@ def events_markov(spark, sf_dir):
 @query("ts_interpolate", oracle="""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
-               round(sum(o_totalprice), 2) AS rev
+               round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100.0, 2) AS rev
         FROM orders WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
     ),
@@ -174,7 +174,7 @@ def ts_interpolate(spark, sf_dir):
     o = T(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT")
     daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
-             .agg(F.round(F.sum("o_totalprice"), 2).alias("rev")))
+             .agg(_cents_sum(F.col("o_totalprice")).alias("rev")))
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi")).alias("day"))
@@ -206,7 +206,7 @@ def ts_interpolate(spark, sf_dir):
 @query("pareto_share", oracle="""
     WITH sup AS (
         SELECT l_suppkey AS s_suppkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue
         FROM lineitem GROUP BY 1
     )
     SELECT s_suppkey, revenue,
@@ -234,7 +234,7 @@ def pareto_share(spark, sf_dir):
     engines accumulate identical sequences."""
     le = T(spark, sf_dir, "lineitem")
     sup = (le.groupBy(F.col("l_suppkey").alias("s_suppkey"))
-           .agg(F.round(F.sum(le.l_extendedprice * (1 - le.l_discount)), 2)
+           .agg(_cents_sum(le.l_extendedprice * (1 - le.l_discount))
                 .alias("revenue")))
     wcum = (W.orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
             .rowsBetween(W.unboundedPreceding, W.currentRow))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .registry import query
-from .relational import T
+from .relational import T, _cents_sum
 from ..streaming import session_agg
 
 
@@ -23,7 +23,7 @@ from ..streaming import session_agg
     WITH monthly AS (
         SELECT c_mktsegment AS segment,
                CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-               round(sum(o_totalprice), 2) AS revenue
+               round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100.0, 2) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1, 2
     )
@@ -47,7 +47,7 @@ def mom_growth(spark, sf_dir):
     monthly = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
                .groupBy(F.col("c_mktsegment").alias("segment"),
                         F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"))
-               .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+               .agg(_cents_sum(F.col("o_totalprice")).alias("revenue")))
     w = W.partitionBy("segment").orderBy("month")
     prev = F.lag("revenue").over(w)
     return monthly.select(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .registry import query
-from .relational import T
+from .relational import T, _cents_sum
 from .operational import cdc_merge_upsert
 
 
@@ -232,7 +232,7 @@ def keyset_pagination(spark, sf_dir):
     WITH rev AS (
         SELECT l_suppkey AS s_suppkey,
                CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-05-01'
           AND l_shipdate <  TIMESTAMP '1995-07-01'
@@ -269,7 +269,7 @@ def rank_movement(spark, sf_dir):
            .groupBy(F.col("l_suppkey").alias("s_suppkey"),
                     F.to_date(F.date_trunc("month", "l_shipdate"))
                      .alias("month"))
-           .agg(F.round(F.sum(le.l_extendedprice * (1 - le.l_discount)), 2)
+           .agg(_cents_sum(le.l_extendedprice * (1 - le.l_discount))
                 .alias("revenue")))
     wr = W.partitionBy("month").orderBy(
         F.col("revenue").desc(), F.col("s_suppkey").asc())
@@ -295,7 +295,7 @@ def rank_movement(spark, sf_dir):
            CAST(GROUPING(yr) + GROUPING(qtr) + GROUPING(mon) AS INTEGER)
                AS lvl,
            count(*) AS n,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0, 2) AS revenue
     FROM (
         SELECT year(l_shipdate) AS yr, quarter(l_shipdate) AS qtr,
                month(l_shipdate) AS mon,
@@ -326,8 +326,8 @@ def time_rollup(spark, sf_dir):
                     "l_extendedprice", "l_discount"))
     return (base.rollup("yr", "qtr", "mon")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
+                 _cents_sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
                   .alias("revenue"),
                  (F.grouping("yr") + F.grouping("qtr") + F.grouping("mon"))
                  .cast("int").alias("lvl"))

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .registry import query
-from .relational import T
+from .relational import T, _cents_sum
 
 
 # ------------------------------------------------- re-aggregation
@@ -21,13 +21,13 @@ from .relational import T
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
                count(*) AS n,
-               sum(o_totalprice) AS s
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
         FROM orders GROUP BY 1
     )
     SELECT CAST(date_trunc('month', day) AS DATE) AS month,
            CAST(sum(n) AS BIGINT) AS n_orders,
-           round(sum(s), 2) AS revenue,
-           round(round(sum(s), 2) / sum(n) * 10000) / 10000.0 AS avg_price
+           round(sum(s) / 100.0, 2) AS revenue,
+           round(sum(s) / 100.0 / sum(n) * 10000) / 10000.0 AS avg_price
     FROM daily GROUP BY 1
 """)
 def agg_reaggregation(spark, sf_dir):
@@ -44,12 +44,14 @@ def agg_reaggregation(spark, sf_dir):
     edge) so the recomposed metrics equal a direct fact aggregation."""
     o = T(spark, sf_dir, "orders")
     daily = (o.groupBy(F.to_date("o_orderdate").alias("day"))
-             .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s")))
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).alias("s")))
     return (daily.groupBy(F.to_date(F.date_trunc("month", "day"))
                           .alias("month"))
             .agg(F.sum("n").cast("bigint").alias("n_orders"),
-                 F.round(F.sum("s"), 2).alias("revenue"),
-                 (F.round(F.round(F.sum("s"), 2) / F.sum("n") * 10000)
+                 F.round(F.sum("s") / 100.0, 2).alias("revenue"),
+                 (F.round(F.sum("s") / 100.0 / F.sum("n") * 10000)
                   / F.lit(10000.0)).alias("avg_price")))
 
 
@@ -72,7 +74,7 @@ def agg_reaggregation(spark, sf_dir):
     SELECT c_mktsegment AS segment,
            CAST(ver AS INTEGER) AS ver,
            count(*) AS n_orders,
-           round(sum(acctbal), 2) AS sum_balance_at_order
+           round(sum(CAST(round((acctbal) * 100) AS BIGINT)) / 100.0, 2) AS sum_balance_at_order
     FROM orders
     JOIN dim ON o_custkey = c_custkey
             AND o_orderdate >= valid_from AND o_orderdate < valid_to
@@ -109,7 +111,7 @@ def join_scd2(spark, sf_dir):
             .groupBy(F.col("c_mktsegment").alias("segment"),
                      F.col("ver").cast("int").alias("ver"))
             .agg(F.count("*").alias("n_orders"),
-                 F.round(F.sum("acctbal"), 2).alias("sum_balance_at_order")))
+                 _cents_sum(F.col("acctbal")).alias("sum_balance_at_order")))
 
 
 # -------------------------------------------- cumulative distinct
