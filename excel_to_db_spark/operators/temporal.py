@@ -44,6 +44,61 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     return carried.filter(F.col("_tag") == 1).drop("_tag")
 
 
+def asof_join_forward(left: DataFrame, right: DataFrame, on: str, ts: str,
+                      right_ts_alias: str = "asof_fwd_ts") -> DataFrame:
+    """Forward as-of: for every left row, min right.ts >= left.ts within
+    the key (NULL when no later right row). Mirror of `asof_join`: same
+    union, but left rows sort BEFORE right rows at equal ts (tag desc)
+    and the window looks forward — an equal-ts right row still matches
+    (inclusive >=). Still ONE shuffle on the key."""
+    lt = left.withColumn("_tag", F.lit(1))
+    rt = (right.select(on, ts).withColumn("_tag", F.lit(0))
+          .select(*[F.lit(None).cast(t).alias(c) if c not in (on, ts, "_tag")
+                    else F.col(c)
+                    for c, t in lt.dtypes]))
+    u = lt.unionByName(rt)
+    w = (Window.partitionBy(on).orderBy(F.col(ts).asc(), F.col("_tag").desc())
+         .rowsBetween(0, Window.unboundedFollowing))
+    carried = u.withColumn(
+        right_ts_alias,
+        F.first(F.when(F.col("_tag") == 0, F.col(ts)), ignorenulls=True).over(w))
+    return carried.filter(F.col("_tag") == 1).drop("_tag")
+
+
+def asof_join_nearest(left: DataFrame, right: DataFrame, on: str, ts: str,
+                      back_alias: str = "back_ts",
+                      fwd_alias: str = "fwd_ts",
+                      nearest_alias: str = "nearest_ts") -> DataFrame:
+    """Nearest as-of: both directions carried in ONE pass (one hash
+    exchange on the key; the two window sort orders re-sort without
+    re-shuffling), then the closer timestamp wins; exact integer
+    microsecond distances, ties to the backward match — the pandas
+    merge_asof(direction='nearest') contract."""
+    lt = left.withColumn("_tag", F.lit(1))
+    rt = (right.select(on, ts).withColumn("_tag", F.lit(0))
+          .select(*[F.lit(None).cast(t).alias(c) if c not in (on, ts, "_tag")
+                    else F.col(c)
+                    for c, t in lt.dtypes]))
+    u = lt.unionByName(rt)
+    right_ts = F.when(F.col("_tag") == 0, F.col(ts))
+    wb = (Window.partitionBy(on).orderBy(F.col(ts).asc(), F.col("_tag").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(on).orderBy(F.col(ts).asc(), F.col("_tag").desc())
+          .rowsBetween(0, Window.unboundedFollowing))
+    carried = (u.withColumn(back_alias,
+                            F.last(right_ts, ignorenulls=True).over(wb))
+               .withColumn(fwd_alias,
+                           F.first(right_ts, ignorenulls=True).over(wf)))
+    d_back = F.unix_micros(F.col(ts)) - F.unix_micros(F.col(back_alias))
+    d_fwd = F.unix_micros(F.col(fwd_alias)) - F.unix_micros(F.col(ts))
+    nearest = (F.when(F.col(back_alias).isNull(), F.col(fwd_alias))
+               .when(F.col(fwd_alias).isNull(), F.col(back_alias))
+               .when(d_back <= d_fwd, F.col(back_alias))
+               .otherwise(F.col(fwd_alias)))
+    return (carried.filter(F.col("_tag") == 1).drop("_tag")
+            .withColumn(nearest_alias, nearest))
+
+
 def range_join_binned(fact: DataFrame, value_col: str, bands: DataFrame,
                       width: float, how: str = "inner") -> DataFrame:
     """Join `fact.value_col` into uniform contiguous bands

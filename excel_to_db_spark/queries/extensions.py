@@ -634,6 +634,61 @@ def join_asof(spark, sf_dir):
             .select("event_id", "user_id", "ts", "asof_ts"))
 
 
+@query("join_asof_forward", oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT min(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts >= e.ts) AS asof_fwd_ts
+    FROM events e WHERE e.event_type = 'error'
+""")
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: every error event matched to the user's NEXT
+    click at or after it (the "time to next action" primitive). Same
+    union+window composition as `join_asof`, looking forward; the oracle
+    is the correlated-min statement of the semantics."""
+    from ..operators.temporal import asof_join_forward
+
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return (asof_join_forward(errors, clicks, on="user_id", ts="ts")
+            .select("event_id", "user_id", "ts", "asof_fwd_ts"))
+
+
+@query("join_asof_nearest", oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, ts,
+               (SELECT max(c.ts) FROM events c
+                WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                  AND c.ts <= e.ts) AS back_ts,
+               (SELECT min(c.ts) FROM events c
+                WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                  AND c.ts >= e.ts) AS fwd_ts
+        FROM events e WHERE event_type = 'error'
+    )
+    SELECT event_id, user_id, ts, back_ts, fwd_ts,
+           CASE WHEN back_ts IS NULL THEN fwd_ts
+                WHEN fwd_ts IS NULL THEN back_ts
+                WHEN epoch_us(ts) - epoch_us(back_ts)
+                     <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+                ELSE fwd_ts END AS nearest_ts
+    FROM e
+""")
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (pandas merge_asof direction='nearest'): each
+    error matched to the temporally closest click either side, exact
+    integer-microsecond distances, ties to the earlier click. One hash
+    exchange carries both direction windows (operators/temporal.py)."""
+    from ..operators.temporal import asof_join_nearest
+
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return (asof_join_nearest(errors, clicks, on="user_id", ts="ts")
+            .select("event_id", "user_id", "ts",
+                    "back_ts", "fwd_ts", "nearest_ts"))
+
+
 @query("join_range", oracle="""
     SELECT o.o_orderkey, o.o_totalprice, b.band_id
     FROM orders o JOIN (

@@ -66,3 +66,11 @@ def test_orc_roundtrip_pushes_filter_to_orc_scan(spark, registry):
     plan = _plan(registry["orc_roundtrip"].fn(spark, SF_DIR))
     assert "PushedFilters" in plan and "l_discount" in plan, \
         "discount predicate must reach the ORC scan (stripe skipping)"
+
+
+def test_asof_nearest_single_exchange(spark, registry):
+    """Both direction windows of the nearest as-of must share ONE hash
+    exchange on the key (re-sort without re-shuffle)."""
+    plan = _plan(registry["join_asof_nearest"].fn(spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning(user_id") == 1
