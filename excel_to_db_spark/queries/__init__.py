@@ -38,10 +38,10 @@ _PRIORITY: tuple[str, ...] = (
     "excel_scan", "load_rowcount", "display_format", "csv_export",
     "excel_datasource", "sink_parquet_partitioned",
     "sqlite_roundtrip", "csv_roundtrip", "jsonl_roundtrip",
-    # Structured Streaming family
+    # Structured Streaming family (incl. the Python source/sink pair)
     "stream_tumbling", "stream_session", "stream_hopping",
     "stream_dedup", "stream_join_static", "stream_stream_join",
-    "stream_stateful",
+    "stream_stateful", "stream_python_source", "stream_custom_sink",
     # Dedup flagships
     "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
     "dedup_embedding", "dedup_clusters",
@@ -54,17 +54,15 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_tokens",
     # Multimodal plumbing
     "multimodal_decode", "multimodal_frames", "multimodal_features",
-    # TPC-H sample (pricing scan, shipping-priority join, profit rollup,
-    # large-volume customer)
-    "tpch_q6", "tpch_q3", "tpch_q9", "tpch_q18",
-    # Event-time batch twins + event analytics
+    # TPC-H sample (pricing summary, shipping-priority join, profit
+    # rollup, large-volume customer)
+    "tpch_q1", "tpch_q3", "tpch_q9", "tpch_q18",
+    # Event-time batch twins
     "events_tumbling", "events_session", "events_hopping",
-    "events_latest_state", "events_funnel",
-    # Specialized joins
-    "join_asof", "join_range", "join_salted",
-    # Sketches + operational flagships
-    "approx_distinct", "approx_percentile",
-    "cdc_merge_upsert",
+    # Specialized joins + storage layout
+    "join_asof", "join_salted", "join_bucketed",
+    # Iterative ML + sketch + operational flagship
+    "kmeans_lloyd", "approx_distinct", "cdc_merge_upsert",
 )
 
 

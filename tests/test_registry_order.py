@@ -16,14 +16,17 @@ def test_priority_covers_flagship_families():
     for key in (
         # Tier A parity
         "excel_scan", "load_rowcount", "display_format", "csv_export",
-        # streaming
+        # streaming (incl. the custom Python source/sink pair)
         "stream_tumbling", "stream_session", "stream_hopping",
         "stream_dedup", "stream_join_static", "stream_stateful",
+        "stream_stream_join", "stream_python_source", "stream_custom_sink",
         # LLM-pipeline flagships
         "dedup_minhash", "similarity_ann", "similarity_ivf",
-        "pipeline_training_data",
+        "pipeline_training_data", "kmeans_lloyd",
+        # storage layout
+        "join_bucketed",
         # TPC-H sample
-        "tpch_q6", "tpch_q3", "tpch_q9", "tpch_q18",
+        "tpch_q1", "tpch_q3", "tpch_q9", "tpch_q18",
     ):
         assert key in head, key
 
