@@ -43,7 +43,11 @@ class EventsReplayStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("events_replay requires .option('path', ...)")
         self.batch_rows = int(options.get("batch_rows", 8192))
-        self.part_rows = int(options.get("part_rows", 4096))
+        # default partition size tracks the batch: the test-scale reader
+        # decodes the whole (single-row-group) file per partition, so
+        # partitions-per-batch is the multiplier to keep bounded
+        self.part_rows = int(options.get("part_rows",
+                                         max(4096, self.batch_rows // 4)))
         import pyarrow.parquet as pq
 
         # footer metadata only — no row data touched on the driver
@@ -66,17 +70,19 @@ class EventsReplayStreamReader(DataSourceStreamReader):
                [RangePartition(self.path, lo, hi)]
 
     def read(self, partition: RangePartition):
-        # Executor-side: materialize one row range. Testdata files are
-        # single-row-group, so the full-file read IS the row-group read;
-        # production ranges align to row groups and decode only theirs.
+        # Executor-side: materialize one row range and hand it to Spark
+        # as Arrow RecordBatches — zero per-row Python (the row-tuple
+        # protocol pickles every row; Arrow stays columnar end to end).
+        # Testdata files are single-row-group, so the full-file read IS
+        # the row-group read; production ranges align to row groups and
+        # decode only theirs.
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.path)
-        chunk = table.slice(partition.start, partition.end - partition.start)
-        cols = [chunk.column(name).to_pylist()
-                for name in ("event_id", "ts", "user_id",
-                             "event_type", "value", "props")]
-        yield from zip(*cols)
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        table = pq.read_table(partition.path, columns=cols)
+        chunk = table.select(cols).slice(partition.start,
+                                         partition.end - partition.start)
+        yield from chunk.to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets are positional; nothing to acknowledge upstream
@@ -94,7 +100,7 @@ class EventsReplayDataSource(DataSource):
         return EventsReplayStreamReader(self.options)
 
 
-def run_replay_source_agg(spark, sf_dir: str, batch_rows: int = 8192,
+def run_replay_source_agg(spark, sf_dir: str, batch_rows: int | None = None,
                           timeout_s: float = 120.0):
     """Aggregate the replayed events stream per event_type and return
     the drained result: register the source, run with a fast
@@ -105,8 +111,15 @@ def run_replay_source_agg(spark, sf_dir: str, batch_rows: int = 8192,
     import time as _t
     import uuid
 
+    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    if batch_rows is None:
+        # scale the micro-batch so replay stays ~4 batches at any SF:
+        # still exercises incrementality, but the per-partition slice
+        # cost doesn't multiply with input size
+        batch_rows = max(8192, -(-total // 4))
     spark.dataSource.register(EventsReplayDataSource)
     name = f"pysrc_{uuid.uuid4().hex[:8]}"
     stream = (spark.readStream.format("events_replay")
@@ -120,9 +133,6 @@ def run_replay_source_agg(spark, sf_dir: str, batch_rows: int = 8192,
          .format("memory").queryName(name)
          .trigger(processingTime="0 seconds")
          .start())
-    import pyarrow.parquet as pq
-
-    total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     t0 = _t.time()
     try:
         while _t.time() - t0 < timeout_s:
