@@ -208,18 +208,30 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float, n_hashes: int = 64,
             .filter(F.col("jaccard") >= threshold))
 
 
-def simhash64(text: Column, keyset=norm_tokens) -> Column:
-    """64-bit SimHash of the token set: bit i of the fingerprint is the
-    sign of sum over tokens of (2*bit_i(xxhash64(token)) - 1). Computed
-    entirely with higher-order array functions (no explode, no shuffle)."""
-    toks = keyset(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def hash_bits64(token: Column) -> Column:
+    """Per-token 64-bit hash as a 64-char '0'/'1' string, MSB first (bit
+    i = char 64-i): the first 16 hex chars of md5 via conv(hex,16,2).
+    md5 (unlike xxhash64) exists in every engine, which makes the whole
+    simhash pipeline SQL-expressible — the DuckDB oracle recomputes
+    identical fingerprints (queries/extensions.py dedup_simhash), and
+    tools/simhash_oracle.py is the independent hashlib witness."""
+    return F.lpad(F.conv(F.substring(F.md5(token), 1, 16), 16, 2), 64, "0")
 
+
+def simhash_from_bits(hashes: Column) -> Column:
+    """Fold an array of hash_bits64 strings into the signed-bigint SimHash
+    fingerprint: bit i = sign of the sum over tokens of +-1 votes.
+
+    Keep `hashes` a MATERIALIZED column (not an inline expression): the
+    64 bit-vote aggregates each embed a copy of their input, and
+    CollapseProject leaves an expensive multiply-referenced alias in its
+    own projection — one md5 pass per row instead of 64 (measured 8x)."""
     def bit_vote(i: int) -> Column:
         # sum over token hashes of +-1 for bit i; the merge lambda must be
         # exactly 2-arg (acc, element) for pyspark's higher-order aggregate.
         def step(acc: Column, h: Column) -> Column:
-            return acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+            return acc + F.when(F.substring(h, 64 - i, 1) == "1",
+                                F.lit(1)).otherwise(F.lit(-1))
 
         return F.aggregate(hashes, F.lit(0), step)
 
@@ -232,6 +244,14 @@ def simhash64(text: Column, keyset=norm_tokens) -> Column:
     return out
 
 
+def simhash64(text: Column, keyset=norm_tokens) -> Column:
+    """Single-expression 64-bit SimHash of the token set (see
+    hash_bits64/simhash_from_bits; prefer the two-stage form in plans —
+    this inline form recomputes the hash array per bit vote)."""
+    return simhash_from_bits(F.transform(keyset(text),
+                                         lambda t: hash_bits64(t)))
+
+
 def simhash_pairs(df: DataFrame, max_hamming: int = 8,
                   text_col: str = "text", id_col: str = "doc_id",
                   n_blocks: int = 4, keyset=norm_tokens) -> DataFrame:
@@ -242,11 +262,43 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8,
 
     Output is a candidate list (d1, d2, hamming). SimHash approximates
     COSINE similarity of the token vectors, so there is no exact-Jaccard
-    oracle for the candidate set — the driver records a rows-only check
-    (SURVEY.md §2.C)."""
+    oracle — but the md5-based hash makes the pipeline itself
+    SQL-expressible, so the DuckDB twin recomputes the exact candidate
+    set (queries/extensions.py dedup_simhash)."""
     bits_per = 64 // n_blocks
-    fp = df.select(F.col(id_col).alias("did"),
-                   simhash64(F.col(text_col), keyset).alias("sh"))
+    # Explode + 64 partial-agg vote sums (the minhash shape): one shuffle
+    # carrying a 64-wide row per doc per partition. The single-expression
+    # HOF form (simhash64) is semantically identical but its 64 nested
+    # array-aggregates cost ~15s of analysis/codegen alone — the explode
+    # form plans in well under a second and map-side combines at scale.
+    # explode_outer keeps empty-shingle docs (fingerprint 0), matching
+    # the HOF form and both oracles.
+    toks = df.select(F.col(id_col).alias("did"),
+                     F.explode_outer(keyset(F.col(text_col))).alias("tok"))
+    # Two 32-bit halves of the md5-derived hash as bigints: integer
+    # shiftright/AND per vote beats per-bit string substring ~2x.
+    base = toks.select(
+        "did",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+         .cast("bigint").alias("hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10)
+         .cast("bigint").alias("lo"))
+
+    def _vote(i: int):
+        src = F.col("lo") if i < 32 else F.col("hi")
+        return F.sum(F.when(src.isNull(), 0).otherwise(
+            F.shiftright(src, i % 32).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{i}")
+
+    votes = base.groupBy("did").agg(*[_vote(i) for i in range(64)])
+    weight = [F.when(F.col(f"v{i}") > 0,
+                     F.lit(1).cast("bigint") * (2 ** i if i < 63
+                                                else -(2 ** 63)))
+               .otherwise(F.lit(0)) for i in range(64)]
+    sh = weight[0]
+    for w in weight[1:]:
+        sh = sh + w
+    fp = votes.select("did", sh.alias("sh"))
     chunks = fp.select(
         "did", "sh",
         F.explode(F.array(*[

@@ -213,7 +213,7 @@ def graph_pagerank3(spark, sf_dir):
 _HOPPING_ORACLE = """
     SELECT ws AS win_start, ws + INTERVAL '10 minutes' AS win_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM (
         SELECT value,
                unnest([time_bucket(INTERVAL '5 minutes', ts),

@@ -94,17 +94,60 @@ def dedup_minhash(spark, sf_dir):
     return m.select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("dedup_simhash")  # no SQL twin (DuckDB lacks xxhash64) — but NOT
-# unchecked: tools/check.py compares value-for-value against the
-# independent pure-Python reimplementation in tools/simhash_oracle.py
-# (spec XXH64 + same shingle/vote/blocking semantics), and
-# tests/test_simhash_oracle.py pins fingerprint + candidate-set parity.
+# The md5-based simhash is SQL-expressible: both engines parse the first
+# 16 hex chars of md5(shingle) into a zero-padded 64-bit binary string
+# and take majority votes per bit. The oracle rebuilds the fingerprint as
+# that same binary STRING (bit i = char 64-i), blocks on 16-char chunks
+# (chunk c = substr(f, 49-16c, 16) — the same bit subsets as Spark's
+# shiftrightunsigned blocking), and filters by string hamming().
+_SIMHASH_BITS = "||".join(
+    "(CASE WHEN coalesce(list_sum(list_transform(hs, b -> "
+    f"CASE WHEN substr(b, {64 - i}, 1) = '1' THEN 1 ELSE -1 END)), 0) > 0 "
+    "THEN '1' ELSE '0' END)"
+    for i in range(63, -1, -1)
+)
+
+@query("dedup_simhash", oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 3 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(tk) - 2),
+                       i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+               ELSE []::VARCHAR[] END AS s
+        FROM toks
+    ),
+    hv AS (
+        SELECT doc_id, list_transform(s, x ->
+                   lpad(bin(('0x' || substr(md5(x), 1, 16))::UBIGINT),
+                        64, '0')) AS hs
+        FROM sh
+    ),
+    fp AS (SELECT doc_id, {_SIMHASH_BITS} AS f FROM hv),
+    chunks AS (
+        SELECT doc_id, f, c, substr(f, 49 - 16 * c, 16) AS ck
+        FROM fp, (SELECT unnest([0, 1, 2, 3]) AS c)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+               hamming(x.f, y.f) AS hamming
+        FROM chunks x JOIN chunks y
+          ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id
+    )
+    SELECT d1, d2, CAST(hamming AS INT) AS hamming
+    FROM cand WHERE hamming <= 3
+""")
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates (hamming <= 3 over 64-bit fingerprints
-    of the shingle set, pigeonhole-blocked into 4 chunks). Candidate
-    semantics are hash-function-specific (xxhash64), so the SQL driver
-    records rows-only — the full deterministic contract is enforced by
-    the Python oracle instead. Shingle keysets for the same reason as
+    of the shingle set, pigeonhole-blocked into 4 chunks). The hash is
+    the first 64 bits of md5 — available in Spark AND DuckDB — so the
+    oracle recomputes the exact candidate set in SQL; a second,
+    independent pure-Python witness (tools/simhash_oracle.py, hashlib)
+    verifies the fingerprints bit-for-bit in tools/check.py and
+    tests/test_simhash_oracle.py. Shingle keysets for the same reason as
     dedup_jaccard: token-set bits saturate on a 30-word vocabulary."""
     return D.simhash_pairs(T(spark, sf_dir, "documents"), max_hamming=3,
                            keyset=D.shingles)
@@ -349,7 +392,7 @@ _TUMBLING_ORACLE = """
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
            time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS win_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM events GROUP BY 1, 2
 """
 
@@ -380,7 +423,7 @@ _SESSION_ORACLE = """
            min(ts) AS sess_start,
            max(ts) + INTERVAL '5 minutes' AS sess_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM s GROUP BY user_id, sid
 """
 
@@ -508,7 +551,7 @@ def stream_dedup(spark, sf_dir):
 @query("events_hopping", oracle="""
     SELECT ws AS win_start, ws + INTERVAL '10 minutes' AS win_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM (
         SELECT value,
                unnest([time_bucket(INTERVAL '5 minutes', ts),
@@ -571,7 +614,7 @@ def dedup_clusters(spark, sf_dir):
 
 
 @query("stream_stateful", oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    SELECT user_id, count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM events GROUP BY user_id
 """)
 def stream_stateful(spark, sf_dir):
@@ -586,30 +629,35 @@ def stream_stateful(spark, sf_dir):
 
 @query("multimodal_features", oracle="""
     SELECT doc_id,
-           [CAST(length(text) AS DOUBLE),
-            CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE),
-            CAST(length(text) - length(replace(replace(replace(replace(replace(
-                 text, 'a', ''), 'e', ''), 'i', ''), 'o', ''), 'u', ''))
-                 AS DOUBLE),
-            round(list_sum(list_transform(string_split(text, ''),
-                                          ch -> ascii(ch)))
-                  / length(text) / 255.0, 9)] AS feat
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+             AS n_spaces,
+           CAST(length(text) - length(replace(replace(replace(replace(replace(
+                text, 'a', ''), 'e', ''), 'i', ''), 'o', ''), 'u', ''))
+                AS DOUBLE) AS n_vowels,
+           round(list_sum(list_transform(string_split(text, ''),
+                                         ch -> ascii(ch)))
+                 / length(text) / 255.0, 9) AS ascii_density
     FROM documents
 """)
 def multimodal_features(spark, sf_dir):
     """Feature-extraction plumbing over binary payloads (mapInPandas,
     Arrow batches): fixed-width vector per payload. The deterministic
     byte-statistics featurizer keeps the whole pipeline value-checkable;
-    a model featurizer is a drop-in with the same schema/batch shape."""
+    a model featurizer is a drop-in with the same schema/batch shape.
+    Output is flattened to four scalar DOUBLE columns (the array form
+    stays internal — operators/multimodal.py:extract_features) so any
+    row-hashing harness can canonicalize the result."""
     d = M.with_payload(T(spark, sf_dir, "documents"))
     out = M.extract_features(d)
     # round the mean-byte feature so both engines' division order can't
     # flip the hash; the first three features are exact integers
     return out.select(
         "doc_id",
-        F.transform(F.col("feat"),
-                    lambda x, i: F.when(i == 3, F.round(x, 9)).otherwise(x))
-         .alias("feat"))
+        F.col("feat")[0].alias("n_chars"),
+        F.col("feat")[1].alias("n_spaces"),
+        F.col("feat")[2].alias("n_vowels"),
+        F.round(F.col("feat")[3], 9).alias("ascii_density"))
 
 
 @query("join_asof", oracle="""
@@ -715,7 +763,7 @@ def join_range(spark, sf_dir):
 @query("stream_join_static", oracle="""
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT)               AS n_events,
-           round(sum(value), 2)                   AS sum_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)                   AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
 """)
@@ -753,7 +801,7 @@ def stream_stream_join(spark, sf_dir):
 
 
 @query("stream_custom_sink", oracle="""
-    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    SELECT event_type, count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM events WHERE value > 5.0 GROUP BY event_type
 """)
 def stream_custom_sink(spark, sf_dir):
@@ -786,11 +834,12 @@ def stream_custom_sink(spark, sf_dir):
                           "event_id bigint, event_type string, value double")
     return (back.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("sum_value")))
+                 F.round(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                         / 100.0, 2).alias("sum_value")))
 
 
 @query("stream_python_source", oracle="""
-    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    SELECT event_type, count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM events GROUP BY event_type
 """)
 def stream_python_source(spark, sf_dir):

@@ -114,7 +114,9 @@ def excel_datasource(spark, sf_dir):
 
 
 @query("sink_parquet_partitioned", oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    SELECT event_type, count(*) AS n,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_value
     FROM events
     WHERE event_type IN ('click', 'purchase')
     GROUP BY event_type
@@ -139,4 +141,5 @@ def sink_parquet_partitioned(spark, sf_dir):
     return (back.filter(F.col("event_type").isin("click", "purchase"))
             .groupBy("event_type")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("value"), 2).alias("sum_value")))
+                 F.round(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                         / 100.0, 2).alias("sum_value")))

@@ -219,7 +219,7 @@ def embedding_centroids(spark, sf_dir):
     )
     SELECT vec_id, CAST(sum(qv) AS BIGINT) AS q_sum,
            min(qv) AS q_min, max(qv) AS q_max,
-           round(sum(err), 6) AS abs_err
+           round(sum(CAST(round(err * 1e9) AS BIGINT)) / 1e9, 6) AS abs_err
     FROM q GROUP BY vec_id
 """)
 def embedding_quantize(spark, sf_dir):
@@ -244,7 +244,8 @@ def embedding_quantize(spark, sf_dir):
             .groupBy("vec_id")
             .agg(F.sum("qv").cast("bigint").alias("q_sum"),
                  F.min("qv").alias("q_min"), F.max("qv").alias("q_max"),
-                 F.round(F.sum("err"), 6).alias("abs_err")))
+                 F.round(F.sum(F.round(F.col("err") * 1e9).cast("bigint"))
+                         / 1e9, 6).alias("abs_err")))
 
 
 @query("text_repetition", oracle="""
@@ -728,7 +729,8 @@ def _km_mean(src_a: str) -> str:
     a2 AS ({_km_assign('v', 'c1')}),
     c2 AS ({_km_mean('a2')}),
     af AS ({_km_assign('v', 'c2')})
-    SELECT cell AS cluster, count(*) AS n, round(sum(d2), 3) AS inertia
+    SELECT cell AS cluster, count(*) AS n,
+           round(sum(CAST(round(d2 * 1e6) AS BIGINT)) / 1e6, 3) AS inertia
     FROM af GROUP BY cell
 """)
 def kmeans_lloyd(spark, sf_dir):
@@ -748,4 +750,5 @@ def kmeans_lloyd(spark, sf_dir):
     final, _cents = S.lloyd_kmeans(e, init, iters=2)
     return (final.groupBy(F.col("cell").alias("cluster"))
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("d2"), 3).alias("inertia")))
+                 F.round(F.sum(F.round(F.col("d2") * 1e6).cast("bigint"))
+                         / 1e6, 3).alias("inertia")))

@@ -503,27 +503,30 @@ def distinct_rows(spark, sf_dir):
 @query("cte_query", oracle="""
     WITH cust_orders AS (
         SELECT o_custkey, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_spent
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spent_cents
         FROM orders GROUP BY o_custkey
     )
     SELECT c.c_mktsegment, count(*) AS n_cust,
-           round(avg(co.total_spent), 4) AS avg_spent
+           round(sum(co.spent_cents) / count(*) / 100.0, 4) AS avg_spent
     FROM customer c JOIN cust_orders co ON c.c_custkey = co.o_custkey
     GROUP BY c.c_mktsegment
 """)
 def cte_query(spark, sf_dir):
     """CTE + join-back, via the spark.sql passthrough (the rebuild's
-    analogue of reference src/main.rs:220)."""
+    analogue of reference src/main.rs:220). Money flows through the
+    pipeline as integer cents end to end (SURVEY §4.3): the per-customer
+    totals AND the segment average are exact until the final 4dp round,
+    so no summation order on either engine can flip the hash."""
     for t in ("orders", "customer"):
         T(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql("""
         WITH cust_orders AS (
             SELECT o_custkey, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_spent
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spent_cents
             FROM orders GROUP BY o_custkey
         )
         SELECT c.c_mktsegment, count(*) AS n_cust,
-               round(avg(co.total_spent), 4) AS avg_spent
+               round(sum(co.spent_cents) / count(*) / 100.0, 4) AS avg_spent
         FROM customer c JOIN cust_orders co ON c.c_custkey = co.o_custkey
         GROUP BY c.c_mktsegment
     """)

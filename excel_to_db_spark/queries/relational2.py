@@ -132,7 +132,7 @@ def agg_bool_bit(spark, sf_dir):
     daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
                count(*)                  AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1995-06-01'
           AND o_orderdate <  TIMESTAMP '1995-07-01'
@@ -157,7 +157,8 @@ def date_spine(spark, sf_dir):
                       & (F.col("o_orderdate") < "1995-07-01"))
              .groupBy(F.col("o_orderdate").cast("date").alias("day"))
              .agg(F.count("*").alias("n_orders"),
-                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+                  F.round(F.sum(F.round(F.col("o_totalprice") * 100)
+                                .cast("bigint")) / 100.0, 2).alias("revenue")))
     return (spine.join(daily, "day", "left")
             .select("day",
                     F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
@@ -285,7 +286,8 @@ def regexp_pack(spark, sf_dir):
                date_diff('day', CAST(max(o_orderdate) AS DATE),
                          DATE '2001-09-01')       AS recency_days,
                count(*)                            AS frequency,
-               round(sum(o_totalprice), 2)         AS monetary
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+                                                   AS monetary
         FROM orders GROUP BY o_custkey
     ),
     scored AS (
@@ -297,7 +299,8 @@ def regexp_pack(spark, sf_dir):
     )
     SELECT r, f, m,
            CAST(count(*) AS BIGINT)        AS n_customers,
-           round(sum(monetary), 2)         AS segment_value
+           round(sum(CAST(round(monetary * 100) AS BIGINT)) / 100.0, 2)
+                                           AS segment_value
     FROM scored GROUP BY r, f, m
 """)
 def customer_rfm(spark, sf_dir):
@@ -312,7 +315,8 @@ def customer_rfm(spark, sf_dir):
            .agg(F.datediff(F.lit("2001-09-01").cast("date"),
                            F.max("o_orderdate").cast("date")).alias("recency_days"),
                 F.count("*").alias("frequency"),
-                F.round(F.sum("o_totalprice"), 2).alias("monetary")))
+                F.round(F.sum(F.round(F.col("o_totalprice") * 100)
+                              .cast("bigint")) / 100.0, 2).alias("monetary")))
     scored = rfm.select(
         "*",
         F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r"),
@@ -322,7 +326,9 @@ def customer_rfm(spark, sf_dir):
                                        "o_custkey")).alias("m"))
     return (scored.groupBy("r", "f", "m")
             .agg(F.count("*").alias("n_customers"),
-                 F.round(F.sum("monetary"), 2).alias("segment_value")))
+                 F.round(F.sum(F.round(F.col("monetary") * 100)
+                               .cast("bigint")) / 100.0, 2)
+                 .alias("segment_value")))
 
 
 @query("set_bag_ops", oracle="""

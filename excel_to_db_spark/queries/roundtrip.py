@@ -101,7 +101,8 @@ def csv_roundtrip(spark, sf_dir):
 
 @query("jsonl_roundtrip", oracle="""
     SELECT event_type, count(*) AS n,
-           round(sum(value), 2) AS sum_value,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_value,
            sum(CAST(props ->> 'k' AS BIGINT)) AS sum_k
     FROM events GROUP BY event_type
 """)
@@ -111,7 +112,10 @@ def jsonl_roundtrip(spark, sf_dir):
     aggregate — including a field extracted from the nested JSON string
     column that crossed the hop as a string (write-side escaping must
     compose with the inner JSON). get_json_object is the streaming
-    JsonPath evaluator — no full from_json materialization for one key."""
+    JsonPath evaluator — no full from_json materialization for one key.
+    The double sum accumulates in integer cents (SURVEY §4.3) so the
+    result does not depend on partial-aggregation order — JSON renders
+    doubles shortest-round-trip, so cents survive the text hop exactly."""
     out = tempfile.mkdtemp(prefix="e2db_jsonrt_")
     (T(spark, sf_dir, "events")
      .select("event_id", "user_id", "event_type", "value", "props")
@@ -126,6 +130,8 @@ def jsonl_roundtrip(spark, sf_dir):
     back = spark.read.schema(schema).json(out)
     return (back.groupBy("event_type")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.round(F.sum(F.expr(
+                     "CAST(round(value * 100) AS BIGINT)")) / 100.0, 2)
+                 .alias("sum_value"),
                  F.sum(F.get_json_object("props", "$.k").cast("bigint"))
                  .alias("sum_k")))

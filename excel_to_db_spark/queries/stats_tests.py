@@ -83,8 +83,9 @@ def stats_welch_t(spark, sf_dir):
         FROM obs
     )
     SELECT CAST(count(*) AS BIGINT) AS n_cells,
-           round(sum(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
-                     / (row_tot * col_tot / CAST(n AS DOUBLE))), 4)
+           round(sum(CAST(round(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+                              / (row_tot * col_tot / CAST(n AS DOUBLE))
+                              * 1e8) AS BIGINT)) / 1e8, 4)
                AS chi2
     FROM tot
 """)
@@ -112,7 +113,8 @@ def stats_chi_square(spark, sf_dir):
            / F.col("n").cast("double"))
     return tot.agg(
         F.count("*").cast("bigint").alias("n_cells"),
-        F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 4).alias("chi2"))
+        F.round(F.sum(F.round(F.pow(F.col("o") - exp, 2) / exp * 1e8)
+                      .cast("bigint")) / 1e8, 4).alias("chi2"))
 
 
 @query("agg_regression", oracle="""

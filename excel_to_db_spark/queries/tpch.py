@@ -756,7 +756,8 @@ def tpch_q2(spark, sf_dir):
 @query("tpch_q11", oracle="""
     WITH value AS (
         SELECT l_partkey AS partkey,
-               sum(l_extendedprice * (1 - l_discount)) AS val
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS val_cents
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
@@ -764,9 +765,9 @@ def tpch_q2(spark, sf_dir):
         WHERE r_name = 'ASIA'
         GROUP BY 1
     )
-    SELECT partkey, round(val, 2) AS value
+    SELECT partkey, round(val_cents / 100.0, 2) AS value
     FROM value
-    WHERE val > (SELECT sum(val) * 0.001 FROM value)
+    WHERE val_cents > (SELECT sum(val_cents) * 0.001 FROM value)
     ORDER BY value DESC, partkey
 """)
 def tpch_q11(spark, sf_dir):
@@ -776,7 +777,11 @@ def tpch_q11(spark, sf_dir):
     filtered by a global-scalar-subquery threshold. The value relation
     aggregates once on partkey; the scalar total is a single-row
     broadcast cross join (no second scan of lineitem — Catalyst reuses
-    the aggregated exchange via AQE)."""
+    the aggregated exchange via AQE). Per-part values AND the global
+    threshold accumulate in integer cents (SURVEY §4.3): a part sitting
+    exactly on the 0.1% boundary gets the same verdict from both
+    engines because both compare the identical bigint against the
+    identical bigint*0.001 product."""
     le = T(spark, sf_dir, "lineitem")
     s = T(spark, sf_dir, "supplier")
     n = T(spark, sf_dir, "nation")
@@ -786,10 +791,12 @@ def tpch_q11(spark, sf_dir):
             .select("s_suppkey"))
     value = (le.join(F.broadcast(dims), le.l_suppkey == F.col("s_suppkey"))
              .groupBy(le.l_partkey.alias("partkey"))
-             .agg(F.sum(_revenue(le)).alias("val")))
-    threshold = value.agg((F.sum("val") * 0.001).alias("thr"))
-    return (value.join(F.broadcast(threshold), F.col("val") > F.col("thr"))
-            .select("partkey", F.round("val", 2).alias("value"))
+             .agg(F.sum(F.round(_revenue(le) * 100).cast("bigint"))
+                  .alias("val_cents")))
+    threshold = value.agg((F.sum("val_cents") * 0.001).alias("thr"))
+    return (value.join(F.broadcast(threshold), F.col("val_cents") > F.col("thr"))
+            .select("partkey",
+                    F.round(F.col("val_cents") / 100.0, 2).alias("value"))
             .orderBy(F.col("value").desc(), "partkey"))
 
 

@@ -65,9 +65,15 @@ class EventsReplayStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[RangePartition]:
         lo, hi = start["row"], end["row"]
+        # Restart-from-checkpoint: a re-created reader starts with
+        # _pos = 0, but the engine replans from the COMMITTED offset log —
+        # adopt the engine's view so latestOffset() never runs behind the
+        # committed start again (which would invert ranges below).
+        self._pos = max(self._pos, lo, hi)
+        if hi <= lo:
+            return []  # empty batch (e.g. replanned no-op after restart)
         return [RangePartition(self.path, a, min(a + self.part_rows, hi))
-                for a in range(lo, hi, self.part_rows)] or \
-               [RangePartition(self.path, lo, hi)]
+                for a in range(lo, hi, self.part_rows)]
 
     def read(self, partition: RangePartition):
         # Executor-side: materialize one row range and hand it to Spark
@@ -128,7 +134,8 @@ def run_replay_source_agg(spark, sf_dir: str, batch_rows: int | None = None,
               .load())
     agg = (stream.groupBy("event_type")
            .agg(F.count("*").alias("n_events"),
-                F.round(F.sum("value"), 2).alias("sum_value")))
+                F.round(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                        / 100.0, 2).alias("sum_value")))
     q = (agg.writeStream.outputMode("complete")
          .format("memory").queryName(name)
          .trigger(processingTime="0 seconds")

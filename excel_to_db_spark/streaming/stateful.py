@@ -26,22 +26,24 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from .windows import events_stream_reader
 
 OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
-STATE_SCHEMA = "n bigint, s double"
+STATE_SCHEMA = "n bigint, s bigint"
 
 
 def _update_user_totals(key: tuple, pdfs: Iterator[pd.DataFrame],
                         state: GroupState) -> Iterable[pd.DataFrame]:
-    """Per-user running totals: state = (event count, value sum); emits
-    the updated totals once per micro-batch the key appears in."""
+    """Per-user running totals: state = (event count, value sum in
+    integer CENTS — SURVEY §4.3: exact accumulation means the emitted
+    2dp total never depends on batch/arrival order); emits the updated
+    totals once per micro-batch the key appears in."""
     (user_id,) = key
-    n, s = state.get if state.exists else (0, 0.0)
+    n, s = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
+        s += int((pdf["value"] * 100).round().astype("int64").sum())
     state.update((n, s))
     yield pd.DataFrame({"user_id": [user_id],
                         "n_events": [n],
-                        "sum_value": [round(s, 2)]})
+                        "sum_value": [round(s / 100.0, 2)]})
 
 
 def stateful_user_totals(events: DataFrame) -> DataFrame:

@@ -25,13 +25,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _cents_sum(col) -> F.Column:
+    """sum(value) accumulated in integer cents (SURVEY §4.3): the 2dp
+    money result can never depend on partial-aggregation order, batch or
+    micro-batch. Oracle twin:
+    round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)."""
+    return F.round(F.sum(F.round(col * 100).cast("bigint")) / 100.0, 2)
+
+
 def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     """Tumbling event-time windows: count + sum(value) per window.
     Batch and streaming share this exact plan fragment."""
     return (events
             .groupBy(F.window("ts", width).alias("win"))
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("sum_value"))
+                 _cents_sum(F.col("value")).alias("sum_value"))
             .select(F.col("win.start").alias("win_start"),
                     F.col("win.end").alias("win_end"),
                     "n_events", "sum_value"))
@@ -45,7 +53,7 @@ def hopping_agg(events: DataFrame, width: str = "10 minutes",
     return (events
             .groupBy(F.window("ts", width, slide).alias("win"))
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("sum_value"))
+                 _cents_sum(F.col("value")).alias("sum_value"))
             .select(F.col("win.start").alias("win_start"),
                     F.col("win.end").alias("win_end"),
                     "n_events", "sum_value"))
@@ -58,7 +66,7 @@ def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     return (events
             .groupBy("user_id", F.session_window("ts", gap).alias("sess"))
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("sum_value"))
+                 _cents_sum(F.col("value")).alias("sum_value"))
             .select("user_id",
                     F.col("sess.start").alias("sess_start"),
                     F.col("sess.end").alias("sess_end"),
@@ -245,7 +253,7 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str,
                          stream.user_id == customers.c_custkey, "inner")
     agg = (joined.groupBy("c_mktsegment")
            .agg(F.count("*").alias("n_events"),
-                F.round(F.sum("value"), 2).alias("sum_value")))
+                _cents_sum(F.col("value")).alias("sum_value")))
     q = (agg.writeStream.outputMode("complete")
          .format("memory").queryName(name)
          .trigger(availableNow=True)

@@ -1,6 +1,7 @@
 """dedup_simhash's independent Python oracle (tools/simhash_oracle.py):
-XXH64 parity with Spark's xxhash64, and full candidate-set equality —
-the deterministic contract that replaced the weak rows-only check."""
+md5-derived 64-bit hash parity with Spark's conv(md5) expression, and
+full candidate-set equality — the deterministic second witness alongside
+the DuckDB SQL oracle."""
 
 from __future__ import annotations
 
@@ -12,7 +13,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo/tools")
 
-from simhash_oracle import expected_pairs, simhash64_py, xxh64  # noqa: E402
+from simhash_oracle import expected_pairs, h64, simhash64_py  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
@@ -22,10 +23,17 @@ SF = "/root/testdata/sf0.001"
     "the quick brown fox jumps over the lazy dog",
     "x" * 31, "y" * 32, "z" * 100, "unicode: café ☃",
 ])
-def test_xxh64_matches_spark(spark, s):
-    [(h,)] = (spark.createDataFrame([(s,)], ["s"])
-              .select(F.xxhash64("s")).collect())
-    assert xxh64(s.encode("utf-8")) == h & ((1 << 64) - 1)
+def test_h64_matches_spark_and_duckdb(spark, s):
+    # Spark: the same expression simhash64() applies per shingle.
+    [(b,)] = (spark.createDataFrame([(s,)], ["s"])
+              .select(F.lpad(F.conv(F.substring(F.md5("s"), 1, 16), 16, 2),
+                             64, "0")).collect())
+    assert int(b, 2) == h64(s)
+    # DuckDB: the oracle's parse of the same 16 hex chars.
+    [(u,)] = duckdb.sql(
+        "SELECT ('0x' || substr(md5(?), 1, 16))::UBIGINT", params=[s]
+    ).fetchall()
+    assert u == h64(s)
 
 
 def test_simhash_fingerprint_matches_spark(spark):
