@@ -28,9 +28,15 @@ Function-call translations (paren-aware, nested args supported):
 - ``strftime(fmt, t[, mods…])`` -> ``date_format`` via a %-directive map
 - date modifiers ``'±N day/month/year/hour/minute/second'`` ->
   ``+ INTERVAL``, ``'start of day/month/year'`` -> ``date_trunc``;
-  ``'now'`` -> ``current_timestamp()``. Untranslatable modifiers
-  (``'localtime'``, ``'weekday N'``) leave the whole call untouched so
-  Spark fails loudly rather than silently shifting values.
+  ``'now'`` -> ``current_timestamp()``; ``'weekday N'`` -> forward
+  day-shift to the next matching weekday (no-op when already matching,
+  exactly SQLite's rule). ``'localtime'``/``'utc'`` raise
+  :class:`SqliteCompatError` — the engine pins the session to UTC, so
+  "host local time" has no defined value here; a silent no-op would
+  diverge from a reference run on a non-UTC host (use
+  from_utc_timestamp()/to_utc_timestamp() explicitly instead). Other
+  unknown modifiers leave the whole call untouched so Spark fails
+  loudly rather than silently shifting values.
   Documented divergence: month-end overflow — SQLite *normalizes*
   (``'2024-01-31','+1 month'`` -> ``2024-03-02``, i.e. Feb 31 rolls
   forward) while Spark's INTERVAL *clamps* to the last day of the month
@@ -171,6 +177,13 @@ def _rewrite_calls(sql: str, fname: str,
 _MOD_STEP = re.compile(
     r"(?i)^([+-]?\d+(?:\.\d+)?)\s+(day|month|year|hour|minute|second)s?$")
 _MOD_START = re.compile(r"(?i)^start\s+of\s+(day|month|year)$")
+_MOD_WEEKDAY = re.compile(r"(?i)^weekday\s+([0-6])$")
+
+
+class SqliteCompatError(ValueError):
+    """A SQLite construct this dialect refuses to translate (rather than
+    silently changing its meaning). The message says why and what to use
+    instead."""
 
 
 def _strip_quotes(arg: str) -> str | None:
@@ -204,8 +217,21 @@ def _apply_modifiers(expr: str, mods: list[str]) -> str | None:
             expr = f"({expr} + INTERVAL '{n}' {unit})"
         elif m := _MOD_START.match(lit):
             expr = f"date_trunc('{m.group(1).upper()}', {expr})"
+        elif m := _MOD_WEEKDAY.match(lit):
+            # SQLite: advance forward to the next date whose weekday is N
+            # (0=Sunday..6=Saturday), time-of-day preserved, no change if
+            # already that weekday. Spark dayofweek() is 1=Sunday..7.
+            n = m.group(1)
+            expr = (f"({expr} + make_dt_interval("
+                    f"pmod({n} - (dayofweek({expr}) - 1), 7)))")
+        elif lit.lower() in ("localtime", "utc"):
+            raise SqliteCompatError(
+                f"SQLite date modifier '{lit}' is not supported: this "
+                f"engine pins the session timezone to UTC, so host-local "
+                f"time has no defined value here. Convert explicitly with "
+                f"from_utc_timestamp(ts, '<zone>') / to_utc_timestamp().")
         else:
-            return None                    # 'localtime', 'weekday N', …
+            return None                    # unknown modifier: leave call
     return expr
 
 
@@ -222,7 +248,11 @@ def _xlat_strftime(args: list[str]) -> str | None:
     fmt = _strip_quotes(args[0])
     if fmt is None:
         return None
-    expr = _apply_modifiers(_time_expr(args[1], bool(args[2:])), args[2:])
+    # %s extracts an epoch: like unixepoch(), it always needs a TIMESTAMP
+    # cast — unix_timestamp('2024-01-15') alone is NULL (default parse
+    # format is 'yyyy-MM-dd HH:mm:ss') where SQLite returns the epoch.
+    need_ts = bool(args[2:]) or fmt == "%s"
+    expr = _apply_modifiers(_time_expr(args[1], need_ts), args[2:])
     if expr is None:
         return None
     if fmt == "%s":                        # epoch-seconds directive

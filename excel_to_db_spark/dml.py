@@ -38,7 +38,7 @@ _INSERT_RE = re.compile(
 _DELETE_RE = re.compile(
     rf"(?is)^\s*delete\s+from\s+({_IDENT})\s*(?:where\s+(.+?))?\s*$")
 _UPDATE_RE = re.compile(
-    rf"(?is)^\s*update\s+({_IDENT})\s+set\s+(.+?)(?:\s+where\s+(.+?))?\s*$")
+    rf"(?is)^\s*update\s+({_IDENT})\s+set\s+(.+?)\s*$")
 _CREATE_AS_RE = re.compile(
     rf"(?is)^\s*create\s+(?:or\s+replace\s+)?table\s+"
     rf"(if\s+not\s+exists\s+)?({_IDENT})\s+as\s+(select\b.+)$")
@@ -91,6 +91,38 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _find_top_level_kw(text: str, word: str) -> int:
+    """Index of the first occurrence of `word` (case-insensitive, word-
+    bounded) at paren depth 0 and outside single-quoted literals, or -1.
+    The same scanner state machine as _split_top_level — a WHERE inside
+    `SET note = 'a where b'` must not split the statement."""
+    depth, in_str = 0, False
+    low, n, wn = text.lower(), len(text), len(word)
+    i = 0
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and low.startswith(word, i) \
+                and (i == 0 or not (text[i - 1].isalnum()
+                                    or text[i - 1] == "_")) \
+                and (i + wn == n or not (text[i + wn].isalnum()
+                                         or text[i + wn] == "_")):
+            return i
+        i += 1
+    return -1
+
+
 def _view_exists(spark: SparkSession, name: str) -> bool:
     return any(t.name.lower() == name.lower()
                for t in spark.catalog.listTables())
@@ -118,6 +150,14 @@ def _insert(spark: SparkSession, name: str, col_list: str | None,
             raise ValueError(
                 f"INSERT column list has {len(names)} names but the "
                 f"source produces {len(src.columns)} columns")
+        # SQLite errors on unknown INSERT columns; silently NULL-filling
+        # a typo'd column list would corrupt instead of failing loudly.
+        known = {c.lower() for c in target.columns}
+        bad = [c for c in names if c.lower() not in known]
+        if bad:
+            raise ValueError(
+                f"INSERT: table {name} has no column(s) {bad} "
+                f"(columns: {target.columns})")
         src = src.toDF(*names)
     else:
         if len(src.columns) != len(target.columns):
@@ -131,8 +171,14 @@ def _insert(spark: SparkSession, name: str, col_list: str | None,
     return f"-- {n} row(s) inserted into {name}"
 
 
-def _update(spark: SparkSession, name: str, set_clause: str,
-            where: str | None) -> str:
+def _update(spark: SparkSession, name: str, tail: str) -> str:
+    # Locate the top-level WHERE with the literal/paren-aware scanner:
+    # a 'where' inside a string literal or function call is data.
+    w = _find_top_level_kw(tail, "where")
+    if w >= 0:
+        set_clause, where = tail[:w], tail[w + len("where"):].strip()
+    else:
+        set_clause, where = tail, None
     target = spark.table(name)
     dtypes = dict(target.dtypes)
     assigns: dict[str, str] = {}
@@ -216,7 +262,7 @@ def try_dml(spark: SparkSession, sql: str) -> str | None:
     if m := _INSERT_RE.match(sql):
         return _insert(spark, m.group(1), m.group(2), m.group(3))
     if m := _UPDATE_RE.match(sql):
-        return _update(spark, m.group(1), m.group(2), m.group(3))
+        return _update(spark, m.group(1), m.group(2))
     if m := _DELETE_RE.match(sql):
         return _delete(spark, m.group(1), m.group(2))
     if m := _CREATE_AS_RE.match(sql):

@@ -147,24 +147,41 @@ class XlsxCommitMessage(WriterCommitMessage):
 class XlsxWriter(DataSourceWriter):
     """Executor-parallel xlsx sink: each task writes one part-N.xlsx
     (header + its partition's rows) under the target directory with a
-    collision-free name; the driver-side commit writes a _SUCCESS
-    manifest naming exactly the committed parts. Readers honor the
-    manifest (_expand_paths), so a retried task's orphan file is
+    collision-free name; the driver-side commit atomically rewrites the
+    _SUCCESS manifest naming exactly the committed parts. Readers honor
+    the manifest (_expand_paths), so a retried task's orphan file is
     invisible — the same rename-free commit protocol cloud object
-    stores need. abort() deletes whatever the failed job wrote."""
+    stores need. Overwrite defers destruction to commit(): old parts
+    stay on disk AND in the manifest until the new ones are fully
+    written, so a failed overwrite job leaves the previous output
+    readable; the swap is the manifest replace, and old parts are
+    garbage-collected only afterwards. abort() deletes whatever the
+    failed job wrote."""
 
     def __init__(self, options: dict, schema, overwrite: bool):
         self.dir = options.get("path")
         if not self.dir:
             raise ValueError("xlsx sink requires .option('path', ...)")
         self.header = [f.name for f in schema.fields]
+        self.overwrite = overwrite
         os.makedirs(self.dir, exist_ok=True)
-        if overwrite:  # driver-side, before any task launches
-            for p in _glob.glob(os.path.join(self.dir, "*.xlsx")):
-                os.remove(p)
-            marker = os.path.join(self.dir, "_SUCCESS")
-            if os.path.exists(marker):
-                os.remove(marker)
+
+    def _committed(self) -> tuple[list[str], int]:
+        """Parts + row count named by the current manifest (empty when
+        absent/foreign). Pre-manifest loose *.xlsx files are treated as
+        committed data for append/GC purposes."""
+        import json
+
+        manifest = os.path.join(self.dir, "_SUCCESS")
+        if os.path.exists(manifest):
+            try:
+                doc = json.load(open(manifest))
+                parts = doc.get("parts")
+                if parts is not None:
+                    return list(parts), int(doc.get("rows", 0))
+            except (OSError, ValueError):
+                pass
+        return sorted(_glob.glob(os.path.join(self.dir, "*.xlsx"))), 0
 
     def write(self, iterator):
         import uuid
@@ -186,10 +203,25 @@ class XlsxWriter(DataSourceWriter):
     def commit(self, messages):
         import json
 
-        parts = sorted(m.path for m in messages if m and m.path)
+        new_parts = sorted(m.path for m in messages if m and m.path)
         total = sum(m.rows for m in messages if m)
-        with open(os.path.join(self.dir, "_SUCCESS"), "w") as fh:
+        old_parts, old_rows = self._committed()
+        if self.overwrite:
+            parts = new_parts
+        else:  # append: the manifest must keep naming prior commits
+            parts = sorted(set(old_parts) | set(new_parts))
+            total += old_rows
+        # Atomic swap: readers see either the old manifest or the new
+        # one, never a torn write.
+        manifest = os.path.join(self.dir, "_SUCCESS")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump({"parts": parts, "rows": total}, fh)
+        os.replace(tmp, manifest)
+        if self.overwrite:  # GC only after the new manifest is live
+            for p in set(old_parts) - set(new_parts):
+                if os.path.exists(p):
+                    os.remove(p)
 
     def abort(self, messages):
         for m in messages:

@@ -88,3 +88,106 @@ def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     # exactly-once over the source: run 2 ingested B's 2 rows, not A+B
     progress = q2.recentProgress
     assert sum(p["numInputRows"] for p in progress) == len(batch_b)
+
+
+def test_replay_source_restart_adopts_committed_offset(tmp_path):
+    """A re-created events_replay reader starts with _pos = 0 while the
+    engine replans from the committed offset log. partitions() must
+    adopt the engine's start (no inverted ranges / negative pyarrow
+    slices) and latestOffset() must never run behind it again."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from excel_to_db_spark.sources.replay_stream import \
+        EventsReplayStreamReader
+
+    path = str(tmp_path / "events.parquet")
+    n = 500
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "ts": pa.array([T0] * n, type=pa.timestamp("us")),
+        "user_id": pa.array([1] * n, type=pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n),
+    }), path)
+
+    # fresh reader, engine-committed offset already at row 300
+    r = EventsReplayStreamReader({"path": path, "batch_rows": "100"})
+    assert r.partitions({"row": 300}, {"row": 300}) == []  # no-op replan
+    off = r.latestOffset()
+    assert off["row"] >= 300  # adopted: never behind the committed start
+    parts = r.partitions({"row": 300}, off)
+    rows = [b.num_rows for p in parts for b in r.read(p)]
+    assert sum(rows) == off["row"] - 300
+
+    # unfinished-batch replan (start < end, both behind a stale _pos)
+    r2 = EventsReplayStreamReader({"path": path, "batch_rows": "100"})
+    parts = r2.partitions({"row": 100}, {"row": 200})
+    assert sum(b.num_rows for p in parts for b in r2.read(p)) == 100
+    assert r2.latestOffset()["row"] >= 200
+
+
+def test_replay_source_engine_restart(spark, tmp_path):
+    """Engine-level restart: drain the replay source under a checkpoint,
+    stop, start a NEW query from the same checkpoint — the re-created
+    reader must come up cleanly (pre-fix: crash or garbage ranges) and
+    add nothing on the already-drained input."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from excel_to_db_spark.sources.replay_stream import \
+        EventsReplayDataSource
+
+    sf = "/root/testdata/sf0.001"
+    spark.dataSource.register(EventsReplayDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    name = f"replay_restart_{uuid.uuid4().hex[:8]}"
+
+    def start(qname):
+        stream = (spark.readStream.format("events_replay")
+                  .option("path", f"{sf}/events.parquet")
+                  .option("batch_rows", "512").load())
+        return (stream.groupBy("event_type")
+                .agg(F.count("*").alias("n"))
+                .writeStream.outputMode("complete")
+                .format("memory").queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="0 seconds")
+                .start())
+
+    import pyarrow.parquet as pq
+    total = pq.ParquetFile(f"{sf}/events.parquet").metadata.num_rows
+
+    def drain(q):
+        import ast
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                end = p["sources"][0].get("endOffset") or {}
+                if isinstance(end, str):
+                    end = ast.literal_eval(end)
+                if end.get("row", 0) >= total:
+                    return
+            time.sleep(0.2)
+        raise TimeoutError("replay stream did not drain")
+
+    q1 = start(name)
+    drain(q1)
+    q1.stop()
+    q1.awaitTermination()
+    n1 = spark.table(name).agg(F.sum("n")).collect()[0][0]
+    assert n1 == total
+
+    q2 = start(name + "_b")
+    try:
+        # the restarted reader must replan the committed offset without
+        # crashing; give it a few micro-batch cycles
+        time.sleep(3.0)
+        assert q2.exception() is None
+    finally:
+        q2.stop()
+        q2.awaitTermination()

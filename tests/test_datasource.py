@@ -79,3 +79,47 @@ def test_xlsx_writer_commit_manifest_hides_orphans(spark, tmp_path):
              .schema("k bigint, s string, v double")
              .option("path", out).load())
     assert [tuple(r) for r in final.collect()] == [(1, "x", 1.0)]
+
+
+def test_xlsx_overwrite_is_atomic_and_append_merges(spark, tmp_path):
+    """A FAILED overwrite must leave the previously committed output
+    readable (old parts + manifest survive until the new commit), and
+    append must keep prior commits in the manifest."""
+    import glob
+    import json
+
+    from excel_to_db_spark.sources.datasource import (XlsxCommitMessage,
+                                                      XlsxWriter)
+
+    out = str(tmp_path / "sink")
+    schema = "k bigint, s string, v double"
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)],
+                               ["k", "s", "v"])
+    df.write.format("xlsx").mode("overwrite").option("path", out).save()
+
+    # simulate an overwrite job that dies between write() and commit():
+    # constructing the writer (driver-side) and aborting must not touch
+    # the committed output
+    w = XlsxWriter({"path": out}, df.schema, overwrite=True)
+    w.abort([XlsxCommitMessage(None, 0)])
+    back = (spark.read.format("xlsx").schema(schema)
+            .option("path", out).load())
+    assert back.count() == 2  # old data fully readable after failed job
+
+    # append merges with the existing manifest instead of replacing it
+    df2 = spark.createDataFrame([(3, "c", 3.0)], ["k", "s", "v"])
+    df2.write.format("xlsx").mode("append").option("path", out).save()
+    merged = (spark.read.format("xlsx").schema(schema)
+              .option("path", out).load())
+    assert sorted(r.k for r in merged.collect()) == [1, 2, 3]
+    doc = json.load(open(f"{out}/_SUCCESS"))
+    assert len(doc["parts"]) == len(glob.glob(f"{out}/*.xlsx"))
+    assert doc["rows"] == 3
+
+    # a real overwrite swaps: only the new part remains afterwards
+    df2.write.format("xlsx").mode("overwrite").option("path", out).save()
+    final = (spark.read.format("xlsx").schema(schema)
+             .option("path", out).load())
+    assert [tuple(r) for r in final.collect()] == [(3, "c", 3.0)]
+    doc = json.load(open(f"{out}/_SUCCESS"))
+    assert sorted(doc["parts"]) == sorted(glob.glob(f"{out}/*.xlsx"))

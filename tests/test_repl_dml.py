@@ -111,6 +111,40 @@ def test_create_table_columns_sqlite_types(spark):
     try_dml(spark, "DROP TABLE t_ddl")
 
 
+def test_update_literal_containing_where(spark, excel_rows):
+    # 'where' inside a string literal must not split the SET clause
+    msg = try_dml(spark, "UPDATE excel_rows "
+                         "SET service_name = 'a where b' "
+                         "WHERE count = 100")
+    assert "1 row(s) updated" in msg
+    vals = {r[0] for r in
+            spark.table("excel_rows").select("service_name").collect()}
+    assert vals == {"a where b", "svc_b"}
+
+
+def test_update_literal_where_no_real_where(spark, excel_rows):
+    msg = try_dml(spark,
+                  "UPDATE excel_rows SET service_name = 'x where y'")
+    assert "2 row(s) updated" in msg
+    vals = {r[0] for r in
+            spark.table("excel_rows").select("service_name").collect()}
+    assert vals == {"x where y"}
+
+
+def test_delete_literal_containing_where(spark, excel_rows):
+    msg = try_dml(spark, "DELETE FROM excel_rows "
+                         "WHERE service_name = 'no where match'")
+    assert "0 row(s) deleted" in msg
+    assert spark.table("excel_rows").count() == 2
+
+
+def test_insert_unknown_column_errors(spark, excel_rows):
+    # SQLite errors on unknown INSERT columns; so do we (no silent NULLs)
+    with pytest.raises(ValueError, match="no column"):
+        try_dml(spark, "INSERT INTO excel_rows (nosuchcol) VALUES (1)")
+    assert spark.table("excel_rows").count() == 2
+
+
 def test_non_dml_falls_through(spark):
     assert try_dml(spark, "SELECT 1 AS x") is None
     assert try_dml(spark, "WITH c AS (SELECT 1) SELECT * FROM c") is None

@@ -118,13 +118,41 @@ def test_month_end_overflow_documented_divergence(spark):
     assert _spark_rows(spark, sql) == [("2024-02-29",)]
 
 
-def test_untranslatable_modifier_left_untouched():
-    # 'localtime' depends on the host tz — must stay untouched so Spark
-    # fails loudly instead of silently shifting values.
-    sql = "SELECT datetime(ts, 'localtime') FROM t"
+def test_localtime_raises_targeted_error():
+    # 'localtime' depends on the host tz, which the UTC-pinned session
+    # deliberately has no access to — a loud, specific error beats both
+    # a silent no-op and Spark's generic undefined-function failure.
+    from excel_to_db_spark.compat.sqlite_dialect import SqliteCompatError
+
+    for sql in ("SELECT datetime(ts, 'localtime') FROM t",
+                "SELECT unixepoch(ts, 'utc') FROM t"):
+        with pytest.raises(SqliteCompatError, match="UTC"):
+            rewrite(sql)
+
+
+@pytest.mark.parametrize("expr", [
+    "date('2024-01-15', 'weekday 0')",   # Mon 15th -> next Sunday
+    "date('2024-01-15', 'weekday 1')",   # already Monday -> no change
+    "date('2024-01-15', 'weekday 6')",
+    "datetime('2024-01-15 10:20:30', 'weekday 3')",  # time preserved
+    "date('2024-01-15', '+1 day', 'weekday 2')",     # composes with steps
+])
+def test_weekday_modifier_matches_sqlite(spark, expr):
+    sql = f"SELECT {expr} AS v"
+    assert _spark_rows(spark, sql) == _sqlite_scalar(sql)
+
+
+def test_unknown_modifier_left_untouched():
+    sql = "SELECT date(d, 'subsec') FROM t"
     assert rewrite(sql) == sql
-    sql2 = "SELECT date(d, 'weekday 1') FROM t"
-    assert rewrite(sql2) == sql2
+
+
+def test_strftime_epoch_of_date_only_string(spark):
+    # %s with no modifiers used to skip the TIMESTAMP cast: date-only
+    # strings came back NULL in Spark while SQLite returned the epoch.
+    sql = "SELECT strftime('%s', '2024-01-15') AS e"
+    assert _spark_rows(spark, sql) == [
+        tuple(int(v) for v in r) for r in _sqlite_scalar(sql)]
 
 
 def test_now_and_bare_identifier_forms():
