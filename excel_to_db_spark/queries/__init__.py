@@ -28,41 +28,36 @@ from . import warehouse5  # noqa: E402,F401  Tier B/C: re-agg/SCD2/cumulative di
 from . import storage     # noqa: E402,F401  Storage layout: bucketed join, ORC/xlsx round trips
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
-# everything else only gets the local tools/check.py run. Front-load the
-# keys that prove the most: Tier A reference parity, the streaming family,
-# the LLM-pipeline flagships (dedup/similarity/text/multimodal), and a
-# TPC-H sample — the generic relational operators (already driver-green in
-# round 2) follow in their original registration order.
+# everything else only gets the local tools/check.py run. Round-4 window
+# (rotated per VERDICT r3 #4): the three keys whose contracts changed
+# this round (they need fresh driver rows), then ~47 keys that have
+# NEVER had a driver CORRECTNESS row — the remaining 18 TPC-H queries,
+# the scalar-function packs, and this round's cents-rule conversions.
+# Rounds 2/3 already drove the relational surface, streaming family, and
+# LLM-pipeline flagships green; they follow in registration order and
+# stay covered by the local gate.
 _PRIORITY: tuple[str, ...] = (
-    # Tier A — reference parity + sinks
-    "excel_scan", "load_rowcount", "display_format", "csv_export",
-    "excel_datasource", "sink_parquet_partitioned",
-    "sqlite_roundtrip", "csv_roundtrip", "jsonl_roundtrip",
-    # Structured Streaming family (incl. the Python source/sink pair)
-    "stream_tumbling", "stream_session", "stream_hopping",
-    "stream_dedup", "stream_join_static", "stream_stream_join",
-    "stream_stateful", "stream_python_source", "stream_custom_sink",
-    # Dedup flagships
-    "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
-    "dedup_embedding", "dedup_clusters",
-    # Similarity search
-    "similarity_topk", "similarity_ann", "similarity_ivf",
-    # Training-data pipeline composites
-    "pipeline_training_data", "pipeline_pack_sequences",
-    # Text analysis
-    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "text_bpe_tokens",
-    # Multimodal plumbing
-    "multimodal_decode", "multimodal_frames", "multimodal_features",
-    # TPC-H sample (pricing summary, shipping-priority join, profit
-    # rollup, large-volume customer)
-    "tpch_q1", "tpch_q3", "tpch_q9", "tpch_q18",
-    # Event-time batch twins
-    "events_tumbling", "events_session", "events_hopping",
-    # Specialized joins + storage layout
-    "join_asof", "join_salted", "join_bucketed",
-    # Iterative ML + sketch + operational flagship
-    "kmeans_lloyd", "approx_distinct", "cdc_merge_upsert",
+    # Changed this round — re-verify under the driver
+    "jsonl_roundtrip", "multimodal_features", "dedup_simhash",
+    # TPC-H remainder (q1/q3/q9/q18 were driver-green in r3)
+    "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20",
+    "tpch_q21", "tpch_q22",
+    # Scalar/aggregate function packs (SURVEY §2.B functions rows)
+    "str_funcs", "str_funcs2", "math_funcs", "date_funcs", "date_epoch",
+    "date_strftime_compat", "case_when", "cast_funcs", "arith_funcs",
+    "json_extract", "json_typed", "json_kv_explode", "array_funcs",
+    "filter_glob", "agg_groupconcat", "approx_percentile",
+    "window_ntile", "window_nth",
+    # UDF / UDTF rows
+    "udf_scalar", "udtf_chunks", "udtf_lateral",
+    # Cents-rule conversions this round with no prior driver row
+    "customer_rfm", "embedding_quantize", "stats_chi_square",
+    # As-of join variants (join_asof itself was driver-green in r3)
+    "join_asof_forward", "join_asof_nearest",
+    # Storage-layout round trips
+    "orc_roundtrip", "excel_sink_partitioned", "schema_evolution_read",
 )
 
 

@@ -11,22 +11,23 @@ def test_priority_window_is_exactly_the_first_50_keys():
     assert list(REGISTRY)[:50] == list(_PRIORITY)
 
 
-def test_priority_covers_flagship_families():
+def test_priority_covers_round4_rotation():
+    """Round-4 window: keys whose contracts changed this round plus
+    never-driver-checked keys (TPC-H remainder, function packs). The
+    r2/r3 flagships already hold driver-green rows and rotate out."""
     head = set(list(REGISTRY)[:50])
     for key in (
-        # Tier A parity
-        "excel_scan", "load_rowcount", "display_format", "csv_export",
-        # streaming (incl. the custom Python source/sink pair)
-        "stream_tumbling", "stream_session", "stream_hopping",
-        "stream_dedup", "stream_join_static", "stream_stateful",
-        "stream_stream_join", "stream_python_source", "stream_custom_sink",
-        # LLM-pipeline flagships
-        "dedup_minhash", "similarity_ann", "similarity_ivf",
-        "pipeline_training_data", "kmeans_lloyd",
-        # storage layout
-        "join_bucketed",
-        # TPC-H sample
-        "tpch_q1", "tpch_q3", "tpch_q9", "tpch_q18",
+        # changed this round -> need fresh driver rows
+        "jsonl_roundtrip", "multimodal_features", "dedup_simhash",
+        "tpch_q11", "customer_rfm", "embedding_quantize",
+        "stats_chi_square",
+        # TPC-H remainder (never driver-checked before round 4)
+        "tpch_q2", "tpch_q6", "tpch_q17", "tpch_q22",
+        # function packs
+        "str_funcs", "math_funcs", "date_funcs", "json_extract",
+        "udf_scalar", "udtf_chunks",
+        # as-of variants + storage round trips
+        "join_asof_forward", "join_asof_nearest", "orc_roundtrip",
     ):
         assert key in head, key
 
