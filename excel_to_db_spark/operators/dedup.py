@@ -109,9 +109,22 @@ def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
+def uh_a(i: int) -> int:
+    """Universal-hash multiplier i (Knuth multiplicative, forced odd,
+    < 2^20 so products with 32-bit bases stay exact in long/DOUBLE-free
+    arithmetic on every engine)."""
+    return ((i * 2654435761) % (1 << 20)) | 1
+
+
+def uh_c(i: int) -> int:
+    """Universal-hash increment i (< 2^32)."""
+    return (i * 40503 + 2531011) % (1 << 32)
+
+
 def minhash_signatures(df: DataFrame, n_hashes: int = 64,
                        text_col: str = "text", id_col: str = "doc_id",
-                       keyset=norm_tokens) -> DataFrame:
+                       keyset=norm_tokens, base: str = "xxhash64"
+                       ) -> DataFrame:
     """MinHash signature per doc: hash_i(doc) = min over keys of
     xxhash64(i || key), as explode + n_hashes parallel min-aggregations.
 
@@ -136,18 +149,19 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 64,
     # mod 2^32, with b < 2^32 and odd a_i < 2^20, so every product stays
     # under 2^52 — exact in long arithmetic, no ANSI overflow. 128 integer
     # ops per row beat 128 string-concat+xxhash64 calls ~4x wall-clock.
-    base = toks.select(
-        "did", (F.xxhash64("tok").bitwiseAND(F.lit((1 << 32) - 1))).alias("hb"))
+    # base="md5" derives the 32-bit base from md5's first 8 hex chars
+    # instead — slower, but reproducible in ANY engine (the DuckDB
+    # oracle of dedup_minhash_est recomputes identical signatures).
+    if base == "md5":
+        hb = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    else:
+        hb = F.xxhash64("tok").bitwiseAND(F.lit((1 << 32) - 1))
+    base = toks.select("did", hb.alias("hb"))
     m = F.lit(1 << 32)
 
-    def a(i: int) -> int:
-        return ((i * 2654435761) % (1 << 20)) | 1   # Knuth multiplicative, odd
-
-    def c(i: int) -> int:
-        return (i * 40503 + 2531011) % (1 << 32)
-
     mins = base.groupBy("did").agg(*[
-        F.min((F.lit(a(i)) * F.col("hb") + F.lit(c(i))) % m).alias(f"h{i}")
+        F.min((F.lit(uh_a(i)) * F.col("hb") + F.lit(uh_c(i))) % m)
+        .alias(f"h{i}")
         for i in range(n_hashes)
     ])
     return mins.select("did", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))

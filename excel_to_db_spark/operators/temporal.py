@@ -99,6 +99,21 @@ def asof_join_nearest(left: DataFrame, right: DataFrame, on: str, ts: str,
             .withColumn(nearest_alias, nearest))
 
 
+def asof_join_tolerance(left: DataFrame, right: DataFrame, on: str,
+                        ts: str, tolerance_us: int,
+                        right_ts_alias: str = "asof_ts") -> DataFrame:
+    """Backward as-of with a maximum lookback (the pandas
+    merge_asof(tolerance=...) contract): a match older than `tolerance`
+    microseconds is treated as no match (NULL). Same ONE-shuffle
+    union+window plan as `asof_join`; the tolerance is a post-window
+    projection, not a join condition — no plan change, no extra pass."""
+    out = asof_join(left, right, on, ts, right_ts_alias)
+    gap = F.unix_micros(F.col(ts)) - F.unix_micros(F.col(right_ts_alias))
+    return out.withColumn(
+        right_ts_alias,
+        F.when(gap <= tolerance_us, F.col(right_ts_alias)))
+
+
 def range_join_binned(fact: DataFrame, value_col: str, bands: DataFrame,
                       width: float, how: str = "inner") -> DataFrame:
     """Join `fact.value_col` into uniform contiguous bands

@@ -153,6 +153,77 @@ def dedup_simhash(spark, sf_dir):
                            keyset=D.shingles)
 
 
+# MinHash signature i in DuckDB: the same universal-hash family as
+# operators/dedup.py minhash_signatures(base="md5") — base hash from
+# md5's first 8 hex chars, h_i = (a_i*hb + c_i) mod 2^32, exact integer
+# arithmetic in both engines.
+_MINHASH_SIG_SQL = "[" + ", ".join(
+    f"list_min(list_transform(hs, h -> ({D.uh_a(i)} * h + {D.uh_c(i)}) "
+    f"% 4294967296))"
+    for i in range(64)) + "]"
+
+
+@query("dedup_minhash_est", oracle=f"""
+    WITH t AS (
+        SELECT doc_id AS did, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT did,
+               unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                     for i in range(1, len(toks) - 1)])) AS s
+        FROM t WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT did, count(*) AS n FROM sh GROUP BY did),
+    inter AS (
+        SELECT a.did AS d1, b.did AS d2, count(*) AS ni
+        FROM sh a JOIN sh b ON a.s = b.s AND a.did < b.did
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d1, d2, ni / (s1.n + s2.n - ni) AS j
+        FROM inter JOIN sizes s1 ON s1.did = d1 JOIN sizes s2 ON s2.did = d2
+        WHERE ni / (s1.n + s2.n - ni) >= 0.8
+    ),
+    hv AS (
+        SELECT did,
+               list_transform(
+                   list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)]),
+                   x -> ('0x' || substr(md5(x), 1, 8))::UBIGINT) AS hs
+        FROM t WHERE len(toks) >= 3
+    ),
+    sig AS (SELECT did, {_MINHASH_SIG_SQL} AS sg FROM hv)
+    SELECT p.d1, p.d2, round(p.j, 6) AS jaccard,
+           round(list_sum(list_transform(range(1, 65),
+                     i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END))
+                 / 64.0, 6) AS est_jaccard
+    FROM pairs p JOIN sig sa ON sa.did = p.d1 JOIN sig sb ON sb.did = p.d2
+""")
+def dedup_minhash_est(spark, sf_dir):
+    """MinHash as an ESTIMATOR, not just a blocker: for every verified
+    near-dup pair, the estimated Jaccard = fraction of agreeing
+    signature components (the unbiased MinHash estimate, E[est] = j)
+    alongside the exact value. The md5-derived universal-hash family is
+    reproducible in any engine, so the DuckDB oracle recomputes the
+    IDENTICAL 64-component signatures — the contract covers the sketch
+    itself, not just the verified output. At 100 TB this estimate is
+    what lets dedup skip exact verification entirely (est >= t + margin
+    => drop without touching the shingle sets again)."""
+    d = T(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, threshold=0.8, keyset=D.shingles)
+    sigs = D.minhash_signatures(d, n_hashes=64, keyset=D.shingles,
+                                base="md5")
+    s1 = sigs.select(F.col("did").alias("d1"), F.col("sig").alias("sg1"))
+    s2 = sigs.select(F.col("did").alias("d2"), F.col("sig").alias("sg2"))
+    agree = F.aggregate(
+        F.zip_with("sg1", "sg2",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    return (pairs.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
+            .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"),
+                    F.round(agree / 64.0, 6).alias("est_jaccard")))
+
+
 def _plane_sql(j: int) -> str:
     vals = ", ".join(str(float(w)) for w in S._plane(j, EMB_DIM))
     return f"[{vals}]::DOUBLE[]"
@@ -251,6 +322,60 @@ def similarity_ann(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
     return S.topk_srp_lsh(e, q, k=10, dim=EMB_DIM)
+
+
+@query("similarity_recall", oracle=f"""
+    WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec,
+               {_BUCKET_SQL % {'v': 'embedding::DOUBLE[]'}} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, vec AS q_vec, bucket AS q_bucket
+          FROM c WHERE vec_id % 100 = 0),
+    bf AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, c.vec_id AS n_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY
+                       {_COS_SQL % {'a': 'q_vec', 'b': 'c.vec'}} DESC,
+                       c.vec_id ASC) AS rk
+            FROM c JOIN q ON q_id <> c.vec_id
+        ) WHERE rk <= 10
+    ),
+    ann AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, c.vec_id AS n_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY
+                       {_COS_SQL % {'a': 'q_vec', 'b': 'c.vec'}} DESC,
+                       c.vec_id ASC) AS rk
+            FROM c JOIN q ON c.bucket = q_bucket AND q_id <> c.vec_id
+        ) WHERE rk <= 10
+    )
+    SELECT bf.q_id,
+           CAST(count(ann.n_id) AS BIGINT) AS n_hits,
+           round(count(ann.n_id) * 1.0 / count(*), 6) AS recall
+    FROM bf LEFT JOIN ann ON bf.q_id = ann.q_id AND bf.n_id = ann.n_id
+    GROUP BY bf.q_id
+""")
+def similarity_recall(spark, sf_dir):
+    """ANN quality evaluation as a first-class operator: recall@10 of
+    the SRP-LSH index against the brute-force ground truth, per query —
+    the metric that tunes every ANN deployment (more planes/probes =>
+    higher recall, bigger candidate sets). One plan computes both
+    rankings and left-joins them; at 100 TB the ground truth comes from
+    a sampled query set, which is exactly what the %100 filter models.
+    Deterministic ties (n_id ascending) make the metric engine-exact."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    bf = S.topk_bruteforce(e, q, k=10).select("q_id", "n_id")
+    ann = (S.topk_srp_lsh(e, q, k=10, dim=EMB_DIM)
+           .select(F.col("q_id").alias("a_qid"),
+                   F.col("n_id").alias("a_nid")))
+    hit = (bf.join(ann, (bf.q_id == ann.a_qid) & (bf.n_id == ann.a_nid),
+                   "left"))
+    return (hit.groupBy("q_id")
+            .agg(F.count("a_nid").alias("n_hits"),
+                 F.round(F.count("a_nid") / F.count("*"), 6)
+                 .alias("recall")))
 
 
 # ------------------------------------------------------------------- text
@@ -568,7 +693,8 @@ def events_hopping(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     return (ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("sum_value"))
+                 F.round(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                         / 100.0, 2).alias("sum_value"))
             .select(F.col("win.start").alias("win_start"),
                     F.col("win.end").alias("win_end"),
                     "n_events", "sum_value"))
@@ -701,6 +827,30 @@ def join_asof_forward(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click")
     return (asof_join_forward(errors, clicks, on="user_id", ts="ts")
             .select("event_id", "user_id", "ts", "asof_fwd_ts"))
+
+
+@query("join_asof_tolerance", oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts <= e.ts
+              AND c.ts >= e.ts - INTERVAL 10 MINUTE) AS asof_ts
+    FROM events e WHERE e.event_type = 'error'
+""")
+def join_asof_tolerance(spark, sf_dir):
+    """Bounded-lookback as-of join (pandas merge_asof tolerance=...):
+    the most recent click within 10 minutes, else NULL — the variant
+    real enrichment needs (a session cookie from last week must not
+    match). Same single-shuffle union+window plan; the tolerance is a
+    post-window projection, so bounding the lookback costs nothing."""
+    from ..operators.temporal import asof_join_tolerance
+
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return (asof_join_tolerance(errors, clicks, on="user_id", ts="ts",
+                                tolerance_us=10 * 60 * 1_000_000)
+            .select("event_id", "user_id", "ts", "asof_ts"))
 
 
 @query("join_asof_nearest", oracle="""

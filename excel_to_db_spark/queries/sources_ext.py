@@ -1,0 +1,206 @@
+"""Additional source/sink round trips: built-in XML, binaryFile
+ingestion, the text line source, and the foreachBatch streaming sink.
+
+The reference's I/O surface is xlsx/CSV/SQLite (reference
+src/main.rs:49-128, 264-286) — covered in queries/parity.py,
+queries/roundtrip.py and queries/storage.py. This module completes the
+format matrix with the remaining built-in Spark sources a pipeline at
+scale actually uses:
+
+- `xml_roundtrip` — Spark 4's built-in XML source/sink (per-file
+  streaming StAX parse on executors; rowTag splits records).
+- `multimodal_binary_ingest` — `binaryFile`: THE ingest path for 100 TB
+  of images/audio (one row per file: path/length/content), here driven
+  over deterministic .bin payloads so DuckDB can verify checksums.
+- `text_source_lines` — `text` source (one row per line), the raw-corpus
+  entry point; explicit split instead of schema inference.
+- `stream_foreachbatch` — the escape-hatch streaming sink: per-micro-
+  batch parquet writes into epoch-keyed directories, idempotent under
+  retry because the epoch id names the output (re-running a batch
+  overwrites its own directory, never duplicates).
+
+Every round trip returns data the DuckDB oracle recomputes from the
+ORIGINAL parquet, proving the hop lossless — not just that it ran.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+from .registry import query
+from .relational import T
+
+
+@query("xml_roundtrip", oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 250 = 0
+""")
+def xml_roundtrip(spark, sf_dir):
+    """XML sink + source round trip with Spark 4's built-in XML data
+    source: write a filtered projection (executor-parallel part files,
+    rowTag=order), read back with an EXPLICIT schema — never inference,
+    which would re-scan and guess types. XML parsing is per-file
+    streaming StAX on executors, so a directory of feeds scales like any
+    other splittable-by-file source. Doubles are pre-rounded to 2dp so
+    the text hop carries short exact decimals."""
+    out = tempfile.mkdtemp(prefix="e2db_xmlrt_")
+    (T(spark, sf_dir, "orders")
+     .filter(F.col("o_orderkey") % 250 == 0)
+     .select("o_orderkey", "o_orderstatus",
+             F.round("o_totalprice", 2).alias("price"), "o_orderpriority")
+     .write.mode("overwrite").format("xml")
+     .option("rowTag", "order").option("rootTag", "orders").save(out))
+    schema = Ty.StructType([
+        Ty.StructField("o_orderkey", Ty.LongType()),
+        Ty.StructField("o_orderstatus", Ty.StringType()),
+        Ty.StructField("price", Ty.DoubleType()),
+        Ty.StructField("o_orderpriority", Ty.StringType()),
+    ])
+    return (spark.read.format("xml").schema(schema)
+            .option("rowTag", "order").load(out))
+
+
+@query("multimodal_binary_ingest", oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+""")
+def multimodal_binary_ingest(spark, sf_dir):
+    """The binaryFile ingest path — how 100 TB of images/audio actually
+    enters Spark: one row per file with (path, length, content binary).
+    Here each document's utf-8 bytes are materialized as a .bin file by
+    an executor-side foreachPartition (distributed write, no driver
+    loop), re-ingested via binaryFile, and reduced to
+    (doc_id, n_bytes, md5) so DuckDB verifies the bytes crossed the
+    filesystem hop intact. Metadata-only reads of a binaryFile table
+    prune the content column entirely (same column-pruning contract as
+    operators/multimodal.py)."""
+    out = tempfile.mkdtemp(prefix="e2db_bin_")
+
+    def write_part(rows):
+        for r in rows:
+            path = os.path.join(out, f"doc-{r['doc_id']}.bin")
+            with open(path, "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+
+    T(spark, sf_dir, "documents").select("doc_id", "text") \
+        .foreachPartition(write_part)
+    bf = (spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bin").load(out))
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc-(\d+)\.bin$", 1)
+         .cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("checksum"))
+
+
+@query("text_source_lines", oracle="""
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5(text) AS checksum
+    FROM documents
+""")
+def text_source_lines(spark, sf_dir):
+    """The text line source — the raw-corpus entry point (one row per
+    line, a single `value` string column): documents exported as
+    tab-separated lines (executor-parallel), re-read with spark.read.text,
+    split explicitly (limit=2 so tabs in the payload would stay intact),
+    and reduced to token counts + checksum the oracle recomputes from
+    the original parquet. No schema inference anywhere on the hop."""
+    out = tempfile.mkdtemp(prefix="e2db_txt_")
+    (T(spark, sf_dir, "documents")
+     .select(F.concat_ws("\t", F.col("doc_id"), F.col("text"))
+             .alias("value"))
+     .write.mode("overwrite").text(out))
+    back = spark.read.text(out)
+    parsed = (back.select(F.split("value", "\t", 2).alias("p"))
+              .select(F.col("p")[0].cast("bigint").alias("doc_id"),
+                      F.col("p")[1].alias("text")))
+    return parsed.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("checksum"))
+
+
+@query("json_malformed_handling", oracle="""
+    SELECT count(*) FILTER (WHERE event_id % 10 <> 0) AS n_good,
+           count(*) FILTER (WHERE event_id % 10 = 0)  AS n_corrupt,
+           round(sum(CAST(round(value * 100) AS BIGINT))
+                 FILTER (WHERE event_id % 10 <> 0) / 100.0, 2)
+             AS sum_value_good
+    FROM events
+""")
+def json_malformed_handling(spark, sf_dir):
+    """Malformed-record handling — the source feature every real corpus
+    ingest needs: events serialized to JSONL with every 10th record
+    deterministically corrupted (a '#' prefix breaks the JSON), read
+    back under PERMISSIVE mode with an explicit _corrupt_record column.
+    Corrupt rows surface as (NULL fields + raw line) instead of failing
+    the job or silently vanishing; the oracle recomputes good/corrupt
+    counts and the cents-exact good-rows sum from the original parquet.
+    (DROPMALFORMED/FAILFAST are the same scan with a different policy
+    knob.)"""
+    out = tempfile.mkdtemp(prefix="e2db_badjson_")
+    ev = (T(spark, sf_dir, "events")
+          .select("event_id",
+                  F.to_json(F.struct("event_id", "event_type", "value"))
+                  .alias("j")))
+    (ev.select(F.when(F.col("event_id") % 10 == 0,
+                      F.concat(F.lit("#"), F.col("j")))
+               .otherwise(F.col("j")).alias("value"))
+     .write.mode("overwrite").text(out))
+    schema = ("event_id bigint, event_type string, value double, "
+              "_corrupt_record string")
+    back = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(out))
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+         .alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+         .alias("n_corrupt"),
+        F.round(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / 100.0, 2).alias("sum_value_good"))
+
+
+@query("stream_foreachbatch", oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_value
+    FROM events WHERE value > 2.0 GROUP BY event_type
+""")
+def stream_foreachbatch(spark, sf_dir):
+    """foreachBatch — the streaming sink escape hatch (arbitrary batch
+    logic per micro-batch). Idempotence contract: the epoch id names the
+    output directory and the write is mode('overwrite'), so a retried
+    micro-batch replaces its own directory instead of appending
+    duplicates — the standard exactly-once recipe for non-transactional
+    targets. The replayed events stream is filtered and written per
+    batch; the read-back union over all epochs must equal the batch
+    query on the original parquet (the oracle)."""
+    from ..streaming import events_stream_reader
+
+    out = tempfile.mkdtemp(prefix="e2db_feb_")
+    ckpt = tempfile.mkdtemp(prefix="e2db_feb_ckpt_")
+
+    def write_batch(df, epoch_id: int) -> None:
+        (df.filter(F.col("value") > 2.0)
+           .select("event_id", "event_type", "value")
+           .write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}"))
+
+    q = (events_stream_reader(spark, sf_dir)
+         .writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    back = spark.read.parquet(out)  # partition discovery over epoch=N
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                         / 100.0, 2).alias("sum_value")))

@@ -103,7 +103,11 @@ def test_repl_ddl_dml_passthrough(spark, capsys):
 
 def test_strftime_rewrite():
     out = rewrite("SELECT strftime('%Y-%m', d) AS ym, strftime('%s', d) AS e FROM t")
-    assert "date_format(d, 'yyyy-MM')" in out and "unix_timestamp(d)" in out
+    # %s always TIMESTAMP-casts its argument (like unixepoch) so
+    # date-only strings return the epoch instead of NULL; the dialect's
+    # permissive-cast pass then turns the CAST into TRY_CAST
+    assert "date_format(d, 'yyyy-MM')" in out
+    assert "unix_timestamp(TRY_CAST(d AS TIMESTAMP))" in out
     # untranslatable directive -> untouched; literal containing the word -> untouched
     out2 = rewrite("SELECT strftime('%w', d), 'call strftime(''%Y'', d) later' FROM t")
     assert "strftime('%w', d)" in out2
