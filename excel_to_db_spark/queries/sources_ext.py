@@ -126,6 +126,74 @@ def text_source_lines(spark, sf_dir):
         F.md5("text").alias("checksum"))
 
 
+@query("variant_json", oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE CAST(props ->> 'k' AS BIGINT) IS NOT NULL)
+               AS n_with_k,
+           sum(CAST(props ->> 'k' AS BIGINT)) AS sum_k,
+           max(CAST(props ->> 'k' AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+""")
+def variant_json(spark, sf_dir):
+    """The VARIANT type (Spark 4): semi-structured props parsed ONCE
+    into the binary-encoded variant form, then typed extractions with
+    the `v:path` / variant_get surface. At 100 TB this is the
+    shred-once-read-many contract for semi-structured columns — parquet
+    stores the encoded variant, and every downstream extraction skips
+    re-parsing the JSON text (unlike get_json_object, which re-parses
+    per call). The oracle states the same extraction over the raw JSON."""
+    ev = T(spark, sf_dir, "events")
+    v = ev.select("event_type",
+                  F.parse_json(F.col("props")).alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (v.groupBy("event_type")
+            .agg(F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+                 F.sum(k).alias("sum_k"),
+                 F.max(k).alias("max_k")))
+
+
+@query("stream_state_inspect", oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_value
+    FROM events GROUP BY event_type
+""")
+def stream_state_inspect(spark, sf_dir):
+    """The state-store data source (Spark 4 operational tooling): run a
+    checkpointed streaming aggregation, then read its STATE back with
+    spark.read.format('statestore') — the way production debugs "what
+    is this query holding per key" without stopping the stream. On the
+    drained finite replay, the flattened state rows ARE the batch
+    aggregation, so the batch GROUP BY is an exact oracle for the
+    state contents themselves."""
+    import uuid
+
+    from ..streaming import events_stream_reader
+
+    ckpt = tempfile.mkdtemp(prefix="e2db_state_")
+    name = f"stinspect_{uuid.uuid4().hex[:8]}"
+    q = (events_stream_reader(spark, sf_dir)
+         .groupBy("event_type")
+         .agg(F.count("*").alias("n_events"),
+              F.sum(F.round(F.col("value") * 100).cast("bigint"))
+              .alias("cents"))
+         .writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    # State rows carry the AGGREGATION BUFFER per key (internal field
+    # names `count`/`sum`): the exact integer-cents accumulator, not the
+    # formatted output — finish the division here, as the operator's
+    # emit step would.
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+        F.round(F.col("value.sum") / 100.0, 2).alias("sum_value"))
+
+
 @query("json_malformed_handling", oracle="""
     SELECT count(*) FILTER (WHERE event_id % 10 <> 0) AS n_good,
            count(*) FILTER (WHERE event_id % 10 = 0)  AS n_corrupt,

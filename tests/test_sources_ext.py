@@ -94,3 +94,11 @@ def _assert_matches_tables(spark, key, tables):
     d_idx = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
     assert sorted(tuple(str(r[i]) for i in s_idx) for r in s_rows) == \
            sorted(tuple(str(r[i]) for i in d_idx) for r in d_rows)
+
+
+def test_variant_json(spark):
+    _assert_matches_tables(spark, "variant_json", ("events",))
+
+
+def test_state_store_reader_matches_batch(spark):
+    _assert_matches_tables(spark, "stream_state_inspect", ("events",))
