@@ -27,6 +27,7 @@ from . import warehouse4  # noqa: E402,F401  Tier B/C: profiling/benford/diff/ke
 from . import warehouse5  # noqa: E402,F401  Tier B/C: re-agg/SCD2/cumulative distinct
 from . import storage     # noqa: E402,F401  Storage layout: bucketed join, ORC/xlsx round trips
 from . import sources_ext  # noqa: E402,F401  XML/binaryFile/text sources + foreachBatch sink
+from . import quality     # noqa: E402,F401  DQ expectations/triangles/zorder/reservoir/decontam
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-4 window

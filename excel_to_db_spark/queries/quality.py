@@ -1,0 +1,331 @@
+"""Pipeline-quality operators: declarative data-quality expectations,
+graph triangle counts, Z-order layout clustering, deterministic
+hash-reservoir sampling, and train/test benchmark decontamination.
+
+These extend the reference's query surface (reference src/main.rs:156-215
+delegates arbitrary SELECTs to SQLite; none of these are expressible
+there without user-written SQL) with the curation checks a 100 TB
+training-data pipeline runs before and after every transform stage.
+Every key follows the registry contract: Spark callable + DuckDB oracle
+with identical column names (SURVEY.md §4.3 discipline — exact integer
+metrics wherever possible, rounded fixed-point elsewhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..operators import text as X
+from .registry import query
+from .relational import T
+
+
+# --------------------------------------------------------------- dq
+
+@query("dq_expectations", oracle="""
+    WITH a AS (
+        SELECT count(*) AS n,
+               count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS n_null,
+               count(DISTINCT o_orderkey) AS n_dist,
+               count(CASE WHEN o_totalprice BETWEEN 0 AND 1000000
+                     THEN 1 END) AS n_range
+        FROM orders
+    ),
+    orph AS (
+        SELECT count(*) AS n_orphan FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT 'row_count' AS check_name, CAST(n AS DOUBLE) AS metric,
+           n > 0 AS passed FROM a
+    UNION ALL
+    SELECT 'null_frac_orderstatus', round(n_null * 1.0 / n, 9),
+           n_null = 0 FROM a
+    UNION ALL
+    SELECT 'unique_frac_orderkey', round(n_dist * 1.0 / n, 9),
+           n_dist = n FROM a
+    UNION ALL
+    SELECT 'price_in_range_frac', round(n_range * 1.0 / n, 9),
+           n_range = n FROM a
+    UNION ALL
+    SELECT 'fk_orphans_custkey', CAST(n_orphan AS DOUBLE),
+           n_orphan = 0 FROM orph
+""")
+def dq_expectations(spark, sf_dir):
+    """Declarative data-quality expectation suite (the Deequ pattern):
+    completeness, uniqueness, range compliance, and referential
+    integrity over `orders`, evaluated as ONE aggregation pass plus one
+    broadcast anti-join — not one scan per check.
+
+    The per-check metrics all reduce to counters, so the whole suite is
+    a single map-side-combinable agg: at 100 TB this costs one fact scan
+    and a 1-row shuffle regardless of how many expectations are
+    registered. The FK check is a LEFT ANTI join against the broadcast
+    dimension (customer); an anti join that finds nothing short-circuits
+    per-partition. Output is the familiar constraint-report shape:
+    (check_name, metric, passed)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+
+    a = o.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("o_orderstatus").isNull(), 1)).alias("n_null"),
+        F.countDistinct("o_orderkey").alias("n_dist"),
+        F.count(F.when(F.col("o_totalprice").between(0, 1_000_000), 1))
+         .alias("n_range"))
+    orph = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+            .agg(F.count("*").alias("n_orphan")))
+
+    checks = a.crossJoin(orph).select(F.explode(F.array(
+        F.struct(F.lit("row_count").alias("check_name"),
+                 F.col("n").cast("double").alias("metric"),
+                 (F.col("n") > 0).alias("passed")),
+        F.struct(F.lit("null_frac_orderstatus").alias("check_name"),
+                 F.round(F.col("n_null") / F.col("n"), 9).alias("metric"),
+                 (F.col("n_null") == 0).alias("passed")),
+        F.struct(F.lit("unique_frac_orderkey").alias("check_name"),
+                 F.round(F.col("n_dist") / F.col("n"), 9).alias("metric"),
+                 (F.col("n_dist") == F.col("n")).alias("passed")),
+        F.struct(F.lit("price_in_range_frac").alias("check_name"),
+                 F.round(F.col("n_range") / F.col("n"), 9).alias("metric"),
+                 (F.col("n_range") == F.col("n")).alias("passed")),
+        F.struct(F.lit("fk_orphans_custkey").alias("check_name"),
+                 F.col("n_orphan").cast("double").alias("metric"),
+                 (F.col("n_orphan") == 0).alias("passed")),
+    )).alias("c"))
+    return checks.select("c.check_name", "c.metric", "c.passed")
+
+
+# -------------------------------------------------------- triangles
+
+@query("graph_triangles", oracle="""
+    WITH raw AS (
+        SELECT DISTINCT cn.n_nationkey AS u, sn.n_nationkey AS v
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_nationkey <> sn.n_nationkey
+    ),
+    e AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, count(*) AS n_tri FROM nodes GROUP BY node
+""")
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle count on the undirected nation trade graph
+    (same edge derivation as graph_pagerank3, weights dropped).
+
+    The classic distributed shape: canonicalize each edge to a < b, then
+    two equi-joins — e1(a,b) ⋈ e2(b,c) builds wedges, e3(a,c) closes
+    them — so every triangle is found exactly once (a < b < c), never
+    six times. Joins partition on the wedge pivot / closing edge key;
+    nothing is all-pairs. At 100 TB-scale graphs the standard refinement
+    is degree ordering (orient edges low-degree → high-degree before the
+    wedge join) which bounds the join fanout by arboricity; the trade
+    graph is dense-small so the canonical form suffices here."""
+    le = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    raw = (le.join(o, le.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(s), le.l_suppkey == s.s_suppkey)
+           .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+           .select(F.col("c_nationkey").alias("u"),
+                   F.col("s_nationkey").alias("v"))
+           .distinct())
+    e = (raw.select(F.least("u", "v").alias("a"),
+                    F.greatest("u", "v").alias("b"))
+         .distinct())
+
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+           .join(e3, (F.col("e3.a") == F.col("e1.a"))
+                 & (F.col("e3.b") == F.col("e2.b")))
+           .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+                   F.col("e2.b").alias("c")))
+    nodes = (tri.select(F.col("a").alias("node"))
+             .unionAll(tri.select(F.col("b").alias("node")))
+             .unionAll(tri.select(F.col("c").alias("node"))))
+    return nodes.groupBy("node").agg(F.count("*").alias("n_tri"))
+
+
+# ----------------------------------------------------------- zorder
+
+def _morton16(xcol, ycol):
+    """Interleave the low 8 bits of x and y into a 16-bit Morton code
+    (x in even bit positions, y in odd)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(8):
+        z = (z
+             + F.shiftleft(F.shiftright(xcol, i).bitwiseAND(F.lit(1)), 2 * i)
+             + F.shiftleft(F.shiftright(ycol, i).bitwiseAND(F.lit(1)),
+                           2 * i + 1))
+    return z
+
+
+_MORTON_SQL = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8))
+
+_ZORDER_ORACLE = f"""
+    WITH pts AS (
+        SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem
+    ),
+    z AS (
+        SELECT x, y, ({_MORTON_SQL}) AS zval FROM pts
+    )
+    SELECT zval // 64 AS bucket, count(*) AS n,
+           min(x) AS x_lo, max(x) AS x_hi,
+           min(y) AS y_lo, max(y) AS y_hi
+    FROM z GROUP BY 1
+"""
+
+
+@query("zorder_layout", oracle=_ZORDER_ORACLE)
+def zorder_layout(spark, sf_dir):
+    """Z-order (Morton) multi-dimensional clustering — the layout
+    transform behind Delta/Iceberg Z-ORDER optimize: interleave the bits
+    of two scan dimensions so ONE sort key clusters BOTH columns, then
+    report per-bucket min/max ranges (exactly the file-footer statistics
+    a 100 TB scan would prune on).
+
+    Each 64-wide Z-bucket spans at most a 16×16 tile of the
+    256×256 key space (asserted in tests/test_quality.py), so a
+    predicate on either dimension skips ~15/16 of the buckets — vs no
+    skipping at all under a single-column sort when filtering on the
+    other column. The code itself is 16 codegen'd bit ops per row, no
+    shuffle until the bucket agg; in production the zval feeds
+    `repartitionByRange(zval).sortWithinPartitions(zval)` before the
+    parquet write."""
+    pts = (T(spark, sf_dir, "lineitem")
+           .select((F.col("l_partkey") % 256).alias("x"),
+                   (F.col("l_suppkey") % 256).alias("y")))
+    z = pts.select("x", "y", _morton16(F.col("x"), F.col("y")).alias("zval"))
+    return (z.groupBy((F.col("zval") / 64).cast("bigint").alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.min("x").alias("x_lo"), F.max("x").alias("x_hi"),
+                 F.min("y").alias("y_lo"), F.max("y").alias("y_hi")))
+
+
+# -------------------------------------------------------- sampling
+
+@query("sample_reservoir", oracle="""
+    SELECT o_orderpriority, o_orderkey, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+               ) AS rk
+        FROM orders
+    ) WHERE rk <= 5
+""")
+def sample_reservoir(spark, sf_dir):
+    """Deterministic fixed-k-per-stratum sample: rank rows inside each
+    stratum by a cryptographic hash of their key and keep the k
+    smallest — the distributed, re-run-stable equivalent of reservoir
+    sampling. No RNG state: retries, stragglers, and different engines
+    all draw the SAME sample (this oracle recomputes it bit-for-bit),
+    which is what makes 100 TB sampled pipelines debuggable.
+
+    Plan shape: one hash-partitioned window, and Spark's rank-limit
+    pushdown (WindowGroupLimit, asserted in tests/test_quality.py)
+    keeps only k rows per group per partition BEFORE the exchange — the
+    shuffle carries O(k · strata · partitions), not the table."""
+    w = (W.partitionBy("o_orderpriority")
+         .orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"))
+    return (T(spark, sf_dir, "orders")
+            .select("o_orderpriority", "o_orderkey",
+                    F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 5))
+
+
+# -------------------------------------------------- decontamination
+
+@query("decontam_traintest", oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(t[i:i+7], ' ')
+                           for i in range(1, greatest(len(t) - 6, 1))])
+                       AS gram
+            FROM toks)
+    ),
+    train AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0
+    ),
+    test_g AS (
+        SELECT doc_id, gram FROM g WHERE doc_id % 2 = 1
+    ),
+    hits AS (
+        SELECT t.doc_id, count(*) AS n_contam
+        FROM test_g t JOIN train USING (gram)
+        GROUP BY t.doc_id
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_grams FROM test_g GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(t.n_grams, 0) AS n_grams,
+           coalesce(h.n_contam, 0) AS n_contam,
+           round(coalesce(h.n_contam, 0) * 1.0
+                 / greatest(coalesce(t.n_grams, 0), 1), 6) AS contam_ratio
+    FROM documents d
+    LEFT JOIN totals t ON d.doc_id = t.doc_id
+    LEFT JOIN hits   h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 2 = 1
+""")
+def decontam_traintest(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/Dolma n-gram protocol):
+    which held-out ("test", odd doc_id) documents contain word 8-grams
+    that also appear in the training split (even doc_id), and what
+    fraction of each test doc is contaminated.
+
+    Directional variant of text_ngram_overlap: the train side collapses
+    to a DISTINCT gram set, the test side joins against it — an
+    inverted-index equi-join on the gram key, never a cross join. Two
+    gram-keyed shuffles (train distinct, the join) and one doc-keyed
+    re-aggregation, all partially aggregated map-side. At 100 TB the
+    gram strings are replaced by xxhash64(gram) to cut the shuffle
+    width ~10× (collisions only ever ADD a false contamination flag,
+    the conservative direction); kept as strings here so the oracle is
+    engine-exact."""
+    d = T(spark, sf_dir, "documents")
+    g = (d.select("doc_id",
+                  F.explode(X.word_ngrams(F.col("text"), 8)).alias("gram"))
+         .distinct())
+    train = g.filter(F.col("doc_id") % 2 == 0).select("gram").distinct()
+    test_g = g.filter(F.col("doc_id") % 2 == 1)
+    hits = (test_g.join(train, "gram")
+            .groupBy("doc_id").agg(F.count("*").alias("n_contam")))
+    totals = test_g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (d.select("doc_id").filter(F.col("doc_id") % 2 == 1)
+            .join(totals, "doc_id", "left")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("n_contam", F.lit(0)).alias("n_contam"),
+                F.round(F.coalesce("n_contam", F.lit(0))
+                        / F.greatest(F.coalesce("n_grams", F.lit(0)),
+                                     F.lit(1)), 6).alias("contam_ratio")))

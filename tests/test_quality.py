@@ -1,0 +1,84 @@
+"""Quality-operator tests: plan shapes and the invariants the
+docstrings in queries/quality.py promise (single-pass DQ agg,
+rank-limit pushdown for the reservoir sample, Z-order tile locality,
+triangle-count symmetry, decontamination directionality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dq_expectations_all_pass_and_single_scan(spark, sf_dir):
+    from excel_to_db_spark.queries.quality import dq_expectations
+
+    rows = {r.check_name: r for r in dq_expectations(spark, sf_dir).collect()}
+    assert set(rows) == {"row_count", "null_frac_orderstatus",
+                         "unique_frac_orderkey", "price_in_range_frac",
+                         "fk_orphans_custkey"}
+    assert all(r.passed for r in rows.values())
+    assert rows["null_frac_orderstatus"].metric == 0.0
+    assert rows["unique_frac_orderkey"].metric == 1.0
+    # one orders scan feeds the metric agg, one the anti join: exactly 2
+    plan = _plan(dq_expectations(spark, sf_dir))
+    assert plan.count("orders.parquet") == 2
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_sample_reservoir_pushes_rank_limit(spark, sf_dir):
+    """WindowGroupLimit must appear below the window's exchange so the
+    shuffle carries only k rows per group per input partition."""
+    from excel_to_db_spark.queries.quality import sample_reservoir
+
+    df = sample_reservoir(spark, sf_dir)
+    assert "WindowGroupLimit" in _plan(df)
+    out = df.collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.o_orderpriority, []).append(r.rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
+               for v in per.values())
+    # determinism: a second evaluation draws the identical sample
+    assert sorted(map(tuple, out)) == sorted(
+        map(tuple, sample_reservoir(spark, sf_dir).collect()))
+
+
+def test_zorder_buckets_are_local_tiles(spark, sf_dir):
+    """Every 64-wide Z-bucket must span at most a 16x16 tile of the
+    256x256 key space — the locality that makes min/max pruning work."""
+    from excel_to_db_spark.queries.quality import zorder_layout
+
+    rows = zorder_layout(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.x_hi - r.x_lo <= 15, r
+        assert r.y_hi - r.y_lo <= 15, r
+    # buckets partition the data: counts sum to the table size
+    n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r.n for r in rows) == n
+
+
+def test_graph_triangles_counts_each_once(spark, sf_dir):
+    """Sum of per-node counts = 3 x number of distinct triangles, and
+    every count is positive."""
+    from excel_to_db_spark.queries.quality import graph_triangles
+
+    rows = graph_triangles(spark, sf_dir).collect()
+    total = sum(r.n_tri for r in rows)
+    assert total % 3 == 0
+    assert all(r.n_tri > 0 for r in rows)
+
+
+def test_decontam_is_directional(spark, sf_dir):
+    """Only odd (test) doc_ids are scored, ratios live in [0, 1], and a
+    doc's contaminated grams never exceed its gram count."""
+    from excel_to_db_spark.queries.quality import decontam_traintest
+
+    rows = decontam_traintest(spark, sf_dir).collect()
+    assert rows and all(r.doc_id % 2 == 1 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_contam <= r.n_grams
+        assert 0.0 <= r.contam_ratio <= 1.0
