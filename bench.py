@@ -73,6 +73,12 @@ HEADLINE = [
     "stream_stream_join",      # symmetric watermarked interval join
     "join_bucketed",           # write-once bucketed co-located SMJ
     "kmeans_lloyd",            # iterative broadcast-assign + mean shuffle
+    # round-4 additions (no r3 baseline entry; regression check starts r5)
+    "dq_expectations",         # one-pass DQ suite + broadcast anti FK check
+    "decontam_traintest",      # directional 8-gram benchmark decontamination
+    "zorder_layout",           # Morton interleave + per-bucket min/max stats
+    "sample_reservoir",        # deterministic hash-reservoir per stratum
+    "graph_triangles",         # canonicalized wedge-join triangle count
 ]
 
 
