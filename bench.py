@@ -79,6 +79,8 @@ HEADLINE = [
     "zorder_layout",           # Morton interleave + per-bucket min/max stats
     "sample_reservoir",        # deterministic hash-reservoir per stratum
     "graph_triangles",         # canonicalized wedge-join triangle count
+    "events_pattern",          # MATCH_RECOGNIZE-style contiguous VCP runs
+    "hll_mergeable",           # DataSketches HLL union losslessness
 ]
 
 

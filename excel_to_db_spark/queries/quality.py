@@ -329,3 +329,95 @@ def decontam_traintest(spark, sf_dir):
                 F.round(F.coalesce("n_contam", F.lit(0))
                         / F.greatest(F.coalesce("n_grams", F.lit(0)),
                                      F.lit(1)), 6).alias("contam_ratio")))
+
+
+# --------------------------------------------- sequence patterns
+
+@query("events_pattern", oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'view' THEN 'V'
+                                          WHEN 'click' THEN 'C'
+                                          WHEN 'purchase' THEN 'P'
+                                          ELSE 'x' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
+           CAST((length(s) - length(replace(s, 'VCP', ''))) / 3 AS BIGINT)
+               AS n_matches
+    FROM seqs
+    WHERE length(s) <> length(replace(s, 'VCP', ''))
+""")
+def events_pattern(spark, sf_dir):
+    """Row-pattern recognition (SQL MATCH_RECOGNIZE, which Flink/Trino
+    ship and Spark lacks): per user, count CONTIGUOUS view→click→purchase
+    runs in the time-ordered event sequence.
+
+    Implemented as the composition Spark-first semantics allow: reduce
+    each user's ordered events to a one-letter-per-event string (sorted
+    struct array → transform → join, all codegen'd; ties broken by
+    event_id so both engines order identically), then count pattern hits
+    with pure string arithmetic. One shuffle on user_id; state per user
+    is one string of their event count — the same bound a
+    MATCH_RECOGNIZE NFA would hold. Longer regex patterns (e.g. V C* P
+    with gaps) swap the replace() count for regexp_extract_all at the
+    same plan shape."""
+    e = T(spark, sf_dir, "events")
+    letter = (F.when(F.col("event_type") == "view", "V")
+              .when(F.col("event_type") == "click", "C")
+              .when(F.col("event_type") == "purchase", "P")
+              .otherwise("x"))
+    seqs = (e.select("user_id",
+                     F.struct("ts", "event_id", letter.alias("l")).alias("ev"))
+            .groupBy("user_id")
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list("ev")),
+                            lambda s: s["l"]), "").alias("s")))
+    n_pat = (F.length("s") - F.length(F.replace(F.col("s"), F.lit("VCP"))))
+    return (seqs.select("user_id",
+                        F.length("s").cast("bigint").alias("n_events"),
+                        (n_pat / 3).cast("bigint").alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+# ------------------------------------------------ mergeable sketches
+
+@query("hll_mergeable", oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS merge_lossless,
+           TRUE AS within_2pct
+    FROM events GROUP BY event_type
+""")
+def hll_mergeable(spark, sf_dir):
+    """Mergeable-sketch contract for distributed distinct counting
+    (Apache DataSketches HLL, built into Spark 4): sketch two DISJOINT
+    halves of the event log independently, union the binary sketches,
+    and check (a) the merged estimate equals the single-pass estimate
+    bit-for-bit (union losslessness at equal lgK — the property that
+    lets 1000 executors sketch locally and merge a few KB each) and
+    (b) the estimate lands within the published ±2 % bound of the exact
+    count (lgK=12 → 0.8 % RSE).
+
+    The oracle pins the exact counts and asserts both booleans TRUE —
+    a falsifiable contract for behavior DuckDB cannot replay (different
+    sketch implementation). Each half is one partial-aggregable sketch
+    pass; the union touches only (event_type, 4 KB sketch) rows."""
+    e = T(spark, sf_dir, "events")
+    h0 = (e.filter(F.col("event_id") % 2 == 0).groupBy("event_type")
+          .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    h1 = (e.filter(F.col("event_id") % 2 == 1).groupBy("event_type")
+          .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    merged = (h0.unionAll(h1).groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("est_merged")))
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("n_exact"))
+    return (direct.join(merged, "event_type")
+            .select("event_type", "n_exact",
+                    (F.col("est_merged") == F.col("est_direct"))
+                    .alias("merge_lossless"),
+                    (F.abs(F.col("est_merged") - F.col("n_exact"))
+                     <= 0.02 * F.col("n_exact")).alias("within_2pct")))

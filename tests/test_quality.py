@@ -82,3 +82,30 @@ def test_decontam_is_directional(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_contam <= r.n_grams
         assert 0.0 <= r.contam_ratio <= 1.0
+
+
+def test_events_pattern_matches_are_contiguous(spark, sf_dir):
+    """Every reported match must correspond to a contiguous VCP run in
+    the user's time-ordered sequence — recomputed independently in
+    Python from the raw events."""
+    from excel_to_db_spark.queries.quality import events_pattern
+
+    got = {r.user_id: r.n_matches
+           for r in events_pattern(spark, sf_dir).collect()}
+    rows = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "ts", "event_id", "event_type").collect())
+    seqs = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        ch = {"view": "V", "click": "C", "purchase": "P"}.get(r.event_type, "x")
+        seqs[r.user_id] = seqs.get(r.user_id, "") + ch
+    want = {u: s.count("VCP") for u, s in seqs.items() if "VCP" in s}
+    assert got == want
+
+
+def test_hll_merge_is_lossless_and_bounded(spark, sf_dir):
+    from excel_to_db_spark.queries.quality import hll_mergeable
+
+    rows = hll_mergeable(spark, sf_dir).collect()
+    assert rows
+    assert all(r.merge_lossless for r in rows)
+    assert all(r.within_2pct for r in rows)
