@@ -81,6 +81,7 @@ HEADLINE = [
     "graph_triangles",         # canonicalized wedge-join triangle count
     "events_pattern",          # MATCH_RECOGNIZE-style contiguous VCP runs
     "hll_mergeable",           # DataSketches HLL union losslessness
+    "stream_stream_left",      # outer stream-stream join, state expiry
 ]
 
 

@@ -950,6 +950,38 @@ def stream_stream_join(spark, sf_dir):
     return run_stream_stream_join(spark, sf_dir)
 
 
+@query("stream_stream_left", oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         j AS (SELECT c.user_id, c.click_id, v.view_id, c.click_ts
+               FROM c LEFT JOIN v
+                 ON c.user_id = v.user_id
+                AND v.view_ts > c.click_ts
+                AND v.view_ts <= c.click_ts + INTERVAL '10 minutes'),
+         wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                             (SELECT max(view_ts) FROM v))
+                       - INTERVAL '40 minutes' AS cut)
+    SELECT user_id, click_id, view_id FROM j WHERE view_id IS NOT NULL
+    UNION ALL
+    SELECT user_id, click_id, CAST(NULL AS BIGINT) AS view_id
+    FROM j, wm WHERE view_id IS NULL AND click_ts < cut
+""")
+def stream_stream_left(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join (state-expiry semantics):
+    unmatched clicks NULL-emit only once the watermark proves no view
+    can still match. The oracle replays the engine's emission rule
+    exactly — batch left join, plus the final-watermark cutoff
+    (min(max click, max view) - 30min watermark - 10min interval) that
+    decides which unmatched rows the finite replay emits. See
+    streaming/windows.py:run_stream_stream_left_join for the pinned
+    contract."""
+    from ..streaming import run_stream_stream_left_join
+
+    return run_stream_stream_left_join(spark, sf_dir)
+
+
 @query("stream_custom_sink", oracle="""
     SELECT event_type, count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM events WHERE value > 5.0 GROUP BY event_type

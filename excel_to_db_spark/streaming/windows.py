@@ -233,6 +233,54 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def run_stream_stream_left_join(spark: SparkSession, sf_dir: str,
+                                within: str = "10 minutes",
+                                watermark: str = "30 minutes") -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the state-EXPIRY
+    operator: matched (click, view) pairs emit like the inner join, but
+    an unmatched click emits its NULL row only once the global watermark
+    proves no matching view can still arrive (watermark > click_ts +
+    within). That deferred emission is what distinguishes outer
+    streaming joins from batch: correctness depends on the engine's
+    watermark bookkeeping, not just the join predicate.
+
+    Emission contract (pinned empirically on this engine, Spark 4.1.2,
+    and encoded in the oracle): with finite availableNow replay the
+    final global watermark is min(max click_ts, max view_ts) -
+    `watermark`, so exactly the unmatched clicks with click_ts <
+    final_watermark - `within` are NULL-emitted; clicks younger than
+    that remain in (discarded) state — the same rows a production
+    pipeline would see emitted by the NEXT micro-batch. State on each
+    side stays O(rate x (watermark + within)), identical to the inner
+    join."""
+    name = f"lsj_{uuid.uuid4().hex[:8]}"
+    clicks = (events_stream_reader(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    views = (events_stream_reader(spark, sf_dir)
+             .filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark))
+    joined = (clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") > F.col("click_ts"))
+        & (F.col("view_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "left_outer")
+        .select(F.col("c_user").alias("user_id"), "click_id", "view_id"))
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_static_join(spark: SparkSession, sf_dir: str,
                            watermark: str = "30 minutes") -> DataFrame:
     """Stream-static join: the replayed events stream enriched against

@@ -38,3 +38,44 @@ def test_transform_with_state_user_max(spark, sf_dir):
              .agg(F.count("*").alias("n_events"),
                   F.round(F.max("value"), 2).alias("max_value")))
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_stream_left_join_contract(spark, sf_dir):
+    """Left-outer stream-stream join: matched rows equal the batch
+    interval join exactly; NULL-emitted unmatched rows are precisely
+    the batch-unmatched clicks older than the final-watermark cutoff
+    (min(max click, max view) - watermark - interval)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from excel_to_db_spark.streaming import run_stream_stream_left_join
+
+    out = run_stream_stream_left_join(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"))
+    b = c.join(v, (F.col("c_user") == F.col("v_user"))
+               & (F.col("view_ts") > F.col("click_ts"))
+               & (F.col("view_ts") <= F.col("click_ts")
+                  + F.expr("INTERVAL 10 minutes")), "left_outer")
+
+    got_matched = sorted(map(tuple, out.filter(F.col("view_id").isNotNull())
+                             .select("user_id", "click_id", "view_id").collect()))
+    want_matched = sorted(map(tuple, b.filter(F.col("view_id").isNotNull())
+                              .select("c_user", "click_id", "view_id").collect()))
+    assert got_matched == want_matched
+
+    maxc = c.agg(F.max("click_ts")).first()[0]
+    maxv = v.agg(F.max("view_ts")).first()[0]
+    cut = min(maxc, maxv) - datetime.timedelta(minutes=40)
+    got_null = sorted(r.click_id for r in out.filter(F.col("view_id").isNull())
+                      .collect())
+    want_null = sorted(r.click_id for r in
+                       b.filter(F.col("view_id").isNull()
+                                & (F.col("click_ts") < F.lit(cut))).collect())
+    assert got_null == want_null
