@@ -82,6 +82,9 @@ HEADLINE = [
     "events_pattern",          # MATCH_RECOGNIZE-style contiguous VCP runs
     "hll_mergeable",           # DataSketches HLL union losslessness
     "stream_stream_left",      # outer stream-stream join, state expiry
+    "events_session_dynamic",  # per-event dynamic session gap
+    "map_in_arrow",            # zero-copy Arrow kernel featurization
+    "dynamic_partition_overwrite",  # single-partition incremental rewrite
 ]
 
 

@@ -561,6 +561,53 @@ def events_session(spark, sf_dir):
     return session_agg(T(spark, sf_dir, "events"))
 
 
+@query("events_session_dynamic", oracle="""
+    WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN event_type = 'click' THEN INTERVAL '10 minutes'
+                    ELSE INTERVAL '5 minutes' END AS g
+        FROM events
+    ),
+    y AS (
+        SELECT user_id, ts, g,
+               max(ts + g) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_end
+        FROM x
+    ),
+    z AS (
+        SELECT user_id, ts, g,
+               sum(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sid
+        FROM y
+    )
+    SELECT user_id, min(ts) AS sess_start, max(ts + g) AS sess_end,
+           count(*) AS n_events
+    FROM z GROUP BY user_id, sid
+""")
+def events_session_dynamic(spark, sf_dir):
+    """Session windows with a DYNAMIC per-event gap (Spark's
+    session_window(col, gap_expr), which plain SQL engines lack):
+    clicks hold the session open 10 minutes, everything else 5. Session
+    semantics become interval union — event i extends the session to
+    ts_i + gap_i, a new session starts when ts >= the running max of
+    previous interval ends. The oracle states exactly that as
+    gaps-and-islands with a running-max window (verified equal to the
+    native operator row-for-row). Same single user_id shuffle as the
+    fixed-gap session; the dynamic gap is free — it's a projected
+    column, not extra state."""
+    e = T(spark, sf_dir, "events")
+    gap = (F.when(F.col("event_type") == "click", "10 minutes")
+           .otherwise("5 minutes"))
+    return (e.groupBy("user_id", F.session_window("ts", gap).alias("sess"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("sess.start").alias("sess_start"),
+                    F.col("sess.end").alias("sess_end"), "n_events"))
+
+
 @query("stream_tumbling", oracle=_TUMBLING_ORACLE)
 def stream_tumbling(spark, sf_dir):
     """The tumbling aggregation executed by the Structured Streaming

@@ -593,3 +593,50 @@ def udtf_lateral(spark, sf_dir):
         SELECT d.doc_id, c.chunk_id, c.n_tok, c.chunk_md5
         FROM documents_u d, LATERAL chunk_doc(d.text) c
     """)
+
+
+@query("map_in_arrow", oracle="""
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(x * 1000) AS BIGINT)
+                     * CAST(round(x * 1000) AS BIGINT))) AS BIGINT)
+               AS norm_sq_milli
+    FROM embeddings
+""")
+def map_in_arrow(spark, sf_dir):
+    """mapInArrow — the zero-copy Arrow-native Python surface (one level
+    below pandas UDFs: no pandas conversion at all). Squared L2 norms
+    of the embedding vectors computed on the raw Arrow ListArray
+    buffers: flatten once, one vectorized numpy pass, segment sums via
+    add.reduceat on the list offsets. Per-batch Python cost is O(values)
+    with no per-row objects — the shape for 100 TB featurization when
+    the kernel genuinely can't be a built-in expression.
+
+    Components are fixed-pointed to integer milli-units before squaring,
+    so the aggregate is EXACT integer arithmetic on both engines —
+    no float-summation-order hazard (SURVEY §4.3). (round(x*1000) of a
+    binary float is never an exact .5, so numpy's round-half-even and
+    SQL's round-half-up agree.)"""
+    import pyarrow as pa
+
+    def norms(batches):
+        import numpy as np
+        for batch in batches:
+            names = batch.schema.names
+            vid = batch.column(names.index("vec_id"))
+            col = batch.column(names.index("embedding"))
+            flat = np.asarray(col.values.to_numpy(zero_copy_only=False),
+                              dtype=np.float64)
+            offs = col.offsets.to_numpy()
+            q = np.round(flat * 1000).astype(np.int64) ** 2
+            if len(q):
+                sums = np.add.reduceat(q, np.minimum(offs[:-1], len(q) - 1))
+                sums = np.where(offs[1:] == offs[:-1], 0, sums)
+            else:
+                sums = np.zeros(len(vid), dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [vid, pa.array(sums, type=pa.int64())],
+                ["vec_id", "norm_sq_milli"])
+
+    emb = T(spark, sf_dir, "embeddings")
+    return emb.mapInArrow(norms, "vec_id long, norm_sq_milli long")

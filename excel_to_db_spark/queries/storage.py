@@ -176,3 +176,42 @@ def excel_roundtrip(spark, sf_dir):
         Ty.StructField("price", Ty.DoubleType()),
     ])
     return spark.createDataFrame(typed, schema)
+
+
+@query("dynamic_partition_overwrite", oracle="""
+    SELECT event_type, count(*) AS n,
+           round(sum(CAST(round((CASE WHEN event_type = 'click'
+                                      THEN value * 2 ELSE value END) * 100)
+                          AS BIGINT)) / 100.0, 2) AS sum_value
+    FROM events GROUP BY event_type
+""")
+def dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the incremental-backfill primitive:
+    an INSERT OVERWRITE that replaces ONLY the partitions present in the
+    incoming data, leaving every other partition's files untouched.
+
+    Here: events written partitioned by event_type, then the 'click'
+    partition alone is rewritten with doubled values via the per-write
+    `partitionOverwriteMode=dynamic` option (no global conf mutation —
+    session stays clean for concurrent queries). The read-back
+    aggregation must show exactly one modified partition; the oracle
+    recomputes that end state from the original parquet. At 100 TB this
+    is how a daily pipeline repairs one day out of thousands without a
+    full-table rewrite, and the option keeps it transactional per
+    partition (Spark stages to _temporary and commits per-partition
+    directories)."""
+    out = tempfile.mkdtemp(prefix="e2db_dpo_")
+    base = (T(spark, sf_dir, "events")
+            .select("event_id", "user_id", "value", "event_type"))
+    base.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    clicks2 = (base.filter(F.col("event_type") == "click")
+               .withColumn("value", F.col("value") * 2))
+    (clicks2.write.partitionBy("event_type")
+     .option("partitionOverwriteMode", "dynamic")
+     .mode("overwrite").parquet(out))
+
+    back = spark.read.parquet(out)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 _cents_sum(F.col("value")).alias("sum_value")))

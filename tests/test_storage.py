@@ -100,3 +100,39 @@ def test_csv_commitlog_sink_ignores_uncommitted_stragglers(spark, sf_dir):
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert back.count() == n_events
     assert back.filter(F.col("event_type") == "orphan").count() == 0
+
+
+def test_dynamic_overwrite_leaves_other_partitions_untouched(spark, sf_dir):
+    """partitionOverwriteMode=dynamic must replace ONLY the partitions
+    present in the incoming frame: every other partition directory keeps
+    byte-identical files."""
+    import hashlib
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="e2db_dpo_test_")
+    base = (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("event_id", "user_id", "value", "event_type"))
+    base.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    def digest(part):
+        d = os.path.join(out, f"event_type={part}")
+        h = hashlib.md5()
+        for f in sorted(os.listdir(d)):
+            if not f.startswith("."):
+                h.update(open(os.path.join(d, f), "rb").read())
+        return h.hexdigest()
+
+    before = {p: digest(p) for p in ("view", "purchase", "error", "signup")}
+    (base.filter(F.col("event_type") == "click")
+     .withColumn("value", F.col("value") * 2)
+     .write.partitionBy("event_type")
+     .option("partitionOverwriteMode", "dynamic")
+     .mode("overwrite").parquet(out))
+    after = {p: digest(p) for p in before}
+    assert after == before
+    # and the click partition did change content
+    n_click = (spark.read.parquet(out)
+               .filter(F.col("event_type") == "click").count())
+    n_orig = base.filter(F.col("event_type") == "click").count()
+    assert n_click == n_orig
