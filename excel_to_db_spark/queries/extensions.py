@@ -618,6 +618,33 @@ def stream_tumbling(spark, sf_dir):
     return run_tumbling_stream(spark, sf_dir)
 
 
+@query("stream_tumbling_append", oracle="""
+    WITH b AS (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+               time_bucket(INTERVAL '10 minutes', ts)
+                   + INTERVAL '10 minutes' AS win_end,
+               count(*) AS n_events,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+                   AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT max(ts) - INTERVAL '30 minutes' AS w FROM events)
+    SELECT b.* FROM b, m WHERE b.win_end < m.w
+""")
+def stream_tumbling_append(spark, sf_dir):
+    """Append-mode tumbling aggregation across FOUR micro-batches
+    (maxFilesPerTrigger=1 over time-sliced files): a window is emitted
+    exactly once, in the batch whose watermark first proves it complete,
+    and its state is evicted at emission. The oracle is the batch
+    tumbling aggregation restricted to windows the final watermark
+    (max ts - 30 min) finalized — the emit-once incremental
+    materialization contract. See
+    streaming/windows.py:run_tumbling_stream_multibatch."""
+    from ..streaming import run_tumbling_stream_multibatch
+
+    return run_tumbling_stream_multibatch(spark, sf_dir)
+
+
 @query("stream_session", oracle=_SESSION_ORACLE)
 def stream_session(spark, sf_dir):
     """Per-user session windows executed by the Structured Streaming

@@ -281,6 +281,71 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def run_tumbling_stream_multibatch(spark: SparkSession, sf_dir: str,
+                                   width: str = "10 minutes",
+                                   watermark: str = "30 minutes"
+                                   ) -> DataFrame:
+    """Tumbling aggregation in APPEND mode across MULTIPLE micro-batches
+    — the watermark-progression path the single-file replays never
+    exercise. The events log is re-sliced into four time-ordered files
+    (ascending names + mtimes, so the file source replays them in event
+    order); maxFilesPerTrigger=1 forces one micro-batch per slice, and
+    append mode only emits a window once the watermark PROVES it
+    complete (watermark > window end), i.e. windows finalize
+    incrementally as the replay advances.
+
+    Emission contract (pinned empirically, encoded in the oracle):
+    finite replay emits exactly the windows with win_end < max(ts) -
+    `watermark`; each is emitted once, in the batch whose watermark
+    first passes it, with values equal to the batch aggregation —
+    append-mode state is evicted at emission, so memory holds only the
+    open tail. This is the production shape for late-data-tolerant
+    incremental materialization (emit-once, no updates downstream)."""
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="e2db_mbatch_")
+    from ..tables import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    # Fixed calendar slice points (the corpus spans January): slices are
+    # time-ordered, so no cross-batch late data is dropped and the final
+    # emitted set depends only on the data, not the slicing.
+    cuts = ["2024-01-09", "2024-01-17", "2024-01-25"]
+    lo = None
+    for i, hi in enumerate(cuts + [None]):
+        part = batch
+        if lo is not None:
+            part = part.filter(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.col("ts") < F.lit(hi))
+        pdir = os.path.join(out, f"slice_{i}.dir")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        fname = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        dest = os.path.join(out, f"slice_{i}.parquet")
+        os.rename(os.path.join(pdir, fname), dest)
+        os.utime(dest, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        lo = hi
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from ..tables import normalize_event_ts
+
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", "1")
+              .option("latestFirst", "false")
+              .option("pathGlobFilter", "*.parquet")
+              .load(out))
+    agg = tumbling_agg(
+        normalize_event_ts(stream).withWatermark("ts", watermark), width)
+    name = f"mbt_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_static_join(spark: SparkSession, sf_dir: str,
                            watermark: str = "30 minutes") -> DataFrame:
     """Stream-static join: the replayed events stream enriched against

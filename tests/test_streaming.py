@@ -79,3 +79,23 @@ def test_stream_stream_left_join_contract(spark, sf_dir):
                        b.filter(F.col("view_id").isNull()
                                 & (F.col("click_ts") < F.lit(cut))).collect())
     assert got_null == want_null
+
+
+def test_multibatch_append_emits_each_window_once(spark, sf_dir):
+    """Append-mode multi-batch replay: every finalized window appears
+    exactly once (emit-once contract), and no window after the final
+    watermark leaks out."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from excel_to_db_spark.streaming import run_tumbling_stream_multibatch
+
+    out = run_tumbling_stream_multibatch(spark, sf_dir)
+    rows = out.collect()
+    starts = [r.win_start for r in rows]
+    assert len(starts) == len(set(starts))
+    maxts = (load_table(spark, sf_dir, "events")
+             .agg(F.max("ts")).first()[0])
+    w = maxts - datetime.timedelta(minutes=30)
+    assert all(r.win_end < w for r in rows)
