@@ -421,3 +421,31 @@ def hll_mergeable(spark, sf_dir):
                     .alias("merge_lossless"),
                     (F.abs(F.col("est_merged") - F.col("n_exact"))
                      <= 0.02 * F.col("n_exact")).alias("within_2pct")))
+
+
+# ----------------------------------------------- salted distinct
+
+@query("distinct_salted", oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+""")
+def distinct_salted(spark, sf_dir):
+    """Exact distinct count under a HOT KEY: two-stage salted
+    aggregation. Stage 1 groups by (key, hash(user) % 16) — each salt
+    bucket holds a disjoint slice of the key's distinct values, so
+    per-reducer cardinality is bounded at |distinct|/16 even when one
+    key owns billions of distincts (where a plain countDistinct's
+    single per-key reducer OOMs). Stage 2 SUMs the per-bucket distinct
+    counts — correct because the salt is a function of the value being
+    distinct-counted, never random.
+
+    This is the distinct-count sibling of `join_salted`: the generic
+    recipe for any agg whose per-key state is unbounded. The oracle is
+    the plain DISTINCT — identical result, hotspot-free plan."""
+    e = T(spark, sf_dir, "events")
+    buckets = (e.groupBy(
+        "event_type",
+        (F.xxhash64("user_id") % 16).alias("salt"))
+        .agg(F.countDistinct("user_id").alias("d")))
+    return (buckets.groupBy("event_type")
+            .agg(F.sum("d").alias("n_users")))

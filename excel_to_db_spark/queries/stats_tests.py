@@ -182,3 +182,76 @@ def events_path3(spark, sf_dir):
             .orderBy(F.col("n").desc(), F.col("a").asc(),
                      F.col("b").asc(), F.col("c").asc())
             .limit(10))
+
+
+@query("stats_mannwhitney", oracle="""
+    WITH pool AS (
+        SELECT value, event_type FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    ranked AS (
+        SELECT event_type,
+               rank() OVER (ORDER BY value)
+                   + (count(*) OVER (PARTITION BY value) - 1) / 2.0
+                   AS midrank
+        FROM pool
+    ),
+    agg AS (
+        SELECT
+            sum(midrank) FILTER (WHERE event_type = 'click') AS r1,
+            count(*) FILTER (WHERE event_type = 'click') AS n1,
+            count(*) FILTER (WHERE event_type = 'view') AS n2,
+            count(*) AS n
+        FROM ranked
+    ),
+    ties AS (
+        SELECT sum(CAST(c * c * c - c AS DOUBLE)) AS tie_term
+        FROM (SELECT count(*) AS c FROM pool GROUP BY value)
+    )
+    SELECT n1, n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u_stat,
+           round(((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0)
+                 / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                        * ((n + 1) - tie_term / (CAST(n AS DOUBLE)
+                                                 * (n - 1)))), 6) AS z
+    FROM agg, ties
+""")
+def stats_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) test, tie-corrected: do
+    'click' and 'view' event values come from the same distribution?
+    Nonparametric sibling of stats_welch_t.
+
+    Distributed shape: ONE global rank over the pooled sample — a
+    range-partitioned sort, Spark's parallel rank machinery — plus a
+    per-value tie count (window, same sort order, no extra shuffle).
+    Mid-ranks are exact multiples of 0.5, so their sum is exact in
+    doubles (no summation-order hazard) and U is engine-exact; only the
+    final z-score divides into a sqrt, rounded at 6dp from identical
+    exact inputs on both engines."""
+    pool = (T(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("click", "view"))
+            .select("value", "event_type"))
+    ranked = pool.select(
+        "event_type",
+        (F.rank().over(W.orderBy("value"))
+         + (F.count("*").over(W.partitionBy("value")) - 1) / 2.0)
+        .alias("midrank"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("event_type") == "click",
+                     F.col("midrank"))).alias("r1"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n1"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n2"),
+        F.count("*").alias("n"))
+    ties = (pool.groupBy("value").agg(F.count("*").alias("c"))
+            .agg(F.sum((F.col("c") * F.col("c") * F.col("c")
+                        - F.col("c")).cast("double")).alias("tie_term")))
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    var = ((F.col("n1").cast("double") * F.col("n2") / 12.0)
+           * ((F.col("n") + 1)
+              - F.col("tie_term") / (F.col("n").cast("double")
+                                     * (F.col("n") - 1))))
+    return (agg.crossJoin(ties)
+            .select("n1", "n2",
+                    F.round(u, 1).alias("u_stat"),
+                    F.round((u - F.col("n1") * F.col("n2") / 2.0)
+                            / F.sqrt(var), 6).alias("z")))
