@@ -618,6 +618,24 @@ def stream_tumbling(spark, sf_dir):
     return run_tumbling_stream(spark, sf_dir)
 
 
+@query("stream_dedup_watermark", oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_value
+    FROM events GROUP BY event_type
+""")
+def stream_dedup_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark (bounded-state streaming dedup):
+    every event replayed TWICE, the duplicate arriving one micro-batch
+    later — dropped only because the first batch's dedup state
+    survived; state itself is watermark-evicted (the API's reason to
+    exist vs plain dropDuplicates). Output must equal the original
+    event set. See streaming/windows.py:run_stream_dedup_watermark."""
+    from ..streaming import run_stream_dedup_watermark
+
+    return run_stream_dedup_watermark(spark, sf_dir)
+
+
 @query("stream_tumbling_append", oracle="""
     WITH b AS (
         SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,

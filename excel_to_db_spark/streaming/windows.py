@@ -281,6 +281,55 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def run_stream_dedup_watermark(spark: SparkSession, sf_dir: str,
+                               watermark: str = "45 days") -> DataFrame:
+    """Streaming dedup via dropDuplicatesWithinWatermark (Spark 3.5+,
+    the BOUNDED-state dedup API): duplicates are dropped as long as
+    they arrive within the watermark delay of the first copy, and the
+    dedup state itself is evicted once the watermark passes — unlike
+    plain dropDuplicates, whose keyed state without an event-time key
+    grows forever.
+
+    The replay forces the cross-micro-batch path: the events file is
+    staged TWICE with ascending mtimes and maxFilesPerTrigger=1, so the
+    duplicate of every row arrives one micro-batch later and can only
+    be dropped if the first batch's state survived. The watermark spans
+    the corpus (45 days vs the 30-day event range), so no duplicate is
+    late-dropped instead of dedup-dropped — the output is exactly the
+    original event set, which is what the DuckDB oracle checks."""
+    import os
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="e2db_ddw_")
+    src = os.path.join(sf_dir, "events.parquet")
+    for i in (0, 1):
+        dest = os.path.join(out, f"copy_{i}.parquet")
+        shutil.copyfile(src, dest)
+        os.utime(dest, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    schema = spark.read.parquet(src).schema
+    from ..tables import normalize_event_ts
+
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", "1")
+              .option("latestFirst", "false")
+              .load(out))
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    q = (normalize_event_ts(stream)
+         .withWatermark("ts", watermark)
+         .dropDuplicatesWithinWatermark(["event_id"])
+         .groupBy("event_type")
+         .agg(F.count("*").alias("n_events"),
+              _cents_sum(F.col("value")).alias("sum_value"))
+         .writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_tumbling_stream_multibatch(spark: SparkSession, sf_dir: str,
                                    width: str = "10 minutes",
                                    watermark: str = "30 minutes"
