@@ -66,10 +66,15 @@ def test_graph_triangles_counts_each_once(spark, sf_dir):
     every count is positive."""
     from excel_to_db_spark.queries.quality import graph_triangles
 
-    rows = graph_triangles(spark, sf_dir).collect()
+    df = graph_triangles(spark, sf_dir)
+    rows = df.collect()
     total = sum(r.n_tri for r in rows)
     assert total % 3 == 0
     assert all(r.n_tri > 0 for r in rows)
+    # the edge list feeds three self-join references plus the 3-way
+    # node union — the expensive fact-side derivation must be computed
+    # once and reused, not replayed per reference
+    assert "ReusedExchange" in _plan(df)
 
 
 def test_decontam_is_directional(spark, sf_dir):
