@@ -449,3 +449,48 @@ def distinct_salted(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("d")))
     return (buckets.groupBy("event_type")
             .agg(F.sum("d").alias("n_users")))
+
+
+# ------------------------------------------------- winsorization
+
+@query("winsorize_group", oracle="""
+    WITH q AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           count(CASE WHEN o_totalprice < lo THEN 1 END) AS n_clip_lo,
+           count(CASE WHEN o_totalprice > hi THEN 1 END) AS n_clip_hi,
+           round(sum(CAST(round(greatest(least(o_totalprice, hi), lo)
+                                * 100) AS BIGINT)) / 100.0, 2)
+               AS winsorized_sum
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY 1
+""")
+def winsorize_group(spark, sf_dir):
+    """Per-group winsorization (clip to [p05, p95]) — the outlier
+    treatment every quality-scoring pipeline applies before averaging
+    heavy-tailed metrics. Two-pass shape: exact per-group quantiles
+    (dimension-sized result) broadcast back onto the fact scan, clip,
+    re-aggregate in integer cents. Both engines interpolate
+    quantile_cont identically, so the clip bounds — and therefore every
+    comparison against them — are bit-equal; the clipped sum follows
+    the cents rule. At 100 TB the first pass is the only per-group
+    sort; swap in approx_percentile for a sketch-bound first pass at
+    the same plan shape."""
+    o = T(spark, sf_dir, "orders")
+    q = (o.groupBy("o_orderpriority")
+         .agg(F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+              F.percentile("o_totalprice", F.lit(0.95)).alias("hi")))
+    clipped = F.greatest(F.least(F.col("o_totalprice"), F.col("hi")),
+                         F.col("lo"))
+    return (o.join(F.broadcast(q), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.when(F.col("o_totalprice") < F.col("lo"), 1))
+                 .alias("n_clip_lo"),
+                 F.count(F.when(F.col("o_totalprice") > F.col("hi"), 1))
+                 .alias("n_clip_hi"),
+                 F.round(F.sum(F.round(clipped * 100).cast("bigint"))
+                         / 100.0, 2).alias("winsorized_sum")))

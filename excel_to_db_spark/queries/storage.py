@@ -215,3 +215,49 @@ def dynamic_partition_overwrite(spark, sf_dir):
     return (back.groupBy("event_type")
             .agg(F.count("*").alias("n"),
                  _cents_sum(F.col("value")).alias("sum_value")))
+
+
+@query("federated_union", oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(CAST(round(round(o_totalprice, 2) * 100) AS BIGINT))
+                 / 100.0, 2) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+""")
+def federated_union(spark, sf_dir):
+    """Federated multi-format read: one logical table physically split
+    across parquet, ORC, and CSV (orderkey mod 3), each slice read back
+    with its format's reader under ONE explicit schema and recombined
+    with unionByName. The aggregate over the union must equal the
+    single-source oracle — proving the three readers agree on types,
+    nulls, and values (CSV doubles pre-rounded to 2dp so the text hop
+    is exact; the oracle applies the same rounding).
+
+    The production story: a 100 TB lake is never one format — historic
+    CSV dumps, an ORC era, a parquet present. unionByName over
+    per-format scans federates them without a rewrite; each branch
+    keeps its own pushdown (column pruning works in all three readers,
+    predicate pushdown in the columnar two)."""
+    out = tempfile.mkdtemp(prefix="e2db_fed_")
+    base = (T(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus",
+                    F.round("o_totalprice", 2).alias("o_totalprice")))
+    m = F.col("o_orderkey") % 3
+    base.filter(m == 0).write.mode("overwrite").parquet(f"{out}/pq")
+    base.filter(m == 1).write.mode("overwrite").orc(f"{out}/orc")
+    (base.filter(m == 2).write.mode("overwrite")
+     .option("header", True).csv(f"{out}/csv"))
+
+    schema = Ty.StructType([
+        Ty.StructField("o_orderkey", Ty.LongType()),
+        Ty.StructField("o_orderstatus", Ty.StringType()),
+        Ty.StructField("o_totalprice", Ty.DoubleType()),
+    ])
+    pq = spark.read.schema(schema).parquet(f"{out}/pq")
+    orc = spark.read.schema(schema).orc(f"{out}/orc")
+    csv = spark.read.schema(schema).option("header", True).csv(f"{out}/csv")
+    fed = pq.unionByName(orc).unionByName(csv)
+    return (fed.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.round(F.col("o_totalprice") * 100)
+                               .cast("bigint")) / 100.0, 2)
+                 .alias("sum_price")))
