@@ -598,8 +598,9 @@ def udtf_lateral(spark, sf_dir):
 @query("map_in_arrow", oracle="""
     SELECT vec_id,
            CAST(list_sum(list_transform(embedding,
-                x -> CAST(round(x * 1000) AS BIGINT)
-                     * CAST(round(x * 1000) AS BIGINT))) AS BIGINT)
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                     * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                            AS BIGINT))) AS BIGINT)
                AS norm_sq_milli
     FROM embeddings
 """)
@@ -614,9 +615,14 @@ def map_in_arrow(spark, sf_dir):
 
     Components are fixed-pointed to integer milli-units before squaring,
     so the aggregate is EXACT integer arithmetic on both engines —
-    no float-summation-order hazard (SURVEY §4.3). (round(x*1000) of a
-    binary float is never an exact .5, so numpy's round-half-even and
-    SQL's round-half-up agree.)"""
+    no float-summation-order hazard (SURVEY §4.3). Fixed-pointing uses
+    floor(CAST(v AS DOUBLE)*1000 + 0.5) on BOTH engines: the float64
+    product can round onto an exact .5 boundary where numpy
+    (half-even) and SQL (half-up) disagree — floor(v + 0.5) is one
+    identical double op everywhere (the repo-wide rounding rule) — and
+    the float32 column must be widened BEFORE the multiply, because
+    DuckDB multiplies FLOAT in single precision while numpy/Spark
+    widen first (both pitfalls hit in practice at sf0.1)."""
     import pyarrow as pa
 
     def norms(batches):
@@ -627,13 +633,18 @@ def map_in_arrow(spark, sf_dir):
             col = batch.column(names.index("embedding"))
             flat = np.asarray(col.values.to_numpy(zero_copy_only=False),
                               dtype=np.float64)
-            offs = col.offsets.to_numpy()
-            q = np.round(flat * 1000).astype(np.int64) ** 2
-            if len(q):
-                sums = np.add.reduceat(q, np.minimum(offs[:-1], len(q) - 1))
-                sums = np.where(offs[1:] == offs[:-1], 0, sums)
-            else:
-                sums = np.zeros(len(vid), dtype=np.int64)
+            offs = col.offsets.to_numpy().astype(np.int64)
+            # floor(v*1000 + 0.5), NOT np.round: numpy rounds half-even
+            # while SQL rounds half away, and the float64 PRODUCT can
+            # round onto an exact .5 boundary even though no exact
+            # binary x has x*1000 == k+0.5 (hit at sf0.1, vec_id 1879).
+            # floor(v + 0.5) is the same double op on both engines.
+            q = np.floor(flat * 1000 + 0.5).astype(np.int64) ** 2
+            # cumsum-difference segment sums: exact for empty lists
+            # anywhere (a reduceat clamp mis-attributes the final
+            # element when the batch ENDS with an empty list)
+            cs = np.concatenate(([0], np.cumsum(q)))
+            sums = cs[offs[1:]] - cs[offs[:-1]]
             yield pa.RecordBatch.from_arrays(
                 [vid, pa.array(sums, type=pa.int64())],
                 ["vec_id", "norm_sq_milli"])

@@ -386,24 +386,27 @@ def events_pattern(spark, sf_dir):
 @query("hll_mergeable", oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
-           TRUE AS merge_lossless,
-           TRUE AS within_2pct
+           TRUE AS merged_within_2pct,
+           TRUE AS direct_within_2pct
     FROM events GROUP BY event_type
 """)
 def hll_mergeable(spark, sf_dir):
     """Mergeable-sketch contract for distributed distinct counting
     (Apache DataSketches HLL, built into Spark 4): sketch two DISJOINT
     halves of the event log independently, union the binary sketches,
-    and check (a) the merged estimate equals the single-pass estimate
-    bit-for-bit (union losslessness at equal lgK — the property that
-    lets 1000 executors sketch locally and merge a few KB each) and
-    (b) the estimate lands within the published ±2 % bound of the exact
-    count (lgK=12 → 0.8 % RSE).
+    and check that BOTH the merged and the single-pass estimates land
+    within the published ±2 % bound of the exact count (lgK=12 →
+    0.8 % RSE). Mergeability — 1000 executors sketching locally and
+    shipping a few KB each — is the whole 100 TB story; the bound is
+    the falsifiable part DuckDB can verify without replaying the
+    sketch internals.
 
-    The oracle pins the exact counts and asserts both booleans TRUE —
-    a falsifiable contract for behavior DuckDB cannot replay (different
-    sketch implementation). Each half is one partial-aggregable sketch
-    pass; the union touches only (event_type, 4 KB sketch) rows."""
+    Deliberately NOT asserted: bit-equality of merged vs direct
+    estimates. That holds only while the sketches stay in sparse mode
+    (true at sf0.001/0.01, ~150 users) and breaks past the dense
+    transition (sf0.1, 1500 users — measured): the union's register
+    folding is an estimate-preserving-to-within-RSE operation, not an
+    identity. Each half remains one partial-aggregable sketch pass."""
     e = T(spark, sf_dir, "events")
     h0 = (e.filter(F.col("event_id") % 2 == 0).groupBy("event_type")
           .agg(F.hll_sketch_agg("user_id").alias("sk")))
@@ -417,10 +420,10 @@ def hll_mergeable(spark, sf_dir):
         F.countDistinct("user_id").alias("n_exact"))
     return (direct.join(merged, "event_type")
             .select("event_type", "n_exact",
-                    (F.col("est_merged") == F.col("est_direct"))
-                    .alias("merge_lossless"),
                     (F.abs(F.col("est_merged") - F.col("n_exact"))
-                     <= 0.02 * F.col("n_exact")).alias("within_2pct")))
+                     <= 0.02 * F.col("n_exact")).alias("merged_within_2pct"),
+                    (F.abs(F.col("est_direct") - F.col("n_exact"))
+                     <= 0.02 * F.col("n_exact")).alias("direct_within_2pct")))
 
 
 # ----------------------------------------------- salted distinct

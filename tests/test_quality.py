@@ -107,10 +107,10 @@ def test_events_pattern_matches_are_contiguous(spark, sf_dir):
     assert got == want
 
 
-def test_hll_merge_is_lossless_and_bounded(spark, sf_dir):
+def test_hll_merged_and_direct_within_bounds(spark, sf_dir):
     from excel_to_db_spark.queries.quality import hll_mergeable
 
     rows = hll_mergeable(spark, sf_dir).collect()
     assert rows
-    assert all(r.merge_lossless for r in rows)
-    assert all(r.within_2pct for r in rows)
+    assert all(r.merged_within_2pct for r in rows)
+    assert all(r.direct_within_2pct for r in rows)
