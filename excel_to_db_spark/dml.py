@@ -65,20 +65,23 @@ _TABLE_CONSTRAINT = re.compile(
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
-    """Split on `sep` outside parentheses and string literals (SET
-    assignments and column defs may nest commas in calls/literals)."""
-    parts, depth, in_str, start = [], 0, False, 0
+    """Split on `sep` outside parentheses and quoted tokens (SET
+    assignments and column defs may nest commas in calls/literals).
+    Tracks single-quoted literals AND double-quoted tokens — SQLite
+    falls back to treating "x" as a string literal, so a sep inside
+    either quoting style must not split."""
+    parts, depth, quote, start = [], 0, None, 0
     i = 0
     while i < len(text):
         ch = text[i]
-        if in_str:
-            if ch == "'":
-                if i + 1 < len(text) and text[i + 1] == "'":
-                    i += 1          # escaped quote
+        if quote:
+            if ch == quote:
+                if i + 1 < len(text) and text[i + 1] == quote:
+                    i += 1          # doubled quote = escape
                 else:
-                    in_str = False
-        elif ch == "'":
-            in_str = True
+                    quote = None
+        elif ch in ("'", '"'):
+            quote = ch
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -93,22 +96,23 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
 
 def _find_top_level_kw(text: str, word: str) -> int:
     """Index of the first occurrence of `word` (case-insensitive, word-
-    bounded) at paren depth 0 and outside single-quoted literals, or -1.
+    bounded) at paren depth 0 and outside quoted tokens, or -1.
     The same scanner state machine as _split_top_level — a WHERE inside
-    `SET note = 'a where b'` must not split the statement."""
-    depth, in_str = 0, False
+    `SET note = 'a where b'` (or SQLite's double-quoted fallback
+    `SET note = "a where b"`) must not split the statement."""
+    depth, quote = 0, None
     low, n, wn = text.lower(), len(text), len(word)
     i = 0
     while i < n:
         ch = text[i]
-        if in_str:
-            if ch == "'":
-                if i + 1 < n and text[i + 1] == "'":
+        if quote:
+            if ch == quote:
+                if i + 1 < n and text[i + 1] == quote:
                     i += 1
                 else:
-                    in_str = False
-        elif ch == "'":
-            in_str = True
+                    quote = None
+        elif ch in ("'", '"'):
+            quote = ch
         elif ch == "(":
             depth += 1
         elif ch == ")":

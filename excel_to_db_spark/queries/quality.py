@@ -446,9 +446,11 @@ def distinct_salted(spark, sf_dir):
     recipe for any agg whose per-key state is unbounded. The oracle is
     the plain DISTINCT — identical result, hotspot-free plan."""
     e = T(spark, sf_dir, "events")
+    # pmod, not %: Spark's % keeps xxhash64's sign, which would silently
+    # double the bucket count to 31 asymmetric buckets
     buckets = (e.groupBy(
         "event_type",
-        (F.xxhash64("user_id") % 16).alias("salt"))
+        F.pmod(F.xxhash64("user_id"), F.lit(16)).alias("salt"))
         .agg(F.countDistinct("user_id").alias("d")))
     return (buckets.groupBy("event_type")
             .agg(F.sum("d").alias("n_users")))

@@ -166,10 +166,17 @@ class XlsxWriter(DataSourceWriter):
         self.overwrite = overwrite
         os.makedirs(self.dir, exist_ok=True)
 
-    def _committed(self) -> tuple[list[str], int]:
+    def _committed(self, exclude: frozenset = frozenset()
+                   ) -> tuple[list[str], int]:
         """Parts + row count named by the current manifest (empty when
         absent/foreign). Pre-manifest loose *.xlsx files are treated as
-        committed data for append/GC purposes."""
+        committed data for append/GC purposes — their rows are COUNTED
+        (one header row each excluded), so the manifest's audit total
+        stays truthful instead of silently adopting them as rows=0 and
+        undercounting every append thereafter. `exclude` must name the
+        in-flight job's own freshly-written parts: executors write
+        BEFORE commit, so the loose-file glob would otherwise adopt
+        (and double-count) the very rows this commit is adding."""
         import json
 
         manifest = os.path.join(self.dir, "_SUCCESS")
@@ -181,7 +188,17 @@ class XlsxWriter(DataSourceWriter):
                     return list(parts), int(doc.get("rows", 0))
             except (OSError, ValueError):
                 pass
-        return sorted(_glob.glob(os.path.join(self.dir, "*.xlsx"))), 0
+        loose = sorted(p for p in _glob.glob(os.path.join(self.dir, "*.xlsx"))
+                       if p not in exclude)
+        rows = 0
+        for p in loose:
+            try:
+                from .xlsx import iter_xlsx_rows
+
+                rows += max(0, sum(1 for _ in iter_xlsx_rows(p)) - 1)
+            except Exception:
+                pass  # unreadable part: keep it listed, count nothing
+        return loose, rows
 
     def write(self, iterator):
         import uuid
@@ -205,7 +222,7 @@ class XlsxWriter(DataSourceWriter):
 
         new_parts = sorted(m.path for m in messages if m and m.path)
         total = sum(m.rows for m in messages if m)
-        old_parts, old_rows = self._committed()
+        old_parts, old_rows = self._committed(exclude=frozenset(new_parts))
         if self.overwrite:
             parts = new_parts
         else:  # append: the manifest must keep naming prior commits

@@ -123,3 +123,28 @@ def test_xlsx_overwrite_is_atomic_and_append_merges(spark, tmp_path):
     assert [tuple(r) for r in final.collect()] == [(3, "c", 3.0)]
     doc = json.load(open(f"{out}/_SUCCESS"))
     assert sorted(doc["parts"]) == sorted(glob.glob(f"{out}/*.xlsx"))
+
+
+def test_append_onto_premanifest_dir_counts_adopted_rows(spark, tmp_path):
+    """Appending into a directory holding pre-manifest loose parts must
+    adopt them with their REAL row counts in the _SUCCESS manifest."""
+    import json
+    import os
+
+    from excel_to_db_spark.sources.xlsx_writer import write_xlsx
+
+    d = str(tmp_path / "premanifest")
+    os.makedirs(d)
+    write_xlsx(os.path.join(d, "legacy.xlsx"),
+               [["a", "b"], ["x", 1], ["y", 2], ["z", 3]])
+
+    df = spark.createDataFrame([("w", 4.0)], "a string, b double")
+    (df.selectExpr("a as service_name", "b as count",
+                   "b as average_response_time_95_ms",
+                   "b as max_response_time_95_ms",
+                   "b as min_response_time_95_ms")
+     .write.format("xlsx").mode("append").option("path", d).save())
+
+    doc = json.load(open(os.path.join(d, "_SUCCESS")))
+    assert doc["rows"] == 3 + 1
+    assert any(p.endswith("legacy.xlsx") for p in doc["parts"])

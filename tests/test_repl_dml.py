@@ -151,3 +151,24 @@ def test_non_dml_falls_through(spark):
     # Spark-native temp-view DDL is NOT intercepted (spark.sql handles it)
     assert try_dml(
         spark, "CREATE OR REPLACE TEMPORARY VIEW v AS SELECT 1 AS x") is None
+
+
+def test_update_where_inside_double_quoted_token(spark):
+    """SQLite's double-quote string fallback: a WHERE inside "..." must
+    not split the UPDATE (mirrors the single-quote guarantee)."""
+    import sqlite3
+
+    from excel_to_db_spark.dml import _find_top_level_kw, _split_top_level
+
+    stmt = 'note = "a where b", k = 2'
+    assert _split_top_level(stmt) == ['note = "a where b"', "k = 2"]
+    s = 'SET note = "x where y" WHERE k = 1'
+    idx = _find_top_level_kw(s, "where")
+    assert s[idx:idx + 5].lower() == "where" and idx > s.index('"x')
+    # pin against real sqlite3: the statement is legal and targeted
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (k INTEGER, note TEXT)")
+    con.execute("INSERT INTO t VALUES (1, 'old'), (2, 'old')")
+    con.execute('UPDATE t SET note = "x where y" WHERE k = 1')
+    assert sorted(con.execute("SELECT k, note FROM t").fetchall()) == [
+        (1, "x where y"), (2, "old")]
