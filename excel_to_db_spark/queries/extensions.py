@@ -24,6 +24,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as X
 from ..streaming import run_tumbling_stream, session_agg, tumbling_agg
+from ..numerics import cents_sum as _cents_sum
 from .registry import query
 from .relational import T
 
@@ -785,8 +786,7 @@ def events_hopping(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     return (ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum(F.round(F.col("value") * 100).cast("bigint"))
-                         / 100.0, 2).alias("sum_value"))
+                 _cents_sum(F.col("value")).alias("sum_value"))
             .select(F.col("win.start").alias("win_start"),
                     F.col("win.end").alias("win_end"),
                     "n_events", "sum_value"))
@@ -1108,8 +1108,7 @@ def stream_custom_sink(spark, sf_dir):
                           "event_id bigint, event_type string, value double")
     return (back.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum(F.round(F.col("value") * 100).cast("bigint"))
-                         / 100.0, 2).alias("sum_value")))
+                 _cents_sum(F.col("value")).alias("sum_value")))
 
 
 @query("stream_python_source", oracle="""

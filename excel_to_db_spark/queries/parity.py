@@ -21,6 +21,7 @@ from pyspark.sql.types import (LongType, StringType, StructField, StructType)
 from ..ingest import load_excel_table
 from ..sinks.csv_sink import export_csv
 from ..sinks.display import collect_formatted
+from ..numerics import cents_sum as _cents_sum
 from .registry import query
 
 DEMO_XLSX = "/root/reference/demo.xlsx"
@@ -141,5 +142,4 @@ def sink_parquet_partitioned(spark, sf_dir):
     return (back.filter(F.col("event_type").isin("click", "purchase"))
             .groupBy("event_type")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum(F.round(F.col("value") * 100).cast("bigint"))
-                         / 100.0, 2).alias("sum_value")))
+                 _cents_sum(F.col("value")).alias("sum_value")))

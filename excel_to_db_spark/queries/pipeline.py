@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import text as X
+from ..numerics import fixed_sum
 from .registry import query
 from .relational import T
 
@@ -244,8 +245,7 @@ def embedding_quantize(spark, sf_dir):
             .groupBy("vec_id")
             .agg(F.sum("qv").cast("bigint").alias("q_sum"),
                  F.min("qv").alias("q_min"), F.max("qv").alias("q_max"),
-                 F.round(F.sum(F.round(F.col("err") * 1e9).cast("bigint"))
-                         / 1e9, 6).alias("abs_err")))
+                 fixed_sum(F.col("err"), 1e9, 6).alias("abs_err")))
 
 
 @query("text_repetition", oracle="""
@@ -750,5 +750,4 @@ def kmeans_lloyd(spark, sf_dir):
     final, _cents = S.lloyd_kmeans(e, init, iters=2)
     return (final.groupBy(F.col("cell").alias("cluster"))
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum(F.round(F.col("d2") * 1e6).cast("bigint"))
-                         / 1e6, 3).alias("inertia")))
+                 fixed_sum(F.col("d2"), 1e6, 3).alias("inertia")))

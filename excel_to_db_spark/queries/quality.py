@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..operators import text as X
+from ..numerics import cents_sum as _cents_sum
 from .registry import query
 from .relational import T
 
@@ -497,5 +498,4 @@ def winsorize_group(spark, sf_dir):
                  .alias("n_clip_lo"),
                  F.count(F.when(F.col("o_totalprice") > F.col("hi"), 1))
                  .alias("n_clip_hi"),
-                 F.round(F.sum(F.round(clipped * 100).cast("bigint"))
-                         / 100.0, 2).alias("winsorized_sum")))
+                 _cents_sum(clipped).alias("winsorized_sum")))

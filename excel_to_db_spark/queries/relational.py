@@ -225,12 +225,9 @@ def join_anti(spark, sf_dir):
 
 # ------------------------------------------------------------- aggregates
 
-def _cents_sum(col):
-    """Exact money sum in integer cents — order-independent, so engine/
-    partitioning summation order can never flip the 2dp rounding (see
-    queries/tpch.py tpch_q9: observed flip at sf0.001). SQL twin:
-    round(sum(CAST(round((expr) * 100) AS BIGINT)) / 100.0, 2)."""
-    return F.round(F.sum(F.round(col * 100).cast("bigint")) / 100.0, 2)
+# Exact money sum in integer cents — order-independent (numerics.py is
+# the single definition; see it for the SQL twin and rationale).
+from ..numerics import cents_sum as _cents_sum  # noqa: E402
 
 
 @query("agg_basic", oracle="""

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..numerics import cents_sum as _cents_sum
 from .registry import query
 from .relational import T
 
@@ -157,8 +158,7 @@ def date_spine(spark, sf_dir):
                       & (F.col("o_orderdate") < "1995-07-01"))
              .groupBy(F.col("o_orderdate").cast("date").alias("day"))
              .agg(F.count("*").alias("n_orders"),
-                  F.round(F.sum(F.round(F.col("o_totalprice") * 100)
-                                .cast("bigint")) / 100.0, 2).alias("revenue")))
+                  _cents_sum(F.col("o_totalprice")).alias("revenue")))
     return (spine.join(daily, "day", "left")
             .select("day",
                     F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
@@ -315,8 +315,7 @@ def customer_rfm(spark, sf_dir):
            .agg(F.datediff(F.lit("2001-09-01").cast("date"),
                            F.max("o_orderdate").cast("date")).alias("recency_days"),
                 F.count("*").alias("frequency"),
-                F.round(F.sum(F.round(F.col("o_totalprice") * 100)
-                              .cast("bigint")) / 100.0, 2).alias("monetary")))
+                _cents_sum(F.col("o_totalprice")).alias("monetary")))
     scored = rfm.select(
         "*",
         F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r"),
@@ -326,9 +325,7 @@ def customer_rfm(spark, sf_dir):
                                        "o_custkey")).alias("m"))
     return (scored.groupBy("r", "f", "m")
             .agg(F.count("*").alias("n_customers"),
-                 F.round(F.sum(F.round(F.col("monetary") * 100)
-                               .cast("bigint")) / 100.0, 2)
-                 .alias("segment_value")))
+                 _cents_sum(F.col("monetary")).alias("segment_value")))
 
 
 @query("set_bag_ops", oracle="""

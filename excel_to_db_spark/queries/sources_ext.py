@@ -31,6 +31,7 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql import types as Ty
 
+from ..numerics import cents_sum as _cents_sum
 from .registry import query
 from .relational import T
 
@@ -232,8 +233,7 @@ def json_malformed_handling(spark, sf_dir):
          .alias("n_good"),
         F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
          .alias("n_corrupt"),
-        F.round(F.sum(F.round(F.col("value") * 100).cast("bigint"))
-                / 100.0, 2).alias("sum_value_good"))
+        _cents_sum(F.col("value")).alias("sum_value_good"))
 
 
 @query("stream_foreachbatch", oracle="""
@@ -270,5 +270,4 @@ def stream_foreachbatch(spark, sf_dir):
     back = spark.read.parquet(out)  # partition discovery over epoch=N
     return (back.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum(F.round(F.col("value") * 100).cast("bigint"))
-                         / 100.0, 2).alias("sum_value")))
+                 _cents_sum(F.col("value")).alias("sum_value")))

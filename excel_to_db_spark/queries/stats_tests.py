@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..numerics import fixed_sum
 from .registry import query
 from .relational import T
 
@@ -113,8 +114,8 @@ def stats_chi_square(spark, sf_dir):
            / F.col("n").cast("double"))
     return tot.agg(
         F.count("*").cast("bigint").alias("n_cells"),
-        F.round(F.sum(F.round(F.pow(F.col("o") - exp, 2) / exp * 1e8)
-                      .cast("bigint")) / 1e8, 4).alias("chi2"))
+        fixed_sum(F.pow(F.col("o") - exp, 2) / exp, 1e8, 4)
+        .alias("chi2"))
 
 
 @query("agg_regression", oracle="""

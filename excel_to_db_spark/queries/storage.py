@@ -141,7 +141,7 @@ def excel_sink_partitioned(spark, sf_dir):
             .option("path", out).load())
     return (back.groupBy("o_orderstatus")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum(F.round(F.col("price") * 100).cast("bigint")) / 100.0, 2)
+                 _cents_sum(F.col("price"))
                  .alias("sum_price")))
 
 
@@ -258,6 +258,4 @@ def federated_union(spark, sf_dir):
     fed = pq.unionByName(orc).unionByName(csv)
     return (fed.groupBy("o_orderstatus")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum(F.round(F.col("o_totalprice") * 100)
-                               .cast("bigint")) / 100.0, 2)
-                 .alias("sum_price")))
+                 _cents_sum(F.col("o_totalprice")).alias("sum_price")))

@@ -41,16 +41,9 @@ def _revenue(le):
     return le.l_extendedprice * (1 - le.l_discount)
 
 
-def _cents_sum(col):
-    """Exact money sum: round each row to integer cents, sum in long
-    arithmetic, divide back. Float summation is order-dependent; when a
-    group's true sum sits near a half-cent, Spark's partial-aggregation
-    order and DuckDB's sequential order can round to different cents
-    (observed on tpch_q9 at sf0.001). Integer sums are associative, so
-    this makes every money aggregate engine- and partitioning-
-    independent. SQL twin: round(sum(CAST(round(expr * 100) AS BIGINT))
-    / 100.0, 2)."""
-    return F.round(F.sum(F.round(col * 100).cast("bigint")) / 100.0, 2)
+# Exact money sum in integer cents (single definition: numerics.py;
+# observed order-dependent flip it prevents: tpch_q9 at sf0.001).
+from ..numerics import cents_sum as _cents_sum  # noqa: E402
 
 
 # --------------------------------------------------------------- Q3/Q10
@@ -544,7 +537,7 @@ def tpch_q17(spark, sf_dir):
             .filter(le.l_quantity < F.col("avg_qty_threshold"))
             .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * 100)
                           .cast("bigint")) / 100.0 / 7.0, 2)
-                 .alias("avg_yearly")))
+                 .alias("avg_yearly")))  # /7 before rounding: not plain cents_sum
 
 
 @query("tpch_q18", oracle="""

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
                                     InputPartition)
 
+from ..numerics import cents_sum as _cents_sum
+
 EVENTS_DDL = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
               "event_type string, value double, props string")
 
@@ -134,8 +136,7 @@ def run_replay_source_agg(spark, sf_dir: str, batch_rows: int | None = None,
               .load())
     agg = (stream.groupBy("event_type")
            .agg(F.count("*").alias("n_events"),
-                F.round(F.sum(F.round(F.col("value") * 100).cast("bigint"))
-                        / 100.0, 2).alias("sum_value")))
+                _cents_sum(F.col("value")).alias("sum_value")))
     q = (agg.writeStream.outputMode("complete")
          .format("memory").queryName(name)
          .trigger(processingTime="0 seconds")

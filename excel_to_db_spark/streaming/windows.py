@@ -25,12 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _cents_sum(col) -> F.Column:
-    """sum(value) accumulated in integer cents (SURVEY §4.3): the 2dp
-    money result can never depend on partial-aggregation order, batch or
-    micro-batch. Oracle twin:
-    round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)."""
-    return F.round(F.sum(F.round(col * 100).cast("bigint")) / 100.0, 2)
+# Exact money sum in integer cents, batch or micro-batch (single
+# definition: numerics.py).
+from ..numerics import cents_sum as _cents_sum  # noqa: E402
 
 
 def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
