@@ -63,6 +63,35 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
+# Round-5 rotation TODO (86 keys with no driver CORRECTNESS row after
+# r4; regenerate with: REGISTRY keys - CORRECTNESS_r0{1,2,3} keys -
+# r4 _PRIORITY). Put ~50 of these first next round, prioritizing the
+# r4-new quality/streaming keys and the relational2/3 + pipeline packs:
+#   map_funcs interval_arith regexp_pack set_bag_ops window_ignore_nulls
+#   anti_join_nulls join_null_safe relational_division sequence_gaps
+#   agg_mode agg_histogram window_exclude window_groups_frame
+#   str_fuzzy_match map_in_arrow dedup_minhash_est similarity_recall
+#   events_session_dynamic stream_dedup_watermark stream_tumbling_append
+#   join_asof_tolerance join_range stream_stream_left events_latest_state
+#   events_funnel text_ngram_overlap text_idf embedding_centroids
+#   text_repetition sample_stratified text_vocab_mask sample_rebalance
+#   docs_length_quantile group_zscore_pandas text_keywords text_pii_scrub
+#   text_entropy text_bigram_lm embedding_outliers basket_affinity
+#   events_markov ts_interpolate pareto_share group_mad_outliers
+#   events_rolling_anomaly events_inter_arrival graph_pagerank3
+#   window_ewma agg_decimal_exact mom_growth interval_concurrency
+#   window_rolling_median rolling_wau attribution_last_touch
+#   stats_welch_t agg_regression events_path3 stats_mannwhitney
+#   profile_columns stats_benford snapshot_diff keyset_pagination
+#   rank_movement time_rollup agg_reaggregation join_scd2
+#   running_distinct_users excel_roundtrip dynamic_partition_overwrite
+#   federated_union xml_roundtrip multimodal_binary_ingest
+#   text_source_lines variant_json stream_state_inspect
+#   json_malformed_handling stream_foreachbatch dq_expectations
+#   graph_triangles zorder_layout sample_reservoir decontam_traintest
+#   events_pattern hll_mergeable distinct_salted winsorize_group
+
+
 def _front_load(priority: tuple[str, ...]) -> None:
     missing = [k for k in priority if k not in REGISTRY]
     if missing:
