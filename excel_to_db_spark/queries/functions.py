@@ -651,3 +651,70 @@ def map_in_arrow(spark, sf_dir):
 
     emb = T(spark, sf_dir, "embeddings")
     return emb.mapInArrow(norms, "vec_id long, norm_sq_milli long")
+
+
+@query("cogroup_asof_pandas", oracle="""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         e AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'error')
+    SELECT u.user_id,
+           CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_errors,
+           CAST(count(DISTINCT CASE WHEN EXISTS (
+                    SELECT 1 FROM c
+                    WHERE c.user_id = e.user_id
+                      AND c.ts <= e.ts
+                      AND c.ts >= e.ts - INTERVAL '5 minutes')
+                THEN e.event_id END) AS BIGINT) AS n_click_preceded
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN e ON e.user_id = u.user_id
+    GROUP BY u.user_id
+""")
+def cogroup_asof_pandas(spark, sf_dir):
+    """Cogrouped applyInPandas — the LAST cell of the Python-extension
+    matrix (scalar pandas_udf / UDTF / applyInPandas / mapInPandas /
+    mapInArrow / applyInPandasWithState): two DataFrames grouped on the
+    same key arrive as PAIRED pandas frames per key, here used for a
+    per-user pandas merge_asof — errors matched to the most recent
+    click within 5 minutes before them.
+
+    Plan: ONE co-partitioned shuffle (both sides hash to the same
+    user_id partitions — CoGroup, not a join), then Arrow-batched
+    per-key pandas. This is the escape hatch when per-key logic needs
+    real pandas (asof tolerances, resampling, curve fitting) — and the
+    batch twin of what applyInPandasWithState does in streaming. The
+    declarative `join_asof` family stays the hot path; the oracle here
+    is the correlated-EXISTS statement of the same semantics."""
+    import pandas as pd
+
+    e = T(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts"))
+    errors = (e.filter(F.col("event_type") == "error")
+              .select("user_id", "event_id", "ts"))
+
+    def per_user(clicks_pdf: pd.DataFrame, errors_pdf: pd.DataFrame
+                 ) -> pd.DataFrame:
+        if errors_pdf.empty:
+            return pd.DataFrame(columns=["user_id", "n_errors",
+                                         "n_click_preceded"])
+        uid = int(errors_pdf["user_id"].iloc[0])
+        err = errors_pdf.sort_values("ts")
+        if clicks_pdf.empty:
+            n_prec = 0
+        else:
+            ck = (clicks_pdf.sort_values("ts")
+                  .rename(columns={"ts": "click_ts"}))
+            m = pd.merge_asof(err, ck[["click_ts"]],
+                              left_on="ts", right_on="click_ts",
+                              direction="backward",
+                              tolerance=pd.Timedelta(minutes=5))
+            n_prec = int(m["click_ts"].notna().sum())
+        return pd.DataFrame([{"user_id": uid,
+                              "n_errors": len(err),
+                              "n_click_preceded": n_prec}])
+
+    return (clicks.groupBy("user_id")
+            .cogroup(errors.groupBy("user_id"))
+            .applyInPandas(per_user,
+                           "user_id long, n_errors long, "
+                           "n_click_preceded long"))
