@@ -499,3 +499,43 @@ def winsorize_group(spark, sf_dir):
                  F.count(F.when(F.col("o_totalprice") > F.col("hi"), 1))
                  .alias("n_clip_hi"),
                  _cents_sum(clipped).alias("winsorized_sum")))
+
+
+# ----------------------------------------------- observed metrics
+
+@query("observed_metrics", oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(CASE WHEN o_totalprice > 400000 THEN 1 END)
+                AS BIGINT) AS n_big,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_price
+    FROM orders
+""")
+def observed_metrics(spark, sf_dir):
+    """In-flight pipeline metrics via df.observe() (the Observation
+    API): counters and sums are accumulated ON the rows as they stream
+    through a real action — zero extra scans, exactly how a production
+    pipeline meters itself (row counts, null rates, money totals) while
+    doing its actual work. The observed values are returned AS the
+    result and must equal a from-scratch aggregation (the oracle).
+
+    At 100 TB this is the difference between metering for free on the
+    pass you were already making and paying a second full scan per
+    metric batch; in Structured Streaming the same API surfaces
+    per-micro-batch metrics through the listener bus."""
+    from pyspark.sql import Observation
+
+    o = T(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") > 400000, 1)).alias("n_big"),
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                / 100.0, 2).alias("sum_price"))
+    # the action that drives rows past the observation point
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_big"], m["sum_price"])],
+        "n_rows long, n_big long, sum_price double")
