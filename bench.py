@@ -85,6 +85,8 @@ HEADLINE = [
     "events_session_dynamic",  # per-event dynamic session gap
     "map_in_arrow",            # zero-copy Arrow kernel featurization
     "dynamic_partition_overwrite",  # single-partition incremental rewrite
+    "bpe_train_merges",        # distributed BPE merge learning (3 rounds)
+    "graph_bfs_levels",        # frontier BFS over sparsified trade graph
 ]
 
 

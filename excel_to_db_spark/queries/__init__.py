@@ -28,6 +28,7 @@ from . import warehouse5  # noqa: E402,F401  Tier B/C: re-agg/SCD2/cumulative di
 from . import storage     # noqa: E402,F401  Storage layout: bucketed join, ORC/xlsx round trips
 from . import sources_ext  # noqa: E402,F401  XML/binaryFile/text sources + foreachBatch sink
 from . import quality     # noqa: E402,F401  DQ expectations/triangles/zorder/reservoir/decontam
+from . import tokenizer   # noqa: E402,F401  Tier C: BPE merge training + vocabulary apply
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-4 window
@@ -90,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
 #   json_malformed_handling stream_foreachbatch dq_expectations
 #   graph_triangles zorder_layout sample_reservoir decontam_traintest
 #   events_pattern hll_mergeable distinct_salted winsorize_group
+#   bpe_train_merges bpe_tokenize_corpus graph_bfs_levels agg_corr_matrix
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

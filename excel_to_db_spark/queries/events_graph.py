@@ -315,3 +315,94 @@ def agg_decimal_exact(spark, sf_dir):
                  F.sum(F.col("l_quantity").cast("decimal(18,2)"))
                   .alias("sum_qty"),
                  F.count("*").alias("n")))
+
+
+# ----------------------------------------------------- BFS shortest hops
+
+_BFS_ORACLE = """
+    WITH RECURSIVE edges AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM (
+                SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT)) AS w
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey  = c_custkey
+                JOIN supplier ON l_suppkey  = s_suppkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                WHERE cn.n_nationkey <> sn.n_nationkey
+                GROUP BY 1, 2
+            )
+        ) WHERE rn <= 2
+    ),
+    walk(node, level) AS (
+        SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+        UNION
+        SELECT e.dst, w.level + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.level < 12
+    )
+    SELECT node, CAST(min(level) AS INTEGER) AS level
+    FROM walk GROUP BY node
+"""
+
+
+@query("graph_bfs_levels", oracle=_BFS_ORACLE)
+def graph_bfs_levels(spark, sf_dir):
+    """Breadth-first shortest-hop levels from nation 0 over a sparsified
+    trade graph: each nation keeps only its top-2 outbound trade partners
+    by revenue (deterministic: revenue summed in integer cents so the
+    ranking can't flip across engines; ties broken by dst ASC).
+
+    The Spark side is real frontier BFS — the algorithm that survives a
+    100 TB graph: per hop, the frontier (node set, not the fact table)
+    joins the edge list, subtracts the visited set with a left-anti
+    join, and the loop stops when the frontier drains. The fact-table
+    aggregation runs ONCE (edges is persisted); each hop shuffles
+    node-sized relations only, and the driver sees a single scalar
+    (frontier count) per hop — same budget as kmeans_lloyd. Both sides
+    pin max depth 12, so "unreached within 12 hops" is excluded
+    identically (the DuckDB oracle walks a depth-bounded recursive CTE
+    whose UNION-dedup keeps it polynomial)."""
+    le = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = T(spark, sf_dir, "nation")
+
+    w = (le.join(o, le.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(s), le.l_suppkey == s.s_suppkey)
+         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+         .groupBy(F.col("c_nationkey").alias("src"),
+                  F.col("s_nationkey").alias("dst"))
+         .agg(F.sum(F.round(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")) * 100)
+                    .cast("bigint")).alias("w")))
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.col("w").desc(), "dst"))
+    edges = (w.withColumn("rn", rn).filter(F.col("rn") <= 2)
+             .select("src", "dst").persist())
+
+    seed = (nation.filter(F.col("n_nationkey") == 0)
+            .select(F.col("n_nationkey").alias("node"),
+                    F.lit(0).alias("level")))
+    visited, frontier = seed, seed
+    for depth in range(1, 13):
+        nxt = (frontier.join(edges, frontier["node"] == edges["src"])
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .select("node", F.lit(depth).alias("level"))
+               .persist())
+        if nxt.count() == 0:            # scalar per hop; also materializes
+            break
+        visited = visited.union(nxt)
+        frontier = nxt
+    edges.unpersist()
+    return visited

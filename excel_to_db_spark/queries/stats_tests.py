@@ -256,3 +256,38 @@ def stats_mannwhitney(spark, sf_dir):
                     F.round(u, 1).alias("u_stat"),
                     F.round((u - F.col("n1") * F.col("n2") / 2.0)
                             / F.sqrt(var), 6).alias("z")))
+
+
+# --------------------------------------------------- correlation matrix
+
+@query("agg_corr_matrix", oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 5) AS r_qty_price,
+           round(corr(l_quantity, l_discount), 5) AS r_qty_disc,
+           round(corr(l_quantity, l_tax), 5) AS r_qty_tax,
+           round(corr(l_extendedprice, l_discount), 5) AS r_price_disc,
+           round(corr(l_extendedprice, l_tax), 5) AS r_price_tax,
+           round(corr(l_discount, l_tax), 5) AS r_disc_tax,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+""")
+def agg_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations across the four lineitem numeric
+    measures — the feature-screening pass a pipeline runs before
+    training (drop collinear features, sanity-check synthetic data).
+
+    All six coefficients come out of ONE aggregation over one scan: each
+    corr is a composition of sum/sum-of-squares/cross-product partials,
+    so Spark computes them map-side in a single partial-agg pass with no
+    extra shuffle (6 corrs = 1 Exchange of a single row of state).
+    Both engines use the sample-correlation definition; results rounded
+    to 5 dp per SURVEY 4.3 so last-bit summation-order noise can't flip
+    the hash."""
+    le = T(spark, sf_dir, "lineitem")
+    pairs = [("l_quantity", "l_extendedprice", "r_qty_price"),
+             ("l_quantity", "l_discount", "r_qty_disc"),
+             ("l_quantity", "l_tax", "r_qty_tax"),
+             ("l_extendedprice", "l_discount", "r_price_disc"),
+             ("l_extendedprice", "l_tax", "r_price_tax"),
+             ("l_discount", "l_tax", "r_disc_tax")]
+    aggs = [F.round(F.corr(x, y), 5).alias(name) for x, y, name in pairs]
+    return le.agg(*aggs, F.count("*").alias("n"))

@@ -1,0 +1,206 @@
+"""Distributed BPE tokenizer training/apply (Tier C, LLM-pipeline).
+
+The one tokenizer stage a 100 TB training-data pipeline runs that the
+earlier text pack (``text_bpe_tokens`` — regex *segmentation* with a
+fixed pattern) does not cover: *learning* the merge table itself from
+corpus statistics, then applying it. The reference's analogue surface is
+its SQL passthrough (reference src/main.rs:220); nothing there learns a
+vocabulary, so this is a pure extension operator.
+
+Algorithm (classic Sennrich-style BPE, word-frequency form):
+
+1. Collapse the corpus to a word-frequency table — tokenizer training
+   never needs the raw corpus again, only ``(word, count)``. At 100 TB
+   this is THE load-bearing step: one shuffle on ``word`` reduces
+   billions of documents to a vocabulary-sized table (~millions of
+   rows), and every merge round below runs against that table, not the
+   corpus.
+2. Per round: explode each word's symbol sequence into adjacent pairs,
+   count pairs weighted by word frequency (map-side partial aggregation
+   does the heavy lifting), take the argmax pair (deterministic
+   tie-break: count DESC, left ASC, right ASC), and merge it everywhere.
+3. The merge application is a *string literal rewrite* on a
+   pipe-delimited symbol representation (``low`` -> ``|l|o|w|``):
+   replacing ``|l|o|`` with ``|lo|``. Both Spark's ``replace`` and
+   DuckDB's ``replace`` scan left-to-right over non-overlapping
+   occurrences with identical semantics; the contract pins *exactly
+   three* composition passes per round so repeated-symbol runs (where a
+   single pass leaves mergeable pairs behind because the shared
+   delimiter was consumed) resolve identically on both engines.
+
+Driver involvement per round is ONE collected row (the argmax pair) —
+the same scalar-orchestration budget as ``kmeans_lloyd``'s convergence
+check; the merge itself enters the next round's plan as a literal, so
+no data ever leaves the cluster.
+
+Symbols stay in ``[a-z]`` (training tokenizes on ``[a-z]+`` runs of the
+lowercased text), so the ``|`` delimiter can never collide with corpus
+bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from .relational import T
+
+N_MERGES = 3
+N_REPLACE_PASSES = 3
+
+# ---------------------------------------------------------------- oracle
+
+_BPE_PRELUDE = r"""
+    WITH words AS (
+        SELECT word, count(*) AS wc FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents
+        ) WHERE len(word) >= 2
+        GROUP BY word
+    ),
+    r0 AS (
+        SELECT regexp_replace(word, '(.)', '|\1', 'g') || '|' AS r, wc
+        FROM words
+    )"""
+
+_BPE_ROUND = r""",
+    p{k} AS (
+        SELECT p['lft'] AS lft, p['rgt'] AS rgt,
+               CAST(sum(wc) AS BIGINT) AS pair_count
+        FROM (
+            SELECT unnest([{{'lft': syms[i], 'rgt': syms[i + 1]}}
+                           FOR i IN range(1, len(syms))]) AS p, wc
+            FROM (SELECT list_filter(string_split(r, '|'), x -> x <> '')
+                      AS syms, wc
+                  FROM r{prev})
+        ) GROUP BY 1, 2
+    ),
+    b{k} AS (SELECT lft, rgt, pair_count FROM p{k}
+             ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+    r{k} AS (
+        SELECT replace(replace(replace(r,
+                   '|' || b.lft || '|' || b.rgt || '|',
+                   '|' || b.lft || b.rgt || '|'),
+                   '|' || b.lft || '|' || b.rgt || '|',
+                   '|' || b.lft || b.rgt || '|'),
+                   '|' || b.lft || '|' || b.rgt || '|',
+                   '|' || b.lft || b.rgt || '|') AS r, wc
+        FROM r{prev}, b{k} b
+    )"""
+
+
+def _bpe_oracle_ctes(n_rounds: int) -> str:
+    return _BPE_PRELUDE + "".join(
+        _BPE_ROUND.format(k=k, prev=k - 1) for k in range(1, n_rounds + 1))
+
+
+_TRAIN_ORACLE = _bpe_oracle_ctes(N_MERGES) + "\n" + "\n    UNION ALL".join(
+    f"    SELECT {k} AS merge_rank, lft, rgt, pair_count FROM b{k}"
+    for k in range(1, N_MERGES + 1))
+
+_APPLY_ORACLE = _bpe_oracle_ctes(N_MERGES) + f"""
+    SELECT token, CAST(sum(wc) AS BIGINT) AS n_occurrences
+    FROM (
+        SELECT unnest(list_filter(string_split(r, '|'), x -> x <> ''))
+            AS token, wc
+        FROM r{N_MERGES}
+    ) GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+"""
+
+# ----------------------------------------------------------- spark side
+
+
+def _word_reprs(spark, sf_dir):
+    """(repr, wc): pipe-delimited symbol string per distinct word with
+    its corpus frequency. One corpus scan + one shuffle on `word`."""
+    docs = T(spark, sf_dir, "documents")
+    words = (docs
+             .select(F.explode(
+                 F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0))
+                 .alias("word"))
+             .filter(F.length("word") >= 2)
+             .groupBy("word").agg(F.count("*").alias("wc")))
+    return words.select(
+        F.concat(F.regexp_replace("word", "(.)", r"|$1"), F.lit("|"))
+        .alias("r"),
+        "wc")
+
+
+def _pair_counts(reprs):
+    """Adjacent symbol-pair frequencies, weighted by word count. The
+    explode fans out |word|-1 rows per word; groupBy gets a map-side
+    partial aggregate, so the shuffle carries distinct pairs only."""
+    syms = F.filter(F.split("r", r"\|"), lambda x: x != "")
+    return (reprs
+            .select(syms.alias("s"), "wc")
+            .select(F.slice("s", 1, F.size("s") - 1).alias("a"),
+                    F.slice("s", 2, F.size("s") - 1).alias("b"),
+                    "wc")
+            .select(F.explode(F.arrays_zip("a", "b")).alias("p"), "wc")
+            .groupBy(F.col("p.a").alias("lft"), F.col("p.b").alias("rgt"))
+            .agg(F.sum("wc").alias("pair_count")))
+
+
+def _merge_expr(col, lft: str, rgt: str):
+    """Apply one learned merge: N_REPLACE_PASSES composed literal
+    replaces — the pinned cross-engine semantics (see module doc)."""
+    pat, rep = F.lit(f"|{lft}|{rgt}|"), F.lit(f"|{lft}{rgt}|")
+    for _ in range(N_REPLACE_PASSES):
+        col = F.replace(col, pat, rep)
+    return col
+
+
+def _train(spark, sf_dir):
+    """Run N_MERGES rounds; returns (merges list, final reprs DF)."""
+    reprs = _word_reprs(spark, sf_dir).persist()
+    merges = []
+    for rank in range(1, N_MERGES + 1):
+        best = (_pair_counts(reprs)
+                .orderBy(F.col("pair_count").desc(), "lft", "rgt")
+                .limit(1).collect()[0])          # 1-row argmax scalar
+        merges.append((rank, best["lft"], best["rgt"],
+                       best["pair_count"]))
+        nxt = reprs.select(
+            _merge_expr(F.col("r"), best["lft"], best["rgt"]).alias("r"),
+            "wc").persist()
+        nxt.count()                               # materialize before unpersist
+        reprs.unpersist()
+        reprs = nxt
+    return merges, reprs
+
+
+@query("bpe_train_merges", oracle=_TRAIN_ORACLE)
+def bpe_train_merges(spark, sf_dir):
+    """Learn the first 3 BPE merges from the documents corpus.
+
+    Output: (merge_rank, lft, rgt, pair_count) — the merge table in
+    learned order with each pair's corpus frequency at selection time.
+    All counting is exact integer arithmetic (word counts x pair
+    positions), so the cross-engine hash has no float hazard; the argmax
+    tie-break (count DESC, lft, rgt) is pinned on both sides."""
+    merges, reprs = _train(spark, sf_dir)
+    reprs.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, lft string, rgt string, pair_count bigint")
+
+
+@query("bpe_tokenize_corpus", oracle=_APPLY_ORACLE)
+def bpe_tokenize_corpus(spark, sf_dir):
+    """Apply the learned merge table and report the top-20 vocabulary
+    entries by corpus occurrence (ties broken by token ASC).
+
+    The apply side is the plan Spark runs at serving time: the merge
+    table is tiny and enters as literals (a broadcast in spirit), the
+    corpus-side work is split/filter/explode — all whole-stage codegen,
+    no Python in the row path. Exact integer counts, order-insensitive."""
+    _, reprs = _train(spark, sf_dir)
+    syms = F.filter(F.split("r", r"\|"), lambda x: x != "")
+    out = (reprs
+           .select(F.explode(syms).alias("token"), "wc")
+           .groupBy("token")
+           .agg(F.sum("wc").alias("n_occurrences"))
+           .orderBy(F.col("n_occurrences").desc(), "token")
+           .limit(20))
+    return out
