@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
 #   graph_triangles zorder_layout sample_reservoir decontam_traintest
 #   events_pattern hll_mergeable distinct_salted winsorize_group
 #   bpe_train_merges bpe_tokenize_corpus graph_bfs_levels agg_corr_matrix
+#   stream_topk_trending range_partition_histogram udaf_grouped_pandas
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

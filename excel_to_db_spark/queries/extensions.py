@@ -1199,3 +1199,33 @@ def events_funnel(spark, sf_dir):
         F.count("t_view").alias("viewed"),
         F.count(F.when(clicked, 1)).alias("then_clicked"),
         F.count(F.when(bought, 1)).alias("then_bought"))
+
+
+@query("stream_topk_trending", oracle="""
+    WITH c AS (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT win_start, event_type, n_events,
+               row_number() OVER (PARTITION BY win_start
+                                  ORDER BY n_events DESC, event_type) AS rnk
+        FROM c
+    )
+    SELECT win_start, event_type, n_events, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 3
+""")
+def stream_topk_trending(spark, sf_dir):
+    """Top-3 trending event types per 10-minute window, computed by the
+    Structured Streaming engine (windowed counts held in watermarked
+    state) with the per-window rank applied over the finalized
+    aggregate — the "top queries per minute" composite. The rank input
+    is windows x event-types (state-sized, not stream-sized), so the
+    trending stage costs one tiny shuffle regardless of stream rate.
+    On finite replay the final state equals the batch aggregation, so
+    the batch oracle verifies the full composite value-for-value.
+    See streaming/windows.py:run_stream_topk_trending."""
+    from ..streaming import run_stream_topk_trending
+
+    return run_stream_topk_trending(spark, sf_dir)

@@ -718,3 +718,47 @@ def cogroup_asof_pandas(spark, sf_dir):
             .applyInPandas(per_user,
                            "user_id long, n_errors long, "
                            "n_click_preceded long"))
+
+
+@query("udaf_grouped_pandas", oracle="""
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 / CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 / 100.0, 4) AS wavg_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+""")
+def udaf_grouped_pandas(spark, sf_dir):
+    """Custom aggregate in Python: quantity-weighted mean price per
+    return flag via a GROUPED_AGG pandas_udf — the UDAF slot in the
+    Python-extension matrix (scalar pandas_udf / UDTF / applyInPandas /
+    mapInPandas / mapInArrow / cogroup already covered).
+
+    Spark plans this as a real two-phase aggregate: rows shuffle once on
+    the group key and each group's Arrow batch reduces to a single
+    scalar inside the worker — no per-row Python, no group
+    materialization on the driver. Determinism: the UDAF accumulates in
+    int64 (cents x integral quantity), so the only float op is one final
+    division of exact integers — identical on both engines and safe to
+    round."""
+    @F.pandas_udf("double")
+    def wavg_cents(cents: pd.Series, qty: pd.Series) -> float:
+        c = cents.astype("int64")
+        q = qty.astype("int64")
+        return float((c * q).sum() / q.sum())
+
+    @F.pandas_udf("long")
+    def n_rows(qty: pd.Series) -> int:
+        # Catalyst rejects mixing GROUPED_AGG pandas UDFs with built-in
+        # aggregates in one agg, so the count is a UDAF too.
+        return int(len(qty))
+
+    le = T(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (le.groupBy("l_returnflag")
+            .agg(F.round(wavg_cents(cents, F.col("l_quantity")) / 100.0, 4)
+                 .alias("wavg_price"),
+                 n_rows(F.col("l_quantity")).alias("n"))
+            .select("l_returnflag", "wavg_price", "n"))

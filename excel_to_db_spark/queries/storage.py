@@ -259,3 +259,54 @@ def federated_union(spark, sf_dir):
     return (fed.groupBy("o_orderstatus")
             .agg(F.count("*").alias("n"),
                  _cents_sum(F.col("o_totalprice")).alias("sum_price")))
+
+
+@query("range_partition_histogram", oracle="""
+    WITH t AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b AS (
+        SELECT quantile_cont(cents, 0.25) AS b1,
+               quantile_cont(cents, 0.50) AS b2,
+               quantile_cont(cents, 0.75) AS b3
+        FROM t
+    )
+    SELECT CAST(1 + CAST(cents > b1 AS INTEGER)
+                  + CAST(cents > b2 AS INTEGER)
+                  + CAST(cents > b3 AS INTEGER) AS INTEGER) AS bucket,
+           count(*) AS n,
+           round(min(cents) / 100.0, 2) AS min_price,
+           round(max(cents) / 100.0, 2) AS max_price
+    FROM t, b
+    GROUP BY 1
+""")
+def range_partition_histogram(spark, sf_dir):
+    """Equi-depth range layout audit: exact quartile boundaries of the
+    order value distribution, then the per-bucket row count + value
+    span — the boundary computation behind skew-free range partitioning
+    (repartitionByRange / global sorts pick boundaries the same way,
+    from a sample instead of the exact quantile).
+
+    Scale shape: ONE aggregation computes all three boundaries (no
+    global sort — percentile is an aggregate, so the data never
+    single-partitions), the 3-value boundary row broadcasts back onto
+    the scan, and the bucket histogram is an ordinary 4-group hash
+    aggregate. Boundaries interpolate integer cents at dyadic fractions
+    (0.25/0.5/0.75), so both engines' type-7 quantiles are bit-exact
+    and the bucket comparisons can't flip."""
+    o = T(spark, sf_dir, "orders")
+    t = o.select(F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"))
+    b = t.agg(F.percentile("cents", 0.25).alias("b1"),
+              F.percentile("cents", 0.50).alias("b2"),
+              F.percentile("cents", 0.75).alias("b3"))
+    bucket = (F.lit(1)
+              + (F.col("cents") > F.col("b1")).cast("int")
+              + (F.col("cents") > F.col("b2")).cast("int")
+              + (F.col("cents") > F.col("b3")).cast("int"))
+    return (t.crossJoin(F.broadcast(b))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("cents") / 100.0, 2).alias("min_price"),
+                 F.round(F.max("cents") / 100.0, 2).alias("max_price")))

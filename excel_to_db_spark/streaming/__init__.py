@@ -25,6 +25,7 @@ from .windows import (  # noqa: F401
     run_stream_stream_join,
     run_stream_stream_left_join,
     run_stream_dedup_watermark,
+    run_stream_topk_trending,
     run_tumbling_stream_multibatch,
     run_tumbling_stream,
     session_agg,

@@ -419,3 +419,36 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_topk_trending(spark: SparkSession, sf_dir: str,
+                             width: str = "10 minutes",
+                             watermark: str = "30 minutes",
+                             k: int = 3) -> DataFrame:
+    """Trending detection: tumbling (window x event_type) counts kept by
+    the streaming engine, then a per-window top-k rank over the final
+    state — the composite every metrics pipeline runs ("top queries per
+    minute"). The rank runs on the materialized aggregate (windows x
+    types, already tiny), never on the raw stream; in production the
+    same rank sits in a foreachBatch on the append-mode output so each
+    finalized window is ranked exactly once. Deterministic tie-break:
+    count DESC, event_type ASC."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    name = f"topk_{uuid.uuid4().hex[:8]}"
+    stream = events_stream_reader(spark, sf_dir).withWatermark("ts", watermark)
+    agg = (stream
+           .groupBy(F.window("ts", width).alias("win"), "event_type")
+           .agg(F.count("*").alias("n_events")))
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    state = spark.table(name)
+    rnk = F.row_number().over(
+        W.partitionBy("win").orderBy(F.col("n_events").desc(), "event_type"))
+    return (state.withColumn("rnk", rnk).filter(F.col("rnk") <= k)
+            .select(F.col("win.start").alias("win_start"),
+                    "event_type", "n_events", "rnk"))
