@@ -406,3 +406,85 @@ def graph_bfs_levels(spark, sf_dir):
         frontier = nxt
     edges.unpersist()
     return visited
+
+
+# -------------------------------------------- position-based attribution
+
+@query("attribution_position", oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS journey
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    convs AS (
+        SELECT DISTINCT user_id, journey
+        FROM e WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT e.user_id, e.journey, e.event_type,
+               row_number() OVER (PARTITION BY e.user_id, e.journey
+                                  ORDER BY e.ts, e.event_id) AS rn,
+               count(*) OVER (PARTITION BY e.user_id, e.journey) AS k
+        FROM e JOIN convs USING (user_id, journey)
+        WHERE e.event_type <> 'purchase'
+    ),
+    credit AS (
+        SELECT event_type AS channel,
+               CAST(round(CASE
+                   WHEN k = 1 THEN 1.0
+                   WHEN rn = 1 OR rn = k THEN
+                        CASE WHEN k = 2 THEN 0.5 ELSE 0.4 END
+                   ELSE 0.2 / (k - 2)
+               END * 1e6) AS BIGINT) AS micro
+        FROM touches
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           round(sum(micro) / 1e6, 4) AS credit
+    FROM credit GROUP BY channel
+""")
+def attribution_position(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: each purchase
+    credits its preceding touch journey 40% to the first touch, 40% to
+    the last, and 20% split across the middle (k=1 -> 1.0,
+    k=2 -> 0.5/0.5) — the marketing-channel operator one step past
+    attribution_last_touch's winner-take-all.
+
+    Journeys come from ONE user-stream window pass: a running purchase
+    count splits each user's events into journey segments (no
+    self-join), a semi join keeps only journeys that actually convert,
+    and per-journey rank/size are a second window over the same
+    partitioning (one shuffle on user_id total, then a tiny channel
+    aggregate). Determinism: per-touch weights are a fixed per-row
+    float expression snapped to integer micro-credits (round(w*1e6)),
+    so the cross-channel sums are exact bigints on both engines —
+    the non-terminating 0.2/(k-2) split can never flake the hash."""
+    e = (T(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin("view", "click", "purchase")))
+    wp = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, -1))
+    e = e.withColumn(
+        "journey",
+        F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", 1))
+                    .over(wp), F.lit(0)))
+    convs = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", "journey").distinct())
+    wj = W.partitionBy("user_id", "journey")
+    touches = (e.filter(F.col("event_type") != "purchase")
+               .join(convs, ["user_id", "journey"], "semi")
+               .withColumn("rn", F.row_number().over(
+                   wj.orderBy("ts", "event_id")))
+               .withColumn("k", F.count("*").over(wj)))
+    w = (F.when(F.col("k") == 1, F.lit(1.0))
+         .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")),
+               F.when(F.col("k") == 2, F.lit(0.5)).otherwise(F.lit(0.4)))
+         .otherwise(F.lit(0.2) / (F.col("k") - 2)))
+    return (touches
+            .select(F.col("event_type").alias("channel"),
+                    F.round(w * 1e6).cast("bigint").alias("micro"))
+            .groupBy("channel")
+            .agg(F.count("*").alias("n_touches"),
+                 F.round(F.sum("micro") / 1e6, 4).alias("credit")))

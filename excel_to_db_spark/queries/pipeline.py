@@ -751,3 +751,83 @@ def kmeans_lloyd(spark, sf_dir):
     return (final.groupBy(F.col("cell").alias("cluster"))
             .agg(F.count("*").alias("n"),
                  fixed_sum(F.col("d2"), 1e6, 3).alias("inertia")))
+
+
+# ----------------------------------------------- sparse cosine top pairs
+
+@query("text_sparse_cosine", oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               ts[i.gs] || ' ' || ts[i.gs + 1] || ' ' || ts[i.gs + 2] AS gram
+        FROM tok
+        CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, len(ts) - 2)) AS gs) i
+        WHERE len(ts) >= 3
+    ),
+    tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2),
+    kept AS (SELECT gram FROM tf GROUP BY gram HAVING count(*) <= 10),
+    ktf AS (SELECT tf.* FROM tf JOIN kept USING (gram)),
+    norms AS (
+        SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+        FROM ktf GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        FROM ktf a JOIN ktf b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, dot,
+           round(dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.doc_id = d1
+    JOIN norms nb ON nb.doc_id = d2
+    ORDER BY dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) DESC, d1, d2
+    LIMIT 20
+""")
+def text_sparse_cosine(spark, sf_dir):
+    """Top-20 most similar document pairs by sparse TF-vector cosine
+    over word trigrams — the bag-of-ngrams similarity join
+    (`dedup_jaccard` is its set-semantics cousin; `similarity_topk` the
+    dense-embedding one). Frequency weighting ranks partial template
+    reuse that set Jaccard collapses.
+
+    Scale shape: an inverted index on the gram key replaces the n^2
+    all-pairs — candidate volume is sum(df^2) over the KEPT vocabulary,
+    and grams with df > 10 are pruned on BOTH sides first (the
+    prefix-filtering rule every similarity-join system applies: a gram
+    shared by everything identifies nothing). The dot products are one
+    gram-keyed shuffle with map-side combine; norms are doc-sized.
+    Determinism: tf, dot, and the squared norms are exact integers, so
+    cos = dot/sqrt(n1*n2) is a single IEEE op on exact inputs —
+    identical doubles on both engines; ordering uses the unrounded
+    value with (d1, d2) tie-breaks."""
+    tf = (T(spark, sf_dir, "documents")
+          .select("doc_id",
+                  F.explode(X.word_ngrams(F.col("text"), 3)).alias("gram"))
+          .groupBy("doc_id", "gram").agg(F.count("*").alias("tf")))
+    kept = (tf.groupBy("gram").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= 10).select("gram"))
+    ktf = tf.join(kept, "gram")
+    norms = ktf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a, b = ktf.alias("a"), ktf.alias("b")
+    dots = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("d1"),
+                     F.col("b.doc_id").alias("d2"))
+            .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot")))
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = (F.col("dot")
+           / F.sqrt(F.col("na.n2").cast("double") * F.col("nb.n2")))
+    return (dots.join(na, F.col("na.doc_id") == F.col("d1"))
+            .join(nb, F.col("nb.doc_id") == F.col("d2"))
+            .select("d1", "d2", "dot", cos.alias("cos_raw"))
+            .orderBy(F.col("cos_raw").desc(), "d1", "d2")
+            .limit(20)
+            .select("d1", "d2", "dot",
+                    F.round(F.col("cos_raw"), 6).alias("cos_sim")))

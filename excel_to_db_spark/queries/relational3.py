@@ -296,3 +296,63 @@ def str_fuzzy_match(spark, sf_dir):
             .select(F.col("a.v").alias("name_a"),
                     F.col("b.v").alias("name_b"),
                     F.levenshtein(F.col("a.v"), F.col("b.v")).alias("dist")))
+
+
+# -------------------------------------------------------------- skyline
+
+@query("skyline_pareto_front", oracle="""
+    WITH pts AS (
+        SELECT DISTINCT CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+               p_size AS size
+        FROM part
+    ),
+    s AS (
+        SELECT cents, size,
+               max(size) OVER (ORDER BY cents ASC, size DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS gmax
+        FROM pts
+    )
+    SELECT round(cents / 100.0, 2) AS price, size
+    FROM s WHERE gmax IS NULL OR gmax < size
+""")
+def skyline_pareto_front(spark, sf_dir):
+    """Skyline (Pareto-front) query over parts: the set of
+    (retail price, size) points not dominated by any other — no part is
+    both cheaper-or-equal AND larger-or-equal with at least one strict.
+    The classic multi-criteria shortlist operator (BNL/D&C in the
+    skyline literature), absent from SQL engines and composed here from
+    window primitives.
+
+    One sorted pass solves 2-D skylines: order by (price ASC, size
+    DESC); a point survives iff no PRECEDING row has size >= its own —
+    a running-max window with an exclusive upper frame bound. Every
+    dominator of p sorts before p in that order, so the check is exact
+    on distinct (price, size) pairs.
+
+    Scale shape: a global-ordering window is a single-partition sort,
+    so a LOCAL prune runs first — the same running max partitioned by a
+    hash of the row. Local skylines are superset-safe (a globally
+    non-dominated point is non-dominated in every subset), and they cut
+    the survivor set to near the final front, so the global window sees
+    thousands of rows, not the table (the standard two-phase
+    distributed-skyline design)."""
+    pts = (T(spark, sf_dir, "part")
+           .select(F.round(F.col("p_retailprice") * 100).cast("bigint")
+                   .alias("cents"),
+                   F.col("p_size").alias("size"))
+           .distinct())
+    pid = F.pmod(F.xxhash64("cents", "size"), F.lit(32)).alias("pid")
+    prune = (Window.partitionBy("pid")
+             .orderBy(F.col("cents").asc(), F.col("size").desc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    local = (pts.withColumn("pid", pid)
+             .withColumn("lmax", F.max("size").over(prune))
+             .filter(F.col("lmax").isNull() | (F.col("lmax") < F.col("size")))
+             .drop("pid", "lmax"))
+    final = (Window.orderBy(F.col("cents").asc(), F.col("size").desc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    return (local.withColumn("gmax", F.max("size").over(final))
+            .filter(F.col("gmax").isNull() | (F.col("gmax") < F.col("size")))
+            .select(F.round(F.col("cents") / 100.0, 2).alias("price"),
+                    "size"))

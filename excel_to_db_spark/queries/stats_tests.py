@@ -258,6 +258,156 @@ def stats_mannwhitney(spark, sf_dir):
                             / F.sqrt(var), 6).alias("z")))
 
 
+# --------------------------------------------------------------- CUPED
+
+@query("stats_cuped", oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1998-01-01')
+                    AS BIGINT) AS x,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+                             0) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM per
+    ),
+    v AS (
+        SELECT CAST(o_custkey % 2 AS BIGINT) AS variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+        FROM per GROUP BY 1
+    )
+    SELECT variant, n_users,
+           round(CAST(syv AS DOUBLE) / n_users / 100.0, 2) AS mean_post,
+           round((CAST(syv AS DOUBLE) / n_users
+                  - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                    * (CAST(sxv AS DOUBLE) / n_users
+                       - CAST(sx AS DOUBLE) / n)) / 100.0, 2)
+               AS mean_adjusted
+    FROM v, g
+""")
+def stats_cuped(spark, sf_dir):
+    """CUPED variance reduction for an A/B readout: per-customer
+    post-period spend adjusted by the pre-period order count covariate
+    (theta = cov(X,Y)/var(X)), reported per deterministic variant
+    (custkey parity). The experiment-analysis primitive on top of
+    stats_welch_t: same comparison, tighter confidence.
+
+    Shape: one fact scan collapses to a per-customer (x, y) table
+    (one shuffle on custkey); theta's moment sums are ONE 1-row
+    aggregate over it and the per-variant means another tiny one —
+    the 1-row theta state cross-joins (broadcast) onto 2 variant rows.
+    Determinism: x is an order count and y an integer-cents sum, so
+    every moment (sx, sy, sxx, sxy) is an exact bigint on both engines;
+    theta and the adjusted means are one fixed float expression over
+    those exact integers — no summation-order hazard anywhere
+    (SURVEY §4.3). mean_adjusted = mean(y) - theta*(mean(x) - mean(x)_g)
+    per variant, algebraically equal to averaging per-unit adjusted
+    values but computed from the exact sums."""
+    o = T(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    pre = F.col("o_orderdate") < cut
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.when(pre, 1)).alias("x"),
+        F.coalesce(F.sum(F.when(~pre, cents)), F.lit(0)).alias("y"))
+    g = per.agg(F.count("*").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    v = per.groupBy((F.col("o_custkey") % 2).alias("variant")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("sxv"), F.sum("y").alias("syv"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = ((d("n") * F.col("sxy") - d("sx") * F.col("sy"))
+             / (d("n") * F.col("sxx") - d("sx") * F.col("sx")))
+    return (v.crossJoin(F.broadcast(g))
+            .select("variant", "n_users",
+                    F.round(d("syv") / F.col("n_users") / 100.0, 2)
+                     .alias("mean_post"),
+                    F.round((d("syv") / F.col("n_users")
+                             - theta * (d("sxv") / F.col("n_users")
+                                        - d("sx") / F.col("n"))) / 100.0, 2)
+                     .alias("mean_adjusted")))
+
+
+@query("window_rolling_corr", oracle="""
+    WITH daily AS (
+        SELECT l_returnflag AS flag,
+               CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x,
+               CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT flag, day,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(y) OVER w AS BIGINT) AS sy,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+               CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        FROM daily
+        WINDOW w AS (PARTITION BY flag ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT flag, day,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 5) AS r_qty_rev
+    FROM framed
+    WHERE n = 7
+      AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+""")
+def window_rolling_corr(spark, sf_dir):
+    """Rolling 7-day Pearson correlation between daily shipped quantity
+    and daily revenue, per return flag — the time-varying-dependence
+    monitor (corr over a moving frame, where agg_corr_matrix is the
+    global one).
+
+    Shape: the fact collapses to one (flag, day) row per group-day
+    (single shuffle, map-side combine), then ALL six moment sums come
+    from one window pass over that day-sized table — no self-joins, no
+    per-frame rescans. Determinism: x and y are whole-unit integer
+    sums (quantity, whole-dollar revenue — correlation is
+    scale-invariant, so dropping cents changes nothing structurally),
+    every frame sum is an exact bigint, and r is one fixed float
+    expression per row over exact integers, rounded at 5 dp."""
+    le = T(spark, sf_dir, "lineitem")
+    daily = (le.groupBy(F.col("l_returnflag").alias("flag"),
+                        F.date_trunc("day", F.col("l_shipdate")).alias("day"))
+             .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+                  .alias("x"),
+                  F.sum(F.round(F.col("l_extendedprice")).cast("bigint"))
+                  .alias("y")))
+    w = (W.partitionBy("flag").orderBy("day").rowsBetween(-6, 0))
+    framed = daily.select(
+        "flag", "day",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vx = d("n") * F.col("sxx") - d("sx") * F.col("sx")
+    vy = d("n") * F.col("syy") - d("sy") * F.col("sy")
+    cov = d("n") * F.col("sxy") - d("sx") * F.col("sy")
+    return (framed.filter((F.col("n") == 7) & (vx > 0) & (vy > 0))
+            .select("flag", "day",
+                    F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 5)
+                     .alias("r_qty_rev")))
+
+
 # --------------------------------------------------- correlation matrix
 
 @query("agg_corr_matrix", oracle="""
