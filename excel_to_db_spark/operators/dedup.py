@@ -374,3 +374,36 @@ def dedup_clusters(pairs: DataFrame, ids: DataFrame) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select(F.col("did").alias("doc_id"), F.col("lbl").alias("cluster"))
+
+
+def containment_pairs(df: DataFrame, threshold: float,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_df: int | None = None) -> DataFrame:
+    """Asymmetric containment pairs over the distinct shingle sets:
+
+        cont(A in B) = |A ∩ B| / |A|
+
+    Containment is the decontamination metric Jaccard misses: a short
+    benchmark prompt quoted inside a long training document has high
+    containment but low Jaccard (the union is dominated by the long
+    doc). Same inverted-index shape as `jaccard_pairs` — the only joins
+    are hash joins on the shingle key plus broadcasts of the per-doc
+    size table; candidate volume is sum(df^2) over the (optionally
+    max_df-pruned) shingle vocabulary, never |docs|^2. Returns
+    (d1, d2, n_inter, cont_max) with d1 < d2 and
+    max(cont(d1 in d2), cont(d2 in d1)) >= threshold; the ratio is one
+    exact-integer division per surviving pair."""
+    toks = _token_index(df, text_col, id_col, max_df, keyset=shingles)
+    sizes = toks.groupBy("did").agg(F.count("*").alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.did") < F.col("b.did")))
+             .groupBy(F.col("a.did").alias("d1"), F.col("b.did").alias("d2"))
+             .agg(F.count("*").alias("n_inter")))
+    s1 = sizes.select(F.col("did").alias("d1"), F.col("n_tok").alias("n1"))
+    s2 = sizes.select(F.col("did").alias("d2"), F.col("n_tok").alias("n2"))
+    cont = F.greatest(F.col("n_inter") / F.col("n1"),
+                      F.col("n_inter") / F.col("n2"))
+    return (inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
+            .select("d1", "d2", "n_inter", cont.alias("cont_max"))
+            .filter(F.col("cont_max") >= threshold))

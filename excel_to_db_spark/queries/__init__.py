@@ -94,7 +94,8 @@ _PRIORITY: tuple[str, ...] = (
 #   bpe_train_merges bpe_tokenize_corpus graph_bfs_levels agg_corr_matrix
 #   stream_topk_trending range_partition_histogram udaf_grouped_pandas
 #   stats_cuped window_rolling_corr skyline_pareto_front
-#   attribution_position text_sparse_cosine
+#   attribution_position text_sparse_cosine dedup_containment
+#   dedup_incremental text_keyword_search
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

@@ -1229,3 +1229,87 @@ def stream_topk_trending(spark, sf_dir):
     from ..streaming import run_stream_topk_trending
 
     return run_stream_topk_trending(spark, sf_dir)
+
+
+@query("dedup_containment", oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               ts[i.gs] || ' ' || ts[i.gs + 1] || ' ' || ts[i.gs + 2] AS sh
+        FROM tok
+        CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, len(ts) - 2)) AS gs) i
+        WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+        FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, CAST(n_inter AS BIGINT) AS n_inter,
+           round(greatest(n_inter / CAST(s1.n AS DOUBLE),
+                          n_inter / CAST(s2.n AS DOUBLE)), 4) AS cont_max
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE greatest(n_inter / CAST(s1.n AS DOUBLE),
+                   n_inter / CAST(s2.n AS DOUBLE)) >= 0.5
+""")
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment |A∩B|/|A| — the decontamination
+    metric Jaccard misses: a short doc quoted inside a long one scores
+    high containment but low Jaccard (the union is dominated by the
+    long doc). Pairs with max-direction containment >= 0.5.
+
+    Inverted-index shape (operators/dedup.py:containment_pairs): hash
+    joins on the shingle key only, candidate volume sum(df^2) over the
+    shingle vocabulary — at 100 TB add max_df pruning exactly as
+    dedup_jaccard does (here the full exact join IS the contract, so no
+    prune). Counts and sizes are exact integers; the ratio is one IEEE
+    division per surviving pair, identical on both engines."""
+    return (D.containment_pairs(T(spark, sf_dir, "documents"), 0.5)
+            .select("d1", "d2", "n_inter",
+                    F.round(F.col("cont_max"), 4).alias("cont_max")))
+
+
+@query("dedup_incremental", oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp
+        FROM documents
+    ),
+    store AS (SELECT DISTINCT fp FROM f WHERE doc_id < 400),
+    batch AS (SELECT * FROM f WHERE doc_id >= 400)
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_batch_dups
+    FROM batch
+    WHERE fp NOT IN (SELECT fp FROM store)
+    GROUP BY fp
+""")
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup: a new batch (doc_id >= 400) checked against
+    the historical fingerprint store (doc_id < 400) WITHOUT rescanning
+    the corpus — the shape a daily ingest actually runs (dedup_exact is
+    the from-scratch global pass). A batch doc survives iff its
+    content fingerprint is absent from the store, and one
+    representative (min id) is kept per within-batch group.
+
+    Shape: anti join on the md5 fingerprint (store side is a
+    fingerprint projection, not documents), then one batch-sized
+    groupBy. At 100 TB the store is a bucketed fingerprint table, so
+    the anti join co-locates with zero store shuffle and cost scales
+    with the BATCH, not the corpus."""
+    docs = T(spark, sf_dir, "documents")
+    f = docs.select("doc_id",
+                    D.content_fingerprint(F.col("text")).alias("fp"))
+    store = f.filter(F.col("doc_id") < 400).select("fp").distinct()
+    batch = f.filter(F.col("doc_id") >= 400)
+    return (batch.join(store, "fp", "anti")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count("*").alias("n_batch_dups"))
+            .select("doc_id", "n_batch_dups"))

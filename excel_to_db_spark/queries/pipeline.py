@@ -831,3 +831,46 @@ def text_sparse_cosine(spark, sf_dir):
             .limit(20)
             .select("d1", "d2", "dot",
                     F.round(F.col("cos_raw"), 6).alias("cos_sim")))
+
+
+@query("text_keyword_search", oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, count(DISTINCT w) AS nt,
+               CAST(count(*) AS BIGINT) AS score
+        FROM tok WHERE w IN ('spark', 'query', 'vector')
+        GROUP BY doc_id
+    )
+    SELECT doc_id, score
+    FROM hits WHERE nt = 3
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+""")
+def text_keyword_search(spark, sf_dir):
+    """Conjunctive (AND) keyword search: top-20 documents containing
+    ALL of {spark, query, vector}, ranked by total term frequency —
+    the posting-list-intersection primitive under every corpus search
+    UI.
+
+    Shape: the term filter lands BEFORE the explode's aggregation, so
+    the shuffle carries only rows for the 3 query terms (at 100 TB the
+    same query runs against a materialized (term, doc, tf) posting
+    table, term-bucketed so the intersection is a co-located
+    three-list merge; this composes the list on the fly). AND
+    semantics = HAVING count(distinct term) == |terms|; score and
+    ranking are exact integers with doc_id tie-break."""
+    terms = ("spark", "query", "vector")
+    tok = (T(spark, sf_dir, "documents")
+           .select("doc_id",
+                   F.explode(F.split(F.col("text"), " ")).alias("w"))
+           .filter(F.col("w").isin(*terms)))
+    return (tok.groupBy("doc_id")
+            .agg(F.count_distinct("w").alias("nt"),
+                 F.count("*").alias("score"))
+            .filter(F.col("nt") == len(terms))
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(20)
+            .select("doc_id", "score"))
