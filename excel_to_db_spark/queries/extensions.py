@@ -1313,3 +1313,35 @@ def dedup_incremental(spark, sf_dir):
             .agg(F.min("doc_id").alias("doc_id"),
                  F.count("*").alias("n_batch_dups"))
             .select("doc_id", "n_batch_dups"))
+
+
+@query("stream_scd2_enrich", oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+               TIMESTAMP '1900-01-01' AS valid_from,
+               TIMESTAMP '2024-01-15' AS valid_to, 1 AS ver
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, round(c_acctbal + 50.0, 2),
+               TIMESTAMP '2024-01-15', TIMESTAMP '9999-01-01', 2
+        FROM customer
+    )
+    SELECT c_mktsegment AS segment, CAST(ver AS INTEGER) AS ver,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_value
+    FROM events JOIN dim
+      ON user_id = c_custkey AND ts >= valid_from AND ts < valid_to
+    GROUP BY 1, 2
+""")
+def stream_scd2_enrich(spark, sf_dir):
+    """Streaming enrichment against a type-2 SCD dimension: the event
+    stream joins the customer version valid AT EVENT TIME (validity
+    range as a residual predicate on a broadcast hash join), then
+    aggregates per (segment, version) — the as-was enrichment every
+    streaming metrics pipeline needs when dimensions change under it.
+    See streaming/windows.py:run_stream_scd2_enrich for the plan
+    notes; the batch oracle is the identical range join."""
+    from ..streaming import run_stream_scd2_enrich
+
+    return run_stream_scd2_enrich(spark, sf_dir)

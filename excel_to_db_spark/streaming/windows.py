@@ -452,3 +452,54 @@ def run_stream_topk_trending(spark: SparkSession, sf_dir: str,
     return (state.withColumn("rnk", rnk).filter(F.col("rnk") <= k)
             .select(F.col("win.start").alias("win_start"),
                     "event_type", "n_events", "rnk"))
+
+
+def run_stream_scd2_enrich(spark: SparkSession, sf_dir: str,
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Stream-static join against a type-2 slowly-changing dimension:
+    each streamed event matches the customer VERSION valid at event
+    time (version 2 raises every balance by 50 as of 2024-01-15), so
+    in-flight enrichment reports as-was attributes exactly like the
+    batch SCD2 join (`join_scd2`). The join stays a hash equi-join on
+    the key with the validity range as a residual predicate — the
+    non-equi part never changes the join strategy, and the versioned
+    dim is still dim-sized so it broadcasts per micro-batch with no
+    join state. Complete mode on finite replay == the batch
+    equivalent, so a plain DuckDB range-join SQL verifies the
+    streaming execution value-for-value."""
+    from pyspark.sql import functions as F
+
+    from ..numerics import cents_sum
+    from ..tables import load_table
+
+    name = f"scd2e_{uuid.uuid4().hex[:8]}"
+    c = load_table(spark, sf_dir, "customer")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    v1 = c.select("c_custkey", "c_mktsegment",
+                  F.round("c_acctbal", 2).alias("acctbal"),
+                  F.lit("1900-01-01").cast("timestamp").alias("valid_from"),
+                  cut.alias("valid_to"), F.lit(1).alias("ver"))
+    v2 = c.select("c_custkey", "c_mktsegment",
+                  F.round(F.col("c_acctbal") + 50.0, 2).alias("acctbal"),
+                  cut.alias("valid_from"),
+                  F.lit("9999-01-01").cast("timestamp").alias("valid_to"),
+                  F.lit(2).alias("ver"))
+    dim = v1.unionAll(v2)
+    stream = events_stream_reader(spark, sf_dir).withWatermark("ts", watermark)
+    joined = stream.join(
+        F.broadcast(dim),
+        (stream.user_id == dim.c_custkey)
+        & (stream.ts >= dim.valid_from) & (stream.ts < dim.valid_to),
+        "inner")
+    agg = (joined.groupBy("c_mktsegment", "ver")
+           .agg(F.count("*").alias("n_events"),
+                cents_sum(F.col("value")).alias("sum_value")))
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("c_mktsegment").alias("segment"),
+                    F.col("ver").cast("int").alias("ver"),
+                    "n_events", "sum_value"))
