@@ -95,7 +95,8 @@ _PRIORITY: tuple[str, ...] = (
 #   stream_topk_trending range_partition_histogram udaf_grouped_pandas
 #   stats_cuped window_rolling_corr skyline_pareto_front
 #   attribution_position text_sparse_cosine dedup_containment
-#   dedup_incremental text_keyword_search
+#   dedup_incremental text_keyword_search stream_scd2_enrich
+#   sample_pps_systematic
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

@@ -874,3 +874,72 @@ def text_keyword_search(spark, sf_dir):
             .orderBy(F.col("score").desc(), "doc_id")
             .limit(20)
             .select("doc_id", "score"))
+
+
+@query("sample_pps_systematic", oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    c AS (
+        SELECT o_orderkey, cents,
+               CAST(sum(cents) OVER (ORDER BY o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS BIGINT)
+                   AS cum
+        FROM t
+    ),
+    s AS (SELECT CAST(sum(cents) AS BIGINT) // 100 AS step FROM t)
+    SELECT o_orderkey, round(cents / 100.0, 2) AS price
+    FROM c, s
+    WHERE (cum - cents) // step < cum // step
+""")
+def sample_pps_systematic(spark, sf_dir):
+    """Systematic probability-proportional-to-size sampling: lay every
+    order's value on a cumulative line, then take one row at each
+    step = total/100 crossing — the classic PPS design (heavy rows are
+    near-certain picks, light rows proportional), fully deterministic
+    with zero random state. The corpus-curation use: value-weighted
+    example selection with exact, reproducible output.
+
+    Scale shape: the global running sum is a DISTRIBUTED prefix sum,
+    not a single-partition window — exact decile boundaries of the
+    order key (one percentile aggregate) range-bucket the data, the
+    running sum runs per-bucket in parallel, and the 10 per-bucket
+    totals produce broadcastable prefix offsets (the textbook
+    scan-then-offset pattern; same boundary machinery as
+    range_partition_histogram). Everything is exact integer cents —
+    crossing tests are pure bigint division, so engines can't disagree
+    at any scale."""
+    t = (T(spark, sf_dir, "orders")
+         .select("o_orderkey",
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents")))
+    qs = [i / 10.0 for i in range(1, 10)]
+    b = t.agg(F.percentile("o_orderkey", qs).alias("bs"))
+    bucketed = (t.crossJoin(F.broadcast(b))
+                .withColumn(
+                    "bucket",
+                    F.aggregate("bs", F.lit(0),
+                                lambda acc, x:
+                                acc + (F.col("o_orderkey") > x).cast("int")))
+                .drop("bs"))
+    wloc = (Window.partitionBy("bucket").orderBy("o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    loc = bucketed.withColumn("lcum", F.sum("cents").over(wloc))
+    btot = (bucketed.groupBy("bucket").agg(F.sum("cents").alias("btot")))
+    woff = (Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = btot.select("bucket",
+                       F.coalesce(F.sum("btot").over(woff), F.lit(0))
+                       .alias("off"))
+    total = t.agg((F.sum("cents")).alias("tot"))
+    cum = (loc.join(F.broadcast(offs), "bucket")
+           .crossJoin(F.broadcast(total))
+           .select("o_orderkey", "cents",
+                   (F.col("off") + F.col("lcum")).alias("cum"),
+                   F.expr("tot DIV 100").alias("step")))
+    return (cum.filter(F.expr("(cum - cents) DIV step") < F.expr("cum DIV step"))
+            .select("o_orderkey",
+                    F.round(F.col("cents") / 100.0, 2).alias("price")))

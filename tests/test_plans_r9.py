@@ -102,3 +102,27 @@ def test_attribution_position_weights_sum_to_journeys(spark, sf_dir):
                          ["user_id", "journey"], "semi")
                    .select("user_id", "journey").distinct().count())
     assert abs(total_credit - n_converted) < 0.01 * max(n_converted, 1)
+
+
+def test_pps_sampler_matches_naive_global_window(spark, sf_dir):
+    """The bucketed two-phase prefix sum must produce exactly the same
+    selections as the naive single-partition running sum."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from excel_to_db_spark.queries.pipeline import sample_pps_systematic
+
+    t = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_orderkey",
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents")))
+    w = W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, 0)
+    total = t.agg(F.sum("cents").alias("tot"))
+    naive = (t.withColumn("cum", F.sum("cents").over(w))
+             .crossJoin(F.broadcast(total))
+             .withColumn("step", F.expr("tot DIV 100"))
+             .filter(F.expr("(cum - cents) DIV step < cum DIV step")))
+    expect = {r.o_orderkey for r in naive.collect()}
+    got = {r.o_orderkey
+           for r in sample_pps_systematic(spark, sf_dir).collect()}
+    assert got == expect and got
