@@ -224,3 +224,85 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     return (scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rk") <= k)
             .select("q_id", "n_id", F.round("cos_sim", 6).alias("cos_sim"), "rk"))
+
+
+def gramian_int(vectors: DataFrame, vec_col: str = "embedding",
+                dim: int = 64, scale: float = 1e6) -> DataFrame:
+    """Exact integer Gramian X^T X of an embedding column: components
+    fixed-pointed to integer `scale`ths (floor(v*scale + 0.5), the
+    repo-wide cross-engine rounding rule — see map_in_arrow), then the
+    d x d outer-product sum accumulates in int64. One mapInArrow pass
+    emits a single d^2-row partial per partition; one tiny (i, j)
+    shuffle merges them. Driver never sees row data — only the d^2
+    state (4096 longs for d=64), the same orchestration budget as
+    lloyd_kmeans. Exact: int64 products (|v*scale| ~ 1e6 -> products
+    1e12, per-partition sums < 2^63), so every engine/order agrees
+    bit-for-bit."""
+    import pyarrow as pa
+
+    def gram(batches):
+        import numpy as np
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        for batch in batches:
+            col = batch.column(batch.schema.names.index(vec_col))
+            flat = np.asarray(col.values.to_numpy(zero_copy_only=False),
+                              dtype=np.float64)
+            if flat.size == 0:
+                continue
+            q = np.floor(flat * scale + 0.5).astype(np.int64)
+            m = q.reshape(-1, dim)
+            acc += m.T @ m
+        i, j = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pa.record_batch([pa.array(i.ravel(), pa.int32()),
+                               pa.array(j.ravel(), pa.int32()),
+                               pa.array(acc.ravel(), pa.int64())],
+                              names=["i", "j", "g"])
+
+    parts = vectors.select(vec_col).mapInArrow(gram, "i int, j int, g long")
+    return parts.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def pca_power(vectors: DataFrame, vec_col: str = "embedding",
+              dim: int = 64, iters: int = 2000) -> DataFrame:
+    """First principal direction of the (uncentered) embedding cloud by
+    power iteration on the exact integer Gramian — distributed PCA in
+    the lloyd_kmeans mold: the cluster computes the d^2 sufficient
+    statistic in one pass; the driver iterates only on that tiny
+    state (64x64 matvecs), never on data. Uncentered PCA is the
+    norm for embedding spaces (direction of maximal second moment);
+    centering would subtract the broadcastable mean vector first —
+    same shape, one more tiny aggregate.
+
+    Determinism: the Gramian is exact int64, its float64 image is a
+    deterministic conversion, and numpy's fixed-iteration matvec is
+    bit-stable, so loadings are engine-independent; the sign is
+    canonicalized (largest-|loading| component positive). Returns
+    (dim, loading, eigval_share) with loadings rounded to 6 dp."""
+    import numpy as np
+
+    rows = gramian_int(vectors, vec_col, dim).collect()
+    G = np.zeros((dim, dim), dtype=np.float64)
+    for r in rows:
+        G[r["i"], r["j"]] = float(r["g"])
+    v = np.ones(dim) / np.sqrt(dim)
+    for _ in range(iters):
+        w = G @ v
+        w = w / np.linalg.norm(w)
+        # Fixed-point check: convergence rate is (lambda2/lambda1)^k, so
+        # a tight eigengap needs hundreds of 64x64 matvecs — still
+        # microseconds of driver time, bit-deterministic.
+        if np.max(np.abs(w - v)) < 1e-13:
+            v = w
+            break
+        v = w
+    lam = float(v @ (G @ v))
+    share = lam / float(np.trace(G))
+    k = int(np.argmax(np.abs(v)))
+    if v[k] < 0:
+        v = -v
+    spark = vectors.sparkSession
+    data = [(d, round(float(v[d]), 6), round(share, 6))
+            for d in range(dim)]
+    return spark.createDataFrame(data, "dim int, loading double, "
+                                       "eigval_share double")

@@ -96,7 +96,7 @@ _PRIORITY: tuple[str, ...] = (
 #   stats_cuped window_rolling_corr skyline_pareto_front
 #   attribution_position text_sparse_cosine dedup_containment
 #   dedup_incremental text_keyword_search stream_scd2_enrich
-#   sample_pps_systematic
+#   sample_pps_systematic ts_seasonal_decompose embedding_pca_power
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

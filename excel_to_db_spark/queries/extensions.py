@@ -1345,3 +1345,20 @@ def stream_scd2_enrich(spark, sf_dir):
     from ..streaming import run_stream_scd2_enrich
 
     return run_stream_scd2_enrich(spark, sf_dir)
+
+
+@query("embedding_pca_power")
+def embedding_pca_power(spark, sf_dir):
+    """First principal direction of the embedding corpus via power
+    iteration on an exact integer Gramian (operators/similarity.py:
+    pca_power) — the dimensionality-reduction / drift-monitoring
+    primitive next to kmeans_lloyd. Cluster computes one d^2
+    sufficient statistic in a single mapInArrow pass; the driver
+    iterates on 64x64 state only. No SQL oracle (eigen-iteration is
+    not SQL-expressible) — the driver records a rows-only check; the
+    exact witness is tests/test_pca_power.py, which verifies the
+    loadings against numpy.linalg.eigh on the same integer Gramian
+    bit-for-bit at 6 dp."""
+    from ..operators.similarity import pca_power
+
+    return pca_power(T(spark, sf_dir, "embeddings"))

@@ -441,3 +441,71 @@ def agg_corr_matrix(spark, sf_dir):
              ("l_discount", "l_tax", "r_disc_tax")]
     aggs = [F.round(F.corr(x, y), 5).alias(name) for x, y, name in pairs]
     return le.agg(*aggs, F.count("*").alias("n"))
+
+
+# ---------------------------------------------- seasonal decomposition
+
+@query("ts_seasonal_decompose", oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    tr AS (
+        SELECT day, cents,
+               CAST(sum(cents) OVER w AS BIGINT) AS t7,
+               CAST(count(*) OVER w AS BIGINT) AS n7
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                                           AND 3 FOLLOWING)
+    ),
+    detr AS (
+        SELECT CAST(date_diff('day', DATE '1995-01-02',
+                              CAST(day AS DATE)) % 7 AS INTEGER) AS dow,
+               cents / 100.0 - t7 / 700.0 AS d
+        FROM tr WHERE n7 = 7
+    )
+    SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(CAST(round(d * 1e8) AS BIGINT)) / 1e8
+                 / count(*), 4) AS seasonal
+    FROM detr GROUP BY dow
+""")
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical seasonal decomposition, step one and two: the trend is
+    a centered 7-day moving average of daily order revenue, and the
+    weekly seasonal index is the day-of-week mean of the detrended
+    series — the additive trend/seasonal split behind every
+    seasonality monitor (STL's initialization, computed exactly).
+
+    Shape: the fact collapses once to day granularity, the trend is
+    ONE centered window over the day-sized series, and the seasonal
+    profile is a 7-group aggregate — nothing rescans the fact.
+    Determinism: daily cents and the 7-day trend sum are exact
+    bigints; detrended values are a fixed per-row float expression
+    over them; the day-of-week mean accumulates in integer 1e-8 units
+    (SURVEY §4.3 fixed-point rule) so group order can't flip the
+    rounding. Day-of-week is days-since-a-fixed-Monday mod 7 —
+    engine-proof (Spark's dayofweek() and DuckDB's differ in origin).
+    Ships only full 7-day windows (n7 = 7) so edges don't bias the
+    trend."""
+    o = T(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                       .alias("day"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).alias("cents")))
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day", "cents",
+        F.sum("cents").over(w).alias("t7"),
+        F.count("*").over(w).alias("n7"))
+    detr = (tr.filter(F.col("n7") == 7)
+            .select((F.datediff(F.col("day").cast("date"),
+                                F.lit("1995-01-02").cast("date")) % 7)
+                    .cast("int").alias("dow"),
+                    (F.col("cents") / 100.0 - F.col("t7") / 700.0)
+                    .alias("d")))
+    return (detr.groupBy("dow")
+            .agg(F.count("*").alias("n_days"),
+                 F.round(F.sum(F.round(F.col("d") * 1e8).cast("bigint"))
+                         / 1e8 / F.count("*"), 4).alias("seasonal")))
