@@ -87,6 +87,10 @@ HEADLINE = [
     "dynamic_partition_overwrite",  # single-partition incremental rewrite
     "bpe_train_merges",        # distributed BPE merge learning (3 rounds)
     "graph_bfs_levels",        # frontier BFS over sparsified trade graph
+    "text_sparse_cosine",      # inverted-index sparse cosine pairs
+    "sample_pps_systematic",   # distributed prefix-sum PPS sampling
+    "embedding_pca_power",     # mapInArrow Gramian + driver eigensolve
+    "stream_scd2_enrich",      # stream-static SCD2 as-was enrichment
 ]
 
 
