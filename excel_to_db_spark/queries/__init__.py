@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
 #   attribution_position text_sparse_cosine dedup_containment
 #   dedup_incremental text_keyword_search stream_scd2_enrich
 #   sample_pps_systematic ts_seasonal_decompose embedding_pca_power
+#   agg_weighted_median csv_malformed_handling
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

@@ -356,3 +356,60 @@ def skyline_pareto_front(spark, sf_dir):
             .filter(F.col("gmax").isNull() | (F.col("gmax") < F.col("size")))
             .select(F.round(F.col("cents") / 100.0, 2).alias("price"),
                     "size"))
+
+
+# ------------------------------------------------------ weighted median
+
+@query("agg_weighted_median", oracle="""
+    WITH t AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(round(l_quantity) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    g AS (
+        SELECT flag, cents, CAST(sum(w) AS BIGINT) AS w
+        FROM t GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT flag, cents, w,
+               CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+                   AS cum,
+               CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+        FROM g
+    )
+    SELECT flag, round(min(cents) / 100.0, 2) AS wmedian_price,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum >= tw
+    GROUP BY flag
+""")
+def agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag: the smallest
+    value whose cumulative weight reaches half the total — the
+    robust-center statistic percentile_approx can only approximate and
+    plain median gets wrong when rows carry weights.
+
+    Shape: duplicates collapse FIRST into a (group, value) -> weight
+    table (one shuffle with map-side combine — at 100 TB this is the
+    whole compression: distinct prices per group, not rows), then one
+    per-group cumulative window and a broadcast of per-group totals.
+    Determinism: weights and values are exact integers; the defining
+    test 2*cum >= total is pure bigint comparison, so both engines
+    select the identical value at any scale."""
+    t = (T(spark, sf_dir, "lineitem")
+         .select(F.col("l_returnflag").alias("flag"),
+                 F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                 .alias("cents"),
+                 F.round(F.col("l_quantity")).cast("bigint").alias("w")))
+    g = t.groupBy("flag", "cents").agg(F.sum("w").alias("w"))
+    win = (Window.partitionBy("flag").orderBy("cents")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    c = g.select("flag", "cents", "w",
+                 F.sum("w").over(win).alias("cum"),
+                 F.sum("w").over(Window.partitionBy("flag")).alias("tw"))
+    return (c.filter(2 * F.col("cum") >= F.col("tw"))
+            .groupBy("flag")
+            .agg(F.round(F.min("cents") / 100.0, 2).alias("wmedian_price"),
+                 F.min("tw").alias("total_weight")))

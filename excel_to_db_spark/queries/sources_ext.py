@@ -271,3 +271,46 @@ def stream_foreachbatch(spark, sf_dir):
     return (back.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  _cents_sum(F.col("value")).alias("sum_value")))
+
+
+@query("csv_malformed_handling", oracle="""
+    SELECT count(*) FILTER (WHERE event_id % 10 <> 0) AS n_good,
+           count(*) FILTER (WHERE event_id % 10 = 0)  AS n_corrupt,
+           round(sum(CAST(round(value * 100) AS BIGINT))
+                 FILTER (WHERE event_id % 10 <> 0) / 100.0, 2)
+             AS sum_value_good
+    FROM events
+""")
+def csv_malformed_handling(spark, sf_dir):
+    """CSV counterpart of json_malformed_handling — the other ingest
+    format real pipelines get dirty files in. Every 10th record's
+    numeric field is deterministically corrupted (a non-numeric token),
+    then read back under PERMISSIVE with _corrupt_record: a type
+    mismatch yields NULL fields + the raw line, never a failed job or
+    a silently dropped row. The oracle recomputes good/corrupt counts
+    and the cents-exact good sum from the original parquet.
+
+    Scale note: malformed handling is a per-row codepath inside the
+    same vectorized scan — no extra pass, no driver involvement, and
+    the corrupt-rows side can be routed to a quarantine sink with one
+    filter."""
+    out = tempfile.mkdtemp(prefix="e2db_badcsv_")
+    ev = (T(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.when(F.col("event_id") % 10 == 0, F.lit("oops"))
+                  .otherwise(F.col("value").cast("string"))
+                  .alias("value")))
+    ev.write.mode("overwrite").option("header", "true").csv(out)
+    schema = ("event_id bigint, event_type string, value double, "
+              "_corrupt_record string")
+    back = (spark.read.schema(schema)
+            .option("header", "true")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(out))
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+         .alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+         .alias("n_corrupt"),
+        _cents_sum(F.col("value")).alias("sum_value_good"))
