@@ -29,6 +29,7 @@ from . import storage     # noqa: E402,F401  Storage layout: bucketed join, ORC/
 from . import sources_ext  # noqa: E402,F401  XML/binaryFile/text sources + foreachBatch sink
 from . import quality     # noqa: E402,F401  DQ expectations/triangles/zorder/reservoir/decontam
 from . import tokenizer   # noqa: E402,F401  Tier C: BPE merge training + vocabulary apply
+from . import sql_features  # noqa: E402,F401  Spark 4 surface: scripting/params/ps API/DPP
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-4 window
@@ -97,7 +98,8 @@ _PRIORITY: tuple[str, ...] = (
 #   attribution_position text_sparse_cosine dedup_containment
 #   dedup_incremental text_keyword_search stream_scd2_enrich
 #   sample_pps_systematic ts_seasonal_decompose embedding_pca_power
-#   agg_weighted_median csv_malformed_handling
+#   agg_weighted_median csv_malformed_handling sql_parameterized
+#   sql_scripting pandas_on_spark_agg join_dpp_pruned
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

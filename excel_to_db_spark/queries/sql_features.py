@@ -1,0 +1,176 @@
+"""Spark 4 SQL-surface features (Tier B addendum): SQL scripting
+(BEGIN/DECLARE/WHILE control flow), parameterized SQL (named
+placeholders), the pandas-on-Spark API, and runtime dynamic partition
+pruning.
+
+These are the API/engine features a user migrating OFF the reference's
+SQLite passthrough (reference src/main.rs:220) gains — SQLite has no
+procedural SQL, no bind-by-name into arbitrary expressions, no
+DataFrame API, no partitioned layouts. Each key still carries a plain
+DuckDB oracle: the FEATURE is Spark-side, the ANSWER is engine-neutral.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from .relational import T
+
+
+@query("sql_parameterized", oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_price
+    FROM orders WHERE o_totalprice > 200000.0 AND o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+""")
+def sql_parameterized(spark, sf_dir):
+    """Parameterized SQL: named placeholders bound server-side
+    (spark.sql(..., args={...})) — the injection-safe REPL/API surface
+    SQLite reaches with `?` binds. Placeholders bind as literals into
+    the plan, so constant folding and parquet filter pushdown see the
+    VALUE (the pushed filter is identical to a hand-inlined literal);
+    the plan is cacheable by parameter shape."""
+    name = f"orders_{uuid.uuid4().hex[:8]}"
+    T(spark, sf_dir, "orders").createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     / 100.0, 2) AS sum_price
+        FROM {name} WHERE o_totalprice > :thr AND o_orderpriority = :pri
+        GROUP BY o_orderstatus
+        """,
+        args={"thr": 200000.0, "pri": "1-URGENT"})
+
+
+@query("sql_scripting", oracle="""
+    WITH t AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    r AS (
+        SELECT c, row_number() OVER (ORDER BY c) AS rn,
+               count(*) OVER () AS n
+        FROM t
+    )
+    SELECT round(min(c) / 100.0, 2) AS median_price
+    FROM r WHERE rn = (n + 1) // 2
+""")
+def sql_scripting(spark, sf_dir):
+    """SQL scripting (Spark 4 BEGIN/DECLARE/WHILE/IF): the lower median
+    of order value found by integer BISECTION over cents — procedural
+    control flow driving real queries, the capability SQLite users
+    script in application code. Each iteration issues one count(*)
+    aggregate; the loop state is session variables.
+
+    This is deliberately the control-flow DEMO, not the best median
+    plan (that is ONE percentile aggregate — range_partition_histogram)
+    — but the shape matters at scale: ~45 bisection steps x one
+    partial-aggregated scan each, zero data movement beyond a count,
+    driver holds two BIGINTs. Bisection over integers is exact, so both
+    engines name the identical cent value."""
+    name = f"oc_{uuid.uuid4().hex[:8]}"
+    (T(spark, sf_dir, "orders")
+     .select(F.round(F.col("o_totalprice") * 100).cast("bigint")
+             .alias("c"))
+     .createOrReplaceTempView(name))
+    return spark.sql(f"""
+        BEGIN
+          DECLARE lo BIGINT DEFAULT 0;
+          DECLARE hi BIGINT DEFAULT 0;
+          DECLARE mid BIGINT;
+          DECLARE need BIGINT;
+          -- Approximate seed, exact refinement: approx_percentile at
+          -- accuracy 10000 bounds the true median's RANK within
+          -- +/-0.01%, so the 49.5%/50.5% values bracket the exact
+          -- median at ANY scale and bisection needs ~log2(bracket)
+          -- scans instead of log2(max_cents).
+          SET lo = (SELECT approx_percentile(c, 0.495, 10000)
+                    FROM {name});
+          SET hi = (SELECT approx_percentile(c, 0.505, 10000)
+                    FROM {name});
+          SET need = (SELECT (count(*) + 1) DIV 2 FROM {name});
+          WHILE lo < hi DO
+            SET mid = (lo + hi) DIV 2;
+            IF (SELECT count(*) FROM {name} WHERE c <= mid) >= need THEN
+              SET hi = mid;
+            ELSE
+              SET lo = mid + 1;
+            END IF;
+          END WHILE;
+          -- lo is BIGINT and 100.0 parses as DECIMAL in scripting
+          -- context, so cast: the driver hash-compares column types.
+          SELECT CAST(round(lo / 100.0, 2) AS DOUBLE) AS median_price;
+        END
+    """)
+
+
+@query("pandas_on_spark_agg", oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_balance
+    FROM customer GROUP BY c_mktsegment
+""")
+def pandas_on_spark_agg(spark, sf_dir):
+    """pandas-on-Spark (pyspark.pandas): the pandas dialect compiled to
+    the same Catalyst plans — segment counts + exact cents balance via
+    .groupby().agg() on a ps.DataFrame, converted back with
+    .to_spark(). Completes the Python API matrix (DataFrame / SQL /
+    pandas_udf / UDTF / applyInPandas / mapInPandas / mapInArrow /
+    cogroup / GROUPED_AGG UDAF / pandas-on-Spark).
+
+    Everything stays distributed: the ps frame wraps the Spark plan
+    (no toPandas), the cents conversion is a column expression, and
+    the groupby compiles to the ordinary partial-aggregated shuffle —
+    pandas SYNTAX, Spark EXECUTION."""
+    import pyspark.pandas as ps
+
+    psdf = ps.DataFrame(T(spark, sf_dir, "customer")
+                        .select("c_mktsegment",
+                                F.round(F.col("c_acctbal") * 100)
+                                .cast("bigint").alias("cents")))
+    out = (psdf.groupby("c_mktsegment")
+           .agg(n=("cents", "count"), s=("cents", "sum"))
+           .reset_index())
+    return (out.to_spark()
+            .select("c_mktsegment",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(F.col("s") / 100.0, 2).alias("sum_balance")))
+
+
+@query("join_dpp_pruned", oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+""")
+def join_dpp_pruned(spark, sf_dir):
+    """Dynamic partition pruning: the fact is laid out partitioned by
+    o_orderstatus; a selective dimension filter (a 1-row status dim)
+    prunes fact PARTITIONS at runtime through the join — the scan never
+    reads the other status directories. At 100 TB this is the
+    difference between scanning one partition and the whole table when
+    the pruning predicate only exists on the dim side.
+
+    tests/test_plans_r10.py asserts `dynamicpruning` in the fact scan's
+    partition filters. The write-once partitioned layout is the same
+    one sink_parquet_partitioned exercises; here it feeds the pruned
+    read."""
+    out = tempfile.mkdtemp(prefix="e2db_dpp_")
+    (T(spark, sf_dir, "orders")
+     .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out))
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame([("F", 1)], "status string, flag int")
+    return (fact.join(dim.filter(F.col("flag") == 1),
+                      fact.o_orderstatus == dim.status)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.round(F.col("o_totalprice") * 100)
+                               .cast("bigint")) / 100.0, 2)
+                 .alias("sum_price")))
