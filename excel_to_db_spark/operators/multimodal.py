@@ -137,3 +137,81 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
 
     return (df.select(F.col(id_col), F.col(payload_col))
             .mapInPandas(featurize, schema=FEATURE_SCHEMA))
+
+
+def phash64_bits(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """64-bit perceptual hash of a binary payload as a '0'/'1' bit
+    string: the payload is split into 64 balanced chunks (chunk of byte
+    position p, 1-based: (p*64 - 1) DIV n) and bit k is 1 iff chunk
+    k's mean byte value exceeds the payload mean — the block-mean
+    pHash every image-dedup pipeline runs after downscaling, applied
+    to the stub-decoded payload (a real deployment feeds the decoded
+    8x8 luminance grid through the identical kernel; signature
+    unchanged).
+
+    The kernel is a mapInPandas numpy pass (frombuffer + bincount —
+    no per-byte Python); the mean test is exact integer cross
+    multiplication (sum_k * n > S * len_k), so the DuckDB oracle
+    recomputes identical bits from character codes (the corpus is
+    ASCII, so byte == code point). Payloads under 64 bytes are
+    dropped (a real codec would reject them)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                n = b.size
+                if n < 64:
+                    continue
+                ks = (np.arange(1, n + 1) * 64 - 1) // n
+                sums = np.bincount(ks, weights=b, minlength=64)
+                lens = np.bincount(ks, minlength=64)
+                sums = sums.astype(np.int64)   # exact: < 2^53 before cast
+                total = int(sums.sum())
+                bits = sums * n > total * lens
+                ids.append(did)
+                sigs.append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame({"did": pd.array(ids, dtype="Int64"),
+                                "ph": pd.array(sigs, dtype="string")})
+
+    return (df.select(F.col(id_col), F.col(payload_col))
+            .mapInPandas(kernel, "did bigint, ph string"))
+
+
+def phash_pairs(df: DataFrame, max_hamming: int = 6,
+                id_col: str = "doc_id", payload_col: str = "payload",
+                n_blocks: int = 4) -> DataFrame:
+    """Near-duplicate payload pairs by pHash: pigeonhole block join on
+    16-bit chunks of the bit string (identical machinery to
+    simhash_pairs — pairs within hamming < n_blocks are guaranteed
+    candidates; the oracle mirrors the same candidate generation), then
+    exact hamming via per-chunk XOR bit counts. No cross join: the only
+    join key is the (block, chunk-bits) bucket."""
+    bits_per = 64 // n_blocks
+    ph = phash64_bits(df, id_col, payload_col)
+    ints = ph.select(
+        "did", "ph",
+        *[F.conv(F.substring("ph", c * bits_per + 1, bits_per), 2, 10)
+          .cast("int").alias(f"c{c}") for c in range(n_blocks)])
+    chunks = ints.select(
+        "did", "ph", *[f"c{c}" for c in range(n_blocks)],
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("blk"),
+                     F.substring("ph", c * bits_per + 1, bits_per)
+                     .alias("ck"))
+            for c in range(n_blocks)])).alias("bc"))
+    chunks = chunks.select("did", "ph", "bc.blk", "bc.ck",
+                           *[f"c{c}" for c in range(n_blocks)])
+    x, y = chunks.alias("x"), chunks.alias("y")
+    ham = sum(F.bit_count(F.col(f"x.c{c}").bitwiseXOR(F.col(f"y.c{c}")))
+              for c in range(n_blocks))
+    return (x.join(y, (F.col("x.blk") == F.col("y.blk"))
+                   & (F.col("x.ck") == F.col("y.ck"))
+                   & (F.col("x.did") < F.col("y.did")))
+            .select(F.col("x.did").alias("d1"), F.col("y.did").alias("d2"),
+                    ham.cast("int").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

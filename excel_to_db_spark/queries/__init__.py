@@ -99,7 +99,7 @@ _PRIORITY: tuple[str, ...] = (
 #   dedup_incremental text_keyword_search stream_scd2_enrich
 #   sample_pps_systematic ts_seasonal_decompose embedding_pca_power
 #   agg_weighted_median csv_malformed_handling sql_parameterized
-#   sql_scripting pandas_on_spark_agg join_dpp_pruned
+#   sql_scripting pandas_on_spark_agg join_dpp_pruned multimodal_phash
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

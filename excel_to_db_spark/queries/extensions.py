@@ -1362,3 +1362,63 @@ def embedding_pca_power(spark, sf_dir):
     from ..operators.similarity import pca_power
 
     return pca_power(T(spark, sf_dir, "embeddings"))
+
+
+@query("multimodal_phash", oracle="""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n
+        FROM documents WHERE length(text) >= 64
+    ),
+    pos AS (
+        SELECT doc_id, n, unicode(substr(text, i.g, 1)) AS v,
+               (i.g * 64 - 1) // n AS k
+        FROM d CROSS JOIN LATERAL
+            (SELECT unnest(generate_series(1, n)) AS g) i
+    ),
+    cs AS (
+        SELECT doc_id, n, k, CAST(sum(v) AS BIGINT) AS sk,
+               CAST(count(*) AS BIGINT) AS lk
+        FROM pos GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT doc_id, CAST(sum(sk) AS BIGINT) AS s FROM cs GROUP BY 1),
+    bits AS (
+        SELECT cs.doc_id, cs.n, k,
+               CASE WHEN sk * cs.n > tot.s * lk THEN '1' ELSE '0' END AS b
+        FROM cs JOIN tot ON cs.doc_id = tot.doc_id
+    ),
+    ph AS (
+        SELECT doc_id, string_agg(b, '' ORDER BY k) AS sig
+        FROM bits GROUP BY 1
+    ),
+    chunks AS (
+        SELECT doc_id, sig, c.c, substr(sig, c.c * 16 + 1, 16) AS ck
+        FROM ph, (SELECT unnest([0, 1, 2, 3]) AS c) c
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+               hamming(x.sig, y.sig) AS hamming
+        FROM chunks x JOIN chunks y
+          ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id
+    )
+    SELECT d1, d2, CAST(hamming AS INT) AS hamming
+    FROM cand WHERE hamming <= 16
+""")
+def multimodal_phash(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over the binary payload column —
+    the image-dedup operator (block-mean pHash) completing the
+    multimodal family past decode/frames/features: a mapInPandas numpy
+    kernel computes the 64-chunk mean-threshold hash from the raw
+    bytes, then the SAME pigeonhole block join as dedup_simhash buckets
+    candidates and exact hamming filters at <= 16 (the byte-level
+    stand-in payload is noisier than a real decoded luminance grid, so
+    the near-dup band sits higher than image pHash's classic <= 6).
+
+    The kernel's mean tests are exact integer cross-multiplications,
+    and the corpus is ASCII (byte == code point), so the DuckDB twin
+    recomputes identical bits from character codes — a full value
+    oracle for a binary-column Python kernel. At 100 TB: column
+    pruning keeps metadata queries off the payload bytes, Arrow batch
+    size bounds decode memory, and the candidate join is bucket-keyed
+    (never all-pairs). See operators/multimodal.py:phash64_bits."""
+    docs = M.with_payload(T(spark, sf_dir, "documents"))
+    return M.phash_pairs(docs, max_hamming=16)
