@@ -91,6 +91,20 @@ def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
     No cross join anywhere — the only joins are hash joins on `tok` and
     broadcast joins of the (small) per-doc size table. Returns
     (d1, d2, jaccard) with d1 < d2, jaccard >= threshold."""
+    inter = _intersection_counts(df, text_col, id_col, max_df, keyset)
+    return (inter.select("d1", "d2",
+                         (F.col("n_inter")
+                          / (F.col("n1") + F.col("n2") - F.col("n_inter")))
+                         .alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def _intersection_counts(df: DataFrame, text_col: str, id_col: str,
+                         max_df: int | None, keyset) -> DataFrame:
+    """The shared inverted-index set-intersection machinery under
+    jaccard_pairs and containment_pairs: one (d1, d2, n_inter, n1, n2)
+    row per document pair sharing at least one key. Hash joins on the
+    key only; the per-doc size table broadcasts onto the pair list."""
     toks = _token_index(df, text_col, id_col, max_df, keyset)
     sizes = toks.groupBy("did").agg(F.count("*").alias("n_tok"))
     a = toks.alias("a")
@@ -101,12 +115,7 @@ def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
               .agg(F.count("*").alias("n_inter")))
     s1 = sizes.select(F.col("did").alias("d1"), F.col("n_tok").alias("n1"))
     s2 = sizes.select(F.col("did").alias("d2"), F.col("n_tok").alias("n2"))
-    return (inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
-            .select("d1", "d2",
-                    (F.col("n_inter")
-                     / (F.col("n1") + F.col("n2") - F.col("n_inter")))
-                    .alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    return inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
 
 
 def uh_a(i: int) -> int:
@@ -393,17 +402,9 @@ def containment_pairs(df: DataFrame, threshold: float,
     (d1, d2, n_inter, cont_max) with d1 < d2 and
     max(cont(d1 in d2), cont(d2 in d1)) >= threshold; the ratio is one
     exact-integer division per surviving pair."""
-    toks = _token_index(df, text_col, id_col, max_df, keyset=shingles)
-    sizes = toks.groupBy("did").agg(F.count("*").alias("n_tok"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
-                    & (F.col("a.did") < F.col("b.did")))
-             .groupBy(F.col("a.did").alias("d1"), F.col("b.did").alias("d2"))
-             .agg(F.count("*").alias("n_inter")))
-    s1 = sizes.select(F.col("did").alias("d1"), F.col("n_tok").alias("n1"))
-    s2 = sizes.select(F.col("did").alias("d2"), F.col("n_tok").alias("n2"))
+    inter = _intersection_counts(df, text_col, id_col, max_df,
+                                 keyset=shingles)
     cont = F.greatest(F.col("n_inter") / F.col("n1"),
                       F.col("n_inter") / F.col("n2"))
-    return (inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
-            .select("d1", "d2", "n_inter", cont.alias("cont_max"))
+    return (inter.select("d1", "d2", "n_inter", cont.alias("cont_max"))
             .filter(F.col("cont_max") >= threshold))

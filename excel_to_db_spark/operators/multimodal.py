@@ -197,13 +197,15 @@ def phash_pairs(df: DataFrame, max_hamming: int = 6,
         *[F.conv(F.substring("ph", c * bits_per + 1, bits_per), 2, 10)
           .cast("int").alias(f"c{c}") for c in range(n_blocks)])
     chunks = ints.select(
-        "did", "ph", *[f"c{c}" for c in range(n_blocks)],
+        "did", *[f"c{c}" for c in range(n_blocks)],
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("blk"),
                      F.substring("ph", c * bits_per + 1, bits_per)
                      .alias("ck"))
             for c in range(n_blocks)])).alias("bc"))
-    chunks = chunks.select("did", "ph", "bc.blk", "bc.ck",
+    # The full bit string stays OUT of the exploded join payload — the
+    # hamming only needs the four chunk ints.
+    chunks = chunks.select("did", "bc.blk", "bc.ck",
                            *[f"c{c}" for c in range(n_blocks)])
     x, y = chunks.alias("x"), chunks.alias("y")
     ham = sum(F.bit_count(F.col(f"x.c{c}").bitwiseXOR(F.col(f"y.c{c}")))

@@ -124,3 +124,26 @@ def range_join_binned(fact: DataFrame, value_col: str, bands: DataFrame,
     b = bands.withColumn("_bin", F.floor(F.col("lo") / width).cast("bigint"))
     return (f.join(F.broadcast(b), "_bin", how)
             .drop("_bin"))
+
+
+def scd2_customer_versions(customer: DataFrame, cut,
+                           bump: float = 50.0) -> DataFrame:
+    """Synthetic two-version type-2 customer dimension shared by the
+    batch (`join_scd2`) and streaming (`stream_scd2_enrich`) SCD2
+    operators, so the sentinel validity dates and version semantics
+    cannot drift between them: version 1 is valid [1900-01-01, cut),
+    version 2 raises every balance by `bump` and is valid
+    [cut, 9999-01-01). Columns: c_custkey, c_mktsegment, acctbal,
+    valid_from, valid_to, ver."""
+    v1 = customer.select(
+        "c_custkey", "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1900-01-01").cast("timestamp").alias("valid_from"),
+        cut.alias("valid_to"), F.lit(1).alias("ver"))
+    v2 = customer.select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") + bump, 2).alias("acctbal"),
+        cut.alias("valid_from"),
+        F.lit("9999-01-01").cast("timestamp").alias("valid_to"),
+        F.lit(2).alias("ver"))
+    return v1.unionAll(v2)

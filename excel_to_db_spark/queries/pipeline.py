@@ -934,7 +934,9 @@ def sample_pps_systematic(spark, sf_dir):
     offs = btot.select("bucket",
                        F.coalesce(F.sum("btot").over(woff), F.lit(0))
                        .alias("off"))
-    total = t.agg((F.sum("cents")).alias("tot"))
+    # The grand total folds out of the 10-row bucket totals — never a
+    # second scan of the fact.
+    total = btot.agg(F.sum("btot").alias("tot"))
     cum = (loc.join(F.broadcast(offs), "bucket")
            .crossJoin(F.broadcast(total))
            .select("o_orderkey", "cents",

@@ -461,8 +461,9 @@ def agg_corr_matrix(spark, sf_dir):
                                            AND 3 FOLLOWING)
     ),
     detr AS (
-        SELECT CAST(date_diff('day', DATE '1995-01-02',
-                              CAST(day AS DATE)) % 7 AS INTEGER) AS dow,
+        SELECT CAST(((date_diff('day', DATE '1995-01-02',
+                                CAST(day AS DATE)) % 7) + 7) % 7
+                    AS INTEGER) AS dow,
                cents / 100.0 - t7 / 700.0 AS d
         FROM tr WHERE n7 = 7
     )
@@ -500,8 +501,10 @@ def ts_seasonal_decompose(spark, sf_dir):
         F.sum("cents").over(w).alias("t7"),
         F.count("*").over(w).alias("n7"))
     detr = (tr.filter(F.col("n7") == 7)
-            .select((F.datediff(F.col("day").cast("date"),
-                                F.lit("1995-01-02").cast("date")) % 7)
+            # pmod, not %: datediff goes negative for pre-epoch days and
+            # truncating % would split each weekday into two groups.
+            .select(F.pmod(F.datediff(F.col("day").cast("date"),
+                                      F.lit("1995-01-02").cast("date")), 7)
                     .cast("int").alias("dow"),
                     (F.col("cents") / 100.0 - F.col("t7") / 700.0)
                     .alias("d")))

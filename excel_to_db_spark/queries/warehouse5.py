@@ -91,18 +91,10 @@ def join_scd2(spark, sf_dir):
     key are few (here 2). The versioned dim is still dim-sized, so it
     broadcasts; the fact never shuffles. This is the standard SCD2
     plan at any scale."""
-    c = T(spark, sf_dir, "customer")
-    v1 = c.select("c_custkey", "c_mktsegment",
-                  F.round("c_acctbal", 2).alias("acctbal"),
-                  F.lit("1900-01-01").cast("timestamp").alias("valid_from"),
-                  F.lit("1995-07-01").cast("timestamp").alias("valid_to"),
-                  F.lit(1).alias("ver"))
-    v2 = c.select("c_custkey", "c_mktsegment",
-                  F.round(F.col("c_acctbal") + 50.0, 2).alias("acctbal"),
-                  F.lit("1995-07-01").cast("timestamp").alias("valid_from"),
-                  F.lit("9999-01-01").cast("timestamp").alias("valid_to"),
-                  F.lit(2).alias("ver"))
-    dim = v1.unionAll(v2)
+    from ..operators.temporal import scd2_customer_versions
+
+    dim = scd2_customer_versions(T(spark, sf_dir, "customer"),
+                                 F.lit("1995-07-01").cast("timestamp"))
     o = T(spark, sf_dir, "orders")
     return (o.join(F.broadcast(dim),
                    (o.o_custkey == dim.c_custkey)

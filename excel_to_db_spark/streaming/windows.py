@@ -472,19 +472,11 @@ def run_stream_scd2_enrich(spark: SparkSession, sf_dir: str,
     from ..numerics import cents_sum
     from ..tables import load_table
 
+    from ..operators.temporal import scd2_customer_versions
+
     name = f"scd2e_{uuid.uuid4().hex[:8]}"
-    c = load_table(spark, sf_dir, "customer")
-    cut = F.lit("2024-01-15").cast("timestamp")
-    v1 = c.select("c_custkey", "c_mktsegment",
-                  F.round("c_acctbal", 2).alias("acctbal"),
-                  F.lit("1900-01-01").cast("timestamp").alias("valid_from"),
-                  cut.alias("valid_to"), F.lit(1).alias("ver"))
-    v2 = c.select("c_custkey", "c_mktsegment",
-                  F.round(F.col("c_acctbal") + 50.0, 2).alias("acctbal"),
-                  cut.alias("valid_from"),
-                  F.lit("9999-01-01").cast("timestamp").alias("valid_to"),
-                  F.lit(2).alias("ver"))
-    dim = v1.unionAll(v2)
+    dim = scd2_customer_versions(load_table(spark, sf_dir, "customer"),
+                                 F.lit("2024-01-15").cast("timestamp"))
     stream = events_stream_reader(spark, sf_dir).withWatermark("ts", watermark)
     joined = stream.join(
         F.broadcast(dim),
