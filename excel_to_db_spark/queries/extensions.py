@@ -1422,3 +1422,24 @@ def multimodal_phash(spark, sf_dir):
     (never all-pairs). See operators/multimodal.py:phash64_bits."""
     docs = M.with_payload(T(spark, sf_dir, "documents"))
     return M.phash_pairs(docs, max_hamming=16)
+
+
+@query("stream_rocksdb_state", oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           time_bucket(INTERVAL '10 minutes', ts)
+               + INTERVAL '10 minutes' AS win_end,
+           count(*) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_value
+    FROM events GROUP BY 1, 2
+""")
+def stream_rocksdb_state(spark, sf_dir):
+    """The tumbling streaming aggregation under the RocksDB state store
+    provider — Spark's production state backend (off-heap, spillable,
+    changelog-checkpointed), proving backend choice changes operations,
+    not answers: the oracle and result are identical to
+    stream_tumbling's. See streaming/windows.py:
+    run_tumbling_stream_rocksdb."""
+    from ..streaming import run_tumbling_stream_rocksdb
+
+    return run_tumbling_stream_rocksdb(spark, sf_dir)

@@ -495,3 +495,39 @@ def run_stream_scd2_enrich(spark: SparkSession, sf_dir: str,
             .select(F.col("c_mktsegment").alias("segment"),
                     F.col("ver").cast("int").alias("ver"),
                     "n_events", "sum_value"))
+
+
+def run_tumbling_stream_rocksdb(spark: SparkSession, sf_dir: str,
+                                width: str = "10 minutes",
+                                watermark: str = "30 minutes") -> DataFrame:
+    """The tumbling aggregation executed against the RocksDB state store
+    provider — the production state backend (bounded heap, changelog
+    checkpointing, state larger than memory) vs the default
+    HDFS-backed in-memory map. Same plan fragment, same result; only
+    the provider conf differs, which is exactly the point: state
+    backend choice is an OPERATIONAL knob, not a semantics change.
+
+    The provider conf is read at query START, so it is set just for
+    this stream and restored after (runtime-settable; scoped here the
+    way a production job would set it cluster-wide)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        name = f"rocks_{uuid.uuid4().hex[:8]}"
+        stream = (events_stream_reader(spark, sf_dir)
+                  .withWatermark("ts", watermark))
+        q = (tumbling_agg(stream, width)
+             .writeStream.outputMode("complete")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
