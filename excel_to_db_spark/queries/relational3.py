@@ -413,3 +413,53 @@ def agg_weighted_median(spark, sf_dir):
             .groupBy("flag")
             .agg(F.round(F.min("cents") / 100.0, 2).alias("wmedian_price"),
                  F.min("tw").alias("total_weight")))
+
+
+@query("window_range_trailing7d", oracle="""
+    WITH daily AS (
+        SELECT l_returnflag AS flag,
+               CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1995-04-01'
+        GROUP BY 1, 2
+    )
+    SELECT flag, day,
+           round(CAST(sum(cents) OVER (
+                     PARTITION BY flag ORDER BY epoch(day)
+                     RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+                 AS BIGINT) / 100.0, 2) AS rev_7d,
+           CAST(count(*) OVER (
+                     PARTITION BY flag ORDER BY epoch(day)
+                     RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_days_7d
+    FROM daily
+""")
+def window_range_trailing7d(spark, sf_dir):
+    """Trailing-7-DAY revenue per return flag via a VALUE-based RANGE
+    frame over event time — the time-interval frame the ROWS form gets
+    wrong whenever the series has gaps (6 PRECEDING rows can span a
+    month of sparse days; RANGE 518400s spans exactly a week). Ordered
+    by epoch seconds on both engines, so the frame bound is one
+    engine-neutral integer.
+
+    Shape: the fact collapses to (flag, day) first — the window runs
+    over the day-sized series, never over raw rows; frame sums are
+    running cents (exempt from the fixed-point rule per SURVEY §4.3:
+    the frame order is pinned) kept exact as bigints anyway."""
+    le = (T(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate")
+                  < F.lit("1995-04-01").cast("timestamp")))
+    daily = (le.groupBy(F.col("l_returnflag").alias("flag"),
+                        F.date_trunc("day", F.col("l_shipdate"))
+                        .alias("day"))
+             .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                        .cast("bigint")).alias("cents")))
+    w = (Window.partitionBy("flag")
+         .orderBy(F.unix_timestamp(F.col("day")))
+         .rangeBetween(-518400, 0))
+    return daily.select(
+        "flag", "day",
+        F.round(F.sum("cents").over(w) / 100.0, 2).alias("rev_7d"),
+        F.count("*").over(w).alias("n_days_7d"))
