@@ -100,7 +100,7 @@ _PRIORITY: tuple[str, ...] = (
 #   sample_pps_systematic ts_seasonal_decompose embedding_pca_power
 #   agg_weighted_median csv_malformed_handling sql_parameterized
 #   sql_scripting pandas_on_spark_agg join_dpp_pruned multimodal_phash
-#   stream_rocksdb_state window_range_trailing7d
+#   stream_rocksdb_state window_range_trailing7d join_hint_shuffle_hash
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

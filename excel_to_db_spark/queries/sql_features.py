@@ -69,8 +69,9 @@ def sql_scripting(spark, sf_dir):
 
     This is deliberately the control-flow DEMO, not the best median
     plan (that is ONE percentile aggregate — range_partition_histogram)
-    — but the shape matters at scale: ~45 bisection steps x one
-    partial-aggregated scan each, zero data movement beyond a count,
+    — but the shape matters at scale: two approx_percentile seeds plus
+    ~log2(bracket) bisection steps x one partial-aggregated scan each,
+    zero data movement beyond a count,
     driver holds two BIGINTs. Bisection over integers is exact, so both
     engines name the identical cent value."""
     name = f"oc_{uuid.uuid4().hex[:8]}"
@@ -171,6 +172,36 @@ def join_dpp_pruned(spark, sf_dir):
                       fact.o_orderstatus == dim.status)
             .groupBy("o_orderstatus")
             .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.round(F.col("o_totalprice") * 100)
+                               .cast("bigint")) / 100.0, 2)
+                 .alias("sum_price")))
+
+
+@query("join_hint_shuffle_hash", oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+""")
+def join_hint_shuffle_hash(spark, sf_dir):
+    """Join-strategy hints: the same orders x customer join forced to
+    SHUFFLED_HASH — the strategy for a build side too big to broadcast
+    but small enough to hash, skipping the sort a merge join would pay
+    on both inputs. Hints pick the PHYSICAL strategy only; the result
+    is identical to the optimizer's own choice (the oracle is the plain
+    join), and tests/test_plans_r10.py asserts ShuffledHashJoin here vs
+    SortMergeJoin under the MERGE hint on the identical query.
+
+    At 100 TB the decision matters: sort-merge spills sort runs for
+    both relations; shuffled-hash builds one in-memory (spillable) map
+    of the smaller — the right pick whenever |build| fits executor
+    memory per partition after AQE coalescing."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
                  F.round(F.sum(F.round(F.col("o_totalprice") * 100)
                                .cast("bigint")) / 100.0, 2)
                  .alias("sum_price")))

@@ -50,3 +50,29 @@ def test_sql_scripting_bisection_equals_percentile(spark, sf_dir):
     want = (t.orderBy("c").limit(need)
             .agg(F.round(F.max("c") / 100.0, 2)).collect()[0][0])
     assert got == want
+
+
+def test_join_hints_pick_physical_strategy(spark, sf_dir):
+    """SHUFFLE_HASH and MERGE hints on the identical logical join must
+    produce ShuffledHashJoin and SortMergeJoin respectively — and the
+    same rows."""
+    from excel_to_db_spark.queries.sql_features import (
+        join_hint_shuffle_hash,
+    )
+
+    shj = join_hint_shuffle_hash(spark, sf_dir)
+    plan = shj._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").hint("merge")
+    merged = (o.join(c, o.o_custkey == c.c_custkey)
+              .groupBy("c_mktsegment")
+              .agg(F.count("*").alias("n_orders"),
+                   F.round(F.sum(F.round(F.col("o_totalprice") * 100)
+                                 .cast("bigint")) / 100.0, 2)
+                   .alias("sum_price")))
+    mplan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in mplan
+    assert set(map(tuple, shj.collect())) == set(map(tuple,
+                                                     merged.collect()))
