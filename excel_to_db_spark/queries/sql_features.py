@@ -1,7 +1,9 @@
 """Spark 4 SQL-surface features (Tier B addendum): SQL scripting
 (BEGIN/DECLARE/WHILE control flow), parameterized SQL (named
-placeholders), the pandas-on-Spark API, and runtime dynamic partition
-pruning.
+placeholders), the pandas-on-Spark API, runtime dynamic partition
+pruning, physical join-strategy hints, SQL-declared functions
+(CREATE FUNCTION ... RETURN), and collation-aware semantics
+(COLLATE UTF8_LCASE).
 
 These are the API/engine features a user migrating OFF the reference's
 SQLite passthrough (reference src/main.rs:220) gains — SQLite has no
@@ -205,3 +207,69 @@ def join_hint_shuffle_hash(spark, sf_dir):
                  F.round(F.sum(F.round(F.col("o_totalprice") * 100)
                                .cast("bigint")) / 100.0, 2)
                  .alias("sum_price")))
+
+
+@query("sql_declared_udf", oracle="""
+    WITH pri AS (
+        SELECT o_orderpriority AS p,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS urgency
+        FROM orders
+    )
+    SELECT urgency, CAST(count(*) AS BIGINT) AS n,
+           round(sum(cents) / 100.0, 2) AS sum_price
+    FROM pri GROUP BY urgency
+""")
+def sql_declared_udf(spark, sf_dir):
+    """SQL-declared functions (Spark 4 CREATE FUNCTION ... RETURN):
+    a scalar SQL UDF (exact cents conversion) and a second one parsing
+    the urgency digit — user extensibility WITHOUT leaving the JVM or
+    the optimizer: the function body inlines into the plan like a
+    macro, so codegen, pushdown, and partial aggregation all still
+    apply (unlike a Python UDF, which is an optimizer barrier). The
+    reference's engine has no CREATE FUNCTION at all."""
+    cents_fn = f"cents_{uuid.uuid4().hex[:8]}"
+    urg_fn = f"urg_{uuid.uuid4().hex[:8]}"
+    name = f"ord_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {cents_fn}(x DOUBLE) "
+              f"RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)")
+    spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {urg_fn}(p STRING) "
+              f"RETURNS INT RETURN CAST(substr(p, 1, 1) AS INT)")
+    T(spark, sf_dir, "orders").createOrReplaceTempView(name)
+    return spark.sql(f"""
+        SELECT {urg_fn}(o_orderpriority) AS urgency, count(*) AS n,
+               round(sum({cents_fn}(o_totalprice)) / 100.0, 2) AS sum_price
+        FROM {name} GROUP BY {urg_fn}(o_orderpriority)
+    """)
+
+
+@query("string_collation_group", oracle="""
+    SELECT lower(o_orderpriority) AS pri_ci,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT CASE WHEN o_orderkey % 2 = 0
+                      THEN upper(o_orderpriority)
+                      ELSE lower(o_orderpriority) END AS o_orderpriority
+          FROM orders)
+    GROUP BY 1
+""")
+def string_collation_group(spark, sf_dir):
+    """Collation-aware grouping (Spark 4 COLLATE): priorities with
+    deliberately mixed case grouped under UTF8_LCASE, so '1-URGENT' and
+    '1-urgent' are ONE group — engine-level case-insensitive semantics
+    where SQLite users reach for NOCASE. The collated comparison
+    happens inside the hash aggregate (no lower() projection needed);
+    the oracle expresses the same semantics with lower() since DuckDB's
+    collation names differ. Output canonicalizes to lowercase so both
+    engines name groups identically."""
+    name = f"mixed_{uuid.uuid4().hex[:8]}"
+    (T(spark, sf_dir, "orders")
+     .select(F.when(F.col("o_orderkey") % 2 == 0,
+                    F.upper("o_orderpriority"))
+             .otherwise(F.lower("o_orderpriority"))
+             .alias("o_orderpriority"))
+     .createOrReplaceTempView(name))
+    return spark.sql(f"""
+        SELECT lower(pri) AS pri_ci, count(*) AS n FROM (
+            SELECT o_orderpriority COLLATE UTF8_LCASE AS pri FROM {name}
+        ) GROUP BY pri
+    """).select("pri_ci", "n")
