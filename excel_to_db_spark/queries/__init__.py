@@ -101,7 +101,7 @@ _PRIORITY: tuple[str, ...] = (
 #   agg_weighted_median csv_malformed_handling sql_parameterized
 #   sql_scripting pandas_on_spark_agg join_dpp_pruned multimodal_phash
 #   stream_rocksdb_state window_range_trailing7d join_hint_shuffle_hash
-#   sql_declared_udf string_collation_group
+#   sql_declared_udf string_collation_group udtf_arrow
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

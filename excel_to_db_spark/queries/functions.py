@@ -762,3 +762,46 @@ def udaf_grouped_pandas(spark, sf_dir):
                  .alias("wavg_price"),
                  n_rows(F.col("l_quantity")).alias("n"))
             .select("l_returnflag", "wavg_price", "n"))
+
+
+@query("udtf_arrow", oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id <= 50
+    )
+    SELECT doc_id,
+           CAST((i - 1) // 40 AS INT)                  AS chunk_id,
+           CAST(len(t[i:i+39]) AS INT)                 AS n_tok,
+           md5(array_to_string(t[i:i+39], ' '))        AS chunk_md5
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 40)) AS i
+          FROM toks)
+""")
+def udtf_arrow(spark, sf_dir):
+    """Arrow-optimized Python UDTF (Spark 4.1 `useArrow=True`):
+    identical contract to `udtf_lateral`, but rows cross the Python
+    boundary as Arrow batches instead of pickled rows — the same
+    serialization upgrade pandas_udf brought to scalar UDFs, applied
+    to table functions. Same 50-doc bound: the key proves the Arrow
+    UDTF path end-to-end (register → LATERAL join → fan-out), with
+    the JVM-side `udtf_chunks` remaining the hot-path form."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, n_tok int, chunk_md5 string",
+          useArrow=True)
+    class ChunkDocArrow:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for ci in range(0, len(toks), 40):
+                chunk = toks[ci:ci + 40]
+                yield (ci // 40, len(chunk),
+                       hashlib.md5(" ".join(chunk).encode()).hexdigest())
+
+    spark.udtf.register("chunk_doc_arrow", ChunkDocArrow)
+    (T(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+     .createOrReplaceTempView("documents_ua"))
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_id, c.n_tok, c.chunk_md5
+        FROM documents_ua d, LATERAL chunk_doc_arrow(d.text) c
+    """)
