@@ -1409,9 +1409,16 @@ def multimodal_phash(spark, sf_dir):
     multimodal family past decode/frames/features: a mapInPandas numpy
     kernel computes the 64-chunk mean-threshold hash from the raw
     bytes, then the SAME pigeonhole block join as dedup_simhash buckets
-    candidates and exact hamming filters at <= 16 (the byte-level
+    candidates and exact hamming filters at <= 16.
+
+    Recall contract (same class as dedup_minhash's banding): the
+    4-block pigeonhole GUARANTEES candidacy only for hamming < 4; the
+    4-16 band is best-effort shared-block recall (the byte-level
     stand-in payload is noisier than a real decoded luminance grid, so
-    the near-dup band sits higher than image pHash's classic <= 6).
+    interesting pairs sit above the classic <= 6 and full-recall
+    blocking at 16 would need 17 blocks of ~4 bits — bucket values so
+    coarse the join degenerates). The oracle mirrors the identical
+    candidate generation, verifying the algorithm as specified.
 
     The kernel's mean tests are exact integer cross-multiplications,
     and the corpus is ASCII (byte == code point), so the DuckDB twin
@@ -1424,15 +1431,7 @@ def multimodal_phash(spark, sf_dir):
     return M.phash_pairs(docs, max_hamming=16)
 
 
-@query("stream_rocksdb_state", oracle="""
-    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
-           time_bucket(INTERVAL '10 minutes', ts)
-               + INTERVAL '10 minutes' AS win_end,
-           count(*) AS n_events,
-           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
-               AS sum_value
-    FROM events GROUP BY 1, 2
-""")
+@query("stream_rocksdb_state", oracle=_TUMBLING_ORACLE)
 def stream_rocksdb_state(spark, sf_dir):
     """The tumbling streaming aggregation under the RocksDB state store
     provider — Spark's production state backend (off-heap, spillable,

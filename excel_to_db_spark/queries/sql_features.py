@@ -268,8 +268,11 @@ def string_collation_group(spark, sf_dir):
              .otherwise(F.lower("o_orderpriority"))
              .alias("o_orderpriority"))
      .createOrReplaceTempView(name))
+    # Collation propagates through lower(): without the cast the output
+    # column is typed string COLLATE UTF8_LCASE, a type the external
+    # driver's canonicalizer may not normalize.
     return spark.sql(f"""
-        SELECT lower(pri) AS pri_ci, count(*) AS n FROM (
+        SELECT CAST(lower(pri) AS STRING) AS pri_ci, count(*) AS n FROM (
             SELECT o_orderpriority COLLATE UTF8_LCASE AS pri FROM {name}
         ) GROUP BY pri
     """).select("pri_ci", "n")

@@ -516,16 +516,9 @@ def run_tumbling_stream_rocksdb(spark: SparkSession, sf_dir: str,
     prev = spark.conf.get(key, None)
     spark.conf.set(key, rocks)
     try:
-        name = f"rocks_{uuid.uuid4().hex[:8]}"
-        stream = (events_stream_reader(spark, sf_dir)
-                  .withWatermark("ts", watermark))
-        q = (tumbling_agg(stream, width)
-             .writeStream.outputMode("complete")
-             .format("memory").queryName(name)
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination()
-        return spark.table(name)
+        # Same aggregation, reader, trigger, and sink as the default-
+        # provider stream — delegated so the two paths cannot drift.
+        return run_tumbling_stream(spark, sf_dir, width, watermark)
     finally:
         if prev is None:
             spark.conf.unset(key)
