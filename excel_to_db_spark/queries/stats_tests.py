@@ -512,3 +512,89 @@ def ts_seasonal_decompose(spark, sf_dir):
             .agg(F.count("*").alias("n_days"),
                  F.round(F.sum(F.round(F.col("d") * 1e8).cast("bigint"))
                          / 1e8 / F.count("*"), 4).alias("seasonal")))
+
+
+# ----------------------------------------------- quantile normalization
+
+@query("group_quantile_normalize", oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_orderpriority AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT o_orderkey, grp, cents,
+               CAST(row_number() OVER (PARTITION BY grp
+                                       ORDER BY cents, o_orderkey)
+                    AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS ng
+        FROM t
+    ),
+    p AS (
+        SELECT cents AS pooled_cents,
+               CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+                    AS BIGINT) AS rr
+        FROM t
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+    g2 AS (
+        SELECT grp, r, ng,
+               ((2 * r - 1) * nn.n + ng) // (2 * ng) AS rstar
+        FROM g, nn
+    ),
+    m AS (
+        -- rstar precomputed so this is a HASH equi-join; a scalar
+        -- subquery inside the join condition nested-loops in DuckDB
+        -- (measured 70s at sf0.1 vs ~2s this way).
+        SELECT g2.grp,
+               (10 * (2 * g2.r - 1)) // (2 * g2.ng) AS decile,
+               p.pooled_cents
+        FROM g2 JOIN p ON p.rr = g2.rstar
+    )
+    SELECT grp, CAST(decile AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(pooled_cents) AS BIGINT) / 100.0
+                 / count(*), 2) AS mean_normalized
+    FROM m GROUP BY grp, decile
+""")
+def group_quantile_normalize(spark, sf_dir):
+    """Quantile normalization across groups: every order's value is
+    replaced by the POOLED distribution's value at the same
+    within-group quantile, so the five priority groups become
+    distributionally identical while preserving each row's rank — the
+    batch-effect-correction / feature-scaling classic (microarray
+    normalization, cross-corpus score calibration). Reported as
+    per-(group, decile) counts + mean normalized value.
+
+    The usual formulation needs a per-row quantile LOOKUP (an as-of
+    join on cumulative fraction); here the target pooled rank has a
+    CLOSED FORM — R* = floor(((2r-1)N + n_g) / (2 n_g)) — so the
+    lookup is a plain hash equi-join on rank: distributed, no range
+    join, no single side materialized. Every quantity (ranks, sizes,
+    R*, decile) is exact integer arithmetic end to end; the only
+    division happens in the final rounded mean of exact cents.
+
+    Shape: one shuffle on grp for the within-group ranks, one global
+    sort for the pooled ranks (the same parallel-rank machinery as
+    stats_mannwhitney), one hash join on R*."""
+    t = (T(spark, sf_dir, "orders")
+         .select("o_orderkey", F.col("o_orderpriority").alias("grp"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents")))
+    n_total = t.count()
+    wg = W.partitionBy("grp").orderBy("cents", "o_orderkey")
+    g = t.select("grp", "cents",
+                 F.row_number().over(wg).cast("bigint").alias("r"),
+                 F.count("*").over(W.partitionBy("grp")).alias("ng"))
+    p = t.select(F.col("cents").alias("pooled_cents"),
+                 F.row_number().over(W.orderBy("cents", "o_orderkey"))
+                 .cast("bigint").alias("rr"))
+    g = g.withColumn("rstar", F.expr(
+        f"CAST((((2 * r - 1) * {n_total}) + ng) DIV (2 * ng) AS BIGINT)"))
+    m = g.join(p, g.rstar == p.rr)
+    decile = F.expr("CAST((10 * (2 * r - 1)) DIV (2 * ng) AS INT)")
+    return (m.select("grp", decile.alias("decile"), "pooled_cents")
+            .groupBy("grp", "decile")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("pooled_cents") / 100.0 / F.count("*"), 2)
+                 .alias("mean_normalized")))
