@@ -598,3 +598,89 @@ def group_quantile_normalize(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("pooled_cents") / 100.0 / F.count("*"), 2)
                  .alias("mean_normalized")))
+
+
+# ------------------------------------------------- Kaplan-Meier survival
+
+@query("stats_kaplan_meier", oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderdate,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   AS next_date
+        FROM orders
+    ),
+    dur AS (
+        SELECT CASE WHEN next_date IS NULL
+                    THEN date_diff('day', o_orderdate,
+                                   TIMESTAMP '2001-08-01')
+                    ELSE date_diff('day', o_orderdate, next_date)
+               END AS t,
+               CAST(next_date IS NOT NULL AS INTEGER) AS ev
+        FROM seq
+    ),
+    at_t AS (
+        SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM dur GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               CAST((SELECT count(*) FROM dur) AS BIGINT)
+                   - CAST(coalesce(sum(c) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS n
+        FROM at_t
+    )
+    SELECT t, n AS n_at_risk, d AS n_events,
+           round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n))
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)), 5)
+               AS survival
+    FROM risk WHERE d > 0 AND t <= 30 AND n > d
+""")
+def stats_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve for customer reorder behavior: the
+    probability a customer has NOT yet reordered t days after an order,
+    with the final order per customer right-censored at the
+    observation end (2001-08-01) — the churn/retention estimator
+    proper, vs rolling_wau's raw activity counts. Reports
+    (t, n_at_risk, n_events, S(t)) for the first 30 days.
+
+    Shape: durations come from ONE lead() over the per-customer order
+    sequence (one shuffle); the risk table collapses to distinct
+    integer day values; n_at_risk is total minus a running count over
+    that day-sized table. S(t) = prod(1 - d/n) computed as
+    exp(running sum of ln) with a pinned frame order — d and n are
+    exact integers, so each ln term is one libm call on identical
+    doubles; rounded at 5 dp (the corr-class tolerance, SURVEY §4.3:
+    a cross-engine ulp in ln cannot reach the 5th decimal)."""
+    o = T(spark, sf_dir, "orders")
+    wc = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select("o_custkey", "o_orderdate",
+                   F.lead("o_orderdate").over(wc).alias("next_date"))
+    end = F.lit("2001-08-01").cast("timestamp")
+    dur = seq.select(
+        F.when(F.col("next_date").isNull(),
+               F.datediff(end.cast("date"),
+                          F.col("o_orderdate").cast("date")))
+         .otherwise(F.datediff(F.col("next_date").cast("date"),
+                               F.col("o_orderdate").cast("date")))
+         .alias("t"),
+        F.col("next_date").isNotNull().cast("int").alias("ev"))
+    n_total = dur.count()
+    at_t = dur.groupBy("t").agg(F.sum("ev").alias("d"),
+                                F.count("*").alias("c"))
+    wprev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = at_t.select(
+        "t", "d",
+        (F.lit(n_total)
+         - F.coalesce(F.sum("c").over(wprev), F.lit(0))).alias("n"))
+    wrun = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    surv = F.exp(F.sum(F.log(1.0 - F.col("d").cast("double")
+                             / F.col("n"))).over(wrun))
+    return (risk.withColumn("survival", F.round(surv, 5))
+            .filter((F.col("d") > 0) & (F.col("t") <= 30)
+                    & (F.col("n") > F.col("d")))
+            .select("t", F.col("n").alias("n_at_risk"),
+                    F.col("d").alias("n_events"), "survival"))
