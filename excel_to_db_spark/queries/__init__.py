@@ -102,7 +102,8 @@ _PRIORITY: tuple[str, ...] = (
 #   sql_scripting pandas_on_spark_agg join_dpp_pruned multimodal_phash
 #   stream_rocksdb_state window_range_trailing7d join_hint_shuffle_hash
 #   sql_declared_udf string_collation_group udtf_arrow
-#   group_quantile_normalize stats_kaplan_meier
+#   group_quantile_normalize stats_kaplan_meier events_changepoint
+#   agg_gini
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

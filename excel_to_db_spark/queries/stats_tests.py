@@ -684,3 +684,119 @@ def stats_kaplan_meier(spark, sf_dir):
                     & (F.col("n") > F.col("d")))
             .select("t", F.col("n").alias("n_at_risk"),
                     F.col("d").alias("n_events"), "survival"))
+
+
+# ---------------------------------------------- changepoint + inequality
+
+@query("events_changepoint", oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+        FROM daily
+    ),
+    cus AS (
+        SELECT day, x, n, s,
+               CAST(n * sum(x) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT)
+                   - CAST(row_number() OVER (ORDER BY day) AS BIGINT) * s
+                   AS cusum_n,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+        FROM daily, tot
+    )
+    SELECT day AS changepoint_day,
+           round(abs(cusum_n) / CAST(n AS DOUBLE), 4) AS max_cusum,
+           round(CAST((SELECT sum(x) FROM daily d2 WHERE d2.day <= cus.day)
+                      AS DOUBLE)
+                 / k, 4) AS mean_before,
+           round(CAST(s - (SELECT sum(x) FROM daily d2
+                           WHERE d2.day <= cus.day) AS DOUBLE)
+                 / (n - k), 4) AS mean_after
+    FROM cus
+    WHERE k < n
+    ORDER BY abs(cusum_n) DESC, day ASC
+    LIMIT 1
+""")
+def events_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection on the daily event-count series: the
+    day k maximizing |sum_{i<=k}(x_i - mean)| — the split point between
+    the most different before/after regimes (monitoring's "when did the
+    rate change" question), reported with the two regime means.
+
+    Exactness: the deviation sum scales by n to stay integer —
+    n*prefix(x) - k*S is exact bigint, so BOTH engines pick the
+    identical argmax day (deterministic tie-break on day); only the
+    reported means divide at the end. Shape: the fact collapses to one
+    row per day; the CUSUM is one running window over that day-sized
+    series and the argmax is a 1-row TakeOrderedAndProject."""
+    e = T(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.count("*").alias("x")))
+    tot = daily.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    wrun = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cus = (daily.crossJoin(F.broadcast(tot))
+           .select("day", "n", "s",
+                   F.sum("x").over(wrun).alias("prefix"),
+                   F.row_number().over(W.orderBy("day")).cast("bigint")
+                   .alias("k")))
+    cusum_n = F.col("n") * F.col("prefix") - F.col("k") * F.col("s")
+    return (cus.filter(F.col("k") < F.col("n"))
+            .select(F.col("day").alias("changepoint_day"),
+                    F.round(F.abs(cusum_n) / F.col("n").cast("double"), 4)
+                    .alias("max_cusum"),
+                    F.round(F.col("prefix").cast("double") / F.col("k"), 4)
+                    .alias("mean_before"),
+                    F.round((F.col("s") - F.col("prefix")).cast("double")
+                            / (F.col("n") - F.col("k")), 4)
+                    .alias("mean_after"),
+                    F.abs(cusum_n).alias("_ord"), F.col("day").alias("_d"))
+            .orderBy(F.col("_ord").desc(), F.col("_d").asc())
+            .limit(1)
+            .drop("_ord", "_d"))
+
+
+@query("agg_gini", oracle="""
+    WITH t AS (
+        SELECT CAST(round(o_totalprice) AS BIGINT) AS x FROM orders
+    ),
+    r AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               CAST(sum(x) OVER () AS BIGINT) AS s
+        FROM t
+    )
+    SELECT round((2.0 * CAST(sum(i * x) AS BIGINT))
+                 / (CAST(min(n) AS DOUBLE) * min(s))
+                 - (CAST(min(n) AS DOUBLE) + 1) / min(n), 6) AS gini,
+           CAST(min(n) AS BIGINT) AS n
+    FROM r
+""")
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of order-value concentration — the inequality
+    summary behind pareto_share's curve (one number: 0 = all orders
+    equal, 1 = one order is everything), via the rank formula
+    G = 2*sum(i*x_i)/(n*S) - (n+1)/n over ascending-sorted values.
+
+    Exactness: values in whole dollars so rank x value products sum in
+    bigint (< 2^63 through sf100); the single global sort is Spark's
+    parallel rank machinery, and the final expression is a fixed float
+    op over exact integers rounded at 6 dp. Ranks over duplicate
+    values are interchangeable within a tie (equal x), so row_number's
+    arbitrary tie order cannot change sum(i*x)."""
+    t = (T(spark, sf_dir, "orders")
+         .select(F.round(F.col("o_totalprice")).cast("bigint").alias("x")))
+    r = t.select(
+        "x",
+        F.row_number().over(W.orderBy("x")).cast("bigint").alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+        F.sum("x").over(W.partitionBy()).alias("s"))
+    return r.agg(
+        F.round((2.0 * F.sum(F.col("i") * F.col("x")))
+                / (F.min("n").cast("double") * F.min("s"))
+                - (F.min("n").cast("double") + 1) / F.min("n"), 6)
+        .alias("gini"),
+        F.min("n").alias("n"))
