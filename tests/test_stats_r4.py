@@ -1,0 +1,84 @@
+"""Semantic guards for the round-4 statistics operators — the oracle
+gate proves Spark == DuckDB; these prove both mean what the statistic
+says: Gini hits its closed-form endpoints, Kaplan-Meier is a proper
+decreasing survival curve, CUSUM finds a planted step, and quantile
+normalization makes group distributions identical."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_gini_endpoints(spark):
+    from excel_to_db_spark.queries.stats_tests import agg_gini
+
+    # Uniform values -> G = 0 exactly (rank formula telescopes).
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="e2db_gini_")
+    spark.range(100).select(
+        F.lit(250.0).alias("o_totalprice")).write.mode("overwrite") \
+        .parquet(f"{d}/orders.parquet")
+    g0 = agg_gini(spark, d).collect()[0]
+    assert g0["gini"] == 0.0 and g0["n"] == 100
+    # One order owns everything -> G -> (n-1)/n.
+    spark.range(100).select(
+        F.when(F.col("id") == 0, 10000.0).otherwise(0.0)
+        .alias("o_totalprice")).write.mode("overwrite") \
+        .parquet(f"{d}/orders.parquet")
+    g1 = agg_gini(spark, d).collect()[0]
+    assert abs(g1["gini"] - 0.99) < 1e-9
+
+
+def test_kaplan_meier_is_decreasing_survival(spark, sf_dir):
+    from excel_to_db_spark.queries.stats_tests import stats_kaplan_meier
+
+    rows = stats_kaplan_meier(spark, sf_dir).orderBy("t").collect()
+    assert rows, "curve must be non-empty"
+    last = 1.0
+    for r in rows:
+        assert 0.0 < r["survival"] <= last + 1e-9
+        assert r["n_events"] <= r["n_at_risk"]
+        last = r["survival"]
+
+
+def test_cusum_finds_planted_step(spark):
+    from excel_to_db_spark.queries.stats_tests import events_changepoint
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="e2db_cusum_")
+    # 40 days at 10 events/day then 40 days at 30/day: the CUSUM argmax
+    # must be the last low-rate day.
+    ev = spark.sql("""
+        SELECT CAST(id AS BIGINT) AS event_id,
+               timestampadd(DAY, CAST(id DIV 1000 AS INT),
+                            TIMESTAMP '2024-01-01')
+                   AS ts
+        FROM range(0, 80000)
+        WHERE id % 1000 < CASE WHEN id DIV 1000 < 40 THEN 10 ELSE 30 END
+    """)
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = events_changepoint(spark, d).collect()[0]
+    assert str(r["changepoint_day"]).startswith("2024-02-09")  # day 39
+    assert abs(r["mean_before"] - 10.0) < 1e-9
+    assert abs(r["mean_after"] - 30.0) < 1e-9
+
+
+def test_quantile_normalize_equalizes_groups(spark, sf_dir):
+    """After normalization every group's decile means must coincide
+    (they all read from the same pooled distribution)."""
+    from excel_to_db_spark.queries.stats_tests import (
+        group_quantile_normalize,
+    )
+
+    rows = group_quantile_normalize(spark, sf_dir).collect()
+    by_decile = {}
+    for r in rows:
+        by_decile.setdefault(r["decile"], []).append(r["mean_normalized"])
+    assert len(by_decile) >= 8
+    for dec, means in by_decile.items():
+        lo, hi = min(means), max(means)
+        # Groups differ in size, so their decile boundaries differ by a
+        # few pooled ranks — means must agree within a tight band.
+        assert hi - lo <= 0.05 * max(abs(hi), 1.0), (dec, means)
