@@ -1,0 +1,47 @@
+"""Distributed global ranking — the scale-safe replacement for an
+unpartitioned row_number() window (which funnels every row through ONE
+partition in Spark's WindowExec).
+
+Same scan-then-offset design as the prefix sum in
+queries/pipeline.py:sample_pps_systematic: exact percentile boundaries
+range-bucket the rows by value (every tie of a given value lands in one
+bucket, so bucket order respects global value order), each bucket ranks
+locally in parallel, and the n_buckets-row count table turns into
+broadcastable prefix offsets. rank = bucket offset + local rank —
+bit-identical to the naive single-partition window (property-tested in
+tests/test_stats_r4.py) with no single-task cliff at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def distributed_rank(df: DataFrame, value_col: str, tiebreak_col: str,
+                     rank_col: str = "rr", n_buckets: int = 16) -> DataFrame:
+    """Append a global 1-based row_number over (value_col, tiebreak_col)
+    ascending, computed without a single-partition window. Ties on
+    (value, tiebreak) get arbitrary but consistent consecutive ranks,
+    exactly like row_number. The input columns pass through."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    b = df.agg(F.percentile(value_col, qs).alias("bs"))
+    bucketed = (df.crossJoin(F.broadcast(b))
+                .withColumn(
+                    "_bkt",
+                    F.aggregate("bs", F.lit(0),
+                                lambda acc, x:
+                                acc + (F.col(value_col) > x).cast("int")))
+                .drop("bs"))
+    wloc = W.partitionBy("_bkt").orderBy(value_col, tiebreak_col)
+    loc = bucketed.withColumn("_lr",
+                              F.row_number().over(wloc).cast("bigint"))
+    cnts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_c"))
+    woff = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = cnts.select("_bkt",
+                       F.coalesce(F.sum("_c").over(woff), F.lit(0))
+                       .alias("_off"))
+    return (loc.join(F.broadcast(offs), "_bkt")
+            .withColumn(rank_col, F.col("_off") + F.col("_lr"))
+            .drop("_bkt", "_lr", "_off"))

@@ -574,23 +574,28 @@ def group_quantile_normalize(spark, sf_dir):
     R*, decile) is exact integer arithmetic end to end; the only
     division happens in the final rounded mean of exact cents.
 
-    Shape: one shuffle on grp for the within-group ranks, one global
-    sort for the pooled ranks (the same parallel-rank machinery as
-    stats_mannwhitney), one hash join on R*."""
+    Shape: one shuffle on grp for the within-group ranks; pooled ranks
+    come from the DISTRIBUTED rank operator (range-bucket + local rank
+    + broadcast offsets, operators/ranking.py — never a
+    single-partition window); the total N rides in as a broadcast
+    1-row aggregate inside the same plan (no separate count() action);
+    one hash join on R*."""
+    from ..operators.ranking import distributed_rank
+
     t = (T(spark, sf_dir, "orders")
          .select("o_orderkey", F.col("o_orderpriority").alias("grp"),
                  F.round(F.col("o_totalprice") * 100).cast("bigint")
                  .alias("cents")))
-    n_total = t.count()
+    nn = t.agg(F.count("*").alias("nt"))
     wg = W.partitionBy("grp").orderBy("cents", "o_orderkey")
     g = t.select("grp", "cents",
                  F.row_number().over(wg).cast("bigint").alias("r"),
                  F.count("*").over(W.partitionBy("grp")).alias("ng"))
-    p = t.select(F.col("cents").alias("pooled_cents"),
-                 F.row_number().over(W.orderBy("cents", "o_orderkey"))
-                 .cast("bigint").alias("rr"))
-    g = g.withColumn("rstar", F.expr(
-        f"CAST((((2 * r - 1) * {n_total}) + ng) DIV (2 * ng) AS BIGINT)"))
+    p = (distributed_rank(t, "cents", "o_orderkey", "rr")
+         .select(F.col("cents").alias("pooled_cents"), "rr"))
+    g = (g.crossJoin(F.broadcast(nn))
+         .withColumn("rstar", F.expr(
+             "CAST((((2 * r - 1) * nt) + ng) DIV (2 * ng) AS BIGINT)")))
     m = g.join(p, g.rstar == p.rr)
     decile = F.expr("CAST((10 * (2 * r - 1)) DIV (2 * ng) AS INT)")
     return (m.select("grp", decile.alias("decile"), "pooled_cents")
@@ -625,11 +630,12 @@ def group_quantile_normalize(spark, sf_dir):
         FROM dur GROUP BY t
     ),
     risk AS (
+        -- n_at_risk = everyone with duration >= t: a suffix sum over
+        -- the day-sized table (no separate grand-total scan).
         SELECT t, d,
-               CAST((SELECT count(*) FROM dur) AS BIGINT)
-                   - CAST(coalesce(sum(c) OVER (ORDER BY t
-                         ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND 1 PRECEDING), 0) AS BIGINT) AS n
+               CAST(sum(c) OVER (ORDER BY t
+                     ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
         FROM at_t
     )
     SELECT t, n AS n_at_risk, d AS n_events,
@@ -649,8 +655,8 @@ def stats_kaplan_meier(spark, sf_dir):
 
     Shape: durations come from ONE lead() over the per-customer order
     sequence (one shuffle); the risk table collapses to distinct
-    integer day values; n_at_risk is total minus a running count over
-    that day-sized table. S(t) = prod(1 - d/n) computed as
+    integer day values; n_at_risk is a suffix sum over that day-sized
+    table (no grand-total scan). S(t) = prod(1 - d/n) computed as
     exp(running sum of ln) with a pinned frame order — d and n are
     exact integers, so each ln term is one libm call on identical
     doubles; rounded at 5 dp (the corr-class tolerance, SURVEY §4.3:
@@ -668,14 +674,12 @@ def stats_kaplan_meier(spark, sf_dir):
                                F.col("o_orderdate").cast("date")))
          .alias("t"),
         F.col("next_date").isNotNull().cast("int").alias("ev"))
-    n_total = dur.count()
     at_t = dur.groupBy("t").agg(F.sum("ev").alias("d"),
                                 F.count("*").alias("c"))
-    wprev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
-    risk = at_t.select(
-        "t", "d",
-        (F.lit(n_total)
-         - F.coalesce(F.sum("c").over(wprev), F.lit(0))).alias("n"))
+    # Suffix sum over the day-sized table: n_at_risk(t) = count of
+    # durations >= t — no separate grand-total scan/action needed.
+    wsuf = W.orderBy("t").rowsBetween(0, W.unboundedFollowing)
+    risk = at_t.select("t", "d", F.sum("c").over(wsuf).alias("n"))
     wrun = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
     surv = F.exp(F.sum(F.log(1.0 - F.col("d").cast("double")
                              / F.col("n"))).over(wrun))
@@ -764,16 +768,18 @@ def events_changepoint(spark, sf_dir):
         SELECT CAST(round(o_totalprice) AS BIGINT) AS x FROM orders
     ),
     r AS (
-        SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i,
-               CAST(count(*) OVER () AS BIGINT) AS n,
-               CAST(sum(x) OVER () AS BIGINT) AS s
+        SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i
+        FROM t
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
         FROM t
     )
-    SELECT round((2.0 * CAST(sum(i * x) AS BIGINT))
-                 / (CAST(min(n) AS DOUBLE) * min(s))
-                 - (CAST(min(n) AS DOUBLE) + 1) / min(n), 6) AS gini,
-           CAST(min(n) AS BIGINT) AS n
-    FROM r
+    SELECT round((2.0 * CAST(sum(i * x) AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * s)
+                 - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini,
+           n
+    FROM r, tot GROUP BY n, s
 """)
 def agg_gini(spark, sf_dir):
     """Gini coefficient of order-value concentration — the inequality
@@ -781,22 +787,27 @@ def agg_gini(spark, sf_dir):
     equal, 1 = one order is everything), via the rank formula
     G = 2*sum(i*x_i)/(n*S) - (n+1)/n over ascending-sorted values.
 
-    Exactness: values in whole dollars so rank x value products sum in
-    bigint (< 2^63 through sf100); the single global sort is Spark's
-    parallel rank machinery, and the final expression is a fixed float
-    op over exact integers rounded at 6 dp. Ranks over duplicate
-    values are interchangeable within a tie (equal x), so row_number's
-    arbitrary tie order cannot change sum(i*x)."""
+    Exactness + scale: values in whole dollars; sum(i*x) grows
+    ~quadratically with row count, so it accumulates in DECIMAL(38,0)
+    on Spark (DuckDB's sum(BIGINT) is already HUGEINT) — exact through
+    sf1e6 where a bigint sum would overflow past ~sf3. Global ranks
+    come from the DISTRIBUTED rank operator (operators/ranking.py:
+    range-bucket + local rank + broadcast offsets), never a
+    single-partition window. Ranks over duplicate values are
+    interchangeable within a tie (equal x), so row_number's arbitrary
+    tie order cannot change sum(i*x); the final expression is a fixed
+    float op over exact integers rounded at 6 dp."""
+    from ..operators.ranking import distributed_rank
+
     t = (T(spark, sf_dir, "orders")
          .select(F.round(F.col("o_totalprice")).cast("bigint").alias("x")))
-    r = t.select(
-        "x",
-        F.row_number().over(W.orderBy("x")).cast("bigint").alias("i"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-        F.sum("x").over(W.partitionBy()).alias("s"))
-    return r.agg(
-        F.round((2.0 * F.sum(F.col("i") * F.col("x")))
-                / (F.min("n").cast("double") * F.min("s"))
-                - (F.min("n").cast("double") + 1) / F.min("n"), 6)
-        .alias("gini"),
-        F.min("n").alias("n"))
+    r = distributed_rank(t, "x", "x", "i")
+    tot = t.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    six = F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)"))
+    return (r.crossJoin(F.broadcast(tot))
+            .groupBy("n", "s")
+            .agg(F.round((2.0 * six.cast("double"))
+                         / (F.col("n").cast("double") * F.col("s"))
+                         - (F.col("n").cast("double") + 1) / F.col("n"), 6)
+                 .alias("gini"))
+            .select("gini", "n"))

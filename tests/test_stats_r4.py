@@ -82,3 +82,24 @@ def test_quantile_normalize_equalizes_groups(spark, sf_dir):
         # Groups differ in size, so their decile boundaries differ by a
         # few pooled ranks — means must agree within a tight band.
         assert hi - lo <= 0.05 * max(abs(hi), 1.0), (dec, means)
+
+
+def test_distributed_rank_matches_naive_window(spark, sf_dir):
+    """The bucketed distributed rank must reproduce the naive
+    single-partition row_number bit-for-bit (same value+tiebreak
+    order)."""
+    from pyspark.sql.window import Window as W
+
+    from excel_to_db_spark.operators.ranking import distributed_rank
+
+    t = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_orderkey",
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents")))
+    naive = {(r.o_orderkey, r.rr) for r in t.select(
+        "o_orderkey",
+        F.row_number().over(W.orderBy("cents", "o_orderkey"))
+        .cast("bigint").alias("rr")).collect()}
+    dist = {(r.o_orderkey, r.rr) for r in
+            distributed_rank(t, "cents", "o_orderkey", "rr").collect()}
+    assert dist == naive and dist
