@@ -811,3 +811,91 @@ def agg_gini(spark, sf_dir):
                          - (F.col("n").cast("double") + 1) / F.col("n"), 6)
                  .alias("gini"))
             .select("gini", "n"))
+
+
+# -------------------------------------------------- multi-feature OLS
+
+@query("stats_ols_multi", oracle="""
+    WITH t AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+               CAST(round(l_tax * 100) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS s1,
+               CAST(sum(x2) AS BIGINT) AS s2,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x1 * x1) AS BIGINT) AS s11,
+               CAST(sum(x2 * x2) AS BIGINT) AS s22,
+               CAST(sum(x1 * x2) AS BIGINT) AS s12,
+               CAST(sum(x1 * y) AS BIGINT) AS s1y,
+               CAST(sum(x2 * y) AS BIGINT) AS s2y
+        FROM t
+    ),
+    c AS (
+        SELECT n,
+               CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1 AS a11,
+               CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2 AS a12,
+               CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2 AS a22,
+               CAST(n AS DOUBLE) * s1y - CAST(s1 AS DOUBLE) * sy AS b1,
+               CAST(n AS DOUBLE) * s2y - CAST(s2 AS DOUBLE) * sy AS b2,
+               CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+               CAST(sy AS DOUBLE) / n AS my
+        FROM m
+    )
+    SELECT n,
+           round((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12), 6)
+               AS beta_qty,
+           round((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12), 6)
+               AS beta_tax,
+           round(my - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * m1
+                    - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * m2,
+                 4) AS intercept
+    FROM c
+""")
+def stats_ols_multi(spark, sf_dir):
+    """Two-feature OLS by normal equations: price regressed on quantity
+    AND tax simultaneously — multiple regression where the SQL-standard
+    regr_* aggregates (agg_regression) stop at one feature. The
+    textbook "ML as aggregation" shape: ONE partial-aggregated pass
+    collects the nine sufficient statistics (n, sums, cross-products),
+    and the 2x2 centered normal system solves in closed form (Cramer)
+    on the 1-row state — adding features widens the moment row, it
+    never adds scans.
+
+    Exactness: features quantize to integers (units, tax cents, whole
+    dollars), so every moment is an exact bigint (products <= ~5e9,
+    sums < 2^63 through sf100); the solve is one fixed float
+    expression per coefficient over those exact integers, rounded per
+    SURVEY 4.3."""
+    t = (T(spark, sf_dir, "lineitem")
+         .select(F.round(F.col("l_quantity")).cast("bigint").alias("x1"),
+                 F.round(F.col("l_tax") * 100).cast("bigint").alias("x2"),
+                 F.round(F.col("l_extendedprice")).cast("bigint")
+                 .alias("y")))
+    m = t.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    a11 = d("n") * F.col("s11") - d("s1") * F.col("s1")
+    a12 = d("n") * F.col("s12") - d("s1") * F.col("s2")
+    a22 = d("n") * F.col("s22") - d("s2") * F.col("s2")
+    b1 = d("n") * F.col("s1y") - d("s1") * F.col("sy")
+    b2 = d("n") * F.col("s2y") - d("s2") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (b2 * a11 - b1 * a12) / det
+    return m.select(
+        "n",
+        F.round(beta1, 6).alias("beta_qty"),
+        F.round(beta2, 6).alias("beta_tax"),
+        F.round(d("sy") / F.col("n") - beta1 * (d("s1") / F.col("n"))
+                - beta2 * (d("s2") / F.col("n")), 4).alias("intercept"))
