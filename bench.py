@@ -91,6 +91,9 @@ HEADLINE = [
     "sample_pps_systematic",   # distributed prefix-sum PPS sampling
     "embedding_pca_power",     # mapInArrow Gramian + driver eigensolve
     "stream_scd2_enrich",      # stream-static SCD2 as-was enrichment
+    "multimodal_phash",        # binary-payload pHash block-join dedup
+    "group_quantile_normalize",  # distributed-rank pooled-quantile join
+    "stats_ols_multi",         # one-pass normal-equation regression
 ]
 
 
