@@ -325,7 +325,13 @@ def _glob_pattern_to_like(lit: str) -> str:
     ? -> _, with pre-existing %/_ escaped (LIKE ... ESCAPE '\\' added by
     the caller)."""
     body = lit[1:-1]
-    body = body.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+    # A literal backslash must survive TWO decoders: Spark's string
+    # parser (\\\\ -> \\) and then LIKE's ESCAPE '\' (\\ -> \). One
+    # doubling only reaches the parser, leaving \x as a LIKE escape.
+    # (\% and \_ below need just one: Spark's parser preserves those
+    # two sequences verbatim.)
+    body = body.replace("\\", "\\\\\\\\")
+    body = body.replace("%", r"\%").replace("_", r"\_")
     body = body.replace("*", "%").replace("?", "_")
     return f"'{body}'"
 

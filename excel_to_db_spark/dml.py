@@ -185,14 +185,18 @@ def _update(spark: SparkSession, name: str, tail: str) -> str:
         set_clause, where = tail, None
     target = spark.table(name)
     dtypes = dict(target.dtypes)
+    # Column resolution is case-insensitive (Spark SQL and SQLite both
+    # are) and accepts `x` / "x" quoted identifiers.
+    by_lower = {c.lower(): c for c in dtypes}
     assigns: dict[str, str] = {}
     for a in _split_top_level(set_clause):
         col, eq, expr = a.partition("=")
-        col = col.strip()
-        if not eq or col not in dtypes:
+        col = col.strip().strip('`"')
+        resolved = by_lower.get(col.lower())
+        if not eq or resolved is None:
             raise ValueError(f"UPDATE: bad assignment {a!r} "
                              f"(columns: {list(dtypes)})")
-        assigns[col] = expr.strip()
+        assigns[resolved] = expr.strip()
     n = target.filter(F.expr(where)).count() if where else target.count()
     exprs = []
     for c in target.columns:
@@ -255,7 +259,14 @@ def _drop(spark: SparkSession, if_exists: bool, name: str) -> str:
         if if_exists:
             return f"-- table {name} does not exist (skipped)"
         raise ValueError(f"DROP TABLE: no such table {name}")
-    spark.catalog.dropTempView(name) or spark.catalog.dropGlobalTempView(name)
+    dropped = (spark.catalog.dropTempView(name)
+               or spark.catalog.dropGlobalTempView(name))
+    if not dropped:
+        # Catalog-listed but not a temp view: a permanent table this
+        # temp-view DML layer cannot drop — say so instead of lying.
+        raise ValueError(
+            f"DROP TABLE: {name} is a permanent catalog table, not a "
+            "temp view; drop it via spark.sql('DROP TABLE ...')")
     return f"-- table {name} dropped"
 
 

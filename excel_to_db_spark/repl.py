@@ -37,10 +37,30 @@ def parse_out_suffix(line: str) -> tuple[str, str | None]:
     """Split ``<sql> |out=<path>`` -> (sql, path-or-None).
 
     Intended semantics of reference src/main.rs:148-159: the suffix is
-    optional; without it no file is written."""
-    if "|out=" not in line:
+    optional; without it no file is written. The marker is honored only
+    OUTSIDE string literals — ``... WHERE note = 'a|out=b'`` is a query
+    about that literal, not an export (the same literal-aware scanning
+    rule as dml._split_top_level)."""
+    cut = -1
+    quote: str | None = None
+    i = 0
+    while i < len(line):
+        ch = line[i]
+        if quote:
+            if ch == quote:
+                # SQL doubles quotes to escape them inside a literal.
+                if i + 1 < len(line) and line[i + 1] == quote:
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "|" and line.startswith("|out=", i):
+            cut = i  # keep scanning: the LAST top-level marker wins
+        i += 1
+    if cut < 0:
         return line, None
-    sql, _, path = line.rpartition("|out=")
+    sql, path = line[:cut], line[cut + len("|out="):]
     return sql.strip(), (path.strip() or None)
 
 
@@ -55,12 +75,13 @@ def run_line(spark: SparkSession, line: str, *, sqlite_compat: bool = False,
     # DELETE/CREATE/DROP against SQLite (src/main.rs:220); we re-express
     # them as temp-view re-registration (see dml.py). Non-matching
     # statements fall through to the plain spark.sql passthrough.
-    msg = try_dml(spark, rewrite(sql, sqlite_compat=sqlite_compat))
+    rewritten = rewrite(sql, sqlite_compat=sqlite_compat)  # pure; compute once
+    msg = try_dml(spark, rewritten)
     if msg is not None:
         print(msg)
         print(f"-- {time.perf_counter() - t0:.3f}s")
         return
-    df = spark.sql(rewrite(sql, sqlite_compat=sqlite_compat))
+    df = spark.sql(rewritten)
     show(df, row_cap=row_cap)
     if out_path:
         export_csv(df, out_path)

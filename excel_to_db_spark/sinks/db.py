@@ -36,16 +36,25 @@ _SQLITE_TYPES = {
 
 
 def _sqlite_type(spark_type: str) -> str:
+    if spark_type.startswith("decimal"):
+        return "REAL"  # numeric affinity; values bind as float
     return _SQLITE_TYPES.get(spark_type, "TEXT")  # dates/timestamps -> TEXT
 
 
 def _to_sqlite_value(v):
     import datetime
+    import decimal
 
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, datetime.time):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        # sqlite3 refuses to bind Decimal; REAL is its numeric storage
+        # class, so the float image is what the column would hold anyway.
+        return float(v)
     if isinstance(v, (list, dict)):
         return str(v)
     return v

@@ -73,10 +73,16 @@ class XlsxReader(DataSourceReader):
             raise ValueError("xlsx datasource requires .option('path', ...)")
         self.sheet = options.get("sheet")  # None => every sheet
         # user-provided .schema(...) switches to the generic positional
-        # coercion path; the default schema keeps the reference's
-        # excel_rows coercion semantics byte-for-byte
+        # coercion path; ONLY the exact default schema (names AND types)
+        # keeps the reference's excel_rows coercion semantics — a schema
+        # that merely reuses the names with different types is still the
+        # user's contract and must be honored.
         self.user_schema = None
-        if schema is not None and [f.name for f in schema.fields] != _EXCEL_ROWS_NAMES:
+        if schema is not None and (
+                [f.name for f in schema.fields] != _EXCEL_ROWS_NAMES
+                or [f.dataType.simpleString() for f in schema.fields]
+                != [f.dataType.simpleString()
+                    for f in EXCEL_ROWS_SCHEMA.fields]):
             self.user_schema = schema
         self.opts = IngestOptions(
             mode=options.get("mode", "PERMISSIVE").upper(),

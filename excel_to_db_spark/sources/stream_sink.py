@@ -28,6 +28,7 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import uuid
 
 from pyspark.sql.datasource import (DataSource, DataSourceStreamArrowWriter,
                                     WriterCommitMessage)
@@ -77,9 +78,15 @@ class CsvCommitLogStreamWriter(DataSourceStreamArrowWriter):
         rows = sum(m.rows for m in messages if m)
         # overwrite, not append: replaying batchId N after a restart
         # re-stages new files and REPLACES this log entry, so the old
-        # attempt's files become unreferenced — exactly-once output
-        with open(os.path.join(self.dir, "_commits", str(batchId)), "w") as fh:
+        # attempt's files become unreferenced — exactly-once output.
+        # tmp + atomic rename: a crash mid-dump must never leave a TORN
+        # log entry (readers json.load every entry; same protocol as
+        # XlsxWriter.commit).
+        final = os.path.join(self.dir, "_commits", str(batchId))
+        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
             json.dump({"files": files, "rows": rows}, fh)
+        os.replace(tmp, final)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
@@ -100,6 +107,8 @@ def read_committed(spark, out_dir: str, schema: str):
     """Batch-read exactly the files the commit logs reference."""
     files: list[str] = []
     for log in sorted(_glob.glob(os.path.join(out_dir, "_commits", "*"))):
+        if ".tmp-" in os.path.basename(log):
+            continue  # orphan of a crashed commit; never referenced
         with open(log) as fh:
             files.extend(json.load(fh)["files"])
     if not files:

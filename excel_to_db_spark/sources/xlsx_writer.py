@@ -10,7 +10,7 @@ from __future__ import annotations
 import re
 import zipfile
 from typing import Any, Iterable
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 # XML 1.0 forbids control chars other than \t \n \r; real Excel encodes
 # them as _xHHHH_ escapes — out of scope for a fixture writer, so strip.
@@ -60,7 +60,9 @@ def write_xlsx(path: str, rows: Iterable[Iterable[Any]], sheet_name: str = "Shee
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        # quoteattr, not escape: attribute context also needs double
+        # quotes escaped or a sheet name like My "Q1" corrupts the XML
+        f'<sheets><sheet name={quoteattr(sheet_name)} sheetId="1" r:id="rId1"/></sheets></workbook>'
     )
     body = []
     for ri, row in enumerate(rows, start=1):
