@@ -45,3 +45,33 @@ def distributed_rank(df: DataFrame, value_col: str, tiebreak_col: str,
     return (loc.join(F.broadcast(offs), "_bkt")
             .withColumn(rank_col, F.col("_off") + F.col("_lr"))
             .drop("_bkt", "_lr", "_off"))
+
+
+def distributed_prefix_sum(df: DataFrame, order_col: str, sum_col: str,
+                           out_col: str = "prefix",
+                           n_buckets: int = 16) -> DataFrame:
+    """Append the EXCLUSIVE prefix sum of `sum_col` over `order_col`
+    ascending — the same two-phase bucket design as distributed_rank.
+    Requires `order_col` values to be unique (group/aggregate first):
+    with duplicates an exclusive prefix is ill-defined."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    b = df.agg(F.percentile(order_col, qs).alias("bs"))
+    bucketed = (df.crossJoin(F.broadcast(b))
+                .withColumn(
+                    "_bkt",
+                    F.aggregate("bs", F.lit(0),
+                                lambda acc, x:
+                                acc + (F.col(order_col) > x).cast("int")))
+                .drop("bs"))
+    wloc = (W.partitionBy("_bkt").orderBy(order_col)
+            .rowsBetween(W.unboundedPreceding, -1))
+    loc = bucketed.withColumn(
+        "_lp", F.coalesce(F.sum(sum_col).over(wloc), F.lit(0)))
+    tots = bucketed.groupBy("_bkt").agg(F.sum(sum_col).alias("_t"))
+    woff = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = tots.select("_bkt",
+                       F.coalesce(F.sum("_t").over(woff), F.lit(0))
+                       .alias("_off"))
+    return (loc.join(F.broadcast(offs), "_bkt")
+            .withColumn(out_col, F.col("_off") + F.col("_lp"))
+            .drop("_bkt", "_lp", "_off"))

@@ -222,28 +222,33 @@ def stats_mannwhitney(spark, sf_dir):
     'click' and 'view' event values come from the same distribution?
     Nonparametric sibling of stats_welch_t.
 
-    Distributed shape: ONE global rank over the pooled sample — a
-    range-partitioned sort, Spark's parallel rank machinery — plus a
-    per-value tie count (window, same sort order, no extra shuffle).
-    Mid-ranks are exact multiples of 0.5, so their sum is exact in
-    doubles (no summation-order hazard) and U is engine-exact; only the
-    final z-score divides into a sqrt, rounded at 6dp from identical
-    exact inputs on both engines."""
+    Distributed shape (value-level, never a fact-sized window): the
+    pool collapses FIRST to one row per distinct value with per-group
+    counts (one map-side-combined shuffle); rank starts come from the
+    DISTRIBUTED exclusive prefix sum over those distinct values
+    (operators/ranking.py), and r1 = sum of c1(v) * midrank(v) —
+    algebraically identical to summing per-row midranks, which is
+    exactly what the unchanged row-level oracle computes. Mid-ranks
+    are exact multiples of 0.5 and every count is integer, so r1 is
+    engine-exact; only the final z divides into a sqrt, rounded at
+    6dp from identical exact inputs."""
+    from ..operators.ranking import distributed_prefix_sum
+
     pool = (T(spark, sf_dir, "events")
             .filter(F.col("event_type").isin("click", "view"))
             .select("value", "event_type"))
-    ranked = pool.select(
-        "event_type",
-        (F.rank().over(W.orderBy("value"))
-         + (F.count("*").over(W.partitionBy("value")) - 1) / 2.0)
-        .alias("midrank"))
+    vals = pool.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
+        F.count("*").alias("c"))
+    ranked = distributed_prefix_sum(vals, "value", "c", "before")
+    # midrank(v) = (before + 1 + before + c) / 2 over the tie block.
+    midrank = (2 * F.col("before") + F.col("c") + 1) / 2.0
     agg = ranked.agg(
-        F.sum(F.when(F.col("event_type") == "click",
-                     F.col("midrank"))).alias("r1"),
-        F.count(F.when(F.col("event_type") == "click", 1)).alias("n1"),
-        F.count(F.when(F.col("event_type") == "view", 1)).alias("n2"),
-        F.count("*").alias("n"))
-    ties = (pool.groupBy("value").agg(F.count("*").alias("c"))
+        F.sum(F.col("c1") * midrank).alias("r1"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum("c").alias("n"))
+    ties = (vals
             .agg(F.sum((F.col("c") * F.col("c") * F.col("c")
                         - F.col("c")).cast("double")).alias("tie_term")))
     u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0

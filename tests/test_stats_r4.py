@@ -103,3 +103,21 @@ def test_distributed_rank_matches_naive_window(spark, sf_dir):
     dist = {(r.o_orderkey, r.rr) for r in
             distributed_rank(t, "cents", "o_orderkey", "rr").collect()}
     assert dist == naive and dist
+
+
+def test_distributed_prefix_sum_matches_naive(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from excel_to_db_spark.operators.ranking import distributed_prefix_sum
+
+    vals = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy(F.round(F.col("o_totalprice") * 100).cast("bigint")
+                     .alias("v"))
+            .agg(F.count("*").alias("c")))
+    wn = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    naive = {(r.v, r.p) for r in vals.select(
+        "v", F.coalesce(F.sum("c").over(wn), F.lit(0)).alias("p"))
+        .collect()}
+    dist = {(r.v, r.before) for r in
+            distributed_prefix_sum(vals, "v", "c", "before").collect()}
+    assert dist == naive and dist
