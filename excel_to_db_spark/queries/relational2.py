@@ -386,3 +386,74 @@ def window_ignore_nulls(spark, sf_dir):
                      .alias("first_big"),
                     F.last("big_price", ignorenulls=True).over(w)
                      .alias("running_last_big")))
+
+
+@query("customer_rfm_scaled", oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                              DATE '2001-09-01') AS BIGINT) AS rec,
+               CAST(count(*) AS BIGINT)                     AS freq,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT)                              AS mon
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT quantile_cont(rec, 0.25) AS r1, quantile_cont(rec, 0.50) AS r2,
+               quantile_cont(rec, 0.75) AS r3,
+               quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.50) AS f2,
+               quantile_cont(freq, 0.75) AS f3,
+               quantile_cont(mon, 0.25) AS m1, quantile_cont(mon, 0.50) AS m2,
+               quantile_cont(mon, 0.75) AS m3
+        FROM rfm
+    )
+    SELECT CAST(1 + CAST(rec > r1 AS INT) + CAST(rec > r2 AS INT)
+                  + CAST(rec > r3 AS INT) AS INTEGER) AS r,
+           CAST(4 - CAST(freq > f1 AS INT) - CAST(freq > f2 AS INT)
+                  - CAST(freq > f3 AS INT) AS INTEGER) AS f,
+           CAST(4 - CAST(mon > m1 AS INT) - CAST(mon > m2 AS INT)
+                  - CAST(mon > m3 AS INT) AS INTEGER) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(mon) / 100.0, 2) AS segment_value
+    FROM rfm, b
+    GROUP BY 1, 2, 3
+""")
+def customer_rfm_scaled(spark, sf_dir):
+    """RFM segmentation, the SCALE-PATH variant: quartile classes come
+    from exact percentile BOUNDARIES broadcast onto the scan (the
+    range_partition_histogram machinery) instead of customer_rfm's
+    three ntile windows — at a billion customers the ntile form
+    single-partitions three times; this form is one aggregate + one
+    broadcast, period.
+
+    Semantics note (why both keys exist): ntile splits TIES across
+    tiles to equalize row counts; boundary classing puts every tied
+    value in one class — the honest trade for distributing. All three
+    metrics are exact integers (days / counts / cents) and boundaries
+    interpolate at dyadic quantiles, so both engines class every
+    customer identically. r=1 is most recent; f=1 / m=1 are the
+    most frequent / highest value (matching customer_rfm's DESC
+    ntiles)."""
+    o = T(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("2001-09-01").cast("date"),
+                   F.max("o_orderdate").cast("date")).cast("bigint")
+        .alias("rec"),
+        F.count("*").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("mon"))
+    b = rfm.agg(*[F.percentile(c, q).alias(f"{c[0]}{i}")
+                  for c in ("rec", "freq", "mon")
+                  for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))])
+
+    def cls(col, pfx, asc):
+        hits = sum((F.col(col) > F.col(f"{pfx}{i}")).cast("int")
+                   for i in (1, 2, 3))
+        return (1 + hits) if asc else (4 - hits)
+
+    return (rfm.crossJoin(F.broadcast(b))
+            .groupBy(cls("rec", "r", True).alias("r"),
+                     cls("freq", "f", False).alias("f"),
+                     cls("mon", "m", False).alias("m"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("mon") / 100.0, 2).alias("segment_value")))
