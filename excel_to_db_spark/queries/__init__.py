@@ -103,7 +103,7 @@ _PRIORITY: tuple[str, ...] = (
 #   stream_rocksdb_state window_range_trailing7d join_hint_shuffle_hash
 #   sql_declared_udf string_collation_group udtf_arrow
 #   group_quantile_normalize stats_kaplan_meier events_changepoint
-#   agg_gini stats_ols_multi customer_rfm_scaled
+#   agg_gini stats_ols_multi customer_rfm_scaled price_index_laspeyres
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

@@ -371,3 +371,74 @@ def schema_evolution_read(spark, sf_dir):
     back = (spark.read.option("mergeSchema", "true")
             .parquet(f"{out}/v1", f"{out}/v2"))
     return back.select("r_regionkey", "r_name", "ingest_batch")
+
+
+@query("price_index_laspeyres", oracle="""
+    WITH per AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    FILTER (WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                              AND l_shipdate <  TIMESTAMP '1997-01-01')
+                    AS BIGINT) AS c0,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                    FILTER (WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                              AND l_shipdate <  TIMESTAMP '1997-01-01')
+                    AS BIGINT) AS q0,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                              AND l_shipdate <  TIMESTAMP '1999-01-01')
+                    AS BIGINT) AS c1,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                    FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                              AND l_shipdate <  TIMESTAMP '1999-01-01')
+                    AS BIGINT) AS q1
+        FROM lineitem GROUP BY 1
+    ),
+    basket AS (
+        SELECT q0,
+               c0 / CAST(q0 AS DOUBLE) AS p0,
+               c1 / CAST(q1 AS DOUBLE) AS p1
+        FROM per WHERE q0 > 0 AND q1 > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(CAST(round(q0 * p1 * 1e4) AS BIGINT)) / 1e4
+                 / (sum(CAST(round(q0 * p0 * 1e4) AS BIGINT)) / 1e4),
+                 6) AS laspeyres
+    FROM basket
+""")
+def price_index_laspeyres(spark, sf_dir):
+    """Laspeyres price index, 1998 vs the 1996 base year: the
+    fixed-basket inflation measure sum(q0*p1)/sum(q0*p0) over parts
+    traded in BOTH periods (p = unit price = revenue/quantity per
+    part-period) — the canonical cross-period price analytics a
+    warehouse computes.
+
+    Shape: both periods come out of ONE scan (FILTERed aggregates per
+    part, one map-side-combined shuffle); the basket terms are per-part
+    rows and the index is a 1-row aggregate. Determinism: cents and
+    quantities are exact bigints; each q0*p term is one fixed float
+    expression per part snapped to integer 1e-4 units before summation
+    (SURVEY 4.3 fixed-point rule), so accumulation order can't flake
+    the hash."""
+    le = T(spark, sf_dir, "lineitem")
+
+    def period(y, col):
+        inside = ((F.col("l_shipdate") >= F.lit(f"{y}-01-01")
+                   .cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01")
+                     .cast("timestamp")))
+        return F.sum(F.when(inside, col))
+
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    per = le.groupBy("l_partkey").agg(
+        period(1996, cents).alias("c0"), period(1996, qty).alias("q0"),
+        period(1998, cents).alias("c1"), period(1998, qty).alias("q1"))
+    basket = (per.filter((F.col("q0") > 0) & (F.col("q1") > 0))
+              .select("q0",
+                      (F.col("c0") / F.col("q0").cast("double")).alias("p0"),
+                      (F.col("c1") / F.col("q1").cast("double")).alias("p1")))
+    num = F.sum(F.round(F.col("q0") * F.col("p1") * 1e4).cast("bigint")) / 1e4
+    den = F.sum(F.round(F.col("q0") * F.col("p0") * 1e4).cast("bigint")) / 1e4
+    return basket.agg(F.count("*").alias("n_parts"),
+                      F.round(num / den, 6).alias("laspeyres"))
