@@ -156,3 +156,123 @@ def window_rolling_median(spark, sf_dir):
     return (r.filter(F.col("rn") == 1)
             .select("user_id", "event_id",
                     F.round("med", 4).alias("rolling_med")))
+
+
+@query("ts_autocorrelation", oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        -- date-shifted self-join, not lead(): the lag is k CALENDAR
+        -- days, so series gaps pair correctly (and engines need no
+        -- variable window offset).
+        SELECT k.k, d.x AS x0, d2.x AS xk
+        FROM daily d
+        CROSS JOIN (SELECT unnest([1, 2, 3, 7]) AS k) k
+        LEFT JOIN daily d2 ON d2.day = d.day + INTERVAL (k.k) DAY
+    ),
+    m AS (
+        SELECT k, CAST(count(xk) AS BIGINT) AS n,
+               CAST(sum(x0) FILTER (WHERE xk IS NOT NULL) AS BIGINT) AS s0,
+               CAST(sum(xk) AS BIGINT) AS sk,
+               CAST(sum(x0 * x0) FILTER (WHERE xk IS NOT NULL)
+                    AS BIGINT) AS s00,
+               CAST(sum(xk * xk) AS BIGINT) AS skk,
+               CAST(sum(x0 * xk) AS BIGINT) AS s0k
+        FROM lagged GROUP BY k
+    )
+    SELECT CAST(k AS INTEGER) AS lag_days, n,
+           round((CAST(n AS DOUBLE) * s0k - CAST(s0 AS DOUBLE) * sk)
+                 / (sqrt(CAST(n AS DOUBLE) * s00 - CAST(s0 AS DOUBLE) * s0)
+                    * sqrt(CAST(n AS DOUBLE) * skk
+                           - CAST(sk AS DOUBLE) * sk)), 5) AS acf
+    FROM m
+""")
+def ts_autocorrelation(spark, sf_dir):
+    """Autocorrelation of the daily event-count series at lags 1, 2, 3
+    and 7 days — the seasonality detector (a weekly cycle shows as an
+    acf(7) spike) feeding ts_seasonal_decompose's period choice.
+
+    Shape: the fact collapses once to days; all lags come from one
+    date-shifted self-join of the day-sized series against itself —
+    the lag dimension is a 4-row broadcast fan-out, never a rescan of
+    the fact. Each lag's
+    Pearson moments are exact bigints (counts and their products), so
+    acf is one fixed float expression per lag, rounded at 5 dp (the
+    corr-class tolerance)."""
+    e = T(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.count("*").alias("x")))
+    ks = spark.createDataFrame([(1,), (2,), (3,), (7,)], "k int")
+    # Date-shifted self-join (k is data, so lead(x, k) is not allowed
+    # and calendar lags are the right ACF semantics under gaps anyway).
+    d2 = daily.select(F.col("day").alias("day_k"), F.col("x").alias("xk"))
+    lagged = (daily.crossJoin(F.broadcast(ks))
+              .join(d2, F.date_add(F.col("day").cast("date"), F.col("k"))
+                    == F.col("day_k").cast("date"), "left")
+              .select("k", F.col("x").alias("x0"), "xk"))
+    valid = F.col("xk").isNotNull()
+    m = lagged.groupBy("k").agg(
+        F.count("xk").alias("n"),
+        F.sum(F.when(valid, F.col("x0"))).alias("s0"),
+        F.sum("xk").alias("sk"),
+        F.sum(F.when(valid, F.col("x0") * F.col("x0"))).alias("s00"),
+        F.sum(F.col("xk") * F.col("xk")).alias("skk"),
+        F.sum(F.col("x0") * F.col("xk")).alias("s0k"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = d("n") * F.col("s0k") - d("s0") * F.col("sk")
+    v0 = d("n") * F.col("s00") - d("s0") * F.col("s0")
+    vk = d("n") * F.col("skk") - d("sk") * F.col("sk")
+    return m.select(F.col("k").cast("int").alias("lag_days"), "n",
+                    F.round(cov / (F.sqrt(v0) * F.sqrt(vk)), 5)
+                    .alias("acf"))
+
+
+@query("supplier_herfindahl", oracle="""
+    WITH rev AS (
+        SELECT n_name,
+               s_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT n_name, CAST(sum(c) AS BIGINT) AS t
+            FROM rev GROUP BY 1)
+    SELECT rev.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(CAST(round(pow(c / CAST(t AS DOUBLE), 2) * 1e9)
+                          AS BIGINT)) / 1e9, 5) AS hhi
+    FROM rev JOIN tot ON rev.n_name = tot.n_name
+    GROUP BY rev.n_name
+""")
+def supplier_herfindahl(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation: sum of squared market shares — the antitrust-style
+    concentration number (1/n = perfectly even, 1 = monopoly), the
+    grouped sibling of agg_gini's single global coefficient.
+
+    Shape: one fact shuffle builds (nation, supplier) revenue (dims
+    broadcast in), the per-nation totals are a tiny second aggregate
+    joined back, and each squared share is a per-row float from exact
+    cents snapped to integer 1e-9 units before summation (SURVEY 4.3),
+    so share-accumulation order cannot flake the hash."""
+    le = T(spark, sf_dir, "lineitem")
+    su = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (le.join(F.broadcast(su), le.l_suppkey == su.s_suppkey)
+           .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+           .groupBy("n_name", "s_suppkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("bigint")).alias("c")))
+    tot = rev.groupBy("n_name").agg(F.sum("c").alias("t"))
+    share2 = F.pow(F.col("c") / F.col("t").cast("double"), 2)
+    return (rev.join(tot, "n_name")
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("n_suppliers"),
+                 F.round(F.sum(F.round(share2 * 1e9).cast("bigint"))
+                         / 1e9, 5).alias("hhi")))
