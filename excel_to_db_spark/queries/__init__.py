@@ -104,7 +104,7 @@ _PRIORITY: tuple[str, ...] = (
 #   sql_declared_udf string_collation_group udtf_arrow
 #   group_quantile_normalize stats_kaplan_meier events_changepoint
 #   agg_gini stats_ols_multi customer_rfm_scaled price_index_laspeyres
-#   ts_autocorrelation supplier_herfindahl
+#   ts_autocorrelation supplier_herfindahl text_compression_quality
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

@@ -539,3 +539,43 @@ def observed_metrics(spark, sf_dir):
     return spark.createDataFrame(
         [(m["n_rows"], m["n_big"], m["sum_price"])],
         "n_rows long, n_big long, sum_price double")
+
+
+@query("text_compression_quality")
+def text_compression_quality(spark, sf_dir):
+    """Compression-ratio quality signal: zlib-compressed size over raw
+    size per document — the classic cheap spam/boilerplate detector
+    (highly repetitive text compresses far below normal prose; the
+    gzip-ratio filter in every corpus-cleaning recipe, cf. text_entropy
+    and text_repetition for the statistical cousins). Returns the 20
+    most compressible (most suspect) documents.
+
+    Runs as a mapInPandas batch kernel — compression is genuinely
+    Python-side work (zlib, stdlib), the same boundary shape as the
+    multimodal codecs, with only (doc_id, sizes) crossing back. No SQL
+    oracle (DuckDB has no zlib): the driver records a rows-only check
+    and tests/test_compression_quality.py recomputes the exact ratios
+    with direct zlib calls as the witness. Ratio ordering uses exact
+    integer cross-multiplication; ties break by doc_id."""
+    import pandas as pd
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            comp = [len(zlib.compress(t.encode("utf-8"), 6))
+                    for t in pdf["text"]]
+            raw = [len(t.encode("utf-8")) for t in pdf["text"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "raw_bytes": pd.array(raw, dtype="int64"),
+                                "zlib_bytes": pd.array(comp, dtype="int64")})
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    sizes = docs.mapInPandas(
+        kernel, "doc_id bigint, raw_bytes bigint, zlib_bytes bigint")
+    ratio = F.col("zlib_bytes") / F.col("raw_bytes").cast("double")
+    return (sizes.filter(F.col("raw_bytes") > 0)
+            .orderBy(ratio.asc(), "doc_id")
+            .limit(20)
+            .select("doc_id", "raw_bytes", "zlib_bytes",
+                    F.round(ratio, 5).alias("compression_ratio")))
