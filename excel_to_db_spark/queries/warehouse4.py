@@ -442,3 +442,94 @@ def price_index_laspeyres(spark, sf_dir):
     den = F.sum(F.round(F.col("q0") * F.col("p0") * 1e4).cast("bigint")) / 1e4
     return basket.agg(F.count("*").alias("n_parts"),
                       F.round(num / den, 6).alias("laspeyres"))
+
+
+@query("inventory_abc_xyz", oracle="""
+    WITH monthly AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS mon,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS nm,
+               CAST(sum(q) AS BIGINT) AS sq,
+               CAST(sum(q * q) AS BIGINT) AS sqq,
+               CAST(sum(c) AS BIGINT) AS rev
+        FROM monthly GROUP BY 1
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(sum(rev) OVER () AS BIGINT) AS tot
+        FROM per
+    ),
+    classed AS (
+        SELECT CASE WHEN 2 * cum <= tot THEN 'A'
+                    WHEN 5 * cum <= 4 * tot THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN nm < 2 THEN 'Z'
+                    WHEN 4 * nm * (nm * sqq - sq * sq)
+                         < (nm - 1) * sq * sq THEN 'X'
+                    WHEN nm * (nm * sqq - sq * sq)
+                         < (nm - 1) * sq * sq THEN 'Y'
+                    ELSE 'Z' END AS xyz,
+               rev
+        FROM ranked
+    )
+    SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev) / 100.0, 2) AS revenue
+    FROM classed GROUP BY abc, xyz
+""")
+def inventory_abc_xyz(spark, sf_dir):
+    """ABC/XYZ inventory classification — the planner's 9-box matrix:
+    ABC = cumulative revenue share tiers (A: first 50%, B: to 80%,
+    C: tail), XYZ = monthly-demand variability (X: cv < 0.5 steady,
+    Y: cv < 1 variable, Z: erratic or < 2 observed months).
+
+    Exactness: revenue tiers compare 2*cum <= tot / 5*cum <= 4*tot and
+    variability compares k * n(n*Sqq - Sq^2) < (n-1) * Sq^2 — every
+    classification test is pure bigint cross-multiplication (cv
+    thresholds 0.5 and 1.0 squared into integers), so engines cannot
+    disagree at a class boundary. Shape: the fact collapses to
+    (part, month) then to parts (two map-side-combined shuffles); the
+    cumulative-share window runs over the PART aggregate —
+    dim-cardinality, safe by construction (same argument as
+    pareto_share)."""
+    le = T(spark, sf_dir, "lineitem")
+    monthly = (le.groupBy("l_partkey",
+                          F.date_trunc("month", F.col("l_shipdate"))
+                          .alias("mon"))
+               .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+                    .alias("q"),
+                    F.sum(F.round(F.col("l_extendedprice") * 100)
+                          .cast("bigint")).alias("c")))
+    per = monthly.groupBy("l_partkey").agg(
+        F.count("*").alias("nm"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum("c").alias("rev"))
+    wcum = (W.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+            .rowsBetween(W.unboundedPreceding, 0))
+    ranked = per.select(
+        "*",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(W.partitionBy()).alias("tot"))
+    var_num = (F.col("nm") * (F.col("nm") * F.col("sqq")
+                              - F.col("sq") * F.col("sq")))
+    var_den = (F.col("nm") - 1) * F.col("sq") * F.col("sq")
+    abc = (F.when(2 * F.col("cum") <= F.col("tot"), "A")
+           .when(5 * F.col("cum") <= 4 * F.col("tot"), "B")
+           .otherwise("C"))
+    xyz = (F.when(F.col("nm") < 2, "Z")
+           .when(4 * var_num < var_den, "X")
+           .when(var_num < var_den, "Y")
+           .otherwise("Z"))
+    return (ranked.select(abc.alias("abc"), xyz.alias("xyz"), "rev")
+            .groupBy("abc", "xyz")
+            .agg(F.count("*").alias("n_parts"),
+                 F.round(F.sum("rev") / 100.0, 2).alias("revenue")))
