@@ -144,14 +144,20 @@ def graph_triangles(spark, sf_dir):
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
 
-    raw = (le.join(o, le.l_orderkey == o.o_orderkey)
-           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-           .join(F.broadcast(s), le.l_suppkey == s.s_suppkey)
-           .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-           .select(F.col("c_nationkey").alias("u"),
-                   F.col("s_nationkey").alias("v"))
-           .distinct())
-    e = (raw.select(F.least("u", "v").alias("a"),
+    from pyspark.sql.window import Window as _W
+
+    w = (le.join(o, le.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(s), le.l_suppkey == s.s_suppkey)
+         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+         .groupBy(F.col("c_nationkey").alias("u"),
+                  F.col("s_nationkey").alias("v"))
+         .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                    .cast("bigint")).alias("cents")))
+    wrk = _W.partitionBy("u").orderBy(F.col("cents").desc(), F.col("v"))
+    top = (w.withColumn("rk", F.row_number().over(wrk))
+           .filter(F.col("rk") <= 2).select("u", "v"))
+    e = (top.select(F.least("u", "v").alias("a"),
                     F.greatest("u", "v").alias("b"))
          .distinct())
 
@@ -579,3 +585,117 @@ def text_compression_quality(spark, sf_dir):
             .limit(20)
             .select("doc_id", "raw_bytes", "zlib_bytes",
                     F.round(ratio, 5).alias("compression_ratio")))
+
+
+@query("graph_assortativity", oracle="""
+    WITH w AS (
+        SELECT c_nationkey AS u, s_nationkey AS v,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey
+        GROUP BY 1, 2
+    ),
+    top AS (
+        -- per-source top-2 by trade value: the same sparsification as
+        -- graph_bfs_levels (the raw nation graph is near-complete, so
+        -- degrees are constant and assortativity is undefined on it)
+        SELECT u, v FROM (
+            SELECT u, v, row_number() OVER (PARTITION BY u
+                         ORDER BY cents DESC, v) AS rk
+            FROM w
+        ) WHERE rk <= 2
+    ),
+    e AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM top
+    ),
+    deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+        ) GROUP BY n
+    ),
+    ends AS (
+        -- each undirected edge contributes BOTH orientations, the
+        -- standard symmetric formulation of degree assortativity
+        SELECT da.d AS x, db.d AS y
+        FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+        UNION ALL
+        SELECT db.d AS x, da.d AS y
+        FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM ends
+    )
+    SELECT n // 2 AS n_edges,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 5) AS assortativity
+    FROM m
+""")
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the nation trade graph: the Pearson
+    correlation of endpoint degrees over edges — do high-degree trade
+    hubs connect to other hubs (positive) or to the periphery
+    (negative, the typical core-periphery signature)? Completes the
+    graph-stats family (pagerank / triangles / BFS / CC).
+
+    Shape: the weighted nation-pair aggregation (one fact shuffle,
+    dims broadcast) is sparsified to each source's top-2 trade partners
+    — the same edge list as graph_bfs_levels, needed because the raw
+    nation graph is near-complete (constant degree => zero variance =>
+    undefined correlation). Degrees are one
+    aggregate over exploded endpoints; both orientations of each edge
+    union (the symmetric formulation) and ALL Pearson moments are exact
+    bigints from one pass — the correlation is a fixed float expression
+    rounded at 5 dp."""
+    le = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                              "l_extendedprice")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    from pyspark.sql.window import Window as _W
+
+    w = (le.join(o, le.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(s), le.l_suppkey == s.s_suppkey)
+         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+         .groupBy(F.col("c_nationkey").alias("u"),
+                  F.col("s_nationkey").alias("v"))
+         .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                    .cast("bigint")).alias("cents")))
+    wrk = _W.partitionBy("u").orderBy(F.col("cents").desc(), F.col("v"))
+    top = (w.withColumn("rk", F.row_number().over(wrk))
+           .filter(F.col("rk") <= 2).select("u", "v"))
+    e = (top.select(F.least("u", "v").alias("a"),
+                    F.greatest("u", "v").alias("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("n"))
+           .unionAll(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("dy"))
+    pair = (e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+            .select(F.col("dx").alias("x"), F.col("dy").alias("y")))
+    ends = pair.unionAll(pair.select(F.col("y").alias("x"),
+                                     F.col("x").alias("y")))
+    m = ends.agg(F.count("*").alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).alias("syy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    cov = d("n") * F.col("sxy") - d("sx") * F.col("sy")
+    vx = d("n") * F.col("sxx") - d("sx") * F.col("sx")
+    vy = d("n") * F.col("syy") - d("sy") * F.col("sy")
+    return m.select(F.expr("n DIV 2").alias("n_edges"),
+                    F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 5)
+                    .alias("assortativity"))
