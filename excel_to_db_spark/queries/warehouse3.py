@@ -276,3 +276,58 @@ def supplier_herfindahl(spark, sf_dir):
             .agg(F.count("*").alias("n_suppliers"),
                  F.round(F.sum(F.round(share2 * 1e9).cast("bigint"))
                          / 1e9, 5).alias("hhi")))
+
+
+@query("ts_forecast_baseline_eval", oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    joined AS (
+        SELECT m.k, m.name, d.x AS actual, p.x AS forecast
+        FROM daily d
+        CROSS JOIN (SELECT * FROM (VALUES (1, 'naive_1d'),
+                                          (7, 'seasonal_7d'))
+                    AS t(k, name)) m
+        JOIN daily p ON p.day = d.day - INTERVAL (m.k) DAY
+    )
+    SELECT name AS method, CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(abs(actual - forecast)) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 4) AS mae,
+           round(CAST(sum(actual - forecast) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 4) AS bias
+    FROM joined GROUP BY name
+""")
+def ts_forecast_baseline_eval(spark, sf_dir):
+    """Forecast-baseline evaluation: MAE and bias of the two canonical
+    zero-parameter forecasters on the daily event-count series —
+    naive (yesterday's value) vs seasonal-naive (same weekday last
+    week). The backtest every forecasting effort must beat before a
+    model earns its keep; a seasonal-naive win is direct evidence of
+    weekly cycle (cross-check: ts_autocorrelation's acf(7)).
+
+    Shape: one fact collapse to days, then date-shifted self-joins of
+    the day-sized series (same pattern as ts_autocorrelation) — the
+    method dimension is a 2-row broadcast. Errors are exact integer
+    differences, so MAE/bias are exact sums divided once, rounded at
+    4 dp."""
+    e = T(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.count("*").alias("x")))
+    methods = spark.createDataFrame([(1, "naive_1d"), (7, "seasonal_7d")],
+                                    "k int, name string")
+    past = daily.select(F.col("day").alias("pday"),
+                        F.col("x").alias("forecast"))
+    joined = (daily.crossJoin(F.broadcast(methods))
+              .join(past,
+                    F.date_sub(F.col("day").cast("date"), F.col("k"))
+                    == F.col("pday").cast("date"))
+              .select("name", F.col("x").alias("actual"), "forecast"))
+    err = F.col("actual") - F.col("forecast")
+    return (joined.groupBy(F.col("name").alias("method"))
+            .agg(F.count("*").alias("n_days"),
+                 F.round(F.sum(F.abs(err)) / F.count("*").cast("double"), 4)
+                 .alias("mae"),
+                 F.round(F.sum(err) / F.count("*").cast("double"), 4)
+                 .alias("bias")))
