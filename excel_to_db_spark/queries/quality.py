@@ -144,20 +144,14 @@ def graph_triangles(spark, sf_dir):
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
 
-    from pyspark.sql.window import Window as _W
-
-    w = (le.join(o, le.l_orderkey == o.o_orderkey)
-         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-         .join(F.broadcast(s), le.l_suppkey == s.s_suppkey)
-         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-         .groupBy(F.col("c_nationkey").alias("u"),
-                  F.col("s_nationkey").alias("v"))
-         .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
-                    .cast("bigint")).alias("cents")))
-    wrk = _W.partitionBy("u").orderBy(F.col("cents").desc(), F.col("v"))
-    top = (w.withColumn("rk", F.row_number().over(wrk))
-           .filter(F.col("rk") <= 2).select("u", "v"))
-    e = (top.select(F.least("u", "v").alias("a"),
+    raw = (le.join(o, le.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(s), le.l_suppkey == s.s_suppkey)
+           .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+           .select(F.col("c_nationkey").alias("u"),
+                   F.col("s_nationkey").alias("v"))
+           .distinct())
+    e = (raw.select(F.least("u", "v").alias("a"),
                     F.greatest("u", "v").alias("b"))
          .distinct())
 
