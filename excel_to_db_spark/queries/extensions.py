@@ -1442,3 +1442,92 @@ def stream_rocksdb_state(spark, sf_dir):
     from ..streaming import run_tumbling_stream_rocksdb
 
     return run_tumbling_stream_rocksdb(spark, sf_dir)
+
+
+@query("dedup_cluster_eval", oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT d1 AS a, d2 AS b FROM ({jac}) UNION
+        SELECT d2 AS a, d1 AS b FROM ({jac})
+    ),
+    reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    ca AS (SELECT src AS doc_id, min(node) AS ca FROM reach GROUP BY src),
+    cb AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS cb FROM (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(text, ' '))), ' ')) AS fp
+            FROM documents)
+    ),
+    j AS (SELECT ca.ca, cb.cb FROM ca JOIN cb USING (doc_id)),
+    cell AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS nij
+             FROM j GROUP BY 1, 2),
+    s AS (
+        SELECT CAST(sum(nij) AS BIGINT) AS n,
+               CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS tp
+        FROM cell
+    ),
+    sa AS (SELECT CAST(sum((na * (na - 1)) // 2) AS BIGINT) AS pa
+           FROM (SELECT CAST(count(*) AS BIGINT) AS na
+                 FROM j GROUP BY ca)),
+    sb AS (SELECT CAST(sum((nb * (nb - 1)) // 2) AS BIGINT) AS pb
+           FROM (SELECT CAST(count(*) AS BIGINT) AS nb
+                 FROM j GROUP BY cb))
+    SELECT n AS n_docs, tp AS tp_pairs,
+           round((tp + ((n * (n - 1)) // 2 - pa - pb + tp))
+                 / CAST((n * (n - 1)) // 2 AS DOUBLE), 6) AS rand_index,
+           round((tp - CAST(pa AS DOUBLE) * pb / ((n * (n - 1)) // 2))
+                 / ((CAST(pa AS DOUBLE) + pb) / 2
+                    - CAST(pa AS DOUBLE) * pb / ((n * (n - 1)) // 2)), 6)
+               AS adjusted_rand
+    FROM s, sa, sb
+""".format(jac=_JACCARD_ORACLE))
+def dedup_cluster_eval(spark, sf_dir):
+    """Dedup-quality evaluation: Rand index and adjusted Rand between
+    the shingle-Jaccard near-dup clustering (dedup_clusters, threshold
+    0.8) and the exact-fingerprint grouping as reference — the
+    measurement step a production dedup pipeline runs before changing
+    thresholds ("did the cheaper clustering agree with truth on pair
+    decisions?").
+
+    Pair-counting WITHOUT materializing pairs: every term (TP, per-side
+    pair counts, total C(n,2)) folds out of the contingency-cell counts
+    via k(k-1)/2 — exact bigint combinatorics over cluster-cardinality
+    tables, so a trillion-pair corpus costs the same as its cluster
+    count. ARI's expected-index correction is one fixed float
+    expression over those exact integers, rounded at 6 dp."""
+    d = T(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    ca = (D.dedup_clusters(D.jaccard_pairs(d, threshold=0.8,
+                                           keyset=D.shingles),
+                           d.select(F.col("doc_id").alias("did")))
+          .select("doc_id", F.col("cluster").alias("ca")))
+    wfp = Window.partitionBy("fp")
+    cb = (d.select("doc_id",
+                   D.content_fingerprint(F.col("text")).alias("fp"))
+          .select("doc_id", F.min("doc_id").over(wfp).alias("cb")))
+    j = ca.join(cb, "doc_id").select("ca", "cb")
+    cell = j.groupBy("ca", "cb").agg(F.count("*").alias("nij"))
+    s = cell.agg(F.sum("nij").alias("n"),
+                 F.sum(F.expr("(nij * (nij - 1)) DIV 2")).alias("tp"))
+    sa = (j.groupBy("ca").agg(F.count("*").alias("na"))
+          .agg(F.sum(F.expr("(na * (na - 1)) DIV 2")).alias("pa")))
+    sb = (j.groupBy("cb").agg(F.count("*").alias("nb"))
+          .agg(F.sum(F.expr("(nb * (nb - 1)) DIV 2")).alias("pb")))
+    allp = F.expr("(n * (n - 1)) DIV 2")
+    exp_idx = F.col("pa").cast("double") * F.col("pb") / allp
+    return (s.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+            .select(F.col("n").alias("n_docs"),
+                    F.col("tp").alias("tp_pairs"),
+                    F.round((F.col("tp")
+                             + (allp - F.col("pa") - F.col("pb")
+                                + F.col("tp")))
+                            / allp.cast("double"), 6).alias("rand_index"),
+                    F.round((F.col("tp") - exp_idx)
+                            / ((F.col("pa").cast("double")
+                                + F.col("pb")) / 2 - exp_idx), 6)
+                    .alias("adjusted_rand")))
