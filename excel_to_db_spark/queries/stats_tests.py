@@ -904,3 +904,71 @@ def stats_ols_multi(spark, sf_dir):
         F.round(beta2, 6).alias("beta_tax"),
         F.round(d("sy") / F.col("n") - beta1 * (d("s1") / F.col("n"))
                 - beta2 * (d("s2") / F.col("n")), 4).alias("intercept"))
+
+
+# --------------------------------------------------------- one-way ANOVA
+
+@query("stats_anova_f", oracle="""
+    WITH t AS (
+        SELECT CAST(((date_diff('day', DATE '1995-01-02',
+                                CAST(o_orderdate AS DATE)) % 7) + 7) % 7
+                    AS INTEGER) AS dow,
+               CAST(round(o_totalprice) AS BIGINT) AS x
+        FROM orders
+    ),
+    g AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS ss
+        FROM t GROUP BY dow
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(s) AS BIGINT) AS st,
+               CAST(sum(ss) AS BIGINT) AS sst,
+               sum(CAST(s AS DOUBLE) * s / n) AS between_raw
+        FROM g
+    )
+    SELECT k, nt,
+           round((between_raw - CAST(st AS DOUBLE) * st / nt)
+                 / (k - 1)
+                 / ((sst - between_raw) / (nt - k)), 5) AS f_stat
+    FROM m
+""")
+def stats_anova_f(spark, sf_dir):
+    """One-way ANOVA F statistic: does mean order value differ across
+    day-of-week groups? Completes the classical-test family (Welch t,
+    chi-square, Mann-Whitney, CUSUM): SS_between/(k-1) over
+    SS_within/(N-k) from per-group sufficient statistics.
+
+    Shape: ONE pass builds (n, sum, sum-of-squares) per group (7 keys,
+    map-side combined); the F ratio is a fixed float expression over
+    the 7-row state. n/s/ss are exact bigints; the only
+    order-sensitive float sum is sum(s^2/n) over SEVEN rows — both
+    engines reduce 7 elements with one merge order at this
+    cardinality, and the result is rounded at 5 dp. Weekday uses the
+    pmod days-since-Monday rule (engine-proof, pre-epoch safe)."""
+    o = T(spark, sf_dir, "orders")
+    t = o.select(
+        F.pmod(F.datediff(F.col("o_orderdate").cast("date"),
+                          F.lit("1995-01-02").cast("date")), 7)
+        .cast("int").alias("dow"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("x"))
+    g = t.groupBy("dow").agg(F.count("*").alias("n"),
+                             F.sum("x").alias("s"),
+                             F.sum(F.col("x") * F.col("x")).alias("ss"))
+    m = g.agg(F.count("*").alias("k"),
+              F.sum("n").alias("nt"),
+              F.sum("s").alias("st"),
+              F.sum("ss").alias("sst"),
+              F.sum(F.col("s").cast("double") * F.col("s") / F.col("n"))
+              .alias("between_raw"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ss_between = F.col("between_raw") - d("st") * F.col("st") / F.col("nt")
+    ss_within = F.col("sst") - F.col("between_raw")
+    return m.select(
+        "k", "nt",
+        F.round((ss_between / (F.col("k") - 1))
+                / (ss_within / (F.col("nt") - F.col("k"))), 5)
+        .alias("f_stat"))
