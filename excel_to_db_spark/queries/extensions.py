@@ -25,7 +25,7 @@ from ..operators import similarity as S
 from ..operators import text as X
 from ..streaming import run_tumbling_stream, session_agg, tumbling_agg
 from ..numerics import cents_sum as _cents_sum
-from .registry import query
+from .registry import REGISTRY, query
 from .relational import T
 
 EMB_DIM = 64  # embeddings.embedding is list<float>[64] (TESTDATA.md)
@@ -422,7 +422,7 @@ def text_quality(spark, sf_dir):
     return X.quality_features(T(spark, sf_dir, "documents"))
 
 
-@query("text_langid", oracle=f"""
+_LANGID_ORACLE = f"""
     WITH s AS (
         SELECT doc_id,
                {", ".join(
@@ -438,7 +438,10 @@ def text_quality(spark, sf_dir):
            END AS pred_lang,
            greatest(s_de, s_en, s_es, s_fr, s_zh) AS stop_hits
     FROM s
-""")
+"""
+
+
+@query("text_langid", oracle=_LANGID_ORACLE)
 def text_langid(spark, sf_dir):
     """Stopword-vote language ID: argmax of per-language stopword hits,
     ties broken by language code ascending — the same strictly-greater
@@ -1531,3 +1534,41 @@ def dedup_cluster_eval(spark, sf_dir):
                             / ((F.col("pa").cast("double")
                                 + F.col("pb")) / 2 - exp_idx), 6)
                     .alias("adjusted_rand")))
+
+
+@query("text_langid_eval", oracle="""
+    WITH p AS ({langid})
+    SELECT d.lang AS true_lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(sum(count(*))
+                 OVER (PARTITION BY d.lang) AS DOUBLE), 4) AS share_of_true
+    FROM p JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+""".format(langid="\n".join(_LANGID_ORACLE.splitlines())))
+def text_langid_eval(spark, sf_dir):
+    """Classifier evaluation for the language-ID heuristic: the
+    confusion matrix of predicted vs labeled language (the corpus
+    carries ground-truth `lang`), with each cell's share of its true
+    class — diagonal shares are per-language recall. The measurement
+    loop every curation heuristic needs (cf. dedup_cluster_eval for
+    the dedup side).
+
+    Shape: predictions come from the SAME stopword-score expressions
+    as text_langid (shared oracle constant — the eval can never
+    measure a different classifier than the one deployed), the label
+    join is by doc_id, and the matrix is a |langs|^2 aggregate with a
+    tiny window for the class totals. Counts exact; shares are one
+    division each, rounded at 4 dp."""
+    from pyspark.sql.window import Window
+
+    pred = REGISTRY["text_langid"].fn(spark, sf_dir) \
+        .select("doc_id", "pred_lang")
+    labels = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = pred.join(labels, "doc_id")
+    cm = (j.groupBy(F.col("lang").alias("true_lang"), "pred_lang")
+          .agg(F.count("*").alias("n")))
+    tot = Window.partitionBy("true_lang")
+    return cm.select("true_lang", "pred_lang", "n",
+                     F.round(F.col("n")
+                             / F.sum("n").over(tot).cast("double"), 4)
+                     .alias("share_of_true"))
