@@ -106,7 +106,7 @@ _PRIORITY: tuple[str, ...] = (
 #   agg_gini stats_ols_multi customer_rfm_scaled price_index_laspeyres
 #   ts_autocorrelation supplier_herfindahl text_compression_quality
 #   inventory_abc_xyz graph_assortativity ts_forecast_baseline_eval
-#   dedup_cluster_eval stats_anova_f text_langid_eval
+#   dedup_cluster_eval stats_anova_f text_langid_eval pipeline_data_card
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

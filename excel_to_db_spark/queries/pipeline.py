@@ -945,3 +945,76 @@ def sample_pps_systematic(spark, sf_dir):
     return (cum.filter(F.expr("(cum - cents) DIV step") < F.expr("cum DIV step"))
             .select("o_orderkey",
                     F.round(F.col("cents") / 100.0, 2).alias("price")))
+
+
+@query("pipeline_data_card", oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp
+        FROM documents
+    ),
+    langs AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS tot
+        FROM base GROUP BY lang
+    ),
+    ent AS (
+        SELECT round(sum(CAST(round(-(c / CAST(tot AS DOUBLE))
+                                    * log2(c / CAST(tot AS DOUBLE))
+                                    * 1e8) AS BIGINT)) / 1e8, 4) AS h
+        FROM langs
+    ),
+    dups AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+        FROM base
+    )
+    SELECT d.n_docs,
+           CAST((SELECT sum(n_tokens) FROM base) AS BIGINT) AS total_tokens,
+           CAST((SELECT sum(n_chars) FROM base) AS BIGINT) AS total_chars,
+           round((d.n_docs - d.n_unique) / CAST(d.n_docs AS DOUBLE), 4)
+               AS exact_dup_rate,
+           CAST((SELECT count(*) FROM langs) AS BIGINT) AS n_langs,
+           e.h AS lang_entropy_bits
+    FROM dups d, ent e
+""")
+def pipeline_data_card(spark, sf_dir):
+    """The corpus data card: one row of dataset documentation — doc and
+    token totals, exact-duplicate rate, language count, and the
+    language-mix entropy in bits (the diversity number a pretraining
+    recipe reports). The capstone composite over the curation
+    primitives (dedup_exact's fingerprint, text_tokens' counts,
+    sample_rebalance's mix).
+
+    Shape: ONE scan computes per-doc tokens and fingerprints; the card
+    is three tiny aggregates over it (language histogram, distinct
+    fingerprints, grand totals) merged into a single row. Entropy
+    terms are per-language floats from exact counts snapped to 1e-8
+    units before summation (SURVEY 4.3); everything else is exact
+    integer arithmetic."""
+    base = (T(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars",
+                    F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+                    F.md5(F.concat_ws(
+                        " ", F.array_sort(F.array_distinct(
+                            F.split(F.col("text"), " "))))).alias("fp")))
+    langs = base.groupBy("lang").agg(F.count("*").alias("c"))
+    tot = langs.agg(F.sum("c").alias("tot"))
+    p = F.col("c") / F.col("tot").cast("double")
+    ent = (langs.crossJoin(F.broadcast(tot))
+           .agg(F.round(F.sum(F.round(-p * F.log2(p) * 1e8)
+                              .cast("bigint")) / 1e8, 4).alias("h"),
+                F.count("*").alias("n_langs")))
+    dups = base.agg(F.count("*").alias("n_docs"),
+                    F.countDistinct("fp").alias("n_unique"),
+                    F.sum("n_tokens").alias("total_tokens"),
+                    F.sum("n_chars").alias("total_chars"))
+    return (dups.crossJoin(F.broadcast(ent))
+            .select("n_docs", "total_tokens", "total_chars",
+                    F.round((F.col("n_docs") - F.col("n_unique"))
+                            / F.col("n_docs").cast("double"), 4)
+                    .alias("exact_dup_rate"),
+                    "n_langs",
+                    F.col("h").alias("lang_entropy_bits")))
