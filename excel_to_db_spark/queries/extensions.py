@@ -1572,3 +1572,17 @@ def text_langid_eval(spark, sf_dir):
                      F.round(F.col("n")
                              / F.sum("n").over(tot).cast("double"), 4)
                      .alias("share_of_true"))
+
+
+@query("stream_update_mode", oracle=_TUMBLING_ORACLE)
+def stream_update_mode(spark, sf_dir):
+    """Tumbling aggregation in UPDATE output mode over a four-batch
+    time-ordered replay — completes the output-mode matrix (complete:
+    stream_tumbling; append emit-once: stream_tumbling_append). Update
+    mode re-emits only changed windows per batch (the upsert feed);
+    the latest emission per window equals the batch aggregation on
+    finite replay, which is exactly what the shared tumbling oracle
+    checks. See streaming/windows.py:run_stream_update_mode."""
+    from ..streaming import run_stream_update_mode
+
+    return run_stream_update_mode(spark, sf_dir)

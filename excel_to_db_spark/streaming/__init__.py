@@ -28,6 +28,7 @@ from .windows import (  # noqa: F401
     run_stream_topk_trending,
     run_stream_scd2_enrich,
     run_tumbling_stream_rocksdb,
+    run_stream_update_mode,
     run_tumbling_stream_multibatch,
     run_tumbling_stream,
     session_agg,

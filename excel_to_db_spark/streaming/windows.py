@@ -327,6 +327,38 @@ def run_stream_dedup_watermark(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def _slice_events_for_replay(spark: SparkSession, sf_dir: str) -> str:
+    """Re-slice the events log into four time-ordered parquet files
+    (ascending names + mtimes, so the file source replays them in event
+    order) for multi-micro-batch replays. Fixed calendar slice points
+    (the corpus spans January): slices are time-ordered, so no
+    cross-batch late data is dropped and the final emitted set depends
+    only on the data, not the slicing."""
+    import os
+    import tempfile
+
+    from ..tables import load_table
+
+    out = tempfile.mkdtemp(prefix="e2db_mbatch_")
+    batch = load_table(spark, sf_dir, "events")
+    cuts = ["2024-01-09", "2024-01-17", "2024-01-25"]
+    lo = None
+    for i, hi in enumerate(cuts + [None]):
+        part = batch
+        if lo is not None:
+            part = part.filter(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.col("ts") < F.lit(hi))
+        pdir = os.path.join(out, f"slice_{i}.dir")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        fname = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        dest = os.path.join(out, f"slice_{i}.parquet")
+        os.rename(os.path.join(pdir, fname), dest)
+        os.utime(dest, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        lo = hi
+    return out
+
+
 def run_tumbling_stream_multibatch(spark: SparkSession, sf_dir: str,
                                    width: str = "10 minutes",
                                    watermark: str = "30 minutes"
@@ -347,31 +379,7 @@ def run_tumbling_stream_multibatch(spark: SparkSession, sf_dir: str,
     append-mode state is evicted at emission, so memory holds only the
     open tail. This is the production shape for late-data-tolerant
     incremental materialization (emit-once, no updates downstream)."""
-    import os
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="e2db_mbatch_")
-    from ..tables import load_table
-
-    batch = load_table(spark, sf_dir, "events")
-    # Fixed calendar slice points (the corpus spans January): slices are
-    # time-ordered, so no cross-batch late data is dropped and the final
-    # emitted set depends only on the data, not the slicing.
-    cuts = ["2024-01-09", "2024-01-17", "2024-01-25"]
-    lo = None
-    for i, hi in enumerate(cuts + [None]):
-        part = batch
-        if lo is not None:
-            part = part.filter(F.col("ts") >= F.lit(lo))
-        if hi is not None:
-            part = part.filter(F.col("ts") < F.lit(hi))
-        pdir = os.path.join(out, f"slice_{i}.dir")
-        part.coalesce(1).write.mode("overwrite").parquet(pdir)
-        fname = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
-        dest = os.path.join(out, f"slice_{i}.parquet")
-        os.rename(os.path.join(pdir, fname), dest)
-        os.utime(dest, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
-        lo = hi
+    out = _slice_events_for_replay(spark, sf_dir)
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     from ..tables import normalize_event_ts
@@ -524,3 +532,42 @@ def run_tumbling_stream_rocksdb(spark: SparkSession, sf_dir: str,
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def run_stream_update_mode(spark: SparkSession, sf_dir: str,
+                           width: str = "10 minutes",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """UPDATE output mode across multiple micro-batches — the third
+    output-mode corner (complete: run_tumbling_stream; append:
+    run_tumbling_stream_multibatch): each batch re-emits only the
+    windows it CHANGED, the upsert feed a key-value sink consumes.
+    The memory sink accumulates every emission, so the final value per
+    window is recovered by taking the emission with the highest count
+    — re-emission implies added rows, so per-window counts strictly
+    increase, making "latest" well-defined without a batch id. On
+    finite time-ordered replay that final value equals the batch
+    aggregation exactly (the oracle)."""
+    from pyspark.sql.window import Window as _W
+
+    out = _slice_events_for_replay(spark, sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from ..tables import normalize_event_ts
+
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", "1")
+              .option("latestFirst", "false")
+              .option("pathGlobFilter", "*.parquet")
+              .load(out))
+    agg = tumbling_agg(
+        normalize_event_ts(stream).withWatermark("ts", watermark), width)
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("update")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    emitted = spark.table(name)
+    rk = F.row_number().over(
+        _W.partitionBy("win_start").orderBy(F.col("n_events").desc()))
+    return (emitted.withColumn("rk", rk).filter(F.col("rk") == 1)
+            .select("win_start", "win_end", "n_events", "sum_value"))
