@@ -107,7 +107,7 @@ _PRIORITY: tuple[str, ...] = (
 #   ts_autocorrelation supplier_herfindahl text_compression_quality
 #   inventory_abc_xyz graph_assortativity ts_forecast_baseline_eval
 #   dedup_cluster_eval stats_anova_f text_langid_eval pipeline_data_card
-#   stream_update_mode
+#   stream_update_mode interval_concurrency_timeline
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

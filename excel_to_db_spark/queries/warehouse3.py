@@ -331,3 +331,100 @@ def ts_forecast_baseline_eval(spark, sf_dir):
                  .alias("mae"),
                  F.round(F.sum(err) / F.count("*").cast("double"), 4)
                  .alias("bias")))
+
+
+@query("interval_concurrency_timeline", oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sid AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM o
+    ),
+    sess AS (
+        -- session_window semantics (same as _SESSION_ORACLE): end =
+        -- last event + gap
+        SELECT user_id, min(ts) AS s,
+               max(ts) + INTERVAL '5 minutes' AS e
+        FROM sid GROUP BY user_id, sid
+    ),
+    starts AS (
+        -- floor() before the cast: DuckDB's epoch() keeps fractional
+        -- seconds and CAST rounds half-even, while Spark's
+        -- unix_timestamp truncates — a >=.5s fraction near a minute
+        -- boundary would shift the bucket by one.
+        SELECT CAST(floor(epoch(s)) AS BIGINT) // 60 AS m,
+               CAST(count(*) AS BIGINT) AS c
+        FROM sess GROUP BY 1
+    ),
+    ends AS (
+        SELECT CAST(floor(epoch(e)) AS BIGINT) // 60 AS m,
+               CAST(count(*) AS BIGINT) AS c
+        FROM sess GROUP BY 1
+    ),
+    merged AS (
+        SELECT coalesce(st.m, en.m) AS m,
+               coalesce(st.c, 0) AS cs, coalesce(en.c, 0) AS ce
+        FROM starts st FULL JOIN ends en ON st.m = en.m
+    ),
+    run AS (
+        SELECT m,
+               CAST(sum(cs) OVER (ORDER BY m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT)
+                   - CAST(coalesce(sum(ce) OVER (ORDER BY m
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT) AS live
+        FROM merged
+    )
+    SELECT CAST(to_timestamp(m * 60) AS TIMESTAMP) AS minute_start,
+           live AS concurrent_sessions
+    FROM run
+    ORDER BY live DESC, m ASC
+    LIMIT 20
+""")
+def interval_concurrency_timeline(spark, sf_dir):
+    """Concurrency as a TIME SERIES: live sessions per minute (a
+    session occupies minutes floor(start/60)..floor(end/60)), top-20
+    busiest minutes — and the implementation of the per-bucket
+    pre-aggregation that interval_concurrency's docstring names as the
+    scale path for its row-level sweep.
+
+    Scale shape: boundaries collapse to per-MINUTE start/end counts
+    first (map-side-combined groupBys), so the running-sum series is
+    bounded by the TIMESPAN in minutes — independent of event volume —
+    and the sweep window is safe by construction at any data size.
+    Session derivation shares session_agg's gaps-and-islands semantics
+    (5-minute gap); every quantity is an exact integer (epoch minutes,
+    counts), so live counts are engine-exact."""
+    from ..streaming import session_agg
+
+    sess = (session_agg(T(spark, sf_dir, "events"))
+            .select("sess_start", "sess_end"))
+    starts = (sess.select((F.unix_timestamp("sess_start")
+                           .cast("bigint") / 60).cast("bigint").alias("m"))
+              .groupBy("m").agg(F.count("*").alias("cs")))
+    ends = (sess.select((F.unix_timestamp("sess_end")
+                         .cast("bigint") / 60).cast("bigint").alias("m"))
+            .groupBy("m").agg(F.count("*").alias("ce")))
+    merged = (starts.join(ends, "m", "full")
+              .select("m", F.coalesce("cs", F.lit(0)).alias("cs"),
+                      F.coalesce("ce", F.lit(0)).alias("ce")))
+    wrun = W.orderBy("m").rowsBetween(W.unboundedPreceding, 0)
+    wprev = W.orderBy("m").rowsBetween(W.unboundedPreceding, -1)
+    live = (F.sum("cs").over(wrun)
+            - F.coalesce(F.sum("ce").over(wprev), F.lit(0)))
+    return (merged.select(
+                F.to_timestamp(F.col("m") * 60).alias("minute_start"),
+                live.alias("concurrent_sessions"),
+                F.col("m").alias("_m"))
+            .orderBy(F.col("concurrent_sessions").desc(), F.col("_m").asc())
+            .limit(20)
+            .drop("_m"))
