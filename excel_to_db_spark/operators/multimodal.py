@@ -181,7 +181,7 @@ def phash64_bits(df: DataFrame, id_col: str = "doc_id",
             .mapInPandas(kernel, "did bigint, ph string"))
 
 
-def phash_pairs(df: DataFrame, max_hamming: int = 6,
+def phash_pairs(df: DataFrame, max_hamming: int | None = None,
                 id_col: str = "doc_id", payload_col: str = "payload",
                 n_blocks: int = 4) -> DataFrame:
     """Near-duplicate payload pairs by pHash: pigeonhole block join on
@@ -189,7 +189,15 @@ def phash_pairs(df: DataFrame, max_hamming: int = 6,
     simhash_pairs — pairs within hamming < n_blocks are guaranteed
     candidates; the oracle mirrors the same candidate generation), then
     exact hamming via per-chunk XOR bit counts. No cross join: the only
-    join key is the (block, chunk-bits) bucket."""
+    join key is the (block, chunk-bits) bucket.
+
+    max_hamming defaults to n_blocks - 1, the FULL-RECALL regime of the
+    pigeonhole join (ADVICE r4: a larger threshold is best-effort —
+    pairs differing in every chunk are missed — so callers must opt
+    into it explicitly, as multimodal_phash does with its documented
+    recall band)."""
+    if max_hamming is None:
+        max_hamming = n_blocks - 1
     bits_per = 64 // n_blocks
     ph = phash64_bits(df, id_col, payload_col)
     ints = ph.select(

@@ -27,12 +27,20 @@ def distributed_rank(df: DataFrame, value_col: str, tiebreak_col: str,
     exactly like row_number. The input columns pass through."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     b = df.agg(F.percentile(value_col, qs).alias("bs"))
+    # NULL values get a dedicated bucket BEFORE all real buckets
+    # (percentile ignores NULLs, and NULL > x folds to a NULL bucket
+    # that an equi-join would silently drop): ascending Spark windows
+    # order NULLs first, so bucket -1 keeps the operator bit-identical
+    # to the single-partition formulation on NULL-containing input.
     bucketed = (df.crossJoin(F.broadcast(b))
                 .withColumn(
                     "_bkt",
-                    F.aggregate("bs", F.lit(0),
-                                lambda acc, x:
-                                acc + (F.col(value_col) > x).cast("int")))
+                    F.when(F.col(value_col).isNull(), F.lit(-1))
+                    .otherwise(
+                        F.aggregate("bs", F.lit(0),
+                                    lambda acc, x:
+                                    acc + (F.col(value_col) > x)
+                                    .cast("int"))))
                 .drop("bs"))
     wloc = W.partitionBy("_bkt").orderBy(value_col, tiebreak_col)
     loc = bucketed.withColumn("_lr",
@@ -56,12 +64,17 @@ def distributed_prefix_sum(df: DataFrame, order_col: str, sum_col: str,
     with duplicates an exclusive prefix is ill-defined."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     b = df.agg(F.percentile(order_col, qs).alias("bs"))
+    # NULL order keys -> dedicated bucket -1 (nulls-first, matching an
+    # ascending window), instead of a NULL bucket the join would drop.
     bucketed = (df.crossJoin(F.broadcast(b))
                 .withColumn(
                     "_bkt",
-                    F.aggregate("bs", F.lit(0),
-                                lambda acc, x:
-                                acc + (F.col(order_col) > x).cast("int")))
+                    F.when(F.col(order_col).isNull(), F.lit(-1))
+                    .otherwise(
+                        F.aggregate("bs", F.lit(0),
+                                    lambda acc, x:
+                                    acc + (F.col(order_col) > x)
+                                    .cast("int"))))
                 .drop("bs"))
     wloc = (W.partitionBy("_bkt").orderBy(order_col)
             .rowsBetween(W.unboundedPreceding, -1))

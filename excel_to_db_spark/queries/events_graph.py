@@ -294,8 +294,10 @@ def window_ewma(spark, sf_dir):
 
 @query("agg_decimal_exact", oracle="""
     SELECT l_returnflag,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-           sum(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+               AS sum_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+               AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -307,13 +309,16 @@ def agg_decimal_exact(spark, sf_dir):
     whose REAL columns make SQLite sum in floating point; reference
     src/main.rs:184-187). Spark's decimal sum stays inside Tungsten's
     long-backed decimal128 fast path; partial aggregation applies as
-    with any sum."""
+    with any sum. The FINAL projection casts to STRING: the decimal
+    stays exact through the aggregate, and the string surface ("x.yz",
+    two decimals on both engines) avoids the cross-engine
+    Decimal-vs-float64 type-class hash hazard (VERDICT r4 #2)."""
     le = T(spark, sf_dir, "lineitem")
     return (le.groupBy("l_returnflag")
             .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                  .alias("sum_price"),
+                  .cast("string").alias("sum_price"),
                  F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                  .alias("sum_qty"),
+                  .cast("string").alias("sum_qty"),
                  F.count("*").alias("n")))
 
 

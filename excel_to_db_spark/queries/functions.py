@@ -61,8 +61,8 @@ def str_funcs(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            abs(l_extendedprice - 30000.0)                   AS dev,
            CAST(sign(l_discount - 0.05) AS DOUBLE)          AS disc_sign,
-           floor(l_extendedprice / 1000)                    AS price_k,
-           ceil(l_quantity / 10)                            AS qty_decile,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT)    AS price_k,
+           CAST(ceil(l_quantity / 10) AS BIGINT)            AS qty_decile,
            sqrt(l_extendedprice)                            AS price_sqrt,
            power(l_discount, 2)                             AS disc_sq,
            CAST(l_orderkey % 7 AS BIGINT)                   AS key_mod7,

@@ -103,7 +103,7 @@ def csv_roundtrip(spark, sf_dir):
     SELECT event_type, count(*) AS n,
            round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
              AS sum_value,
-           sum(CAST(props ->> 'k' AS BIGINT)) AS sum_k
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
 """)
 def jsonl_roundtrip(spark, sf_dir):

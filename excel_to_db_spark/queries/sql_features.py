@@ -42,8 +42,11 @@ def sql_parameterized(spark, sf_dir):
     return spark.sql(
         f"""
         SELECT o_orderstatus, count(*) AS n,
-               round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                     / 100.0, 2) AS sum_price
+               -- 100.0 parses as DECIMAL(3,1) in Spark SQL, so the
+               -- division result is DECIMAL; CAST back to the DOUBLE
+               -- type class the driver's DuckDB fetch produces.
+               CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          / 100.0, 2) AS DOUBLE) AS sum_price
         FROM {name} WHERE o_totalprice > :thr AND o_orderpriority = :pri
         GROUP BY o_orderstatus
         """,
@@ -238,7 +241,10 @@ def sql_declared_udf(spark, sf_dir):
     T(spark, sf_dir, "orders").createOrReplaceTempView(name)
     return spark.sql(f"""
         SELECT {urg_fn}(o_orderpriority) AS urgency, count(*) AS n,
-               round(sum({cents_fn}(o_totalprice)) / 100.0, 2) AS sum_price
+               -- CAST: bigint / DECIMAL-literal 100.0 is DECIMAL in
+               -- Spark SQL; the oracle side fetches DOUBLE.
+               CAST(round(sum({cents_fn}(o_totalprice)) / 100.0, 2)
+                    AS DOUBLE) AS sum_price
         FROM {name} GROUP BY {urg_fn}(o_orderpriority)
     """)
 

@@ -927,13 +927,16 @@ def stats_ols_multi(spark, sf_dir):
                CAST(sum(n) AS BIGINT) AS nt,
                CAST(sum(s) AS BIGINT) AS st,
                CAST(sum(ss) AS BIGINT) AS sst,
-               sum(CAST(s AS DOUBLE) * s / n) AS between_raw
+               CAST(sum(CAST((CAST(s AS HUGEINT) * s) // n AS BIGINT))
+                    AS BIGINT) AS between_int
         FROM g
     )
     SELECT k, nt,
-           round((between_raw - CAST(st AS DOUBLE) * st / nt)
-                 / (k - 1)
-                 / ((sst - between_raw) / (nt - k)), 5) AS f_stat
+           round((between_int
+                  - CAST((CAST(st AS HUGEINT) * st) // nt AS BIGINT))
+                 / CAST(k - 1 AS DOUBLE)
+                 / ((sst - between_int) / CAST(nt - k AS DOUBLE)),
+                 5) AS f_stat
     FROM m
 """)
 def stats_anova_f(spark, sf_dir):
@@ -944,29 +947,34 @@ def stats_anova_f(spark, sf_dir):
 
     Shape: ONE pass builds (n, sum, sum-of-squares) per group (7 keys,
     map-side combined); the F ratio is a fixed float expression over
-    the 7-row state. n/s/ss are exact bigints; the only
-    order-sensitive float sum is sum(s^2/n) over SEVEN rows — both
-    engines reduce 7 elements with one merge order at this
-    cardinality, and the result is rounded at 5 dp. Weekday uses the
-    pmod days-since-Monday rule (engine-proof, pre-epoch safe)."""
+    the 7-row state. n/s/ss are exact bigints, and (ADVICE r4, SURVEY
+    4.3 fixed-point rule) each between-groups term s^2/n is the EXACT
+    integer floor quotient — decimal(38,0) multiply + DIV on Spark,
+    HUGEINT * + // on DuckDB, identical for positive operands — so the
+    between-groups sum is an exact bigint with no merge-order float
+    noise at any scale factor (flooring biases each of the k terms by
+    <1 on a ~1e13 magnitude: far below the 5-dp rounding of f_stat).
+    Weekday uses the pmod days-since-Monday rule (engine-proof,
+    pre-epoch safe)."""
     o = T(spark, sf_dir, "orders")
     t = o.select(
         F.pmod(F.datediff(F.col("o_orderdate").cast("date"),
                           F.lit("1995-01-02").cast("date")), 7)
         .cast("int").alias("dow"),
         F.round(F.col("o_totalprice")).cast("bigint").alias("x"))
-    g = t.groupBy("dow").agg(F.count("*").alias("n"),
-                             F.sum("x").alias("s"),
-                             F.sum(F.col("x") * F.col("x")).alias("ss"))
+    g = (t.groupBy("dow").agg(F.count("*").alias("n"),
+                              F.sum("x").alias("s"),
+                              F.sum(F.col("x") * F.col("x")).alias("ss"))
+         .withColumn("t", F.expr(
+             "CAST((CAST(s AS DECIMAL(38,0)) * s) DIV n AS BIGINT)")))
     m = g.agg(F.count("*").alias("k"),
               F.sum("n").alias("nt"),
               F.sum("s").alias("st"),
               F.sum("ss").alias("sst"),
-              F.sum(F.col("s").cast("double") * F.col("s") / F.col("n"))
-              .alias("between_raw"))
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    ss_between = F.col("between_raw") - d("st") * F.col("st") / F.col("nt")
-    ss_within = F.col("sst") - F.col("between_raw")
+              F.sum("t").alias("between_int"))
+    grand = F.expr("CAST((CAST(st AS DECIMAL(38,0)) * st) DIV nt AS BIGINT)")
+    ss_between = (F.col("between_int") - grand).cast("double")
+    ss_within = (F.col("sst") - F.col("between_int")).cast("double")
     return m.select(
         "k", "nt",
         F.round((ss_between / (F.col("k") - 1))

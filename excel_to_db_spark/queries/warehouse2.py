@@ -264,7 +264,8 @@ def pareto_share(spark, sf_dir):
     SELECT d.c_nationkey,
            round(max(d.med), 4) AS med,
            round(max(m.mad), 4) AS mad,
-           sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+           CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m USING (c_nationkey)
     GROUP BY d.c_nationkey
 """)

@@ -47,7 +47,13 @@ def parse_out_suffix(line: str) -> tuple[str, str | None]:
     while i < len(line):
         ch = line[i]
         if quote:
-            if ch == quote:
+            if ch == "\\":
+                # Spark SQL (escapedStringLiterals=false, the default)
+                # accepts backslash escapes inside literals ('it\'s');
+                # skip the escaped character so the scanner doesn't
+                # close the literal early and eat a trailing |out=.
+                i += 1
+            elif ch == quote:
                 # SQL doubles quotes to escape them inside a literal.
                 if i + 1 < len(line) and line[i + 1] == quote:
                     i += 1

@@ -112,3 +112,18 @@ def test_strftime_rewrite():
     out2 = rewrite("SELECT strftime('%w', d), 'call strftime(''%Y'', d) later' FROM t")
     assert "strftime('%w', d)" in out2
     assert "strftime(''%Y'', d)" in out2
+
+
+def test_parse_out_suffix_backslash_escaped_quote():
+    """ADVICE r4: a backslash-escaped quote inside a literal must not
+    close the literal — a trailing |out= after it is a real export."""
+    sql, out = parse_out_suffix(
+        r"SELECT * FROM t WHERE note = 'it\'s fine' |out=/tmp/q.csv")
+    assert out == "/tmp/q.csv"
+    assert sql == r"SELECT * FROM t WHERE note = 'it\'s fine'"
+    # and a |out= INSIDE the re-opened literal region stays a literal
+    sql, out = parse_out_suffix(r"SELECT 'a\'|out=b' AS x")
+    assert out is None and sql == r"SELECT 'a\'|out=b' AS x"
+    # trailing backslash at end-of-line must not crash the scanner
+    sql, out = parse_out_suffix("SELECT '\\")
+    assert out is None

@@ -121,3 +121,41 @@ def test_distributed_prefix_sum_matches_naive(spark, sf_dir):
     dist = {(r.v, r.before) for r in
             distributed_prefix_sum(vals, "v", "c", "before").collect()}
     assert dist == naive and dist
+
+
+def test_distributed_rank_with_nulls_matches_naive(spark):
+    """ADVICE r4: NULL values must not be dropped — they rank FIRST
+    (Spark's ascending nulls-first default), same as the naive window."""
+    from pyspark.sql.window import Window as W
+
+    from excel_to_db_spark.operators.ranking import distributed_rank
+
+    t = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise((F.col("id") * 37) % 113).alias("v"))
+    naive = {(r.k, r.rr) for r in t.select(
+        "k", F.row_number().over(W.orderBy("v", "k"))
+        .cast("bigint").alias("rr")).collect()}
+    dist = {(r.k, r.rr) for r in
+            distributed_rank(t, "v", "k", "rr").collect()}
+    assert dist == naive and len(dist) == 500
+
+
+def test_distributed_prefix_sum_with_null_key_matches_naive(spark):
+    """A NULL order key sorts first and its row still appears with an
+    exclusive prefix of 0, exactly like the naive nulls-first window."""
+    from pyspark.sql.window import Window as W
+
+    from excel_to_db_spark.operators.ranking import distributed_prefix_sum
+
+    vals = spark.range(200).select(
+        F.when(F.col("id") == 13, None).otherwise(F.col("id")).alias("v"),
+        (F.col("id") % 9 + 1).alias("c"))
+    wn = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    naive = {(r.v, r.p) for r in vals.select(
+        "v", F.coalesce(F.sum("c").over(wn), F.lit(0)).alias("p"))
+        .collect()}
+    dist = {(r.v, r.before) for r in
+            distributed_prefix_sum(vals, "v", "c", "before").collect()}
+    assert dist == naive and len(dist) == 200

@@ -29,19 +29,36 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
 
 
 def _norm(v):
-    """Normalize one cell for cross-engine comparison."""
+    """Normalize one cell for cross-engine comparison.
+
+    TYPE-FAITHFUL (VERDICT r4 #2): the driver's value hash is
+    type-sensitive — Spark BIGINT 100 vs DuckDB DOUBLE 100.0 is a FAIL
+    there, so it must be a FAIL here too. int, float, and Decimal each
+    normalize to distinct strings; a query that returns different
+    numeric type classes on the two engines fails loudly instead of
+    being silently forgiven (the r3/r4 `jsonl_roundtrip` blind spot).
+    """
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, Decimal):
+        # Duck-side only: the driver fetches DuckDB DECIMAL via pandas
+        # (-> float64), proven by `excel_scan` passing the r3 driver
+        # hash with a DECIMAL oracle column. Spark-side Decimals never
+        # reach here — the main loop hard-fails any DecimalType in a
+        # Spark result schema (that class IS a driver hash-fail).
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         # 12 significant digits: catches real bugs, forgives last-ulp
-        # differences in summation order.
-        return f"{v:.12g}"
+        # differences in summation order. Integral floats keep a ".0"
+        # suffix so float 100.0 never collides with int 100.
+        s = f"{v:.12g}"
+        if "." not in s and "e" not in s and "n" not in s and "f" not in s:
+            s += ".0"
+        return s
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, date):
@@ -92,6 +109,13 @@ def main(keys: list[str]) -> int:
         try:
             df = qs[name](spark, SF_DIR)
             s_cols = df.columns
+            if "DecimalType" in str(df.schema):
+                n_fail += 1
+                failures.append(name)
+                print(f"FAIL {name}: Spark result contains DecimalType "
+                      f"(driver hash-fail class) — cast the projection "
+                      f"to DOUBLE/BIGINT/STRING: {df.schema.simpleString()}")
+                continue
             s_rows = [tuple(r) for r in df.collect()]
         except Exception as exc:
             n_fail += 1
