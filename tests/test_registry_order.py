@@ -11,23 +11,23 @@ def test_priority_window_is_exactly_the_first_50_keys():
     assert list(REGISTRY)[:50] == list(_PRIORITY)
 
 
-def test_priority_covers_round4_rotation():
-    """Round-4 window: keys whose contracts changed this round plus
-    never-driver-checked keys (TPC-H remainder, function packs). The
-    r2/r3 flagships already hold driver-green rows and rotate out."""
+def test_priority_covers_round5_rotation():
+    """Round-5 window: the keys whose oracles/projections changed this
+    round (the r4 type-class hash-fails and the latent instances the
+    type-faithful gate flushed out) must get fresh driver rows, and the
+    rest of the window draws from the never-driver-sampled pool."""
     head = set(list(REGISTRY)[:50])
     for key in (
-        # changed this round -> need fresh driver rows
-        "jsonl_roundtrip", "multimodal_features", "dedup_simhash",
-        "tpch_q11", "customer_rfm", "embedding_quantize",
-        "stats_chi_square",
-        # TPC-H remainder (never driver-checked before round 4)
-        "tpch_q2", "tpch_q6", "tpch_q17", "tpch_q22",
-        # function packs
-        "str_funcs", "math_funcs", "date_funcs", "json_extract",
-        "udf_scalar", "udtf_chunks",
-        # as-of variants + storage round trips
-        "join_asof_forward", "join_asof_nearest", "orc_roundtrip",
+        # r4 driver hash-fails, fixed this round
+        "jsonl_roundtrip", "tpch_q12", "math_funcs",
+        # latent type-class fixes found by the strict local gate
+        "group_mad_outliers", "sql_parameterized", "sql_declared_udf",
+        "agg_decimal_exact", "stats_anova_f",
+        # r4 bench REGRESSION flag
+        "basket_affinity",
+        # representative never-sampled blocks
+        "stats_welch_t", "agg_gini", "window_rolling_median",
+        "anti_join_nulls", "xml_roundtrip",
     ):
         assert key in head, key
 
