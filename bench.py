@@ -159,9 +159,17 @@ def main() -> int:
         except Exception:
             pass
 
+    # Bisect hook (VERDICT r4 #3): SPARK_GRAFT_BENCH_KEYS="a,b,c" runs
+    # only those keys, so a historical round's exact list can be timed
+    # alone on HEAD to separate suite-level contention (new heavy
+    # queries sharing the JVM) from true per-query regressions.
+    only = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    selected = [k.strip() for k in only.split(",") if k.strip()] \
+        if only else HEADLINE
+
     times: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in selected:
         fn = qs.get(name)
         if fn is None:
             continue
