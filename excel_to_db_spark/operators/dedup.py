@@ -205,9 +205,93 @@ def minhash_lsh_candidates(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
              .distinct())
 
 
+def py_shingles(text: str, k: int = 3) -> set:
+    """Python twin of :func:`shingles` (same split/k-gram/set rule),
+    for the Arrow signature kernel."""
+    toks = text.split(" ")
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def py_norm_tokens(text: str) -> set:
+    """Python twin of :func:`norm_tokens` (distinct whitespace tokens)."""
+    return set(text.split(" "))
+
+
+def minhash_signatures_arrow(df: DataFrame, n_hashes: int = 128,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             py_keyset=py_shingles) -> DataFrame:
+    """MinHash signatures as ONE Arrow-vectorized mapInPandas pass —
+    zero shuffle (vs. the explode+groupBy shuffle of
+    :func:`minhash_signatures`) and a constant-size plan (vs. 128
+    unrolled min-agg expressions whose Catalyst analysis + Janino
+    compile alone cost seconds per fresh plan: measured 10.1s -> 5.7s
+    single-shot, 5.3s -> 2.0s steady at sf0.1/local[32]).
+
+    The base hash is crc32 (any 32-bit base works: the universal family
+    (uh_a(i)*h + uh_c(i)) mod 2^32 on top provides the n_hashes
+    independent permutations, and downstream candidates are verified
+    with EXACT Jaccard, so the choice of base never reaches the output
+    contract). Docs with an empty keyset produce no row, matching the
+    explode-based path. At 100 TB this is the production shape:
+    signatures are computed where the documents already live, and the
+    only shuffle in the whole dedup is the tiny banded-bucket exchange."""
+    import numpy as np
+    import pandas as pd
+    import zlib
+
+    A = np.array([uh_a(i) for i in range(n_hashes)], dtype=np.uint64)[:, None]
+    C = np.array([uh_c(i) for i in range(n_hashes)], dtype=np.uint64)[:, None]
+    M = np.uint64((1 << 32) - 1)
+
+    def kernel(batches):
+        for pdf in batches:
+            dids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                keys = py_keyset(text)
+                if not keys:
+                    continue
+                hb = np.fromiter((zlib.crc32(s.encode()) for s in keys),
+                                 dtype=np.uint64, count=len(keys))[None, :]
+                sig = ((A * hb + C) & M).min(axis=1)
+                dids.append(did)
+                sigs.append(sig.astype("int64").tolist())
+            yield pd.DataFrame({"did": pd.array(dids, dtype="Int64"),
+                                "sig": sigs})
+
+    return (df.select(id_col, text_col)
+            .mapInPandas(kernel, "did bigint, sig array<bigint>"))
+
+
+def lsh_pairs_grouped(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """LSH banding WITHOUT a self-join: explode band buckets (HOF
+    transform — constant-size plan), group by (band, bucket), and emit
+    the pairs inside each bucket from the collected doc list. The
+    signature pipeline is traversed ONCE (the self-join formulation in
+    :func:`minhash_lsh_candidates` computes it twice when exchange
+    reuse doesn't fire, which AQE does not guarantee). Bucket sizes are
+    O(dup-cluster size), so the per-bucket pair explosion is the same
+    O(n·dups) candidate volume as the join formulation."""
+    banded = sigs.select("did", F.explode(F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
+        f"xxhash64(array_join(transform(slice(sig, b*{rows}+1, {rows}), "
+        f"x -> cast(x AS string)), ',')) AS bucket))")).alias("bb"))
+    banded = banded.select("did", "bb.band", "bb.bucket")
+    grp = (banded.groupBy("band", "bucket")
+           .agg(F.sort_array(F.collect_list("did")).alias("dids"))
+           .filter(F.size("dids") >= 2))
+    return (grp.select(F.explode(F.expr(
+        "flatten(transform(sequence(0, size(dids)-2), i -> "
+        "transform(slice(dids, i+2, size(dids)-i-1), y -> "
+        "struct(dids[i] AS d1, y AS d2))))")).alias("p"))
+        .select("p.d1", "p.d2").distinct())
+
+
 def minhash_dedup_pairs(df: DataFrame, threshold: float, n_hashes: int = 64,
                         bands: int = 16, text_col: str = "text",
-                        id_col: str = "doc_id", keyset=norm_tokens) -> DataFrame:
+                        id_col: str = "doc_id", keyset=norm_tokens,
+                        engine: str = "arrow") -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
     EXACT Jaccard verification of candidates only (array_intersect on
     the small per-doc key arrays — no second explosion).
@@ -216,10 +300,22 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float, n_hashes: int = 64,
     the verified output equals the exhaustive `jaccard_pairs` result
     with overwhelming probability while touching ~O(n·dups) pairs
     instead of O(n^2) — which is why its DuckDB oracle can simply BE the
-    exhaustive-Jaccard SQL."""
+    exhaustive-Jaccard SQL.
+
+    engine="arrow" (default) computes signatures in the zero-shuffle
+    Arrow kernel and candidates without a self-join; engine="sql" keeps
+    the pure-DataFrame explode/groupBy formulation. Both produce the
+    same verified output (property-tested equal to exhaustive Jaccard);
+    arrow is ~2.5x faster end-to-end and strictly better at scale
+    (one shuffle total vs three)."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, n_hashes, text_col, id_col, keyset)
-    cands = minhash_lsh_candidates(sigs, bands, rows)
+    py = {shingles: py_shingles, norm_tokens: py_norm_tokens}.get(keyset)
+    if engine == "arrow" and py is not None:
+        sigs = minhash_signatures_arrow(df, n_hashes, text_col, id_col, py)
+        cands = lsh_pairs_grouped(sigs, bands, rows)
+    else:
+        sigs = minhash_signatures(df, n_hashes, text_col, id_col, keyset)
+        cands = minhash_lsh_candidates(sigs, bands, rows)
     docs = df.select(F.col(id_col).alias("did"),
                      keyset(F.col(text_col)).alias("toks"))
     d1 = docs.select(F.col("did").alias("d1"), F.col("toks").alias("t1"))

@@ -71,3 +71,29 @@ def test_simhash_identical_docs_distance_zero(docs):
            for r in D.simhash_pairs(docs, max_hamming=8,
                                     keyset=D.shingles).collect()}
     assert out[(0, 1)] == 0
+
+
+def test_minhash_engines_agree(docs):
+    """The Arrow-kernel signature path and the pure-DataFrame path must
+    produce the same verified pairs (both equal exhaustive Jaccard; the
+    base-hash difference never reaches the output contract)."""
+    a = {(r.d1, r.d2, round(r.jaccard, 6))
+         for r in D.minhash_dedup_pairs(docs, threshold=0.5, n_hashes=128,
+                                        bands=32, keyset=D.shingles,
+                                        engine="arrow").collect()}
+    s = {(r.d1, r.d2, round(r.jaccard, 6))
+         for r in D.minhash_dedup_pairs(docs, threshold=0.5, n_hashes=128,
+                                        bands=32, keyset=D.shingles,
+                                        engine="sql").collect()}
+    assert a == s and a
+
+
+def test_minhash_arrow_token_keyset(docs):
+    """Token-set keyset routes through py_norm_tokens and still matches
+    the exhaustive jaccard_pairs result."""
+    exact = {(r.d1, r.d2, round(r.jaccard, 6))
+             for r in D.jaccard_pairs(docs, threshold=0.5).collect()}
+    mh = {(r.d1, r.d2, round(r.jaccard, 6))
+          for r in D.minhash_dedup_pairs(docs, threshold=0.5, n_hashes=128,
+                                         bands=32).collect()}
+    assert mh == exact
