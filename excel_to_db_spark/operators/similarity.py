@@ -264,7 +264,8 @@ def gramian_int(vectors: DataFrame, vec_col: str = "embedding",
 
 
 def pca_power(vectors: DataFrame, vec_col: str = "embedding",
-              dim: int = 64, iters: int = 2000) -> DataFrame:
+              dim: int = 64, iters: int = 2000,
+              fixed_iters: int | None = None) -> DataFrame:
     """First principal direction of the (uncentered) embedding cloud by
     power iteration on the exact integer Gramian — distributed PCA in
     the lloyd_kmeans mold: the cluster computes the d^2 sufficient
@@ -286,16 +287,29 @@ def pca_power(vectors: DataFrame, vec_col: str = "embedding",
     for r in rows:
         G[r["i"], r["j"]] = float(r["g"])
     v = np.ones(dim) / np.sqrt(dim)
-    for _ in range(iters):
-        w = G @ v
-        w = w / np.linalg.norm(w)
-        # Fixed-point check: convergence rate is (lambda2/lambda1)^k, so
-        # a tight eigengap needs hundreds of 64x64 matvecs — still
-        # microseconds of driver time, bit-deterministic.
-        if np.max(np.abs(w - v)) < 1e-13:
+    if fixed_iters is not None:
+        # Fixed-STEP mode (cross-engine contract): exactly fixed_iters
+        # normalized matvecs, no convergence break. The k-step iterate
+        # is a well-defined engine-independent statistic even when the
+        # eigengap is too tight for full convergence (the sf testdata's
+        # synthetic embeddings have lambda2/lambda1 = 0.984, needing
+        # ~1800 steps to 1e-13) — arithmetic-order noise between numpy
+        # and a SQL recursion is damped by the normalization and stays
+        # ~1e-13 after 64 steps, far inside the 6-dp rounding.
+        for _ in range(fixed_iters):
+            w = G @ v
+            v = w / np.linalg.norm(w)
+    else:
+        for _ in range(iters):
+            w = G @ v
+            w = w / np.linalg.norm(w)
+            # Fixed-point check: convergence rate is (lambda2/lambda1)^k,
+            # so a tight eigengap needs hundreds of 64x64 matvecs — still
+            # microseconds of driver time, bit-deterministic.
+            if np.max(np.abs(w - v)) < 1e-13:
+                v = w
+                break
             v = w
-            break
-        v = w
     lam = float(v @ (G @ v))
     share = lam / float(np.trace(G))
     k = int(np.argmax(np.abs(v)))
