@@ -30,6 +30,7 @@ from . import sources_ext  # noqa: E402,F401  XML/binaryFile/text sources + fore
 from . import quality     # noqa: E402,F401  DQ expectations/triangles/zorder/reservoir/decontam
 from . import tokenizer   # noqa: E402,F401  Tier C: BPE merge training + vocabulary apply
 from . import sql_features  # noqa: E402,F401  Spark 4 surface: scripting/params/ps API/DPP
+from . import curation     # noqa: E402,F401  Tier C: epoch shuffle/shard pack/mixture/chunk dedup/bloom join
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
