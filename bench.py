@@ -94,6 +94,12 @@ HEADLINE = [
     "multimodal_phash",        # binary-payload pHash block-join dedup
     "group_quantile_normalize",  # distributed-rank pooled-quantile join
     "stats_ols_multi",         # one-pass normal-equation regression
+    # round-5 additions (no r4 baseline entry; regression check starts r6)
+    "shuffle_epoch",           # md5-keyed 256-bucket distributed permutation
+    "shard_pack",              # byte-balanced shard cut over prefix sum
+    "mixture_interleave",      # temperature-paced source interleaving
+    "text_chunk_dedup",        # shuffle-free within-doc boilerplate strip
+    "join_bloom_pruned",       # selective dim join (runtime Bloom surface)
 ]
 
 
