@@ -1098,6 +1098,7 @@ def stream_custom_sink(spark, sf_dir):
 
     from ..sources.stream_sink import CsvCommitLogDataSource, read_committed
     from ..streaming import events_stream_reader
+    from ..streaming.windows import run_scoped
 
     spark.dataSource.register(CsvCommitLogDataSource)
     out = tempfile.mkdtemp(prefix="e2db_csvlog_")
@@ -1109,8 +1110,8 @@ def stream_custom_sink(spark, sf_dir):
          .option("path", out)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         )
+    run_scoped(spark, q)
     back = read_committed(spark, out,
                           "event_id bigint, event_type string, value double")
     return (back.groupBy("event_type")

@@ -172,6 +172,8 @@ def stream_state_inspect(spark, sf_dir):
     from ..streaming import events_stream_reader
 
     ckpt = tempfile.mkdtemp(prefix="e2db_state_")
+    from ..streaming.windows import run_scoped
+
     name = f"stinspect_{uuid.uuid4().hex[:8]}"
     q = (events_stream_reader(spark, sf_dir)
          .groupBy("event_type")
@@ -182,8 +184,8 @@ def stream_state_inspect(spark, sf_dir):
          .format("memory").queryName(name)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         )
+    run_scoped(spark, q)
     # State rows carry the AGGREGATION BUFFER per key (internal field
     # names `count`/`sum`): the exact integer-cents accumulator, not the
     # formatted output — finish the division here, as the operator's
@@ -261,12 +263,14 @@ def stream_foreachbatch(spark, sf_dir):
            .select("event_id", "event_type", "value")
            .write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}"))
 
+    from ..streaming.windows import run_scoped
+
     q = (events_stream_reader(spark, sf_dir)
          .writeStream.foreachBatch(write_batch)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         )
+    run_scoped(spark, q)
     back = spark.read.parquet(out)  # partition discovery over epoch=N
     return (back.groupBy("event_type")
             .agg(F.count("*").alias("n_events"),

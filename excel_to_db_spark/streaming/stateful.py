@@ -126,12 +126,14 @@ def run_stateful_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev = None
     spark.conf.set(key, rocks)
     try:
+        from .windows import run_scoped
+
         q = (stateful_user_max(events_stream_reader(spark, sf_dir))
              .writeStream.outputMode("update")
              .format("memory").queryName(name)
              .trigger(availableNow=True)
-             .start())
-        q.awaitTermination()
+             )
+        run_scoped(spark, q)
     finally:
         if prev is None:
             spark.conf.unset(key)
@@ -146,10 +148,12 @@ def run_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and the emitted totals equal the batch GROUP BY — which is the
     DuckDB oracle for the `stream_stateful` query key."""
     name = f"stateful_{uuid.uuid4().hex[:8]}"
+    from .windows import run_scoped
+
     q = (stateful_user_totals(events_stream_reader(spark, sf_dir))
          .writeStream.outputMode("update")
          .format("memory").queryName(name)
          .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         )
+    run_scoped(spark, q)
     return spark.table(name)
