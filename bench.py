@@ -173,6 +173,13 @@ def main() -> int:
     except Exception:
         pass
 
+    # ... and the local-data conversion path (first createDataFrame in a
+    # session initializes the Python->JVM row machinery, ~1.5s once).
+    try:
+        spark.createDataFrame([(1,)], "x int").count()
+    except Exception:
+        pass
+
     # Bisect hook (VERDICT r4 #3): SPARK_GRAFT_BENCH_KEYS="a,b,c" runs
     # only those keys, so a historical round's exact list can be timed
     # alone on HEAD to separate suite-level contention (new heavy
