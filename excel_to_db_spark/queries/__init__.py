@@ -71,10 +71,12 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
-# Round-6 rotation TODO (92 keys with no driver CORRECTNESS row after
+# Round-6 rotation TODO (97 keys with no driver CORRECTNESS row after
 # r5; regenerate with: REGISTRY keys - CORRECTNESS_r0{1..5} keys -
 # r5 _PRIORITY). Put ~50 of these first next round, prioritizing the
-# streaming family, text/pipeline packs, and Spark-4 surface keys:
+# streaming family, text/pipeline packs, Spark-4 surface keys, and the
+# r5 curation pack (shuffle_epoch shard_pack mixture_interleave
+# text_chunk_dedup join_bloom_pruned — registered after the window):
 #   customer_rfm_scaled str_fuzzy_match skyline_pareto_front
 #   window_range_trailing7d map_in_arrow cogroup_asof_pandas
 #   udaf_grouped_pandas udtf_arrow dedup_minhash_est similarity_recall
