@@ -384,6 +384,43 @@ def events_pattern(spark, sf_dir):
 
 # ------------------------------------------------ mergeable sketches
 
+@query("bitmap_distinct_rollup", oracle="""
+    SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+""")
+def bitmap_distinct_rollup(spark, sf_dir):
+    """EXACT mergeable distinct counting via roaring-style bitmaps
+    (Spark 3.5+ bitmap_* functions) — the deterministic sibling of
+    hll_mergeable: per-(type, DAY) partial bitmaps are OR-merged up to
+    weekly counts, so the weekly number is exact yet never re-scans the
+    fact rows. That re-aggregability is the warehouse pattern for
+    distinct users at 100 TB: daily bitmap partials persist a few KB
+    per key and any coarser rollup (week/month/quarter) is a cheap
+    bitmap_or_agg over them, where COUNT(DISTINCT) would rescan the
+    corpus. Bound: bitmap_bit_position buckets the key space, so this
+    is exact for integer ids; arbitrary keys first map through a dense
+    id dimension. One bitmap covers one 32768-wide BUCKET of the id
+    space (bitmap_bucket_number), so the bucket id is part of every
+    grouping key and the final count sums bucket counts — ids 0 and 1
+    live in buckets 0 and 1 at the SAME bit position, so dropping the
+    bucket key silently undercounts (found by the oracle gate). Three
+    map-side-combinable shuffles, all on (type, week[, day], bucket)."""
+    e = T(spark, sf_dir, "events")
+    day = (e.select(F.col("event_type"),
+                    F.date_trunc("week", F.col("ts")).cast("date")
+                    .alias("week"),
+                    F.date_trunc("day", F.col("ts")).alias("day"),
+                    F.bitmap_bucket_number("user_id").alias("bkt"),
+                    F.bitmap_bit_position("user_id").alias("pos"))
+           .groupBy("event_type", "week", "day", "bkt")
+           .agg(F.bitmap_construct_agg("pos").alias("bm")))
+    wk = (day.groupBy("event_type", "week", "bkt")
+          .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("n_bkt")))
+    return (wk.groupBy("event_type", "week")
+            .agg(F.sum("n_bkt").alias("n_users")))
+
+
 @query("hll_mergeable", oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,

@@ -96,3 +96,21 @@ def test_join_bloom_pruned_invariant_to_runtime_filter(spark, sf_dir):
     finally:
         spark.conf.set(key, orig)
     assert on == off and on
+
+
+def test_bitmap_rollup_equals_direct_distinct(spark, sf_dir):
+    """The bucketed day->week bitmap rollup must equal a direct
+    COUNT(DISTINCT) — exactness is the whole point vs the HLL sibling.
+    (Also guards the bucket-key regression: ids 0 and 1 share a bit
+    position in different buckets.)"""
+    from excel_to_db_spark.queries.quality import bitmap_distinct_rollup
+
+    got = {(r.event_type, str(r.week)): r.n_users
+           for r in bitmap_distinct_rollup(spark, sf_dir).collect()}
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {(r.event_type, str(r.week)): r.n for r in
+             e.groupBy("event_type",
+                       F.date_trunc("week", F.col("ts").cast("timestamp"))
+                       .cast("date").alias("week"))
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == exact and got
