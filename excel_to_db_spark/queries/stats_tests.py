@@ -980,3 +980,86 @@ def stats_anova_f(spark, sf_dir):
         F.round((ss_between / (F.col("k") - 1))
                 / (ss_within / (F.col("nt") - F.col("k"))), 5)
         .alias("f_stat"))
+
+
+# ---------------------------------------------- Kolmogorov-Smirnov 2-sample
+
+@query("stats_ks_two_sample", oracle="""
+    WITH t AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS g
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+    ),
+    v AS (
+        SELECT cents,
+               CAST(count(CASE WHEN g = 'O' THEN 1 END) AS BIGINT) AS c1,
+               CAST(count(CASE WHEN g = 'F' THEN 1 END) AS BIGINT) AS c2
+        FROM t GROUP BY cents
+    ),
+    c AS (
+        SELECT cents,
+               sum(c1) OVER (ORDER BY cents) AS f1,
+               sum(c2) OVER (ORDER BY cents) AS f2
+        FROM v
+    ),
+    n AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM v
+    )
+    SELECT n1, n2,
+           round(max(abs(f1 * n2 - f2 * n1)) / CAST(n1 AS DOUBLE) / n2, 6)
+               AS ks_stat,
+           round(1.358 * sqrt((n1 + n2) / (CAST(n1 AS DOUBLE) * n2)), 6)
+               AS d_crit_5pct,
+           max(abs(f1 * n2 - f2 * n1)) / CAST(n1 AS DOUBLE) / n2
+               > 1.358 * sqrt((n1 + n2) / (CAST(n1 AS DOUBLE) * n2))
+               AS reject_5pct
+    FROM c, n
+    GROUP BY n1, n2
+""")
+def stats_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test: does the order-value
+    distribution differ between open ('O') and fulfilled ('F') orders?
+    Completes the classical-test family (Welch t compares means,
+    Mann-Whitney ranks, chi-square categories; KS compares the WHOLE
+    distribution shape). D = max |ECDF_O - ECDF_F|, with the 5%
+    critical value 1.358*sqrt((n1+n2)/(n1*n2)).
+
+    Scale shape: the fact table collapses to per-VALUE group counts
+    first (one map-side-combinable shuffle on cents — the series is
+    bounded by the price grid, not row count), then BOTH cumulative
+    counts come from the bucketed two-phase prefix sum, never an
+    unpartitioned corpus window. The sup statistic itself is EXACT
+    integer arithmetic — |F1*n2 - F2*n1| is a bigint (counts < 2^31,
+    products < 2^62), divided by n1*n2 only in the final 1-row
+    projection, so both engines agree bit-for-bit before the 6-dp
+    round."""
+    from ..operators.ranking import distributed_prefix_sum
+
+    o = T(spark, sf_dir, "orders")
+    t = (o.filter(F.col("o_orderstatus").isin("O", "F"))
+         .select(F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"), F.col("o_orderstatus").alias("g")))
+    v = (t.groupBy("cents")
+         .agg(F.count(F.when(F.col("g") == "O", 1)).alias("c1"),
+              F.count(F.when(F.col("g") == "F", 1)).alias("c2")))
+    p1 = distributed_prefix_sum(v, "cents", "c1", "p1")
+    p2 = distributed_prefix_sum(p1, "cents", "c2", "p2")
+    c = p2.select(
+        "cents",
+        (F.col("p1") + F.col("c1")).alias("f1"),   # inclusive CDF counts
+        (F.col("p2") + F.col("c2")).alias("f2"))
+    n = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    d = (c.crossJoin(F.broadcast(n))
+         .agg(F.first("n1").alias("n1"), F.first("n2").alias("n2"),
+              F.max(F.abs(F.col("f1") * F.col("n2")
+                          - F.col("f2") * F.col("n1"))).alias("sup")))
+    ks = F.col("sup") / F.col("n1").cast("double") / F.col("n2")
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2"))
+        / (F.col("n1").cast("double") * F.col("n2")))
+    return d.select(
+        "n1", "n2",
+        F.round(ks, 6).alias("ks_stat"),
+        F.round(crit, 6).alias("d_crit_5pct"),
+        (ks > crit).alias("reject_5pct"))
