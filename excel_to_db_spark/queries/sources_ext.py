@@ -318,3 +318,37 @@ def csv_malformed_handling(spark, sf_dir):
         F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
          .alias("n_corrupt"),
         _cents_sum(F.col("value")).alias("sum_value_good"))
+
+
+@query("xml_function_parse", oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders WHERE o_orderkey % 50 = 0
+    GROUP BY o_orderpriority
+""")
+def xml_function_parse(spark, sf_dir):
+    """The from_xml EXPRESSION surface (Spark 4) — the other half of
+    the XML story next to the xml_roundtrip SOURCE: event feeds often
+    arrive as an XML payload COLUMN inside another table (queue
+    envelope, CDC blob), where a file-level XML source never applies.
+    Each order row is serialized to an XML fragment with codegen'd
+    string concat, parsed back by from_xml with an explicit schema
+    (never schema inference on a hot path), and aggregated; the oracle
+    recomputes from the original columns, proving the serialize->parse
+    hop lossless. Money crosses the text hop as integer cents so no
+    float formatting is involved. All JVM-side: from_xml is a catalyst
+    expression, so pushdown/codegen survive (unlike a Python XML UDF)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    xml = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey"),
+        F.lit("</k><p>"), F.col("o_orderpriority"),
+        F.lit("</p><c>"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        F.lit("</c></o>"))
+    parsed = o.select(F.from_xml(
+        xml, "k BIGINT, p STRING, c BIGINT").alias("x"))
+    return (parsed.groupBy(F.col("x.p").alias("o_orderpriority"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("x.c").alias("cents")))
