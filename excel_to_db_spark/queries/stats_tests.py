@@ -1063,3 +1063,85 @@ def stats_ks_two_sample(spark, sf_dir):
         F.round(ks, 6).alias("ks_stat"),
         F.round(crit, 6).alias("d_crit_5pct"),
         (ks > crit).alias("reject_5pct"))
+
+
+# ----------------------------------------------------- Spearman rho
+
+@query("stats_spearman", oracle="""
+    WITH li AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    ranked AS (
+        -- 2*midrank keeps tie-averaged ranks integer:
+        -- midrank = min_rank + (tie_count - 1)/2
+        SELECT 2 * rank() OVER (ORDER BY x)
+                 + count(*) OVER (PARTITION BY x) - 1 AS rx,
+               2 * rank() OVER (ORDER BY y)
+                 + count(*) OVER (PARTITION BY y) - 1 AS ry
+        FROM li
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rx) AS DOUBLE) AS sx,
+               CAST(sum(ry) AS DOUBLE) AS sy,
+               CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+               CAST(sum(ry * ry) AS DOUBLE) AS syy,
+               CAST(sum(rx * ry) AS DOUBLE) AS sxy
+        FROM ranked
+    )
+    SELECT n,
+           round((sxy / n - (sx / n) * (sy / n))
+                 / (sqrt(sxx / n - (sx / n) * (sx / n))
+                    * sqrt(syy / n - (sy / n) * (sy / n))), 6)
+               AS rho_spearman
+    FROM m
+""")
+def stats_spearman(spark, sf_dir):
+    """Spearman rank correlation between line quantity and extended
+    price — Pearson over tie-averaged (mid) ranks, the nonparametric
+    correlation a warehouse user reaches for when the relationship is
+    monotone but not linear.
+
+    Distributed shape (same value-level design as stats_mannwhitney /
+    stats_ks_two_sample): each variable collapses to one row per
+    DISTINCT value with its tie count (map-side-combinable shuffle,
+    bounded by the value grid, not row count); rank starts come from
+    the bucketed two-phase prefix sum (operators/ranking.py) — never an
+    unpartitioned corpus window; rows re-join their 2*midrank (integer,
+    since midrank is a multiple of 0.5) by value. All five moments are
+    EXACT integer sums (rx <= 2n, so rx*ry < 4n^2 and the sf0.1 sums
+    stay < 2^63; the squares go through decimal(38,0) so the same
+    plan survives ~1e6x more rows before precision loss). Both engines
+    convert the identical exact integers to double in the identical
+    expression tree, so rho is bit-equal before the 6-dp round."""
+    from ..operators.ranking import distributed_prefix_sum
+
+    li = (T(spark, sf_dir, "lineitem")
+          .select(F.round(F.col("l_quantity")).cast("bigint").alias("x"),
+                  F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                  .alias("y")))
+    xr = distributed_prefix_sum(
+        li.groupBy("x").agg(F.count("*").alias("cx")), "x", "cx", "bx"
+    ).select("x", (2 * F.col("bx") + F.col("cx") + 1).alias("rx"))
+    yr = distributed_prefix_sum(
+        li.groupBy("y").agg(F.count("*").alias("cy")), "y", "cy", "by"
+    ).select("y", (2 * F.col("by") + F.col("cy") + 1).alias("ry"))
+    rows = li.join(xr, "x").join(yr, "y")
+    rxd = F.col("rx").cast("decimal(19,0)")
+    ryd = F.col("ry").cast("decimal(19,0)")
+    m = rows.agg(F.count("*").alias("n"),
+                 F.sum("rx").alias("sx_i"), F.sum("ry").alias("sy_i"),
+                 F.sum(rxd * rxd).alias("sxx_d"),
+                 F.sum(ryd * ryd).alias("syy_d"),
+                 F.sum(rxd * ryd).alias("sxy_d"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx_i").cast("double"), F.col("sy_i").cast("double")
+    sxx, syy = F.col("sxx_d").cast("double"), F.col("syy_d").cast("double")
+    sxy = F.col("sxy_d").cast("double")
+    rho = ((sxy / n - (sx / n) * (sy / n))
+           / (F.sqrt(sxx / n - (sx / n) * (sx / n))
+              * F.sqrt(syy / n - (sy / n) * (sy / n))))
+    return m.select(F.col("n").cast("bigint").alias("n"),
+                    F.round(rho, 6).alias("rho_spearman"))

@@ -159,3 +159,42 @@ def test_distributed_prefix_sum_with_null_key_matches_naive(spark):
     dist = {(r.v, r.before) for r in
             distributed_prefix_sum(vals, "v", "c", "before").collect()}
     assert dist == naive and len(dist) == 200
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    """stats_spearman == pandas .corr(method='spearman') (which also
+    uses tie-averaged midranks) on the sf0.001 corpus, to 6 dp."""
+    import pandas as pd
+
+    from excel_to_db_spark.queries.stats_tests import stats_spearman
+
+    row = stats_spearman(spark, sf_dir).collect()[0]
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_quantity", "l_extendedprice"])
+    import numpy as np
+
+    x = pdf["l_quantity"].round().astype("int64")
+    y = (pdf["l_extendedprice"] * 100).round().astype("int64")
+    # pandas' method="spearman" delegates to scipy (absent here):
+    # midrank + Pearson is the same definition.
+    rx = x.rank(method="average").to_numpy()
+    ry = y.rank(method="average").to_numpy()
+    expect = float(np.corrcoef(rx, ry)[0, 1])
+    assert row["n"] == len(pdf)
+    assert abs(row["rho_spearman"] - round(expect, 6)) <= 1e-6
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    """A strictly increasing pair gives rho exactly 1 (rank identity)."""
+    import tempfile
+
+    from excel_to_db_spark.queries.stats_tests import stats_spearman
+
+    d = tempfile.mkdtemp(prefix="e2db_spear_")
+    spark.range(1, 201).select(
+        F.col("id").cast("double").alias("l_quantity"),
+        (F.col("id") * F.col("id")).cast("double")
+        .alias("l_extendedprice")).write.mode("overwrite") \
+        .parquet(f"{d}/lineitem.parquet")
+    r = stats_spearman(spark, d).collect()[0]
+    assert r["rho_spearman"] == 1.0 and r["n"] == 200
