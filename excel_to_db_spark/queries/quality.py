@@ -464,6 +464,98 @@ def hll_mergeable(spark, sf_dir):
                      <= 0.02 * F.col("n_exact")).alias("direct_within_2pct")))
 
 
+# d=4 pairwise-independent-ish affine rows over a 32-bit md5 base.
+# Multipliers stay < 2^20 so a*hb < 2^52: exact in BIGINT on both
+# engines, no modular-multiplication gymnastics needed.
+_CMS_A = (40503, 265443, 113259, 99733)
+_CMS_C = (17, 257, 65537, 5041)
+_CMS_W = 128
+_CMS_M32 = 4_294_967_296
+
+_CMS_CELL_SQL = """
+    (CASE j WHEN 0 THEN 40503 WHEN 1 THEN 265443
+            WHEN 2 THEN 113259 ELSE 99733 END * hb
+     + CASE j WHEN 0 THEN 17 WHEN 1 THEN 257
+              WHEN 2 THEN 65537 ELSE 5041 END)
+    % 4294967296 % 128
+"""
+
+
+@query("sketch_count_min", oracle=f"""
+    WITH base AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT AS BIGINT) AS hb
+        FROM events
+    ),
+    cells AS (
+        SELECT j.j AS j, {_CMS_CELL_SQL} AS cell, user_id
+        FROM base, (VALUES (0), (1), (2), (3)) AS j(j)
+    ),
+    sketch AS (
+        SELECT j, cell, CAST(count(*) AS BIGINT) AS c
+        FROM cells GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT AS BIGINT) AS hb
+        FROM events GROUP BY 1
+        ORDER BY true_cnt DESC, user_id LIMIT 10
+    ),
+    ccells AS (
+        SELECT user_id, true_cnt, j.j AS j, {_CMS_CELL_SQL} AS cell
+        FROM cand, (VALUES (0), (1), (2), (3)) AS j(j)
+    )
+    SELECT cc.user_id, cc.true_cnt, min(s.c) AS cms_est,
+           min(s.c) >= cc.true_cnt AS never_undercounts
+    FROM ccells cc JOIN sketch s ON s.j = cc.j AND s.cell = cc.cell
+    GROUP BY cc.user_id, cc.true_cnt
+""")
+def sketch_count_min(spark, sf_dir):
+    """Count-min sketch over event user frequencies: a d=4 x w=128
+    fixed-seed sketch built in ONE map-side-combinable aggregation,
+    then queried for the 10 true-heaviest users. CMS is the streaming
+    heavy-hitter primitive the warehouse pairs with hll_mergeable /
+    bitmap_distinct_rollup: 1000 executors each build a 512-cell grid
+    locally and merging is cell-wise addition — a few KB per executor
+    crosses the wire regardless of corpus size, and the one-sided
+    error bound (estimate >= truth, over by <= e*N/w with prob
+    1-exp(-d) per query) is checked as a column.
+
+    Determinism: the hash family is affine over the first 32 bits of
+    md5 (engine-portable) with multipliers < 2^20, so every product
+    stays < 2^52 — exact BIGINT on both engines, no float, no
+    engine-specific hash. The candidate set is the EXACT top-10
+    (TakeOrderedAndProject with user_id tiebreak), so the key also
+    exercises the exact-vs-sketch comparison a user would run."""
+    e = T(spark, sf_dir, "events")
+
+    def hb(col):
+        return (F.conv(F.substring(F.md5(F.col(col).cast("string")),
+                                   1, 8), 16, 10).cast("bigint"))
+
+    def cells(hcol):
+        return F.posexplode(F.array(*[
+            (F.lit(a) * F.col(hcol) + F.lit(c)) % _CMS_M32 % _CMS_W
+            for a, c in zip(_CMS_A, _CMS_C)]))
+
+    sketch = (e.select(hb("user_id").alias("hb"))
+              .select(cells("hb").alias("j", "cell"))
+              .groupBy("j", "cell").agg(F.count("*").alias("c")))
+    cand = (e.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+            .orderBy(F.desc("true_cnt"), "user_id").limit(10)
+            .withColumn("hb", hb("user_id")))
+    ccells = cand.select("user_id", "true_cnt",
+                         cells("hb").alias("j", "cell"))
+    return (ccells.join(F.broadcast(sketch), ["j", "cell"])
+            .groupBy("user_id", "true_cnt")
+            .agg(F.min("c").alias("cms_est"))
+            .select("user_id", "true_cnt", "cms_est",
+                    (F.col("cms_est") >= F.col("true_cnt"))
+                    .alias("never_undercounts")))
+
+
 # ----------------------------------------------- salted distinct
 
 @query("distinct_salted", oracle="""

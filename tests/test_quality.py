@@ -114,3 +114,44 @@ def test_hll_merged_and_direct_within_bounds(spark, sf_dir):
     assert rows
     assert all(r.merged_within_2pct for r in rows)
     assert all(r.direct_within_2pct for r in rows)
+
+
+def test_cms_never_undercounts_and_bound(spark, sf_dir):
+    """CMS one-sided error: truth <= estimate <= truth + e*N/w with
+    the per-row overcount bounded by total mass / width (here the
+    crude deterministic bound N/w per row, min over d=4 rows)."""
+    from excel_to_db_spark.queries.quality import sketch_count_min
+
+    rows = sketch_count_min(spark, sf_dir).collect()
+    assert len(rows) == 10
+    n_total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    for r in rows:
+        assert r.never_undercounts
+        assert r.cms_est >= r.true_cnt
+        assert r.cms_est <= r.true_cnt + n_total / 128 * 4
+
+
+def test_cms_sketch_is_mergeable_cellwise(spark, sf_dir):
+    """The 100 TB contract: sketching two disjoint halves and adding
+    cells EQUALS the whole-corpus sketch (it's a linear sketch)."""
+    from excel_to_db_spark.queries.quality import (_CMS_A, _CMS_C,
+                                                   _CMS_M32, _CMS_W)
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def build(df):
+        hb = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                                 1, 8), 16, 10).cast("bigint"))
+        cells = F.posexplode(F.array(*[
+            (F.lit(a) * hb + F.lit(c)) % _CMS_M32 % _CMS_W
+            for a, c in zip(_CMS_A, _CMS_C)]))
+        return (df.select(cells.alias("j", "cell"))
+                .groupBy("j", "cell").agg(F.count("*").alias("c")))
+
+    whole = {(r.j, r.cell): r.c for r in build(e).collect()}
+    h0 = build(e.filter(F.col("event_id") % 2 == 0)).collect()
+    h1 = build(e.filter(F.col("event_id") % 2 == 1)).collect()
+    merged: dict = {}
+    for r in list(h0) + list(h1):
+        merged[(r.j, r.cell)] = merged.get((r.j, r.cell), 0) + r.c
+    assert merged == whole
