@@ -805,3 +805,45 @@ def udtf_arrow(spark, sf_dir):
         SELECT d.doc_id, c.chunk_id, c.n_tok, c.chunk_md5
         FROM documents_ua d, LATERAL chunk_doc_arrow(d.text) c
     """)
+
+
+# ------------------------------------------------ map-column HOFs
+
+@query("map_funcs", oracle="""
+    WITH kv AS (
+        SELECT 'status' AS map_key, upper(o_orderstatus) AS map_value
+        FROM orders
+        UNION ALL
+        SELECT 'prio', upper(split_part(o_orderpriority, '-', 1))
+        FROM orders
+        UNION ALL
+        SELECT 'src', 'ORD' FROM orders
+    )
+    SELECT map_key, map_value, CAST(count(*) AS BIGINT) AS n
+    FROM kv GROUP BY 1, 2
+""")
+def map_funcs(spark, sf_dir):
+    """Map-typed column surface: build a map per order with
+    str_to_map, rewrite values with the transform_values HOF, drop the numeric
+    cust key with map_filter, append a constant entry with map_concat +
+    create_map, and explode entries back to rows for the count.
+
+    The oracle states the SEMANTICS in plain relational SQL (each
+    order contributes its ('status', upper(status)), ('prio',
+    upper(prio_code)) and ('src','ORD') entries) — so the key proves
+    Spark's map HOF pipeline computes exactly what the flat form
+    says, not merely that it runs. All JVM-side expression work in
+    one whole-stage-codegen'd projection; the only shuffle is the
+    final map-side-combinable count."""
+    o = T(spark, sf_dir, "orders")
+    raw = F.concat(F.lit("status:"), F.col("o_orderstatus"),
+                   F.lit(",prio:"),
+                   F.substring_index(F.col("o_orderpriority"), "-", 1),
+                   F.lit(",cust:"), F.col("o_custkey").cast("string"))
+    m = F.str_to_map(raw, F.lit(","), F.lit(":"))
+    m = F.transform_values(m, lambda k, v: F.upper(v))
+    m = F.map_filter(m, lambda k, v: k != F.lit("cust"))
+    m = F.map_concat(m, F.create_map(F.lit("src"), F.lit("ORD")))
+    return (o.select(F.explode(m).alias("map_key", "map_value"))
+            .groupBy("map_key", "map_value")
+            .agg(F.count("*").alias("n")))

@@ -155,3 +155,14 @@ def test_cms_sketch_is_mergeable_cellwise(spark, sf_dir):
     for r in list(h0) + list(h1):
         merged[(r.j, r.cell)] = merged.get((r.j, r.cell), 0) + r.c
     assert merged == whole
+
+
+def test_map_funcs_mass_conservation(spark, sf_dir):
+    """Every order contributes exactly 3 surviving map entries
+    (status, prio, src) after the filter drops cust."""
+    from excel_to_db_spark.queries.functions import map_funcs
+
+    rows = map_funcs(spark, sf_dir).collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n for r in rows) == 3 * n_orders
+    assert {r.map_key for r in rows} == {"status", "prio", "src"}
