@@ -31,6 +31,8 @@ from . import quality     # noqa: E402,F401  DQ expectations/triangles/zorder/re
 from . import tokenizer   # noqa: E402,F401  Tier C: BPE merge training + vocabulary apply
 from . import sql_features  # noqa: E402,F401  Spark 4 surface: scripting/params/ps API/DPP
 from . import curation     # noqa: E402,F401  Tier C: epoch shuffle/shard pack/mixture/chunk dedup/bloom join
+from . import curation2    # noqa: E402,F401  Tier C: split census/source dup matrix/winnowing
+from . import similarity2  # noqa: E402,F401  Tier C: product-quantization ANN
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -106,6 +108,10 @@ _PRIORITY: tuple[str, ...] = (
 #   graph_assortativity bpe_train_merges bpe_tokenize_corpus
 #   sql_scripting pandas_on_spark_agg join_dpp_pruned
 #   join_hint_shuffle_hash string_collation_group
+# plus the round-5 batch-2/3 keys (registered after the window):
+#   pipeline_train_val_split dedup_source_matrix text_winnowing
+#   sql_identifier_clause ansi_try_funcs graph_components
+#   sql_pipe_syntax generator_funcs similarity_pq
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

@@ -457,3 +457,54 @@ def customer_rfm_scaled(spark, sf_dir):
                      cls("mon", "m", False).alias("m"))
             .agg(F.count("*").alias("n_customers"),
                  F.round(F.sum("mon") / 100.0, 2).alias("segment_value")))
+
+
+@query("generator_funcs", oracle="""
+    WITH stacked AS (
+        SELECT r_regionkey, 'key_sq' AS metric,
+               CAST(r_regionkey * r_regionkey AS BIGINT) AS val
+        FROM region
+        UNION ALL
+        SELECT r_regionkey, 'name_len' AS metric,
+               CAST(length(r_name) AS BIGINT) AS val
+        FROM region
+    ),
+    arrs AS (
+        SELECT r_regionkey, metric, val,
+               CASE WHEN val % 3 = 0
+                    THEN [{'pos': CAST(NULL AS INTEGER),
+                           'item': CAST(NULL AS BIGINT)}]
+                    ELSE [{'pos': CAST(i - 1 AS INTEGER),
+                           'item': CAST(i AS BIGINT)}
+                          for i in range(1, CAST(val % 3 AS BIGINT) + 1)]
+               END AS items
+        FROM stacked
+    )
+    SELECT r_regionkey, metric, val,
+           unnest(items, recursive := true)
+    FROM arrs
+""")
+def generator_funcs(spark, sf_dir):
+    """Row-generator surface (stack + posexplode_outer): stack() pivots
+    two per-region metrics into rows without a UNION of scans (one scan,
+    codegen'd), then posexplode_outer unrolls a derived sequence of
+    length val mod 3 — OUTER keeps the parent row with NULL (pos, item)
+    when the sequence is empty, the generator twin of a left join.
+    SQLite (the reference's engine) has no generator functions at all;
+    json_each is its closest cousin (covered by json_kv_explode).
+
+    The oracle builds the same rows with UNION ALL + unnest WITH
+    ORDINALITY, emulating OUTER via a sentinel single-NULL list on the
+    empty case. All values integer-exact; generators never shuffle —
+    output cardinality grows executor-side."""
+    r = T(spark, sf_dir, "region")
+    stacked = r.selectExpr(
+        "r_regionkey",
+        "stack(2, 'key_sq', CAST(r_regionkey * r_regionkey AS BIGINT), "
+        "'name_len', CAST(length(r_name) AS BIGINT)) AS (metric, val)")
+    return (stacked
+            .select("r_regionkey", "metric", "val",
+                    F.expr("CASE WHEN val % 3 = 0 THEN array() "
+                           "ELSE sequence(1L, val % 3) END").alias("items"))
+            .select("r_regionkey", "metric", "val",
+                    F.posexplode_outer("items").alias("pos", "item")))

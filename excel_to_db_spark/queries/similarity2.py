@@ -1,0 +1,114 @@
+"""Product-quantization ANN (round 5): the memory-bound scale path the
+similarity family was missing. similarity_topk / similarity_ann /
+similarity_ivf (queries/extensions.py) cover brute-force, SRP-LSH
+bucketing, and IVF coarse quantization; PQ is the fourth production
+leg — compress every vector to a few subspace codebook codes (here 8
+codes x 16 centroids = 8 nibbles per vector vs 256 B of float32) and
+answer queries with asymmetric distance (query vs centroid lookup
+tables), the FAISS IVF-PQ inner loop. At 100 TB the PQ codes of a
+billion vectors fit in executor memory where raw vectors never could.
+
+Determinism contract: vectors are integer-quantized FIRST
+(floor(x*1000 + 0.5), the engine-portable rounding per SURVEY §4.3),
+so every distance, argmin, and ADC total is EXACT BIGINT arithmetic —
+no float comparison anywhere, ties broken by centroid id via the
+key = dist*16 + c trick (min over the combined key is simultaneously
+the distance argmin and the smallest-id tie-break).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import query
+from .relational import T
+
+
+@query("similarity_pq", oracle="""
+    WITH iv AS (
+        SELECT vec_id,
+               [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS v
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, s, v[s * 8 + 1 : s * 8 + 8] AS sv
+        FROM iv, (SELECT unnest(range(0, 8)) AS s)
+    ),
+    csub AS (SELECT vec_id AS c, s, sv AS cs FROM sub WHERE vec_id < 16),
+    j AS (
+        SELECT a.vec_id, a.s,
+               min(CAST(list_sum([(a.sv[i] - b.cs[i]) * (a.sv[i] - b.cs[i])
+                                  for i in range(1, 9)]) AS BIGINT)
+                   * 16 + b.c) AS k
+        FROM sub a JOIN csub b USING (s)
+        GROUP BY a.vec_id, a.s
+    ),
+    codes AS (SELECT vec_id, s, k % 16 AS code FROM j),
+    qd AS (
+        SELECT b.s, b.c,
+               CAST(list_sum([(q.sv[i] - b.cs[i]) * (q.sv[i] - b.cs[i])
+                              for i in range(1, 9)]) AS BIGINT) AS qdist
+        FROM csub b JOIN sub q ON q.s = b.s AND q.vec_id = 0
+    ),
+    pq AS (
+        SELECT vec_id,
+               string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS pq_code
+        FROM codes GROUP BY vec_id
+    ),
+    adc AS (
+        SELECT codes.vec_id, CAST(sum(qd.qdist) AS BIGINT) AS adc
+        FROM codes JOIN qd ON qd.s = codes.s AND qd.c = codes.code
+        GROUP BY codes.vec_id
+    )
+    SELECT pq.vec_id, pq.pq_code, adc.adc
+    FROM pq JOIN adc USING (vec_id)
+""")
+def similarity_pq(spark, sf_dir):
+    """Product quantization: 64-dim vectors split into 8 contiguous
+    8-dim subspaces; in each subspace every vector snaps to the nearest
+    of 16 codebook centroids (here the first 16 vectors — a fixed,
+    engine-recomputable codebook standing in for the k-means-trained
+    one, same encode/query plans either way). Emits each vector's PQ
+    code string and its asymmetric distance (ADC) to query vector 0 —
+    sum over subspaces of (query subvector -> assigned centroid)
+    distance, the value an IVF-PQ scan ranks by without ever touching
+    the raw vectors.
+
+    Scale shape: encode is ONE equi-join on the subspace id against a
+    128-row broadcast codebook (vectors x 8 subspace rows stream
+    through; no N x N anything), then a (vec_id, s)-keyed min-agg —
+    map-side combinable because the argmin is folded into one BIGINT
+    key. ADC is a broadcast join of the 128-entry query lookup table
+    against the codes — exactly the constant-size distance-table trick
+    FAISS uses. All arithmetic integer-exact (see module docstring);
+    at production scale only the codebook (k-means over a sample,
+    kmeans_lloyd's plan) and the code columns persist."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
+    sub = e.select(
+        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"),
+        "v").select(
+        "vec_id", "s", F.expr("slice(v, s * 8 + 1, 8)").alias("sv"))
+    csub = (sub.filter(F.col("vec_id") < 16)
+            .select(F.col("vec_id").alias("c"), "s",
+                    F.col("sv").alias("cs")))
+    dist = F.expr("aggregate(zip_with(sv, cs, (a, b) -> (a - b) * (a - b)), "
+                  "0L, (acc, x) -> acc + x)")
+    j = (sub.join(F.broadcast(csub), "s")
+         .groupBy("vec_id", "s")
+         .agg(F.min(dist * 16 + F.col("c")).alias("k")))
+    codes = j.select("vec_id", "s", (F.col("k") % 16).alias("code"))
+    qd = (csub.join(sub.filter(F.col("vec_id") == 0).select("s", "sv"), "s")
+          .select("s", "c", dist.alias("qdist")))
+    pq = (codes.groupBy("vec_id")
+          .agg(F.array_join(
+              F.transform(F.array_sort(F.collect_list(F.struct("s", "code"))),
+                          lambda x: x["code"].cast("string")), "-")
+               .alias("pq_code")))
+    adc = (codes.join(F.broadcast(qd),
+                      (codes["s"] == qd["s"]) & (codes["code"] == qd["c"]))
+           .groupBy("vec_id").agg(F.sum("qdist").alias("adc")))
+    return pq.join(adc, "vec_id").select("vec_id", "pq_code", "adc")

@@ -282,3 +282,102 @@ def string_collation_group(spark, sf_dir):
             SELECT o_orderpriority COLLATE UTF8_LCASE AS pri FROM {name}
         ) GROUP BY pri
     """).select("pri_ci", "n")
+
+
+@query("sql_identifier_clause", oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority
+""")
+def sql_identifier_clause(spark, sf_dir):
+    """IDENTIFIER clause (Spark 4): table AND column names bound from
+    parameters — templated SQL (per-tenant table routing, metric-column
+    selection) without string interpolation, so a parameter can never
+    smuggle SQL syntax into the plan. SQLite (the reference's engine,
+    src/main.rs:220) has no identifier binding at all: its `?` binds
+    values only. The IDENTIFIER() calls resolve during analysis, so the
+    optimized plan is identical to the hand-written query — pushdown
+    and pruning are unaffected.
+
+    max() over doubles needs no rounding contract (no summation-order
+    dependence: max is order-free); rounded to 2dp only to pin the
+    display contract."""
+    name = f"ident_{uuid.uuid4().hex[:8]}"
+    T(spark, sf_dir, "orders").createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               round(max(IDENTIFIER(:metric)), 2) AS max_price
+        FROM IDENTIFIER(:tbl)
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": name, "metric": "o_totalprice"})
+
+
+@query("ansi_try_funcs", oracle="""
+    SELECT * FROM (VALUES
+        (1, 5.0,
+            CAST(30 AS BIGINT), CAST(123 AS INTEGER), CAST(10 AS INTEGER)),
+        (2, CAST(NULL AS DOUBLE),
+            CAST(21 AS BIGINT), CAST(NULL AS INTEGER), CAST(20 AS INTEGER)),
+        (3, CAST(9223372036854775807 AS DOUBLE) / 3,
+            CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+            CAST(30 AS INTEGER)),
+        (4, CAST(NULL AS DOUBLE),
+            CAST(NULL AS BIGINT), CAST(-5 AS INTEGER),
+            CAST(NULL AS INTEGER))
+    ) AS t(id, div_q, mul_t, cast_c, elem_e)
+""")
+def ansi_try_funcs(spark, sf_dir):
+    """ANSI-mode error-safe function family (try_divide / try_multiply /
+    try_cast / try_element_at): under Spark 4's default ANSI SQL mode,
+    division by zero, numeric overflow, and malformed casts RAISE —
+    the try_* variants return NULL instead, the contract a 100 TB batch
+    job needs (one bad row must not kill a 6-hour stage; the NULLs are
+    then auditable with a count filter, see csv/json_malformed_handling
+    for the source-side twin). The oracle is the explicit expected
+    truth table — error semantics pinned row by row:
+    id 2 divides by zero, id 3 overflows BIGINT*3 and INT32 cast,
+    id 4 feeds NULL/out-of-range inputs through every function."""
+    rows = spark.sql("""
+        SELECT * FROM VALUES
+            (1, CAST(10 AS BIGINT), 2, '123'),
+            (2, CAST(7 AS BIGINT), 0, '12abc'),
+            (3, CAST(9223372036854775807 AS BIGINT), 3, '987654321098'),
+            (4, CAST(NULL AS BIGINT), 4, '-5')
+        AS t(id, a, b, s)
+    """)
+    return rows.select(
+        "id",
+        F.try_divide(F.col("a"), F.col("b")).alias("div_q"),
+        F.try_multiply(F.col("a"), F.lit(3).cast("bigint")).alias("mul_t"),
+        F.col("s").try_cast("int").alias("cast_c"),
+        F.try_element_at(F.array(F.lit(10), F.lit(20), F.lit(30)),
+                         F.col("id").cast("int")).alias("elem_e"))
+
+
+@query("sql_pipe_syntax", oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE o_orderdate >= '1995-01-01'
+    GROUP BY o_orderpriority
+""")
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4: FROM t |> WHERE ... |> AGGREGATE ...):
+    the linear top-to-bottom query dialect — each |> stage reads as a
+    DataFrame method chain but stays pure SQL, so REPL users compose
+    filters and aggregations without inside-out SELECT nesting. The
+    parser lowers pipes to the SAME logical plan as the classic form
+    (filter pushdown, partial aggregation all unchanged); the oracle is
+    that classic form on DuckDB."""
+    name = f"pipe_{uuid.uuid4().hex[:8]}"
+    T(spark, sf_dir, "orders").createOrReplaceTempView(name)
+    return spark.sql(f"""
+        FROM {name}
+        |> WHERE o_orderdate >= '1995-01-01'
+        |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents1
+        |> AGGREGATE count(*) AS n, sum(cents1) AS cents
+           GROUP BY o_orderpriority
+    """)
