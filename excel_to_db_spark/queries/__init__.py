@@ -111,7 +111,7 @@ _PRIORITY: tuple[str, ...] = (
 # plus the round-5 batch-2/3 keys (registered after the window):
 #   pipeline_train_val_split dedup_source_matrix text_winnowing
 #   sql_identifier_clause ansi_try_funcs graph_components
-#   sql_pipe_syntax generator_funcs similarity_pq
+#   sql_pipe_syntax generator_funcs similarity_pq text_cdc_chunks
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

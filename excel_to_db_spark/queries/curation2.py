@@ -176,3 +176,79 @@ def text_winnowing(spark, sf_dir):
         F.size("fps").cast("bigint").alias("n_fp"),
         F.array_min("fps").cast("bigint").alias("fp_min"),
         F.expr("aggregate(fps, 0L, (acc, x) -> acc + x)").alias("fp_sum"))
+
+
+# --------------------------------------- content-defined chunking dedup
+
+@query("text_cdc_chunks", oracle="""
+    WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS words
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, source, words,
+               [0] || [i for i in range(1, len(words))
+                       if CAST(('0x' || substr(md5(words[i]), 1, 8))
+                               ::UBIGINT AS BIGINT) % 8 = 0]
+                   || [len(words)] AS edges
+        FROM w
+    ),
+    ch AS (
+        SELECT doc_id, source,
+               unnest([array_to_string(words[edges[j] + 1 : edges[j + 1]],
+                                       ' ')
+                       for j in range(1, len(edges))]) AS chunk
+        FROM e
+    ),
+    sig AS (
+        SELECT source, md5(chunk) AS sig,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(len(string_split(min(chunk), ' ')) AS BIGINT) AS wlen
+        FROM ch GROUP BY source, md5(chunk)
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(cnt - 1) AS BIGINT) AS n_dup,
+           CAST(sum((cnt - 1) * wlen) AS BIGINT) AS words_savable
+    FROM sig GROUP BY source
+""")
+def text_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup census: chunk boundaries fall
+    AFTER any word whose 32-bit md5 is 0 mod 8 (expected chunk ~8
+    words), so boundaries depend only on local content — insert one
+    word at the top of a page and every chunk after it still aligns,
+    where fixed-stride chunking (text_chunk_dedup's 5-word grid) shifts
+    every downstream chunk. This is the rsync/LBFS/data-deduplication
+    trick applied to corpus text; the census reports, per source, how
+    many chunk occurrences are redundant and how many words chunk-level
+    dedup would reclaim.
+
+    Scale shape: boundary detection and chunk splitting are per-row
+    HOF arithmetic (zero shuffles, linear in corpus bytes); only chunk
+    FINGERPRINTS shuffle — one hash aggregation keyed (source, sig),
+    map-side combinable, then a source-sized rollup. The chunk text
+    itself never crosses the wire (md5 computed executor-side)."""
+    d = T(spark, sf_dir, "documents")
+    w = d.select("doc_id", "source",
+                 F.split(F.col("text"), " ").alias("words"))
+    edges = F.expr(
+        "concat(array(0), filter(sequence(1, size(words) - 1), i -> "
+        "cast(conv(substring(md5(element_at(words, i)), 1, 8), 16, 10) "
+        "as bigint) % 8 = 0), array(size(words)))")
+    e = w.select("doc_id", "source", "words", edges.alias("edges"))
+    chunks = F.expr(
+        "transform(sequence(1, size(edges) - 1), j -> "
+        "array_join(slice(words, element_at(edges, j) + 1, "
+        "element_at(edges, j + 1) - element_at(edges, j)), ' '))")
+    ch = (e.select("source", F.explode(chunks).alias("chunk")))
+    sig = (ch.groupBy("source", F.md5("chunk").alias("sig"))
+           .agg(F.count("*").alias("cnt"),
+                F.size(F.split(F.min("chunk"), " ")).cast("bigint")
+                .alias("wlen")))
+    return (sig.groupBy("source")
+            .agg(F.sum("cnt").alias("n_chunks"),
+                 F.count("*").alias("n_distinct"),
+                 F.sum(F.col("cnt") - 1).alias("n_dup"),
+                 F.sum((F.col("cnt") - 1) * F.col("wlen"))
+                 .alias("words_savable")))

@@ -168,3 +168,44 @@ def test_pq_codes_are_self_consistent(spark, sf_dir):
     assert rows[0].adc == 0
     # ADC is a valid lower-bound-ish surrogate: non-negative everywhere
     assert all(r.adc >= 0 for r in rows.values())
+
+
+def test_cdc_chunks_are_shift_robust(spark):
+    """Inserting one word at the front must leave every chunk after the
+    first content-defined boundary identical — the property fixed-stride
+    chunking lacks."""
+    import tempfile
+    from excel_to_db_spark.queries.curation2 import text_cdc_chunks
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six seven eight nine ten")
+    docs = [(1, "srcA", base), (2, "srcB", "INSERTED " + base)]
+    d = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    tmp = tempfile.mkdtemp(prefix="cdc_")
+    d.withColumn("lang", F.lit("en")) \
+     .withColumn("n_chars", F.length("text")) \
+     .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    from pyspark.sql import functions as SF
+    w = (spark.read.parquet(f"{tmp}/documents.parquet")
+         .select("doc_id", SF.split("text", " ").alias("words")))
+    edges = SF.expr(
+        "concat(array(0), filter(sequence(1, size(words) - 1), i -> "
+        "cast(conv(substring(md5(element_at(words, i)), 1, 8), 16, 10) "
+        "as bigint) % 8 = 0), array(size(words)))")
+    chunks = SF.expr(
+        "transform(sequence(1, size(edges) - 1), j -> "
+        "array_join(slice(words, element_at(edges, j) + 1, "
+        "element_at(edges, j + 1) - element_at(edges, j)), ' '))")
+    by_doc = {r.doc_id: r.cs for r in
+              w.select("doc_id", "words", edges.alias("edges"))
+              .select("doc_id", chunks.alias("cs")).collect()}
+    a, b = set(by_doc[1]), set(by_doc[2])
+    # all chunks after the first boundary realign: at most ONE chunk of
+    # the original is lost (the head chunk the insertion lands in)
+    assert len(a - b) <= 1
+    assert len(b - a) <= 1
+    # and the census runs end to end over the fixture
+    rows = {r.source: r for r in text_cdc_chunks(spark, tmp).collect()}
+    assert rows["srcA"].n_chunks == len(by_doc[1])
