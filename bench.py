@@ -100,6 +100,11 @@ HEADLINE = [
     "mixture_interleave",      # temperature-paced source interleaving
     "text_chunk_dedup",        # shuffle-free within-doc boilerplate strip
     "join_bloom_pruned",       # selective dim join (runtime Bloom surface)
+    "similarity_pq",           # PQ encode + ADC over broadcast codebook
+    "text_cdc_chunks",         # content-defined chunk dedup census
+    "text_winnowing",          # shuffle-free winnowing fingerprints
+    "graph_components",        # min-label propagation to fixpoint
+    "dedup_source_matrix",     # sig equi-join cross-source overlap
 ]
 
 

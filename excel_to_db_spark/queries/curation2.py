@@ -252,3 +252,132 @@ def text_cdc_chunks(spark, sf_dir):
                  F.sum(F.col("cnt") - 1).alias("n_dup"),
                  F.sum((F.col("cnt") - 1) * F.col("wlen"))
                  .alias("words_savable")))
+
+
+# ------------------------------------------- deterministic bootstrap CI
+
+@query("stats_bootstrap_ci", oracle="""
+    WITH w AS (
+        SELECT b.b,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(('0x' || substr(md5('boot' || CAST(b.b AS VARCHAR)
+                                        || ':' || CAST(o_orderkey AS VARCHAR)),
+                                    1, 8))::UBIGINT AS BIGINT) % 1000 AS h
+        FROM orders, (SELECT unnest(range(0, 32)) AS b) b
+    ),
+    r AS (
+        SELECT b,
+               sum(CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+                        WHEN h < 920 THEN 2 WHEN h < 981 THEN 3
+                        ELSE 4 END * cents) AS swx,
+               sum(CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+                        WHEN h < 920 THEN 2 WHEN h < 981 THEN 3
+                        ELSE 4 END) AS sw
+        FROM w GROUP BY b
+    ),
+    m AS (
+        SELECT b, CAST((CAST(swx AS HUGEINT) * 1000000) // sw AS BIGINT)
+                      AS mean_q6
+        FROM r
+    ),
+    s AS (SELECT list_sort(array_agg(mean_q6)) AS ms FROM m)
+    SELECT CAST(len(ms) AS BIGINT) AS n_resamples,
+           CAST(list_sum(ms) // 32 AS BIGINT) AS mean_of_means_q6,
+           ms[2] AS ci_lo_q6,
+           ms[31] AS ci_hi_q6
+    FROM s
+""")
+def stats_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson bootstrap of the mean order value: 32
+    resamples materialize as WEIGHTS (w ~ Poisson(1) via fixed md5
+    thresholds: P(0)=.368, P(1)=.368, P(2)=.184, P(3)=.061, P(4)=.019),
+    never as copied rows — the classic trick that lets a 100 TB table
+    be resampled B times in ONE pass with no data movement beyond a
+    B-row aggregate. The 93.75% percentile CI is the 2nd/31st order
+    statistic of the 32 resample means. Every emitted number is an
+    exact integer (means in 1e-6 cents via DECIMAL cross-multiplied
+    floor division), so no float/rounding contract is needed.
+
+    Scale shape: explode x32 happens executor-side feeding one
+    map-side-combinable (b)-keyed aggregation; the driver-side order
+    statistics touch a 32-row relation. At 1000 executors the per-
+    resample sufficient statistics (swx, sw) merge associatively —
+    bootstrap cost is B x scan, independent of n."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    w = o.select(
+        "o_orderkey", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+    h = F.pmod(_h32(F.concat(F.lit("boot"), F.col("b").cast("string"),
+                             F.lit(":"), F.col("o_orderkey").cast("string"))),
+               F.lit(1000))
+    wt = (F.when(h < 368, 0).when(h < 736, 1).when(h < 920, 2)
+          .when(h < 981, 3).otherwise(4))
+    r = (w.select("b", "cents", wt.alias("w"))
+         .groupBy("b")
+         .agg(F.sum(F.col("w") * F.col("cents")).alias("swx"),
+              F.sum("w").alias("sw")))
+    m = r.select(F.expr(
+        "CAST((CAST(swx AS DECIMAL(38,0)) * 1000000) DIV sw AS BIGINT)")
+        .alias("mean_q6"))
+    return (m.agg(F.sort_array(F.collect_list("mean_q6")).alias("ms"))
+            .select(F.size("ms").cast("bigint").alias("n_resamples"),
+                    F.expr("CAST(aggregate(ms, CAST(0 AS DECIMAL(38,0)), "
+                           "(a, x) -> a + x) DIV 32 AS BIGINT)")
+                    .alias("mean_of_means_q6"),
+                    F.element_at("ms", 2).alias("ci_lo_q6"),
+                    F.element_at("ms", 31).alias("ci_hi_q6")))
+
+
+# ----------------------------------------------- hashing-trick features
+
+@query("text_feature_hashing", oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('fh:' || t), 1, 8))
+                    ::UBIGINT AS BIGINT) % 32 AS idx,
+               CASE WHEN CAST(('0x' || substr(md5('sg:' || t), 1, 8))
+                         ::UBIGINT AS BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM tok
+    ),
+    cell AS (
+        SELECT doc_id, idx, CAST(sum(s) AS BIGINT) AS v
+        FROM h GROUP BY doc_id, idx
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE v <> 0) AS BIGINT) AS nnz,
+           CAST(sum(abs(v)) AS BIGINT) AS l1,
+           CAST(sum(v * v) AS BIGINT) AS sq_norm
+    FROM cell GROUP BY doc_id
+""")
+def text_feature_hashing(spark, sf_dir):
+    """Hashing-trick vectorization (Weinberger et al.): every token
+    occurrence lands in dimension md5('fh:'||tok) mod 32 with sign
+    md5('sg:'||tok) mod 2 — a fixed-width feature vector with NO
+    vocabulary pass, no fitted state, and no OOV problem, which is why
+    it is the vectorizer that still works when the corpus is 100 TB and
+    the token universe is unbounded. The signed hash keeps collision
+    noise zero-mean. Emitted as the per-document sparse-vector census
+    (nnz / L1 / squared L2), all exact integers.
+
+    Scale shape: tokenize + hash are per-row codegen; ONE
+    (doc_id, idx)-keyed hash aggregation (bounded at 32 cells per doc)
+    then a doc-keyed rollup that reuses the same partitioning (no
+    second shuffle: doc_id is a prefix of the first grouping key)."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    idx = F.pmod(_h32(F.concat(F.lit("fh:"), F.col("t"))), F.lit(32))
+    sgn = (F.when(F.pmod(_h32(F.concat(F.lit("sg:"), F.col("t"))),
+                         F.lit(2)) == 0, 1).otherwise(-1))
+    cell = (tok.select("doc_id", idx.alias("idx"), sgn.alias("s"))
+            .groupBy("doc_id", "idx").agg(F.sum("s").alias("v")))
+    return (cell.groupBy("doc_id")
+            .agg(F.count(F.when(F.col("v") != 0, 1)).alias("nnz"),
+                 F.sum(F.abs("v")).alias("l1"),
+                 F.sum(F.col("v") * F.col("v")).alias("sq_norm")))

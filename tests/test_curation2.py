@@ -209,3 +209,51 @@ def test_cdc_chunks_are_shift_robust(spark):
     # and the census runs end to end over the fixture
     rows = {r.source: r for r in text_cdc_chunks(spark, tmp).collect()}
     assert rows["srcA"].n_chunks == len(by_doc[1])
+
+
+def test_bootstrap_ci_brackets_the_true_mean(spark, sf_dir):
+    from excel_to_db_spark.queries.curation2 import stats_bootstrap_ci
+
+    row = stats_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert row.n_resamples == 32
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    true_q6 = int(o.agg(
+        F.expr("CAST(avg(CAST(round(o_totalprice * 100) AS BIGINT)) "
+               "* 1000000 AS BIGINT)")).collect()[0][0])
+    # the percentile CI must bracket the true mean and be ordered
+    assert row.ci_lo_q6 <= row.ci_hi_q6
+    assert row.ci_lo_q6 <= true_q6 <= row.ci_hi_q6
+    # resampling error is small relative to the mean (CLT sanity)
+    assert abs(row.mean_of_means_q6 - true_q6) / true_q6 < 0.05
+    # deterministic: identical on re-run
+    again = stats_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert (again.ci_lo_q6, again.ci_hi_q6) == (row.ci_lo_q6, row.ci_hi_q6)
+
+
+def test_feature_hashing_census_matches_direct_vectors(spark):
+    import tempfile
+    from collections import Counter
+    import hashlib
+    from excel_to_db_spark.queries.curation2 import text_feature_hashing
+
+    docs = [(1, "a b a c"), (2, "x x x"), (3, "p q r s t u v w")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    tmp = tempfile.mkdtemp(prefix="fh_")
+    (d.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+     .withColumn("n_chars", F.length("text"))
+     .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    want = {}
+    for doc_id, text in docs:
+        vec = Counter()
+        for t in text.split(" "):
+            vec[h32("fh:" + t) % 32] += 1 if h32("sg:" + t) % 2 == 0 else -1
+        want[doc_id] = (sum(1 for v in vec.values() if v != 0),
+                        sum(abs(v) for v in vec.values()),
+                        sum(v * v for v in vec.values()))
+    got = {r.doc_id: (r.nnz, r.l1, r.sq_norm)
+           for r in text_feature_hashing(spark, tmp).collect()}
+    assert got == want
