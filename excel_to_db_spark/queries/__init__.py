@@ -112,7 +112,7 @@ _PRIORITY: tuple[str, ...] = (
 #   pipeline_train_val_split dedup_source_matrix text_winnowing
 #   sql_identifier_clause ansi_try_funcs graph_components
 #   sql_pipe_syntax generator_funcs similarity_pq text_cdc_chunks
-#   stats_bootstrap_ci text_feature_hashing
+#   stats_bootstrap_ci text_feature_hashing stream_stream_full
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

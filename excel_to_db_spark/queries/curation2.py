@@ -381,3 +381,50 @@ def text_feature_hashing(spark, sf_dir):
             .agg(F.count(F.when(F.col("v") != 0, 1)).alias("nnz"),
                  F.sum(F.abs("v")).alias("l1"),
                  F.sum(F.col("v") * F.col("v")).alias("sq_norm")))
+
+
+# ------------------------------------- full-outer stream-stream join
+
+@query("stream_stream_full", oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                             (SELECT max(view_ts) FROM v))
+                       - INTERVAL '30 minutes' AS cut),
+         j AS (SELECT c.user_id, c.click_id, v.view_id, c.click_ts
+               FROM c LEFT JOIN v
+                 ON c.user_id = v.user_id
+                AND v.view_ts > c.click_ts
+                AND v.view_ts <= c.click_ts + INTERVAL '10 minutes')
+    SELECT user_id, click_id, view_id FROM j WHERE view_id IS NOT NULL
+    UNION ALL
+    SELECT user_id, click_id, CAST(NULL AS BIGINT) AS view_id
+    FROM j, wm
+    WHERE view_id IS NULL AND click_ts < cut - INTERVAL '10 minutes'
+    UNION ALL
+    SELECT v.user_id, CAST(NULL AS BIGINT) AS click_id, v.view_id
+    FROM v, wm
+    WHERE v.view_ts < cut
+      AND NOT EXISTS (SELECT 1 FROM c
+                      WHERE c.user_id = v.user_id
+                        AND v.view_ts > c.click_ts
+                        AND v.view_ts <= c.click_ts + INTERVAL '10 minutes')
+""")
+def stream_stream_full(spark, sf_dir):
+    """FULL OUTER stream-stream interval join — completes the
+    stream-stream join-mode matrix (inner/left/full). Both sides carry
+    watermark-driven state expiry: unmatched clicks NULL-emit once
+    wm > click_ts + interval, unmatched views once wm > view_ts (their
+    candidate clicks are strictly older, so final by then). The oracle
+    replays the engine's emission rule exactly: matched pairs, plus
+    each side's unmatched rows older than its expiry cutoff under the
+    finite-replay final watermark min(max click, max view) - 30min.
+    Contract pinned empirically (Spark 4.1.2) in
+    streaming/windows.py:run_stream_stream_full_join; full outer costs
+    the SAME state budget as the inner join — only the emission rules
+    differ."""
+    from ..streaming.windows import run_stream_stream_full_join
+
+    return run_stream_stream_full_join(spark, sf_dir)

@@ -596,3 +596,53 @@ def run_stream_update_mode(spark: SparkSession, sf_dir: str,
         _W.partitionBy("win_start").orderBy(F.col("n_events").desc()))
     return (emitted.withColumn("rk", rk).filter(F.col("rk") == 1)
             .select("win_start", "win_end", "n_events", "sum_value"))
+
+
+def run_stream_stream_full_join(spark: SparkSession, sf_dir: str,
+                                within: str = "10 minutes",
+                                watermark: str = "30 minutes") -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the
+    stream-stream join-mode matrix (inner: run_stream_stream_join,
+    left: run_stream_stream_left_join). Both sides carry state-expiry
+    NULL emission: an unmatched click emits once the watermark proves
+    no view can still match (wm > click_ts + within, as in the left
+    join); an unmatched view emits once the watermark passes the end of
+    its candidate-click window (wm > view_ts — any matching click has
+    click_ts < view_ts, already final by then).
+
+    Emission contract (pinned empirically on Spark 4.1.2, encoded in
+    the stream_stream_full oracle): finite availableNow replay ends
+    with global watermark min(max click_ts, max view_ts) - `watermark`;
+    NULL-click rows appear for unmatched views with view_ts < wm_final,
+    NULL-view rows for unmatched clicks with click_ts < wm_final -
+    `within`. State stays O(rate x (watermark + within)) per side —
+    the same budget as the inner join, which is the whole point: full
+    outer costs no extra state, only the two expiry emission rules."""
+    name = f"fsj_{uuid.uuid4().hex[:8]}"
+    clicks = (events_stream_reader(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    views = (events_stream_reader(spark, sf_dir)
+             .filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark))
+    joined = (clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") > F.col("click_ts"))
+        & (F.col("view_ts") <= F.col("click_ts")
+           + F.expr(f"INTERVAL {within}")),
+        "full_outer")
+        .select(F.coalesce(F.col("c_user"), F.col("v_user"))
+                .alias("user_id"), "click_id", "view_id"))
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         )
+    run_scoped(spark, q)
+    return spark.table(name)

@@ -257,3 +257,42 @@ def test_feature_hashing_census_matches_direct_vectors(spark):
     got = {r.doc_id: (r.nnz, r.l1, r.sq_norm)
            for r in text_feature_hashing(spark, tmp).collect()}
     assert got == want
+
+
+def test_stream_full_outer_emits_both_expiry_classes(spark, sf_dir):
+    """Full-outer stream-stream join: matched pairs + click-side NULLs
+    older than wm-interval + view-side NULLs older than wm — checked
+    against the batch-computed emission rule."""
+    from excel_to_db_spark.queries.curation2 import stream_stream_full
+    from excel_to_db_spark.tables import load_table
+
+    rows = stream_stream_full(spark, sf_dir).collect()
+    got_nv = {(r.user_id, r.click_id) for r in rows if r.view_id is None}
+    got_nc = {(r.user_id, r.view_id) for r in rows if r.click_id is None}
+
+    e = load_table(spark, sf_dir, "events")
+    c = (e.filter(F.col("event_type") == "click")
+         .select("user_id", F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("click_ts")))
+    v = (e.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("view_ts")))
+    cut_row = (c.agg(F.max("click_ts").alias("mc")).crossJoin(
+        v.agg(F.max("view_ts").alias("mv"))).select(
+        F.expr("least(mc, mv) - INTERVAL 30 minutes").alias("cut"))
+        .collect()[0])
+    cond = ((F.col("user_id") == F.col("v_user"))
+            & (F.col("view_ts") > F.col("click_ts"))
+            & (F.col("view_ts") <= F.col("click_ts")
+               + F.expr("INTERVAL 10 minutes")))
+    lj = c.join(v, cond, "left")
+    want_nv = {(r.user_id, r.click_id) for r in
+               lj.filter(F.col("view_id").isNull()
+                         & (F.col("click_ts") < F.lit(cut_row.cut)
+                            - F.expr("INTERVAL 10 minutes"))).collect()}
+    want_nc = {(r.v_user, r.view_id) for r in
+               v.join(c, cond, "left_anti")
+               .filter(F.col("view_ts") < F.lit(cut_row.cut)).collect()}
+    assert got_nv == want_nv
+    assert got_nc == want_nc
