@@ -847,3 +847,73 @@ def map_funcs(spark, sf_dir):
     return (o.select(F.explode(m).alias("map_key", "map_value"))
             .groupBy("map_key", "map_value")
             .agg(F.count("*").alias("n")))
+
+
+@query("url_funcs", oracle="""
+    WITH u AS (
+        SELECT 'shop.example.com' AS host,
+               '/' || replace(lower(o_orderpriority), ' ', '-') || '/item' AS path,
+               CAST(o_orderkey AS VARCHAR) AS id_q,
+               o_orderpriority
+        FROM orders
+    )
+    SELECT o_orderpriority, host, path,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(id_q AS BIGINT)) AS BIGINT) AS min_id
+    FROM u GROUP BY o_orderpriority, host, path
+""")
+def url_funcs(spark, sf_dir):
+    """URL function pack (parse_url HOST/PATH/QUERY-key): URLs are the
+    join key of every web corpus — per-domain dedup, crawl precedence,
+    and robots accounting all start by splitting them. The URLs are
+    synthesized from order columns (the corpus has no URL column), so
+    the oracle can recompute every component from the source columns
+    instead of reimplementing a parser; the Spark side must round-trip
+    through the REAL parser (java.net.URI semantics) to agree.
+
+    Per-row parse in codegen; one small aggregation to keep the result
+    priority-sized. The query-parameter extraction is exercised
+    end-to-end: min(id) only agrees if parse_url recovered the id
+    parameter of every URL."""
+    o = T(spark, sf_dir, "orders")
+    url = F.concat(F.lit("https://shop.example.com/"),
+                   F.translate(F.lower("o_orderpriority"), " ", "-"),
+                   F.lit("/item?id="),
+                   F.col("o_orderkey").cast("string"), F.lit("&ref=mail"))
+    u = o.select(
+        "o_orderpriority",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_q"))
+    return (u.groupBy("o_orderpriority", "host", "path")
+            .agg(F.count("*").alias("n"),
+                 F.min(F.col("id_q").cast("bigint")).alias("min_id")))
+
+
+@query("bitwise_funcs", oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_orderkey & l_partkey) AS BIGINT) AS s_and,
+           CAST(sum(l_orderkey | l_partkey) AS BIGINT) AS s_or,
+           CAST(sum(xor(l_orderkey, l_partkey)) AS BIGINT) AS s_xor,
+           CAST(sum(l_partkey << 3) AS BIGINT) AS s_shl,
+           CAST(sum(l_orderkey >> 2) AS BIGINT) AS s_shr,
+           CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS s_pop
+    FROM lineitem
+""")
+def bitwise_funcs(spark, sf_dir):
+    """Bitwise scalar pack (& | ^ shifts popcount): the primitives under
+    every bitmap/bloom/simhash operator in the repo, exercised directly
+    as SQL surface. All operands are non-negative bigints, so shift and
+    popcount semantics agree across engines without masking; the
+    row-wise results are summed into one exact-integer census row
+    (map-side combinable, codegen end to end)."""
+    le = T(spark, sf_dir, "lineitem")
+    a, b = F.col("l_orderkey"), F.col("l_partkey")
+    return le.agg(
+        F.count("*").alias("n"),
+        F.sum(a.bitwiseAND(b)).alias("s_and"),
+        F.sum(a.bitwiseOR(b)).alias("s_or"),
+        F.sum(a.bitwiseXOR(b)).alias("s_xor"),
+        F.sum(F.shiftleft(b, 3)).alias("s_shl"),
+        F.sum(F.shiftright(a, 2)).alias("s_shr"),
+        F.sum(F.bit_count(a)).alias("s_pop"))

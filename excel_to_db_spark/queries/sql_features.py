@@ -381,3 +381,31 @@ def sql_pipe_syntax(spark, sf_dir):
         |> AGGREGATE count(*) AS n, sum(cents1) AS cents
            GROUP BY o_orderpriority
     """)
+
+
+@query("sql_session_variables", oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders WHERE o_totalprice > 400000.0
+    GROUP BY o_orderstatus
+""")
+def sql_session_variables(spark, sf_dir):
+    """Session variables + EXECUTE IMMEDIATE (Spark 4): DECLARE
+    VARIABLE / SET VAR give SQL-only sessions typed, injection-safe
+    state (the REPL analogue of sqlite's bind params held across
+    statements), and EXECUTE IMMEDIATE runs SQL text held in a
+    variable — together the dynamic-SQL surface a migrating SQLite
+    user asks for first. The threshold rides through a DOUBLE variable
+    into the WHERE clause (still folds to a pushed filter); the final
+    SELECT itself executes from a STRING variable."""
+    name = f"vars_{uuid.uuid4().hex[:8]}"
+    T(spark, sf_dir, "orders").createOrReplaceTempView(name)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_thr DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR price_thr = 400000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+    spark.sql(f"""SET VAR stmt =
+        'SELECT o_orderstatus, count(*) AS n,
+                round(max(o_totalprice), 2) AS max_price
+         FROM {name} WHERE o_totalprice > price_thr
+         GROUP BY o_orderstatus'""")
+    return spark.sql("EXECUTE IMMEDIATE stmt")
