@@ -113,7 +113,7 @@ _PRIORITY: tuple[str, ...] = (
 #   sql_identifier_clause ansi_try_funcs graph_components
 #   sql_pipe_syntax generator_funcs similarity_pq text_cdc_chunks
 #   stats_bootstrap_ci text_feature_hashing stream_stream_full
-#   sql_session_variables url_funcs bitwise_funcs
+#   sql_session_variables url_funcs bitwise_funcs stream_late_audit
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

@@ -428,3 +428,35 @@ def stream_stream_full(spark, sf_dir):
     from ..streaming.windows import run_stream_stream_full_join
 
     return run_stream_stream_full_join(spark, sf_dir)
+
+
+# ------------------------------------------------ late-data audit replay
+
+@query("stream_late_audit", oracle="""
+    WITH late AS (
+        SELECT ts FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 2 days AS cut FROM late)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM late, wm
+    GROUP BY day, cut
+    HAVING day + INTERVAL 1 day <= cut
+""")
+def stream_late_audit(spark, sf_dir):
+    """Streaming late-data audit: the events log replayed NEWEST-FIRST
+    (three staged files, late half then early half), so the early half
+    arrives beyond the watermark and is excluded from the emitted daily
+    counts entirely — the deterministic worst case of out-of-order
+    delivery, and the replay a pipeline runs to audit what late data
+    would cost it. The surviving output is exactly the late-half days
+    whose window closed under the final watermark (append-mode
+    emission), which is what the oracle computes; the engine's
+    numRowsDroppedByWatermark observability metric is surfaced by the
+    runner and smoke-checked in tests (its exact value is
+    engine-internal). Contract pinned empirically on Spark 4.1.2 in
+    streaming/windows.py:run_stream_late_audit."""
+    from ..streaming.windows import run_stream_late_audit
+
+    df, _dropped = run_stream_late_audit(spark, sf_dir)
+    return df

@@ -51,6 +51,7 @@ def run_scoped(spark: SparkSession, writer, state_partitions: int = 8):
     try:
         q = writer.start()
         q.awaitTermination()
+        return q                    # drained; callers may read progress
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
@@ -646,3 +647,70 @@ def run_stream_stream_full_join(spark: SparkSession, sf_dir: str,
          )
     run_scoped(spark, q)
     return spark.table(name)
+
+
+def run_stream_late_audit(spark: SparkSession, sf_dir: str,
+                          split: str = "2024-01-16",
+                          watermark: str = "2 days"):
+    """Late-data audit replay: the events log is staged as three files
+    arriving newest-first (late half split in two, then the early half;
+    ascending mtimes pin the order), so by the time the early half
+    arrives the watermark — which PROPAGATES WITH ONE BATCH OF LAG
+    (batch N filters with the watermark committed after batch N-1, an
+    empirically pinned engine behavior this staging is sized around) —
+    has advanced past every early row. The early half is late beyond
+    the watermark: none of its windows ever emit, and the engine's
+    numRowsDroppedByWatermark metric surfaces (exposed via the second
+    return value; its exact value depends on engine-internal
+    state-eviction details, so the CONTRACT is only that the emitted
+    result excludes the early half entirely).
+
+    Emitted set (the oracle): late-half daily windows whose end has
+    closed under the final watermark max(late ts) - `watermark` — the
+    append-mode emission rule. This is the operator a pipeline uses to
+    audit what out-of-order upstream delivery would cost it.
+
+    Returns (result_df, dropped_rows_metric)."""
+    import os
+    import tempfile
+
+    from ..tables import load_table
+
+    out = tempfile.mkdtemp(prefix="e2db_late_")
+    batch = load_table(spark, sf_dir, "events")
+    mid = "2024-01-24"
+    parts = [batch.filter(F.col("ts") >= F.lit(mid)),       # newest first
+             batch.filter((F.col("ts") >= F.lit(split))
+                          & (F.col("ts") < F.lit(mid))),
+             batch.filter(F.col("ts") < F.lit(split))]      # arrives LAST
+    for i, part in enumerate(parts):
+        pdir = os.path.join(out, f"half_{i}.dir")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        fname = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        dest = os.path.join(out, f"half_{i}.parquet")
+        os.rename(os.path.join(pdir, fname), dest)
+        os.utime(dest, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    schema = spark.read.parquet(os.path.join(out, "half_0.parquet")).schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", "1")
+              .option("latestFirst", "false")
+              .option("pathGlobFilter", "*.parquet")
+              .load(out))
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (stream
+         .withWatermark("ts", watermark)
+         .groupBy(F.window("ts", "1 day").alias("win"))
+         .agg(F.count("*").alias("n_events"))
+         .select(F.col("win.start").alias("day"), "n_events")
+         .writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         )
+    handle = run_scoped(spark, q)
+    dropped = 0
+    prog = handle.recentProgress or []
+    for p in prog:
+        for op in (p.get("stateOperators") or []):
+            dropped += int(op.get("numRowsDroppedByWatermark", 0))
+    return spark.table(name), dropped

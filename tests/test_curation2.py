@@ -296,3 +296,24 @@ def test_stream_full_outer_emits_both_expiry_classes(spark, sf_dir):
                .filter(F.col("view_ts") < F.lit(cut_row.cut)).collect()}
     assert got_nv == want_nv
     assert got_nc == want_nc
+
+
+def test_late_audit_excludes_early_half_and_surfaces_drops(spark, sf_dir):
+    from excel_to_db_spark.streaming.windows import run_stream_late_audit
+    from excel_to_db_spark.tables import load_table
+
+    df, dropped = run_stream_late_audit(spark, sf_dir)
+    days = {r.day for r in df.collect()}
+    # nothing from the early (late-arriving) half ever emits
+    assert days and all(str(d) >= "2024-01-16" for d in days)
+    # the engine's late-drop observability metric surfaced
+    assert dropped > 0
+    # emitted counts equal the batch late-half counts for those days
+    e = load_table(spark, sf_dir, "events")
+    want = {r.day: r.n for r in
+            e.filter(F.col("ts") >= "2024-01-16")
+            .groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count("*").alias("n")).collect()}
+    got = {r.day: r.n_events for r in df.collect()}
+    for d, n in got.items():
+        assert want[d] == n
