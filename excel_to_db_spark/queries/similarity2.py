@@ -112,3 +112,68 @@ def similarity_pq(spark, sf_dir):
                       (codes["s"] == qd["s"]) & (codes["code"] == qd["c"]))
            .groupBy("vec_id").agg(F.sum("qdist").alias("adc")))
     return pq.join(adc, "vec_id").select("vec_id", "pq_code", "adc")
+
+
+@query("embedding_mrl_eval", oracle="""
+    WITH iv AS (
+        SELECT vec_id,
+               [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+    d AS (
+        SELECT vec_id,
+               CAST(list_sum([(v[i] - qv[i]) * (v[i] - qv[i])
+                              for i in range(1, 65)]) AS BIGINT) AS d_full,
+               CAST(list_sum([(v[i] - qv[i]) * (v[i] - qv[i])
+                              for i in range(1, 17)]) AS BIGINT) AS d_16
+        FROM iv, q WHERE vec_id <> 0
+    ),
+    tf AS (SELECT vec_id FROM d ORDER BY d_full, vec_id LIMIT 10),
+    tt AS (SELECT vec_id FROM d ORDER BY d_16, vec_id LIMIT 10)
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_vectors,
+           CAST((SELECT count(*) FROM tf JOIN tt USING (vec_id)) AS BIGINT)
+               AS overlap_at_10,
+           (SELECT min(vec_id) FROM tf) = (SELECT min(vec_id) FROM tt)
+               AS top1_sets_share_min
+""")
+def embedding_mrl_eval(spark, sf_dir):
+    """Matryoshka-truncation retrieval evaluation: score query vector 0
+    against the corpus with the FULL 64 dims and with only the first 16
+    dims (the MRL deployment trick — serve a prefix of the embedding,
+    pay 1/4 the memory and FLOPs), and report how much of the exact
+    top-10 the truncated index preserves. This is the third leg of the
+    embedding-compression eval set: similarity_pq (codebook
+    quantization), embedding_quantize (scalar int8), and now dimension
+    truncation.
+
+    Scale shape: one broadcast of the query's integer vector, one
+    projected scan computing BOTH distances in the same codegen pass
+    (the prefix distance shares the full distance's terms), and two
+    TakeOrderedAndProject top-10s — no shuffle larger than 10 rows
+    leaves any executor. Distances are exact BIGINTs on quantized
+    vectors (floor(x*1000+0.5)), ties broken by vec_id, so the top-10
+    sets are engine-identical."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.col("v").alias("qv")))
+    dist = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, t) -> acc + t)")
+    d = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+         .select("vec_id",
+                 F.expr(dist.format(a="v", b="qv")).alias("d_full"),
+                 F.expr(dist.format(a="slice(v, 1, 16)",
+                                    b="slice(qv, 1, 16)")).alias("d_16")))
+    tf = d.orderBy("d_full", "vec_id").limit(10).select("vec_id")
+    tt = d.orderBy("d_16", "vec_id").limit(10).select("vec_id")
+    stats = d.agg(F.count("*").alias("n_vectors"))
+    overlap = (tf.join(tt, "vec_id")
+               .agg(F.count("*").alias("overlap_at_10")))
+    mins = (tf.agg(F.min("vec_id").alias("m1")).crossJoin(
+        tt.agg(F.min("vec_id").alias("m2")))
+        .select((F.col("m1") == F.col("m2")).alias("top1_sets_share_min")))
+    return stats.crossJoin(overlap).crossJoin(mins)
