@@ -460,3 +460,92 @@ def stream_late_audit(spark, sf_dir):
 
     df, _dropped = run_stream_late_audit(spark, sf_dir)
     return df
+
+
+# ------------------------------------------------ k-anonymity audit
+
+@query("privacy_k_anonymity", oracle="""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, c_mktsegment, bal_bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           CAST(min(n) AS BIGINT) AS k_anonymity
+    FROM g
+""")
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers: customers grouped by
+    (nation, market segment, account-balance bucket of 1000); any group
+    smaller than k=5 re-identifies its members by those columns alone.
+    Reports the equivalence-class census and the dataset's actual k
+    (the smallest class) — the number a privacy review asks for before
+    a table with quasi-identifiers ships to training. Complements
+    text_pii_scrub (value-level redaction) with table-level disclosure
+    risk. Balance buckets are exact integer cents floor-divided, so the
+    grouping is engine-identical.
+
+    Scale shape: one map-side-combinable aggregation on the QI tuple,
+    then a scalar rollup — the same two-phase census plan at any
+    corpus size; no row leaves the executors."""
+    c = T(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey", "c_mktsegment",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+        .alias("bal_bucket"))
+    g = (qi.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+         .agg(F.count("*").alias("n")))
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).cast("bigint")
+        .alias("n_risky_groups"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+        .cast("bigint").alias("n_risky_rows"),
+        F.min("n").alias("k_anonymity"))
+
+
+# ------------------------------------------------ timezone conversion
+
+@query("tz_funcs", oracle="""
+    WITH z AS (
+        SELECT u.zone, u.off_h, ts FROM events,
+               (VALUES ('UTC', 0), ('America/New_York', -5),
+                       ('Asia/Tokyo', 9)) AS u(zone, off_h)
+    )
+    SELECT zone,
+           CAST(hour(ts + to_hours(off_h)) AS INTEGER) AS local_hour,
+           CAST(count(*) AS BIGINT) AS n
+    FROM z GROUP BY 1, 2
+""")
+def tz_funcs(spark, sf_dir):
+    """Timezone conversion pack (from_utc_timestamp against the real
+    IANA tz database): the events log's UTC timestamps rendered as
+    local wall-clock hours in three zones — the 'when are our users
+    active' histogram every dashboard starts with. Spark resolves the
+    zone rules from tzdb; the oracle applies the fixed January offsets
+    (UTC+0 / NY -5 / Tokyo +9 — the corpus spans January only, so no
+    DST transition falls inside it and the fixed offsets are exactly
+    what tzdb resolves; a DST-spanning corpus would need the oracle to
+    carry the transition rule).
+
+    Per-row conversion in codegen; one (zone, hour)-keyed aggregation,
+    72 output rows regardless of scale."""
+    e = T(spark, sf_dir, "events").select("ts")
+    zones = F.explode(F.array(
+        F.lit("UTC"), F.lit("America/New_York"), F.lit("Asia/Tokyo")))
+    z = e.select("ts", zones.alias("zone"))
+    return (z.select(
+        "zone",
+        F.hour(F.from_utc_timestamp(F.col("ts"), F.col("zone")))
+        .alias("local_hour"))
+        .groupBy("zone", "local_hour")
+        .agg(F.count("*").alias("n")))
