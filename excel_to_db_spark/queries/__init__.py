@@ -114,7 +114,8 @@ _PRIORITY: tuple[str, ...] = (
 #   sql_pipe_syntax generator_funcs similarity_pq text_cdc_chunks
 #   stats_bootstrap_ci text_feature_hashing stream_stream_full
 #   sql_session_variables url_funcs bitwise_funcs stream_late_audit
-#   embedding_mrl_eval privacy_k_anonymity tz_funcs
+#   embedding_mrl_eval privacy_k_anonymity tz_funcs stats_theil_sen
+#   hash_funcs
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

@@ -549,3 +549,60 @@ def tz_funcs(spark, sf_dir):
         .alias("local_hour"))
         .groupBy("zone", "local_hour")
         .agg(F.count("*").alias("n")))
+
+
+# -------------------------------------------- Theil-Sen robust trend
+
+@query("stats_theil_sen", oracle="""
+    WITH d AS (
+        SELECT date_diff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS x,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders
+        WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM d a JOIN d b ON b.x > a.x
+    )
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 4) AS slope_med
+    FROM p
+""")
+def stats_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend of daily revenue (1995): the median of
+    all pairwise slopes — a 29%-breakdown-point trend estimator that a
+    handful of promotion-day spikes cannot drag, where OLS
+    (agg_regression / stats_ols_multi) follows every outlier. Slopes
+    are exact-integer differences divided once (IEEE-identical on both
+    engines); the median interpolates identically (Spark percentile ==
+    DuckDB quantile_cont), rounded to 4dp.
+
+    Scale shape: the fact table collapses to a DAY-SIZED series first
+    (one map-side-combinable aggregation; 365 rows whatever the corpus
+    size), so the O(n^2) pair enumeration is 66k tiny rows from a
+    broadcast theta self-join of the day series — the documented
+    pattern for superlinear statistics: aggregate to a bounded series,
+    THEN go quadratic. At 100 TB nothing changes but the first
+    aggregation's width."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01"))
+    d = (o.groupBy(F.datediff(F.col("o_orderdate").cast("date"),
+                              F.lit("1995-01-01").cast("date")).alias("x"))
+         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+              .alias("y")))
+    a = d.select(F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = d.select(F.col("x").alias("bx"), F.col("y").alias("by"))
+    p = (a.join(F.broadcast(b), F.col("bx") > F.col("ax"))
+         .select(((F.col("by") - F.col("ay"))
+                  / (F.col("bx") - F.col("ax")).cast("double"))
+                 .alias("slope")))
+    nd = d.agg(F.count("*").alias("n_days"))
+    return (nd.crossJoin(
+        p.agg(F.count("*").alias("n_pairs"),
+              F.round(F.percentile("slope", F.lit(0.5)), 4)
+              .alias("slope_med"))))

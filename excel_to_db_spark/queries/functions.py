@@ -917,3 +917,22 @@ def bitwise_funcs(spark, sf_dir):
         F.sum(F.shiftleft(b, 3)).alias("s_shl"),
         F.sum(F.shiftright(a, 2)).alias("s_shr"),
         F.sum(F.bit_count(a)).alias("s_pop"))
+
+
+@query("hash_funcs", oracle="""
+    SELECT substr(md5(c_name), 1, 12) AS h_md5,
+           substr(sha256(c_name), 1, 12) AS h_sha256,
+           c_name
+    FROM customer WHERE c_custkey <= 50
+""")
+def hash_funcs(spark, sf_dir):
+    """Cryptographic digest pack (md5 / sha2-256): the content-address
+    primitives under every dedup signature and cache key in the repo,
+    exercised directly as scalar surface. Both engines produce
+    lowercase hex; prefixes keep the comparison readable. Per-row
+    codegen, filter pushed to the scan."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    return c.select(
+        F.substring(F.md5("c_name"), 1, 12).alias("h_md5"),
+        F.substring(F.sha2("c_name", 256), 1, 12).alias("h_sha256"),
+        "c_name")

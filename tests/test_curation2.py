@@ -317,3 +317,22 @@ def test_late_audit_excludes_early_half_and_surfaces_drops(spark, sf_dir):
     got = {r.day: r.n_events for r in df.collect()}
     for d, n in got.items():
         assert want[d] == n
+
+
+def test_theil_sen_resists_outliers_where_ols_does_not(spark):
+    """One massive spike day must barely move the Theil-Sen slope while
+    dragging the OLS slope far from truth — the estimator's reason to
+    exist."""
+    base = [(x, 1000 + 10 * x) for x in range(30)]           # slope 10
+    spiked = [(x, y if x != 15 else y + 1_000_000) for x, y in base]
+    d = spark.createDataFrame(spiked, "x int, y long")
+    a = d.select(F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = d.select(F.col("x").alias("bx"), F.col("y").alias("by"))
+    ts = (a.join(b, F.col("bx") > F.col("ax"))
+          .select(((F.col("by") - F.col("ay"))
+                   / (F.col("bx") - F.col("ax")).cast("double"))
+                  .alias("s"))
+          .agg(F.percentile("s", F.lit(0.5))).collect()[0][0])
+    ols = d.agg(F.expr("regr_slope(y, x)")).collect()[0][0]
+    assert abs(ts - 10) < 1.0          # robust: spike barely moves it
+    assert abs(ols - 10) > 100         # OLS dragged by the spike
