@@ -606,3 +606,63 @@ def stats_theil_sen(spark, sf_dir):
         p.agg(F.count("*").alias("n_pairs"),
               F.round(F.percentile("slope", F.lit(0.5)), 4)
               .alias("slope_med"))))
+
+
+# --------------------------------- event-time-timeout stateful sessions
+
+@query("stream_stateful_timeout", oracle="""
+    WITH l AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts - prev > INTERVAL 5 minutes
+                    THEN 1 ELSE 0 END AS brk
+        FROM l
+    ),
+    sid AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    ),
+    sess AS (
+        SELECT user_id, sid, min(ts) AS sess_start, max(ts) AS sess_last,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sid GROUP BY 1, 2
+    ),
+    mx AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY 1),
+    wm AS (SELECT max(ts) - INTERVAL 10 minutes AS cut FROM events)
+    SELECT s.user_id, s.sess_start, s.sess_last, s.n_events,
+           CASE WHEN s.sid < m.last_sid THEN 'gap' ELSE 'timeout' END
+               AS closed_by
+    FROM sess s JOIN mx m USING (user_id), wm
+    WHERE s.sid < m.last_sid
+       OR s.sess_last + INTERVAL 5 minutes < wm.cut
+""")
+def stream_stateful_timeout(spark, sf_dir):
+    """Custom stateful sessionizer with EVENT-TIME TIMEOUTS
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout): the
+    timeout API is how production pipelines flush idle keys — a
+    session closes either because a later event of the same user opens
+    a new one ('gap', emitted immediately) or because the watermark
+    proved the user idle past the gap ('timeout', fired by the engine
+    with no input row for the key). Completes the stateful family:
+    stream_stateful (NoTimeout running totals), stream_rocksdb_state
+    (backend), and now timer-driven closure.
+
+    Emission contract (pinned empirically, Spark 4.1.2): over the
+    time-ordered 4-slice replay, availableNow runs a final timeout
+    pass under the fully-advanced watermark, so emitted = every
+    non-final session per user ('gap') + final sessions with
+    last_ts + gap < max(ts) - watermark ('timeout'). The 10-minute
+    watermark exceeds the 5-minute gap, so a session that continues
+    across a micro-batch boundary can never time out prematurely —
+    the invariant that makes the emitted set slicing-independent.
+    State per key is three scalars; state-store partitioning via
+    run_scoped."""
+    from ..streaming.stateful import run_stateful_sessions
+
+    return run_stateful_sessions(spark, sf_dir)

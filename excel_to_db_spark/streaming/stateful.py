@@ -157,3 +157,91 @@ def run_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
          )
     run_scoped(spark, q)
     return spark.table(name)
+
+
+# ---------------------------------------- event-time-timeout sessions
+
+SESS_OUT_SCHEMA = ("user_id bigint, sess_start timestamp, "
+                   "sess_last timestamp, n_events bigint, closed_by string")
+SESS_STATE_SCHEMA = "start long, last long, n bigint"
+
+_GAP_US = 5 * 60 * 1_000_000          # 5-minute session gap
+
+
+def _update_sessions(key: tuple, pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterable[pd.DataFrame]:
+    """Gap-based sessionizer with EVENT-TIME TIMEOUT closure: rows
+    extend the open session while they arrive within the gap; a gap in
+    the DATA closes the previous session immediately ('gap'); the
+    user's final open session closes only when the WATERMARK passes
+    last_ts + gap ('timeout') — the mechanism that flushes idle keys in
+    a production pipeline. State per key is three scalars."""
+    (user_id,) = key
+    out = []
+
+    def emit(start_us, last_us, n, how):
+        out.append((user_id, pd.Timestamp(start_us, unit="us"),
+                    pd.Timestamp(last_us, unit="us"), n, how))
+
+    if state.hasTimedOut:
+        start, last, n = state.get
+        emit(start, last, n, "timeout")
+        state.remove()
+    else:
+        start, last, n = state.get if state.exists else (None, None, 0)
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(rows):
+            ts_us = (rows["ts"].astype("int64") // 1000
+                     if rows["ts"].dtype.kind == "M" else
+                     rows["ts"].astype("int64"))
+            for t in sorted(ts_us.tolist()):
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last <= _GAP_US:
+                    last, n = t, n + 1
+                else:
+                    emit(start, last, n, "gap")
+                    start, last, n = t, t, 1
+            state.update((int(start), int(last), int(n)))
+            state.setTimeoutTimestamp(int(last) // 1000 + _GAP_US // 1000)
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "sess_start",
+                                         "sess_last", "n_events",
+                                         "closed_by"])
+
+
+def run_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the time-ordered 4-slice staging (windows.py:
+    _slice_events_for_replay) through the event-time-timeout
+    sessionizer. Deterministic emitted set (pinned empirically, same
+    method as the outer-join contracts): every session closed by a
+    LATER event of the same user ('gap'), plus open sessions whose
+    last_ts + gap fell below the final processed watermark ('timeout');
+    younger open sessions stay in (discarded) state."""
+    from .windows import _slice_events_for_replay, run_scoped
+
+    staged = _slice_events_for_replay(spark, sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from ..tables import normalize_event_ts
+
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", "1")
+              .option("latestFirst", "false")
+              .option("pathGlobFilter", "*.parquet")
+              .load(staged))
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (normalize_event_ts(stream)
+         .withWatermark("ts", "10 minutes")
+         .groupBy("user_id")
+         .applyInPandasWithState(_update_sessions,
+                                 outputStructType=SESS_OUT_SCHEMA,
+                                 stateStructType=SESS_STATE_SCHEMA,
+                                 outputMode="append",
+                                 timeoutConf=GroupStateTimeout
+                                 .EventTimeTimeout)
+         .writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         )
+    run_scoped(spark, q)
+    return spark.table(name)

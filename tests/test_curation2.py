@@ -336,3 +336,38 @@ def test_theil_sen_resists_outliers_where_ols_does_not(spark):
     ols = d.agg(F.expr("regr_slope(y, x)")).collect()[0][0]
     assert abs(ts - 10) < 1.0          # robust: spike barely moves it
     assert abs(ols - 10) > 100         # OLS dragged by the spike
+
+
+def test_stateful_timeout_sessions_match_batch_rule(spark, sf_dir):
+    """Emitted set == batch sessionization under the pinned rule: every
+    non-final session closes by 'gap'; final sessions close by
+    'timeout' iff the final watermark passed last_ts + gap."""
+    import datetime
+    from pyspark.sql.window import Window as W
+    from excel_to_db_spark.streaming.stateful import run_stateful_sessions
+    from excel_to_db_spark.tables import load_table
+
+    got = {(r.user_id, r.sess_start, r.sess_last, r.n_events, r.closed_by)
+           for r in run_stateful_sessions(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    sid = (e.withColumn("prev", F.lag("ts").over(w))
+           .withColumn("brk", F.when(
+               F.col("prev").isNull()
+               | (F.col("ts").cast("long") - F.col("prev").cast("long")
+                  > 300), 1).otherwise(0))
+           .withColumn("sid", F.sum("brk").over(
+               w.rowsBetween(W.unboundedPreceding, 0))))
+    sess = (sid.groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("s"), F.max("ts").alias("l"),
+                 F.count("*").alias("n")))
+    mx = sess.groupBy("user_id").agg(F.max("sid").alias("last_sid"))
+    wm = (e.agg(F.max("ts")).collect()[0][0]
+          - datetime.timedelta(minutes=10))
+    want = set()
+    for r in sess.join(mx, "user_id").collect():
+        if r.sid != r.last_sid:
+            want.add((r.user_id, r.s, r.l, r.n, "gap"))
+        elif r.l + datetime.timedelta(minutes=5) < wm:
+            want.add((r.user_id, r.s, r.l, r.n, "timeout"))
+    assert got == want and any(c == "timeout" for *_, c in got)
