@@ -115,7 +115,7 @@ _PRIORITY: tuple[str, ...] = (
 #   stats_bootstrap_ci text_feature_hashing stream_stream_full
 #   sql_session_variables url_funcs bitwise_funcs stream_late_audit
 #   embedding_mrl_eval privacy_k_anonymity tz_funcs stats_theil_sen
-#   hash_funcs stream_stateful_timeout
+#   hash_funcs stream_stateful_timeout sql_group_by_all
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

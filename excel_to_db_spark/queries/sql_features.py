@@ -409,3 +409,30 @@ def sql_session_variables(spark, sf_dir):
          FROM {name} WHERE o_totalprice > price_thr
          GROUP BY o_orderstatus'""")
     return spark.sql("EXECUTE IMMEDIATE stmt")
+
+
+@query("sql_group_by_all", oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders WHERE o_orderdate < '1994-01-01'
+    GROUP BY ALL
+""")
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL (Spark 4, also DuckDB dialect): the
+    analyzer infers the grouping keys as every non-aggregate select
+    item — the ergonomic form ad-hoc REPL users reach for (and one
+    SQLite lacks). Resolution happens at analysis time; the plan is
+    byte-identical to the explicit GROUP BY, so partial aggregation
+    and pushdown are unaffected. The oracle runs the same GROUP BY ALL
+    on DuckDB — both dialects must infer the same keys."""
+    name = f"gba_{uuid.uuid4().hex[:8]}"
+    T(spark, sf_dir, "orders").createOrReplaceTempView(name)
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM {name} WHERE o_orderdate < '1994-01-01'
+        GROUP BY ALL
+    """)
