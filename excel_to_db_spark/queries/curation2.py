@@ -232,8 +232,13 @@ def text_cdc_chunks(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     w = d.select("doc_id", "source",
                  F.split(F.col("text"), " ").alias("words"))
+    # sequence(1, size) then i < size — NOT sequence(1, size-1): for a
+    # single-word document Spark evaluates sequence(1, 0) as the
+    # DESCENDING [1, 0] and the lambda would hit element_at(words, 0)
+    # (INVALID_INDEX_OF_ZERO crash); DuckDB's range(1, 1) is just empty.
     edges = F.expr(
-        "concat(array(0), filter(sequence(1, size(words) - 1), i -> "
+        "concat(array(0), filter(sequence(1, size(words)), i -> "
+        "i < size(words) AND "
         "cast(conv(substring(md5(element_at(words, i)), 1, 8), 16, 10) "
         "as bigint) % 8 = 0), array(size(words)))")
     e = w.select("doc_id", "source", "words", edges.alias("edges"))
@@ -366,21 +371,33 @@ def text_feature_hashing(spark, sf_dir):
     noise zero-mean. Emitted as the per-document sparse-vector census
     (nnz / L1 / squared L2), all exact integers.
 
-    Scale shape: tokenize + hash are per-row codegen; ONE
-    (doc_id, idx)-keyed hash aggregation (bounded at 32 cells per doc)
-    then a doc-keyed rollup that reuses the same partitioning (no
-    second shuffle: doc_id is a prefix of the first grouping key)."""
+    Scale shape: ZERO shuffles — each document's 32-dim vector is
+    assembled per-row with higher-order functions (tokens hash to
+    (idx, sign) pairs ONCE, then one fold per dimension accumulates
+    the signed sum) and the census reduces over that local vector, all
+    inside whole-stage codegen. (An earlier explode + groupBy(doc_id,
+    idx) formulation cost TWO corpus-wide Exchanges: Spark does not
+    treat HashPartitioning(doc_id, idx) as satisfying a doc_id-only
+    distribution, so the rollup re-shuffled — plan-verified.)"""
     d = T(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    idx = F.pmod(_h32(F.concat(F.lit("fh:"), F.col("t"))), F.lit(32))
-    sgn = (F.when(F.pmod(_h32(F.concat(F.lit("sg:"), F.col("t"))),
-                         F.lit(2)) == 0, 1).otherwise(-1))
-    cell = (tok.select("doc_id", idx.alias("idx"), sgn.alias("s"))
-            .groupBy("doc_id", "idx").agg(F.sum("s").alias("v")))
-    return (cell.groupBy("doc_id")
-            .agg(F.count(F.when(F.col("v") != 0, 1)).alias("nnz"),
-                 F.sum(F.abs("v")).alias("l1"),
-                 F.sum(F.col("v") * F.col("v")).alias("sq_norm")))
+    pairs = F.expr(
+        "transform(split(text, ' '), t -> struct("
+        "cast(conv(substring(md5(concat('fh:', t)), 1, 8), 16, 10) "
+        "as bigint) % 32 AS idx, "
+        "CASE WHEN cast(conv(substring(md5(concat('sg:', t)), 1, 8), 16, "
+        "10) as bigint) % 2 = 0 THEN 1L ELSE -1L END AS s))")
+    vec = F.expr(
+        "transform(sequence(0, 31), k -> aggregate(pairs, 0L, "
+        "(acc, p) -> acc + CASE WHEN p.idx = k THEN p.s ELSE 0L END))")
+    v = (d.select("doc_id", pairs.alias("pairs"))
+         .select("doc_id", vec.alias("vec")))
+    return v.select(
+        "doc_id",
+        F.expr("size(filter(vec, x -> x != 0L))").cast("bigint")
+        .alias("nnz"),
+        F.expr("aggregate(vec, 0L, (a, x) -> a + abs(x))").alias("l1"),
+        F.expr("aggregate(vec, 0L, (a, x) -> a + x * x)")
+        .alias("sq_norm"))
 
 
 # ------------------------------------- full-outer stream-stream join
@@ -467,7 +484,8 @@ def stream_late_audit(spark, sf_dir):
 @query("privacy_k_anonymity", oracle="""
     WITH qi AS (
         SELECT c_nationkey, c_mktsegment,
-               CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket
+               CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                          / 100000.0) AS BIGINT) AS bal_bucket
         FROM customer
     ),
     g AS (
@@ -498,10 +516,14 @@ def privacy_k_anonymity(spark, sf_dir):
     then a scalar rollup — the same two-phase census plan at any
     corpus size; no row leaves the executors."""
     c = T(spark, sf_dir, "customer")
+    # floor, not DIV: truncating division would fold every negative
+    # balance into bucket 0 alongside [0, 1000) — a double-width bucket
+    # exactly where the audit should separate groups (corpus balances
+    # reach -999.85)
     qi = c.select(
         "c_nationkey", "c_mktsegment",
-        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
-        .alias("bal_bucket"))
+        F.floor(F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+                / 100000.0).alias("bal_bucket"))
     g = (qi.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
          .agg(F.count("*").alias("n")))
     return g.agg(
@@ -591,10 +613,14 @@ def stats_theil_sen(spark, sf_dir):
     o = T(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-01-01")
         & (F.col("o_orderdate") < "1996-01-01"))
+    # persisted: the day series feeds THREE subtrees (join left, join
+    # right, n_days) — without it each re-scans and re-aggregates the
+    # fact table
     d = (o.groupBy(F.datediff(F.col("o_orderdate").cast("date"),
                               F.lit("1995-01-01").cast("date")).alias("x"))
          .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-              .alias("y")))
+              .alias("y"))
+         .persist())
     a = d.select(F.col("x").alias("ax"), F.col("y").alias("ay"))
     b = d.select(F.col("x").alias("bx"), F.col("y").alias("by"))
     p = (a.join(F.broadcast(b), F.col("bx") > F.col("ax"))

@@ -163,11 +163,15 @@ def embedding_mrl_eval(spark, sf_dir):
          .select(F.col("v").alias("qv")))
     dist = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
             "0L, (acc, t) -> acc + t)")
+    # persisted: the distance table feeds FIVE subtrees (stats, two
+    # top-k's, overlap, min comparison) — without it each re-runs the
+    # corpus scan and the 64-dim distance arithmetic
     d = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
          .select("vec_id",
                  F.expr(dist.format(a="v", b="qv")).alias("d_full"),
                  F.expr(dist.format(a="slice(v, 1, 16)",
-                                    b="slice(qv, 1, 16)")).alias("d_16")))
+                                    b="slice(qv, 1, 16)")).alias("d_16"))
+         .persist())
     tf = d.orderBy("d_full", "vec_id").limit(10).select("vec_id")
     tt = d.orderBy("d_16", "vec_id").limit(10).select("vec_id")
     stats = d.agg(F.count("*").alias("n_vectors"))

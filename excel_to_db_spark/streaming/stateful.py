@@ -189,7 +189,8 @@ def _update_sessions(key: tuple, pdfs: Iterator[pd.DataFrame],
         state.remove()
     else:
         start, last, n = state.get if state.exists else (None, None, 0)
-        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        chunks = list(pdfs)                 # the iterator itself is always
+        rows = pd.concat(chunks) if chunks else pd.DataFrame()  # truthy
         if len(rows):
             ts_us = (rows["ts"].astype("int64") // 1000
                      if rows["ts"].dtype.kind == "M" else
@@ -198,7 +199,10 @@ def _update_sessions(key: tuple, pdfs: Iterator[pd.DataFrame],
                 if start is None:
                     start, last, n = t, t, 1
                 elif t - last <= _GAP_US:
-                    last, n = t, n + 1
+                    # admitted-late rows (watermark 10m > gap 5m) may be
+                    # OLDER than state: extend boundaries monotonically,
+                    # never move sess_last backward
+                    start, last, n = min(start, t), max(last, t), n + 1
                 else:
                     emit(start, last, n, "gap")
                     start, last, n = t, t, 1

@@ -302,21 +302,25 @@ def test_late_audit_excludes_early_half_and_surfaces_drops(spark, sf_dir):
     from excel_to_db_spark.streaming.windows import run_stream_late_audit
     from excel_to_db_spark.tables import load_table
 
+    import datetime
+
     df, dropped = run_stream_late_audit(spark, sf_dir)
-    days = {r.day for r in df.collect()}
-    # nothing from the early (late-arriving) half ever emits
-    assert days and all(str(d) >= "2024-01-16" for d in days)
+    got = {r.day: r.n_events for r in df.collect()}
     # the engine's late-drop observability metric surfaced
     assert dropped > 0
-    # emitted counts equal the batch late-half counts for those days
+    # FULL set equality with the contract (not a subset check: if the
+    # middle staged file were ever late-dropped too, a subset check
+    # would still pass): every late-half day whose window closed under
+    # the final watermark, with its complete batch count
     e = load_table(spark, sf_dir, "events")
+    wm = (e.filter(F.col("ts") >= "2024-01-16").agg(F.max("ts"))
+          .collect()[0][0] - datetime.timedelta(minutes=2 * 24 * 60))
     want = {r.day: r.n for r in
             e.filter(F.col("ts") >= "2024-01-16")
             .groupBy(F.date_trunc("day", "ts").alias("day"))
-            .agg(F.count("*").alias("n")).collect()}
-    got = {r.day: r.n_events for r in df.collect()}
-    for d, n in got.items():
-        assert want[d] == n
+            .agg(F.count("*").alias("n")).collect()
+            if r.day + datetime.timedelta(days=1) <= wm}
+    assert got == want
 
 
 def test_theil_sen_resists_outliers_where_ols_does_not(spark):

@@ -45,6 +45,15 @@ def test_cdc_chunks_shuffle_only_fingerprints(spark, sf_dir):
     assert ex and all("sig" in ln or "source" in ln for ln in ex)
 
 
+def test_feature_hashing_is_shuffle_free(spark, sf_dir):
+    """The HOF-vector formulation must plan with no Exchange at all
+    (the groupBy formulation it replaced had two)."""
+    from excel_to_db_spark.queries.curation2 import text_feature_hashing
+
+    plan = _plan(text_feature_hashing(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
 def test_source_matrix_is_sig_equi_join(spark, sf_dir):
     plan = _plan(dedup_source_matrix(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
