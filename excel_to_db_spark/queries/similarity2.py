@@ -181,3 +181,66 @@ def embedding_mrl_eval(spark, sf_dir):
         tt.agg(F.min("vec_id").alias("m2")))
         .select((F.col("m1") == F.col("m2")).alias("top1_sets_share_min")))
     return stats.crossJoin(overlap).crossJoin(mins)
+
+
+@query("embedding_hard_negatives", oracle="""
+    WITH iv AS (
+        SELECT vec_id, label,
+               [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS v
+        FROM embeddings
+    ),
+    a AS (SELECT vec_id AS aid, label AS albl, v AS av
+          FROM iv WHERE vec_id < 20),
+    k AS (
+        SELECT aid, min(albl) AS anchor_label,
+               min(CAST(list_sum([(av[i] - v[i]) * (av[i] - v[i])
+                                  for i in range(1, 65)]) AS BIGINT)
+                   * 1000000 + vec_id) AS key
+        FROM a JOIN iv ON label <> albl
+        GROUP BY aid
+    )
+    SELECT k.aid AS anchor_id, k.anchor_label,
+           CAST(k.key % 1000000 AS BIGINT) AS neg_id,
+           CAST(k.key // 1000000 AS BIGINT) AS neg_dist,
+           iv.label AS neg_label
+    FROM k JOIN iv ON iv.vec_id = k.key % 1000000
+""")
+def embedding_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each of the
+    first 20 anchor vectors, the CLOSEST vector carrying a DIFFERENT
+    label — the triplet/InfoNCE negative that actually teaches the
+    margin, which random negatives don't. Argmin + smallest-id
+    tie-break fold into one BIGINT key (dist * 1e6 + id, the
+    similarity_pq trick), so the per-anchor minimum is a plain
+    map-side-combinable min-agg.
+
+    Scale shape: the 20-row anchor set BROADCASTS against the corpus
+    (a nested-loop join on label inequality — correct here because one
+    side is constant-sized; at a million anchors the production shape
+    is label-partitioned ANN per similarity_ann/similarity_ivf, not
+    this exact join), distances are exact BIGINTs on quantized
+    vectors, and only 20 keys leave the aggregation."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
+    a = (e.filter(F.col("vec_id") < 20)
+         .select(F.col("vec_id").alias("aid"),
+                 F.col("label").alias("albl"),
+                 F.col("v").alias("av")))
+    dist = F.expr("aggregate(zip_with(av, v, (x, y) -> (x - y) * (x - y)), "
+                  "0L, (acc, t) -> acc + t)")
+    k = (e.join(F.broadcast(a), F.col("label") != F.col("albl"))
+         .groupBy("aid")
+         .agg(F.min("albl").alias("anchor_label"),
+              F.min(dist * 1000000 + F.col("vec_id")).alias("key")))
+    neg = e.select(F.col("vec_id").alias("nid"),
+                   F.col("label").alias("neg_label"))
+    return (k.select("aid", "anchor_label",
+                     (F.col("key") % 1000000).alias("neg_id"),
+                     F.expr("CAST(key DIV 1000000 AS BIGINT)")
+                     .alias("neg_dist"))
+            .join(F.broadcast(neg), F.col("neg_id") == F.col("nid"))
+            .select(F.col("aid").alias("anchor_id"), "anchor_label",
+                    "neg_id", "neg_dist", "neg_label"))
