@@ -208,6 +208,12 @@ def main() -> int:
         dt = round(time.perf_counter() - t0, 3)
         times[name] = dt
         total += dt
+        # Session hygiene between queries: a key that persists an
+        # intermediate (and any leaked temp cache) must not hold
+        # executor memory against every query after it — cross-query
+        # cache pressure was the root of the r4 phantom regression.
+        # clearCache is O(cached blocks), ~0 when nothing is cached.
+        spark.catalog.clearCache()
 
     # Round-over-round comparability: flag queries >1.5x their time in
     # the newest recorded BENCH_r{N}.json (stderr only — stdout stays
