@@ -249,6 +249,11 @@ def minhash_signatures_arrow(df: DataFrame, n_hashes: int = 128,
         for pdf in batches:
             dids, sigs = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                # NULL/NaN text: drop the row, matching the SQL engine
+                # (split(NULL) -> NULL -> explode emits nothing) — the
+                # kernel must not crash where engine="sql" succeeds
+                if text is None or (isinstance(text, float)):
+                    continue
                 keys = py_keyset(text)
                 if not keys:
                     continue
@@ -257,8 +262,11 @@ def minhash_signatures_arrow(df: DataFrame, n_hashes: int = 128,
                 sig = ((A * hb + C) & M).min(axis=1)
                 dids.append(did)
                 sigs.append(sig.astype("int64").tolist())
+            # explicit object dtype: an ALL-dropped batch would default
+            # the empty sig column to float64, which Arrow cannot cast
+            # to list<int64> (ArrowNotImplementedError)
             yield pd.DataFrame({"did": pd.array(dids, dtype="Int64"),
-                                "sig": sigs})
+                                "sig": pd.Series(sigs, dtype="object")})
 
     return (df.select(id_col, text_col)
             .mapInPandas(kernel, "did bigint, sig array<bigint>"))

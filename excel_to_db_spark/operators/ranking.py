@@ -55,13 +55,23 @@ def distributed_rank(df: DataFrame, value_col: str, tiebreak_col: str,
             .drop("_bkt", "_lr", "_off"))
 
 
-def distributed_prefix_sum(df: DataFrame, order_col: str, sum_col: str,
-                           out_col: str = "prefix",
+def distributed_prefix_sum(df: DataFrame, order_col: str, sum_col,
+                           out_col="prefix",
                            n_buckets: int = 16) -> DataFrame:
     """Append the EXCLUSIVE prefix sum of `sum_col` over `order_col`
     ascending — the same two-phase bucket design as distributed_rank.
     Requires `order_col` values to be unique (group/aggregate first):
-    with duplicates an exclusive prefix is ill-defined."""
+    with duplicates an exclusive prefix is ill-defined.
+
+    `sum_col`/`out_col` may be lists of equal length: every column's
+    prefix is accumulated in the SAME bucketing/window/offset pass —
+    one percentile scan, one window shuffle, one broadcast join total
+    (a caller looping per column pays the whole pipeline each time;
+    found by review on stats_ks_two_sample)."""
+    sum_cols = [sum_col] if isinstance(sum_col, str) else list(sum_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(sum_cols) != len(out_cols):
+        raise ValueError("sum_col and out_col lengths differ")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     b = df.agg(F.percentile(order_col, qs).alias("bs"))
     # NULL order keys -> dedicated bucket -1 (nulls-first, matching an
@@ -78,13 +88,18 @@ def distributed_prefix_sum(df: DataFrame, order_col: str, sum_col: str,
                 .drop("bs"))
     wloc = (W.partitionBy("_bkt").orderBy(order_col)
             .rowsBetween(W.unboundedPreceding, -1))
-    loc = bucketed.withColumn(
-        "_lp", F.coalesce(F.sum(sum_col).over(wloc), F.lit(0)))
-    tots = bucketed.groupBy("_bkt").agg(F.sum(sum_col).alias("_t"))
+    loc = bucketed
+    for sc, i in zip(sum_cols, range(len(sum_cols))):
+        loc = loc.withColumn(
+            f"_lp{i}", F.coalesce(F.sum(sc).over(wloc), F.lit(0)))
+    tots = bucketed.groupBy("_bkt").agg(
+        *[F.sum(sc).alias(f"_t{i}") for i, sc in enumerate(sum_cols)])
     woff = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
-    offs = tots.select("_bkt",
-                       F.coalesce(F.sum("_t").over(woff), F.lit(0))
-                       .alias("_off"))
-    return (loc.join(F.broadcast(offs), "_bkt")
-            .withColumn(out_col, F.col("_off") + F.col("_lp"))
-            .drop("_bkt", "_lp", "_off"))
+    offs = tots.select("_bkt", *[
+        F.coalesce(F.sum(f"_t{i}").over(woff), F.lit(0)).alias(f"_off{i}")
+        for i in range(len(sum_cols))])
+    out = loc.join(F.broadcast(offs), "_bkt")
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(oc, F.col(f"_off{i}") + F.col(f"_lp{i}"))
+    return out.drop("_bkt", *[f"_lp{i}" for i in range(len(sum_cols))],
+                    *[f"_off{i}" for i in range(len(sum_cols))])

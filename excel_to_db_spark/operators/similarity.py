@@ -263,6 +263,62 @@ def gramian_int(vectors: DataFrame, vec_col: str = "embedding",
     return parts.groupBy("i", "j").agg(F.sum("g").alias("g"))
 
 
+def _tdiv_scaled(x: int, m: int) -> int:
+    """(x * 1e6) / m truncated toward zero, in exact Python ints — the
+    renormalization step of the fixed-point matrix squaring, written so
+    a SQL CASE WHEN p < 0 THEN -((-p*1e6)//m) ELSE (p*1e6)//m END
+    reproduces it bit-for-bit (Python // floors, so route through abs)."""
+    return -((-x * 1_000_000) // m) if x < 0 else (x * 1_000_000) // m
+
+
+def pca_power_squared(vectors: DataFrame, vec_col: str = "embedding",
+                      dim: int = 64, squarings: int = 11) -> DataFrame:
+    """First principal direction via REPEATED SQUARING of the exact
+    integer Gramian: M <- truncate(M@M * 1e6 / max|M@M|), k times, so
+    the effective power-iteration depth is 2^k (2048 at k=11) — enough
+    to converge through this corpus's 0.984 eigengap (0.984^2048 ~
+    4e-15), where a stepwise SQL-replayable recursion is capped at tens
+    of steps. Every squaring is EXACT integer arithmetic (entries
+    <= 1e6, products <= 64e12 < 2^63; the rescale runs through Python
+    ints / HUGEINT), so a DuckDB oracle of k chained CTEs reproduces
+    the iterate bit-for-bit; the only floats are the final per-entry
+    normalization and the Rayleigh-quotient division of two exact
+    integers. Accuracy vs the true eigenvector is bounded by the 1e-6
+    per-squaring truncation (~1e-5 on loadings), not by eigengap decay.
+
+    G is PSD, so G^(2^k) -> lambda1^(2^k) v1 v1^T: the dominant
+    eigenvector is read off the column with the largest diagonal.
+    Cluster work stays ONE mapInArrow Gramian pass; the squarings are
+    64x64 driver-side integer matmuls (microseconds)."""
+    rows = gramian_int(vectors, vec_col, dim).collect()
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        G[r["i"]][r["j"]] = int(r["g"])
+    m0 = max(abs(x) for row in G for x in row)
+    M = [[_tdiv_scaled(x, m0) for x in row] for row in G]
+    for _ in range(squarings):
+        P = [[sum(M[i][t] * M[t][j] for t in range(dim))
+              for j in range(dim)] for i in range(dim)]
+        mx = max(abs(x) for row in P for x in row)
+        M = [[_tdiv_scaled(x, mx) for x in row] for row in P]
+    # dominant column: largest diagonal entry, smallest index on ties
+    jstar = max(range(dim), key=lambda j: (M[j][j], -j))
+    v = [M[i][jstar] for i in range(dim)]
+    k = max(range(dim), key=lambda d: (abs(v[d]), -d))
+    sgn = -1 if v[k] < 0 else 1
+    n2 = sum(x * x for x in v)                       # exact int
+    num = sum(G[i][j] * v[i] * v[j]                  # exact int (PSD)
+              for i in range(dim) for j in range(dim))
+    tr = sum(G[i][i] for i in range(dim))
+    import math
+    nrm = math.sqrt(float(n2))
+    share = round(float(num) / (float(n2) * float(tr)), 6)
+    spark = vectors.sparkSession
+    data = [(d, round(sgn * v[d] / nrm, 6), share) for d in range(dim)]
+    return spark.createDataFrame(data, "dim int, loading double, "
+                                       "eigval_share double")
+
+
 def pca_power(vectors: DataFrame, vec_col: str = "embedding",
               dim: int = 64, iters: int = 2000,
               fixed_iters: int | None = None) -> DataFrame:

@@ -108,6 +108,9 @@ _PRIORITY: tuple[str, ...] = (
 #   graph_assortativity bpe_train_merges bpe_tokenize_corpus
 #   sql_scripting pandas_on_spark_agg join_dpp_pruned
 #   join_hint_shuffle_hash string_collation_group
+# plus the round-5 early-session keys (after the window, also never
+# sampled): bitmap_distinct_rollup sketch_count_min stats_ks_two_sample
+#   stats_spearman xml_function_parse map_hof_funcs
 # plus the round-5 batch-2/3 keys (registered after the window):
 #   pipeline_train_val_split dedup_source_matrix text_winnowing
 #   sql_identifier_clause ansi_try_funcs graph_components

@@ -1355,8 +1355,22 @@ def stream_scd2_enrich(spark, sf_dir):
     return run_stream_scd2_enrich(spark, sf_dir)
 
 
-@query("embedding_pca_power", oracle="""
-    WITH RECURSIVE
+_PCA_SQ_STEPS = "\n".join(f"""
+    p{k} AS MATERIALIZED (
+        SELECT a.i AS i, b.j AS j,
+               CAST(sum(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS p
+        FROM m{k - 1} a JOIN m{k - 1} b ON a.j = b.i GROUP BY 1, 2
+    ),
+    n{k} AS (SELECT max(abs(p)) AS m FROM p{k}),
+    m{k} AS MATERIALIZED (
+        SELECT i, j, CAST(CASE WHEN p < 0 THEN -((-p * 1000000) // m)
+                               ELSE (p * 1000000) // m END AS BIGINT) AS v
+        FROM p{k}, n{k}
+    ),""" for k in range(1, 12))
+
+
+@query("embedding_pca_power", oracle=f"""
+    WITH
     q AS MATERIALIZED (
         SELECT vec_id, k.k AS k,
                CAST(floor(CAST(embedding[k.k + 1] AS DOUBLE) * 1000000
@@ -1365,59 +1379,59 @@ def stream_scd2_enrich(spark, sf_dir):
     ),
     g AS MATERIALIZED (
         -- exact int64 Gramian, same fixed-point rule as mapInArrow
-        SELECT a.k AS i, b.k AS j, CAST(sum(a.q * b.q) AS DOUBLE) AS gv
+        SELECT a.k AS i, b.k AS j, CAST(sum(a.q * b.q) AS BIGINT) AS gv
         FROM q a JOIN q b USING (vec_id)
         GROUP BY 1, 2
     ),
-    it AS (
-        SELECT 0 AS step, k.k AS d, 1.0 / sqrt(64.0) AS v
-        FROM (SELECT unnest(generate_series(0, 63)) AS k) k
-        UNION ALL
-        SELECT step, d, wv / sqrt(sum(wv * wv) OVER ()) AS v
-        FROM (
-            SELECT it.step + 1 AS step, g.i AS d, sum(g.gv * it.v) AS wv
-            FROM g JOIN it ON g.j = it.d
-            WHERE it.step < 64
-            GROUP BY 1, 2
-        )
-    ),
-    vfin AS (SELECT d, v FROM it WHERE step = 64),
-    canon AS (
-        SELECT CASE WHEN (SELECT v FROM vfin
-                          ORDER BY abs(v) DESC, d LIMIT 1) < 0
-                    THEN -1.0 ELSE 1.0 END AS s
-    ),
-    lam AS (
-        SELECT sum(vfin.v * g.gv * v2.v) AS lam
-        FROM g JOIN vfin ON g.i = vfin.d JOIN vfin v2 ON g.j = v2.d
-    ),
-    tr AS (SELECT sum(gv) AS tr FROM g WHERE i = j)
-    SELECT vfin.d AS dim,
-           round(vfin.v * canon.s, 6) AS loading,
-           round(lam.lam / tr.tr, 6) AS eigval_share
-    FROM vfin, canon, lam, tr
+    n0 AS (SELECT max(abs(CAST(gv AS HUGEINT))) AS m FROM g),
+    m0 AS MATERIALIZED (
+        SELECT i, j,
+               CAST(CASE WHEN gv < 0
+                         THEN -((-CAST(gv AS HUGEINT) * 1000000) // m)
+                         ELSE (CAST(gv AS HUGEINT) * 1000000) // m
+                    END AS BIGINT) AS v
+        FROM g, n0
+    ),{_PCA_SQ_STEPS}
+    dstar AS (SELECT i AS dj FROM m11 WHERE i = j
+              ORDER BY v DESC, i LIMIT 1),
+    vcol AS (SELECT m11.i AS d, m11.v AS v
+             FROM m11, dstar WHERE m11.j = dstar.dj),
+    sgn AS (SELECT CASE WHEN (SELECT v FROM vcol
+                              ORDER BY abs(v) DESC, d LIMIT 1) < 0
+                        THEN -1.0 ELSE 1.0 END AS s),
+    nrm AS (SELECT sum(CAST(v AS HUGEINT) * v) AS n2 FROM vcol),
+    num AS (SELECT sum(CAST(g.gv AS HUGEINT) * a.v * b.v) AS nm
+            FROM g JOIN vcol a ON g.i = a.d JOIN vcol b ON g.j = b.d),
+    tr AS (SELECT sum(CAST(gv AS HUGEINT)) AS t FROM g WHERE i = j)
+    SELECT vcol.d AS dim,
+           round(sgn.s * vcol.v / sqrt(CAST(nrm.n2 AS DOUBLE)), 6)
+               AS loading,
+           round(CAST(num.nm AS DOUBLE)
+                 / (CAST(nrm.n2 AS DOUBLE) * CAST(tr.t AS DOUBLE)), 6)
+               AS eigval_share
+    FROM vcol, sgn, nrm, num, tr
 """)
 def embedding_pca_power(spark, sf_dir):
-    """First principal direction of the embedding corpus via power
-    iteration on an exact integer Gramian (operators/similarity.py:
-    pca_power) — the dimensionality-reduction / drift-monitoring
-    primitive next to kmeans_lloyd. Cluster computes one d^2
-    sufficient statistic in a single mapInArrow pass; the driver
-    iterates on 64x64 state only.
+    """First principal direction of the embedding corpus on an exact
+    integer Gramian (operators/similarity.py:pca_power_squared) — the
+    dimensionality-reduction / drift-monitoring primitive next to
+    kmeans_lloyd. Cluster computes one d^2 sufficient statistic in a
+    single mapInArrow pass; the driver iterates on 64x64 state only.
 
-    Cross-engine contract (VERDICT r4 #6): the key runs EXACTLY 64
-    normalized power steps (fixed_iters=64) so the DuckDB oracle can
-    replay the identical trajectory as a recursive CTE over the same
-    exact int64 Gramian — the k-step iterate is engine-independent
-    (normalization damps arithmetic-order noise to ~1e-13, far inside
-    the 6-dp rounding), whereas converged-to-1e-13 iteration is not
-    SQL-replayable on this near-isotropic corpus (eigengap 0.984 needs
-    ~1800 steps; DuckDB recursion would take minutes). The converged
-    default path keeps its independent numpy.linalg.eigh witness in
-    tests/test_pca_power.py."""
-    from ..operators.similarity import pca_power
+    Cross-engine contract (reworked late r5 after review): REPEATED
+    MATRIX SQUARING in fixed-point integers — 11 squarings = 2^11
+    effective power steps, which converges through this corpus's 0.984
+    eigengap (0.984^2048 ~ 4e-15) where the previous 64-step recursion
+    retained ~0.36 of the second eigenvector. Every squaring is exact
+    integer arithmetic on both engines (HUGEINT / Python int, shared
+    truncate-toward-zero rescale), so the oracle's 11 chained CTEs
+    reproduce the iterate bit-for-bit; only the final normalization
+    and the Rayleigh share divide exact integers as doubles. The
+    converged float path keeps its independent numpy.linalg.eigh
+    witness in tests/test_pca_power.py."""
+    from ..operators.similarity import pca_power_squared
 
-    return pca_power(T(spark, sf_dir, "embeddings"), fixed_iters=64)
+    return pca_power_squared(T(spark, sf_dir, "embeddings"))
 
 
 @query("multimodal_phash", oracle="""

@@ -809,7 +809,7 @@ def udtf_arrow(spark, sf_dir):
 
 # ------------------------------------------------ map-column HOFs
 
-@query("map_funcs", oracle="""
+@query("map_hof_funcs", oracle="""
     WITH kv AS (
         SELECT 'status' AS map_key, upper(o_orderstatus) AS map_value
         FROM orders

@@ -38,6 +38,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register a Spark query under `name`."""
     def deco(fn: SparkQuery) -> SparkQuery:
+        # A duplicate name would SILENTLY shadow the earlier key (plain
+        # dict assignment) and drop its coverage — a real shipped bug
+        # (map_funcs, round 5): fail loudly at import instead.
+        if name in REGISTRY:
+            raise ValueError(
+                f"query key {name!r} already registered "
+                f"(by {REGISTRY[name].fn.__module__}); rename one")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle,
                                    tags=tags, doc=(fn.__doc__ or "").strip())
         return fn

@@ -1043,8 +1043,9 @@ def stats_ks_two_sample(spark, sf_dir):
     v = (t.groupBy("cents")
          .agg(F.count(F.when(F.col("g") == "O", 1)).alias("c1"),
               F.count(F.when(F.col("g") == "F", 1)).alias("c2")))
-    p1 = distributed_prefix_sum(v, "cents", "c1", "p1")
-    p2 = distributed_prefix_sum(p1, "cents", "c2", "p2")
+    # one pass for BOTH cumulative counts: the multi-column form shares
+    # the percentile scan, bucket window, and offset broadcast
+    p2 = distributed_prefix_sum(v, "cents", ["c1", "c2"], ["p1", "p2"])
     c = p2.select(
         "cents",
         (F.col("p1") + F.col("c1")).alias("f1"),   # inclusive CDF counts

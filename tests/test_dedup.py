@@ -97,3 +97,18 @@ def test_minhash_arrow_token_keyset(docs):
           for r in D.minhash_dedup_pairs(docs, threshold=0.5, n_hashes=128,
                                          bands=32).collect()}
     assert mh == exact
+
+
+def test_minhash_arrow_kernel_drops_null_text_like_sql(spark):
+    """NULL-text documents must be dropped by BOTH engines, not crash
+    the Arrow kernel (None.split AttributeError pre-fix)."""
+    from excel_to_db_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, None),
+         (3, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    pairs_arrow = D.minhash_dedup_pairs(df, 0.8, engine="arrow").collect()
+    pairs_sql = D.minhash_dedup_pairs(df, 0.8, engine="sql").collect()
+    assert {(r[0], r[1]) for r in pairs_arrow} == \
+           {(r[0], r[1]) for r in pairs_sql} == {(1, 3)}

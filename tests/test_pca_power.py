@@ -45,3 +45,26 @@ def test_pca_matches_eigh(spark, sf_dir):
     for d in range(64):
         assert abs(rows[d]["loading"] - top[d]) < 5e-6
         assert abs(rows[d]["eigval_share"] - share) < 5e-6
+
+
+def test_squared_iterate_matches_eigh_direction(spark, sf_dir):
+    """The 2^11-step squaring iterate must align with numpy's exact
+    eigenvector to ~1e-4 — the accuracy the old 64-step iterate lacked
+    (it retained ~0.36 of the second eigenvector)."""
+    import numpy as np
+    from excel_to_db_spark.operators.similarity import (
+        gramian_int, pca_power_squared)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = gramian_int(e, "embedding", 64).collect()
+    G = np.zeros((64, 64))
+    for r in rows:
+        G[r["i"], r["j"]] = float(r["g"])
+    w, V = np.linalg.eigh(G)
+    truth = V[:, int(np.argmax(w))]
+    if truth[int(np.argmax(np.abs(truth)))] < 0:
+        truth = -truth
+    got = np.array([r.loading for r in
+                    pca_power_squared(e).orderBy("dim").collect()])
+    assert abs(float(np.dot(got, truth))) > 1 - 1e-6
+    assert float(np.max(np.abs(got - truth))) < 1e-4
