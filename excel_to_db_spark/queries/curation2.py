@@ -692,3 +692,27 @@ def stream_stateful_timeout(spark, sf_dir):
     from ..streaming.stateful import run_stateful_sessions
 
     return run_stateful_sessions(spark, sf_dir)
+
+
+# ------------------------------------------------ checkpoint resume
+
+@query("stream_checkpoint_resume", oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_value
+    FROM events GROUP BY event_type
+""")
+def stream_checkpoint_resume(spark, sf_dir):
+    """Exactly-once checkpoint restart: two separate availableNow runs
+    share one checkpoint — the second sees only the newly-arrived half
+    (offset log) and restores the aggregation state from the state
+    store, so the final complete-mode emission equals the one-shot
+    batch GROUP BY over the whole log. Double-counting the first half
+    or losing restored state both break the oracle equality; this is
+    the deploy/crash restart path every production streaming job
+    depends on (checkpoint internals unit-tested in
+    tests/test_checkpoint_recovery.py; this key makes the semantics
+    oracle-checked surface)."""
+    from ..streaming.windows import run_stream_checkpoint_resume
+
+    return run_stream_checkpoint_resume(spark, sf_dir)

@@ -714,3 +714,55 @@ def run_stream_late_audit(spark: SparkSession, sf_dir: str,
         for op in (p.get("stateOperators") or []):
             dropped += int(op.get("numRowsDroppedByWatermark", 0))
     return spark.table(name), dropped
+
+
+def run_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume replay: the first availableNow run drains the
+    initially-staged half of the events log and commits offsets + agg
+    state to the checkpoint; a SECOND run against the same checkpoint
+    sees the newly-arrived second half, processes ONLY it (offset log),
+    and restores the running aggregation from the state store — the
+    exactly-once restart path a production job takes after every
+    deploy/crash. Complete output mode re-emits the full restored
+    state, so the final table must equal the one-shot batch aggregation
+    over the whole log (the oracle): double-counting the first half OR
+    losing restored state both break the equality."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..tables import load_table
+
+    staged = tempfile.mkdtemp(prefix="e2db_ckptr_src_")
+    ckpt = tempfile.mkdtemp(prefix="e2db_ckptr_ck_")
+    batch = load_table(spark, sf_dir, "events")
+    halves = [batch.filter(F.col("ts") < F.lit("2024-01-16")),
+              batch.filter(F.col("ts") >= F.lit("2024-01-16"))]
+    paths = []
+    for i, part in enumerate(halves):
+        pdir = os.path.join(staged, f"h{i}.dir")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        fname = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        paths.append((os.path.join(pdir, fname),
+                      os.path.join(staged, f"h{i}.parquet")))
+    schema = spark.read.parquet(paths[0][0]).schema
+
+    def one_run(qname: str) -> None:
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .option("pathGlobFilter", "*.parquet").load(staged))
+        q = (stream.groupBy("event_type")
+             .agg(F.count("*").alias("n_events"),
+                  _cents_sum(F.col("value")).alias("sum_value"))
+             .writeStream.outputMode("complete")
+             .format("memory").queryName(qname)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             )
+        run_scoped(spark, q)
+
+    name = f"ckptr_{uuid.uuid4().hex[:8]}"
+    shutil.move(*paths[0])                 # only the first half exists
+    one_run(name + "_a")
+    shutil.move(*paths[1])                 # second half "arrives" later
+    one_run(name + "_b")                   # same checkpoint: resume
+    return spark.table(name + "_b")
