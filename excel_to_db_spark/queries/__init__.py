@@ -119,7 +119,7 @@ _PRIORITY: tuple[str, ...] = (
 #   sql_session_variables url_funcs bitwise_funcs stream_late_audit
 #   embedding_mrl_eval privacy_k_anonymity tz_funcs stats_theil_sen
 #   hash_funcs stream_stateful_timeout sql_group_by_all
-#   embedding_hard_negatives stream_checkpoint_resume
+#   embedding_hard_negatives stream_checkpoint_resume events_session_pmi
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

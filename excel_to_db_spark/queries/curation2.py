@@ -716,3 +716,90 @@ def stream_checkpoint_resume(spark, sf_dir):
     from ..streaming.windows import run_stream_checkpoint_resume
 
     return run_stream_checkpoint_resume(spark, sf_dir)
+
+
+# --------------------------------------------- session PMI co-occurrence
+
+@query("events_session_pmi", oracle="""
+    WITH l AS (
+        SELECT user_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev
+        FROM events
+    ),
+    sid AS (
+        SELECT user_id, event_type,
+               sum(CASE WHEN prev IS NULL
+                             OR ts - prev > INTERVAL 5 minutes
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM l
+    ),
+    st AS (SELECT DISTINCT user_id, sid, event_type FROM sid),
+    n AS (SELECT CAST(count(DISTINCT (user_id, sid)) AS BIGINT) AS n
+          FROM st),
+    cx AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+           FROM st GROUP BY 1),
+    cxy AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS c_xy
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.sid = b.sid
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, c_xy,
+           round(ln(CAST(n.n AS DOUBLE) * c_xy / (ca.c * CAST(cb.c AS DOUBLE))), 4)
+               AS pmi
+    FROM cxy
+    JOIN cx ca ON ca.event_type = type_a
+    JOIN cx cb ON cb.event_type = type_b, n
+""")
+def events_session_pmi(spark, sf_dir):
+    """Pointwise mutual information of event-type pairs within 5-minute
+    sessions: PMI = ln(P(x,y)/(P(x)P(y))) over session co-occurrence —
+    the association measure that separates 'these events travel
+    together' from 'both are just frequent', complementing
+    basket_affinity's order-basket lift with behavioral sessions as the
+    co-occurrence unit. Counts are exact integers; the single ln of an
+    exact rational rounds to 4dp (the text_idf log-parity contract).
+
+    Scale shape: sessionization is one user-partitioned window; the
+    DISTINCT (user, session, type) relation is bounded by sessions x
+    |event types| (5 here), so the within-session pair self-join fans
+    out at most C(5,2) per session — never quadratic in events. Two
+    tiny broadcast joins attach the marginals."""
+    from pyspark.sql.window import Window as W
+
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    l = e.select("user_id", "ts", "event_id", "event_type",
+                 F.lag("ts").over(w).alias("prev"))
+    brk = F.when(F.col("prev").isNull()
+                 | (F.col("ts").cast("long")
+                    - F.col("prev").cast("long") > 300), 1).otherwise(0)
+    sid = l.select("user_id", "event_type",
+                   F.sum(brk).over(
+                       w.rowsBetween(W.unboundedPreceding, 0)).alias("sid"))
+    st = sid.select("user_id", "sid", "event_type").distinct()
+    n = st.select("user_id", "sid").distinct().count()     # driver scalar
+    cx = st.groupBy("event_type").agg(F.count("*").alias("c"))
+    a, b = st.alias("a"), st.alias("b")
+    cxy = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                  & (F.col("a.sid") == F.col("b.sid"))
+                  & (F.col("a.event_type") < F.col("b.event_type")))
+           .groupBy(F.col("a.event_type").alias("type_a"),
+                    F.col("b.event_type").alias("type_b"))
+           .agg(F.count("*").alias("c_xy")))
+    ca = cx.select(F.col("event_type").alias("type_a"),
+                   F.col("c").alias("ca"))
+    cb = cx.select(F.col("event_type").alias("type_b"),
+                   F.col("c").alias("cb"))
+    return (cxy.join(F.broadcast(ca), "type_a")
+            .join(F.broadcast(cb), "type_b")
+            .select("type_a", "type_b", "c_xy",
+                    F.round(F.log(F.lit(float(n)) * F.col("c_xy")
+                                  / (F.col("ca")
+                                     * F.col("cb").cast("double"))), 4)
+                    .alias("pmi")))
