@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
 #   embedding_mrl_eval privacy_k_anonymity tz_funcs stats_theil_sen
 #   hash_funcs stream_stateful_timeout sql_group_by_all
 #   embedding_hard_negatives stream_checkpoint_resume events_session_pmi
+#   stats_wilson_ci dedup_url_canonical
 
 
 def _front_load(priority: tuple[str, ...]) -> None:

@@ -803,3 +803,110 @@ def events_session_pmi(spark, sf_dir):
                                   / (F.col("ca")
                                      * F.col("cb").cast("double"))), 4)
                     .alias("pmi")))
+
+
+# ------------------------------------------------ Wilson binomial CI
+
+@query("stats_wilson_ci", oracle="""
+    WITH b AS (
+        SELECT strftime(CAST(l_shipdate AS DATE), '%Y') AS ship_year,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM lineitem GROUP BY 1
+    )
+    SELECT ship_year, n, k,
+           round((k / CAST(n AS DOUBLE) + 1.9208 / n
+                  - 1.96 * sqrt((k / CAST(n AS DOUBLE))
+                                * (1 - k / CAST(n AS DOUBLE)) / n
+                                + 0.9604 / (CAST(n AS DOUBLE) * n)))
+                 / (1 + 3.8416 / n), 6) AS ci_lo,
+           round((k / CAST(n AS DOUBLE) + 1.9208 / n
+                  + 1.96 * sqrt((k / CAST(n AS DOUBLE))
+                                * (1 - k / CAST(n AS DOUBLE)) / n
+                                + 0.9604 / (CAST(n AS DOUBLE) * n)))
+                 / (1 + 3.8416 / n), 6) AS ci_hi
+    FROM b
+""")
+def stats_wilson_ci(spark, sf_dir):
+    """Wilson 95% confidence interval for the per-ship-year return
+    rate: the binomial CI that behaves at the boundaries (never leaves
+    [0,1], sane at small n) where the naive Wald interval fails — the
+    interval every rate dashboard should draw. Counts are one exact
+    map-side-combinable aggregation; the interval is a fixed closed-
+    form float expression over (k, n), written with the IDENTICAL
+    operation tree on both engines (z=1.96 constants pre-folded:
+    z^2=3.8416, z^2/2=1.9208, z^2/4=0.9604) so IEEE evaluation agrees
+    bit-for-bit before the 6-dp round."""
+    le = T(spark, sf_dir, "lineitem")
+    b = (le.groupBy(F.date_format(F.col("l_shipdate").cast("date"), "yyyy")
+                    .alias("ship_year"))
+         .agg(F.count("*").alias("n"),
+              F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+              .cast("bigint").alias("k")))
+    p = F.col("k") / F.col("n").cast("double")
+    nd = F.col("n").cast("double")
+    half = F.lit(1.96) * F.sqrt(p * (1 - p) / F.col("n")
+                                + 0.9604 / (nd * F.col("n")))
+    base = p + 1.9208 / F.col("n")
+    den = 1 + 3.8416 / F.col("n")
+    return b.select(
+        "ship_year", "n", "k",
+        F.round((base - half) / den, 6).alias("ci_lo"),
+        F.round((base + half) / den, 6).alias("ci_hi"))
+
+
+# ------------------------------------------- URL canonicalization dedup
+
+@query("dedup_url_canonical", oracle="""
+    WITH u AS (
+        SELECT replace(lower(o_orderpriority), ' ', '-') AS pri,
+               o_custkey AS ck, o_orderkey % 3 AS variant
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT (pri, ck, variant)) AS BIGINT)
+               AS n_raw_distinct,
+           CAST(count(DISTINCT (pri, ck)) AS BIGINT) AS n_canonical
+    FROM u
+""")
+def dedup_url_canonical(spark, sf_dir):
+    """URL canonicalization dedup census: crawl frontiers drown in
+    variants of the same page (mixed-case hosts, explicit default
+    ports, utm_* tracking params, param order), so dedup-by-URL only
+    works AFTER canonicalization — lowercase the host, drop the :443,
+    strip utm_* params, sort the survivors. The key synthesizes three
+    deterministic variants per order (query-param order + tracking
+    params keyed by o_orderkey mod 3, page identity = (priority,
+    custkey)), round-trips them through the REAL parser
+    (parse_url HOST/PATH/QUERY) plus HOF param surgery, and reports
+    how many raw-distinct URLs collapse to canonical pages. The oracle
+    recomputes all three counts from the source columns (lossless
+    synthesis, as in url_funcs) — agreement proves the parse +
+    canonicalize pipeline loses and invents nothing.
+
+    Per-row codegen + one aggregation; distinct counts shuffle hashed
+    keys only."""
+    o = T(spark, sf_dir, "orders")
+    pri = F.translate(F.lower("o_orderpriority"), " ", "-")
+    ck = F.col("o_custkey").cast("string")
+    variant = F.col("o_orderkey") % 3
+    qs = (F.when(variant == 0, F.concat(F.lit("id="), ck,
+                                        F.lit("&utm_source=mail")))
+          .when(variant == 1, F.concat(F.lit("utm_campaign=x&id="), ck))
+          .otherwise(F.concat(F.lit("id="), ck)))
+    url = F.concat(F.lit("https://Shop.Example.COM:443/"), pri,
+                   F.lit("/item?"), qs)
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.parse_url(url, F.lit("PATH"))
+    query = F.parse_url(url, F.lit("QUERY"))
+    raw = o.select(url.alias("url"), host.alias("h"), path.alias("p"),
+                   query.alias("q"))
+    keep = F.expr("array_join(array_sort(filter(split(q, '&'), "
+                  "x -> x NOT LIKE 'utm\\\\_%')), '&')")
+    canon = F.concat(F.lit("https://"), F.col("h"), F.col("p"),
+                     F.lit("?"), keep)
+    return (raw.select("url", canon.alias("canon"))
+            .agg(F.count("*").alias("n_raw"),
+                 F.countDistinct("url").alias("n_raw_distinct"),
+                 F.countDistinct("canon").alias("n_canonical")))
