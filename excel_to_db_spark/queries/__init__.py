@@ -33,6 +33,7 @@ from . import sql_features  # noqa: E402,F401  Spark 4 surface: scripting/params
 from . import curation     # noqa: E402,F401  Tier C: epoch shuffle/shard pack/mixture/chunk dedup/bloom join
 from . import curation2    # noqa: E402,F401  Tier C: split census/source dup matrix/winnowing
 from . import similarity2  # noqa: E402,F401  Tier C: product-quantization ANN
+from . import curation3    # noqa: E402,F401  Tier C: Gopher rules/DSIR selection/neighbor Jaccard
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -111,6 +112,9 @@ _PRIORITY: tuple[str, ...] = (
 # plus the round-5 early-session keys (after the window, also never
 # sampled): bitmap_distinct_rollup sketch_count_min stats_ks_two_sample
 #   stats_spearman xml_function_parse map_hof_funcs
+# plus the round-5 batch-4 keys (registered after the window):
+#   text_gopher_rules pipeline_dsir_weights graph_jaccard_neighbors
+#   stats_levene
 # plus the round-5 batch-2/3 keys (registered after the window):
 #   pipeline_train_val_split dedup_source_matrix text_winnowing
 #   sql_identifier_clause ansi_try_funcs graph_components

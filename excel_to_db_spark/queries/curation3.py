@@ -1,0 +1,306 @@
+"""Data-selection operators (round 5, batch 4): the *scoring* half of a
+pretraining curation stack — published rule-based quality filtering
+(Gopher, Rae et al. 2021), importance-weighted data selection (DSIR,
+Xie et al. 2023, hashed-n-gram importance resampling), and neighbor-set
+link prediction over the supplier-part bipartite graph. The reference
+engine (294 LoC of Rust delegating to SQLite, reference src/main.rs)
+has none of this surface; these extend the Tier-C mission set next to
+queries/curation.py (shuffle/pack/mixture) and queries/curation2.py
+(split census / source dup matrix / winnowing).
+
+Determinism contract (SURVEY §4.3): every per-row score is either
+integer-exact (rule predicates, Jaccard micro-units via integer DIV) or
+snapped to fixed-point micro-units per row BEFORE any unordered
+aggregation (DSIR log-ratio weights: round(ln(..)*1e6) per hash bucket,
+summed as exact BIGINT), so merge order can never move a rounded
+result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import text as X
+from .registry import query
+from .relational import T
+
+
+def _h32(col):
+    """First 32 bits of md5(col) as a non-negative BIGINT (same
+    engine-portable construction as queries/curation2.py)."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+            .cast("bigint"))
+
+
+# ------------------------------------------ Gopher rule-based filtering
+
+_SW_EN_SQL = "[" + ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"]) + "]"
+
+
+@query("text_gopher_rules", oracle=f"""
+    WITH f AS (
+        SELECT lang,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tok,
+               len(replace(text, ' ', '')) AS sum_len
+        FROM documents
+    ),
+    r AS (
+        SELECT lang,
+               CASE WHEN n_tok BETWEEN 50 AND 100000
+                    THEN 1 ELSE 0 END AS r_wc,
+               CASE WHEN 3 * n_tok <= sum_len AND sum_len <= 10 * n_tok
+                    THEN 1 ELSE 0 END AS r_mwl,
+               CASE WHEN 5 * len(list_filter(toks,
+                                 t -> regexp_matches(t, '[a-z]')))
+                         >= 4 * n_tok
+                    THEN 1 ELSE 0 END AS r_alpha,
+               CASE WHEN len(list_intersect(list_distinct(toks),
+                                            {_SW_EN_SQL})) >= 2
+                    THEN 1 ELSE 0 END AS r_stop,
+               CASE WHEN 5 * list_max(list_transform(list_distinct(toks),
+                                 d -> len(list_filter(toks, t -> t = d))))
+                         <= n_tok
+                    THEN 1 ELSE 0 END AS r_rep
+        FROM f
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(r_wc) AS BIGINT) AS pass_wordcount,
+           CAST(sum(r_mwl) AS BIGINT) AS pass_meanwordlen,
+           CAST(sum(r_alpha) AS BIGINT) AS pass_alpha,
+           CAST(sum(r_stop) AS BIGINT) AS pass_stopwords,
+           CAST(sum(r_rep) AS BIGINT) AS pass_repetition,
+           CAST(sum(r_wc * r_mwl * r_alpha * r_stop * r_rep) AS BIGINT)
+               AS pass_all
+    FROM r GROUP BY lang
+""")
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style rule-based quality census (Rae et al. 2021 §A1.1),
+    per language: how many documents pass each of five published
+    filters, and how many pass all of them.
+
+      wordcount    50 <= #tokens <= 100,000
+      meanwordlen  3 <= mean token length <= 10
+      alpha        >= 80% of tokens contain an alphabetic character
+      stopwords    >= 2 distinct English stop words present (the rule
+                   is English-centric by design — the census shows it
+                   rejecting most non-en docs, which is exactly the
+                   behavior a multilingual pipeline must budget for)
+      repetition   most frequent token <= 20% of all tokens
+
+    Every predicate is integer-exact (mean-word-length as the cross-
+    multiplied 3*n <= sum_len <= 10*n, alpha fraction as 5*hits >= 4*n)
+    so no float ever reaches the comparison — the census is bit-stable
+    on any engine at any scale.
+
+    Scale shape: one narrow projected scan (text, lang), all five rules
+    evaluated per-row with JVM-side array HOFs (no shuffle, no Python),
+    then a 5-group map-side-combined aggregate. The per-row repetition
+    rule is O(distinct_tokens * n_tok) on short web documents — bounded
+    by the wordcount rule itself at the 100k ceiling."""
+    d = T(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    n_tok = X.token_count(F.col("text"))
+    sum_len = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    sw = F.array(*[F.lit(w) for w in X.LANG_STOPWORDS["en"]])
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_stop_dis = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    max_freq = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda d_: F.size(F.filter(toks, lambda t: t == d_))))
+
+    def rule(cond):
+        return F.when(cond, 1).otherwise(0)
+
+    r = d.select(
+        "lang",
+        rule(n_tok.between(50, 100000)).alias("r_wc"),
+        rule((3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok)).alias("r_mwl"),
+        rule(5 * n_alpha >= 4 * n_tok).alias("r_alpha"),
+        rule(n_stop_dis >= 2).alias("r_stop"),
+        rule(5 * max_freq <= n_tok).alias("r_rep"))
+    return (r.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("r_wc").alias("pass_wordcount"),
+                 F.sum("r_mwl").alias("pass_meanwordlen"),
+                 F.sum("r_alpha").alias("pass_alpha"),
+                 F.sum("r_stop").alias("pass_stopwords"),
+                 F.sum("r_rep").alias("pass_repetition"),
+                 F.sum(F.col("r_wc") * F.col("r_mwl") * F.col("r_alpha")
+                       * F.col("r_stop") * F.col("r_rep")).alias("pass_all")))
+
+
+# ----------------------------------- DSIR importance-weighted selection
+
+@query("pipeline_dsir_weights", oracle="""
+    WITH ht AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('dsir:' || tok), 1, 8))::UBIGINT
+                    AS BIGINT) % 1024 AS b
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+    ),
+    tot AS (
+        SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nt,
+               CAST(count(*) AS BIGINT) AS nr
+        FROM ht
+    ),
+    rc AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS cr,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct
+        FROM ht GROUP BY b
+    ),
+    w AS (
+        SELECT b,
+               CAST(round(ln(((ct + 1.0) / (nt + 1024))
+                             / ((cr + 1.0) / (nr + 1024))) * 1000000)
+                    AS BIGINT) AS wt
+        FROM rc, tot
+    ),
+    ds AS (
+        SELECT ht.doc_id, any_value(ht.lang) AS lang,
+               CAST(sum(w.wt) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ht JOIN w USING (b) GROUP BY ht.doc_id
+    ),
+    sc AS (
+        SELECT lang, CAST(round(s * 1.0 / n) AS BIGINT) AS llr_micro
+        FROM ds
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN llr_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+           round(sum(llr_micro) * 1.0 / count(*) / 1000000, 6) AS avg_llr
+    FROM sc GROUP BY lang
+""")
+def pipeline_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-unigram distribution is.
+    Target = English documents, raw = whole corpus; feature space =
+    unigrams hashed to 1024 buckets; per-bucket weight = the Laplace-
+    smoothed log-likelihood ratio ln(p_target(b) / p_raw(b)); per-doc
+    score = mean weight over its tokens. The census reports, per
+    language, how many docs the score>0 selection keeps — en documents
+    dominate the selected set, which is the method working as published.
+
+    Fixed-point rule (SURVEY §4.3): each bucket weight is snapped to
+    integer micro-units (round(ln*1e6) — a deterministic function of
+    exact integer counts) BEFORE the per-doc summation, so doc scores
+    are exact BIGINTs and no unordered float merge exists anywhere; the
+    per-doc mean is re-snapped once (round(s/n), again deterministic
+    per row).
+
+    Scale shape: the n-gram "language models" are just two 1024-bucket
+    count vectors — one map-side-combined aggregate over the exploded
+    corpus; the weight table (<=1024 rows) broadcasts back onto the
+    token stream, and the per-doc reduce is the only corpus-wide
+    shuffle. This is the production DSIR shape: the model is tiny and
+    broadcastable no matter how large the corpus."""
+    d = T(spark, sf_dir, "documents")
+    ht = (d.select("doc_id", "lang",
+                   F.explode(X.tokens(F.col("text"))).alias("tok"))
+          .select("doc_id", "lang",
+                  F.pmod(_h32(F.concat(F.lit("dsir:"), F.col("tok"))),
+                         F.lit(1024)).alias("b")))
+    is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    tot = ht.agg(F.sum(is_en).alias("nt"), F.count("*").alias("nr"))
+    rc = ht.groupBy("b").agg(F.count("*").alias("cr"),
+                             F.sum(is_en).alias("ct"))
+    w = (rc.crossJoin(F.broadcast(tot))
+         .select("b",
+                 F.round(F.log(((F.col("ct") + 1.0) / (F.col("nt") + 1024))
+                               / ((F.col("cr") + 1.0) / (F.col("nr") + 1024)))
+                         * 1000000).cast("bigint").alias("wt")))
+    ds = (ht.join(F.broadcast(w), "b")
+          .groupBy("doc_id")
+          .agg(F.first("lang").alias("lang"),
+               F.sum("wt").alias("s"), F.count("*").alias("n")))
+    sc = ds.select("lang", F.round(F.col("s") * 1.0 / F.col("n"))
+                   .cast("bigint").alias("llr_micro"))
+    return (sc.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("llr_micro") > 0, 1).otherwise(0))
+                 .alias("n_selected"),
+                 F.round(F.sum("llr_micro") * 1.0 / F.count("*") / 1000000, 6)
+                 .alias("avg_llr")))
+
+
+# -------------------------------- neighbor-Jaccard link prediction
+
+@query("graph_jaccard_neighbors", oracle="""
+    WITH sp AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    pc AS (
+        SELECT p, count(*) AS c FROM sp GROUP BY p
+    ),
+    spc AS (
+        SELECT sp.s, sp.p FROM sp JOIN pc USING (p) WHERE pc.c <= 64
+    ),
+    wedge AS (
+        SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS co
+        FROM spc a JOIN spc b ON a.p = b.p AND a.s < b.s
+        GROUP BY a.s, b.s
+    ),
+    deg AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS d FROM sp GROUP BY s
+    )
+    SELECT w.s1, w.s2, w.co,
+           d1.d AS deg1, d2.d AS deg2,
+           CAST((1000000 * w.co) // (d1.d + d2.d - w.co) AS BIGINT)
+               AS jaccard_micro
+    FROM wedge w
+    JOIN deg d1 ON w.s1 = d1.s
+    JOIN deg d2 ON w.s2 = d2.s
+    ORDER BY jaccard_micro DESC, s1, s2
+    LIMIT 20
+""")
+def graph_jaccard_neighbors(spark, sf_dir):
+    """Link prediction by neighbor-set Jaccard over the supplier-part
+    bipartite graph: two suppliers are similar when they ship largely
+    the same parts. Candidate pairs come from a wedge join (suppliers
+    sharing at least one part), |A∩B| is the per-pair wedge count,
+    |A∪B| = deg(A)+deg(B)-|A∩B|, and the similarity is emitted in
+    exact integer micro-units ((1e6*co) DIV union — both engines
+    truncate toward zero on positive operands), top-20 with a total
+    (jaccard, s1, s2) tie-break order.
+
+    Skew guard: wedges are generated only through parts with <= 64
+    distinct suppliers (a hub part with s suppliers emits O(s^2)
+    wedges; capping bounds the per-key blowup the way minhash banding
+    bounds candidate pairs). Degrees stay exact (computed on the
+    uncapped edge set), so a capped pair's Jaccard is a documented
+    lower bound — the standard recall/cost trade of every blocked
+    similarity join in this repo.
+
+    Scale shape: distinct edge projection, one groupBy(p) whose shuffle
+    partitioning is REUSED by the equi-self-join on p (co-partitioned
+    wedge generation), a (s1,s2) wedge-count aggregate, and two
+    broadcast joins against the tiny degree table."""
+    li = T(spark, sf_dir, "lineitem")
+    sp = (li.select(F.col("l_suppkey").alias("s"),
+                    F.col("l_partkey").alias("p")).distinct())
+    pc = sp.groupBy("p").agg(F.count("*").alias("c"))
+    spc = (sp.join(pc.filter(F.col("c") <= 64).select("p"), "p")
+           .select("s", "p"))
+    a, b = spc.alias("a"), spc.alias("b")
+    wedge = (a.join(b, (F.col("a.p") == F.col("b.p"))
+                    & (F.col("a.s") < F.col("b.s")))
+             .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+             .agg(F.count("*").alias("co")))
+    deg = sp.groupBy("s").agg(F.count("*").alias("d"))
+    res = (wedge
+           .join(F.broadcast(deg.select(F.col("s").alias("s1"),
+                                        F.col("d").alias("deg1"))), "s1")
+           .join(F.broadcast(deg.select(F.col("s").alias("s2"),
+                                        F.col("d").alias("deg2"))), "s2")
+           .select("s1", "s2", "co", "deg1", "deg2",
+                   F.expr("CAST((1000000 * co) DIV (deg1 + deg2 - co) "
+                          "AS BIGINT)").alias("jaccard_micro")))
+    return (res.orderBy(F.col("jaccard_micro").desc(), "s1", "s2")
+            .limit(20))

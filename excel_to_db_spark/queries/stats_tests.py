@@ -982,6 +982,97 @@ def stats_anova_f(spark, sf_dir):
         .alias("f_stat"))
 
 
+# ------------------------------------- Brown-Forsythe (robust Levene) test
+
+@query("stats_levene", oracle="""
+    WITH t AS (
+        SELECT CAST(((date_diff('day', DATE '1995-01-02',
+                                CAST(o_orderdate AS DATE)) % 7) + 7) % 7
+                    AS INTEGER) AS dow,
+               CAST(round(o_totalprice) AS BIGINT) AS x
+        FROM orders
+    ),
+    med AS (
+        SELECT dow, CAST(round(2 * median(x)) AS BIGINT) AS m2
+        FROM t GROUP BY dow
+    ),
+    dv AS (
+        SELECT t.dow, abs(2 * t.x - med.m2) AS dev
+        FROM t JOIN med USING (dow)
+    ),
+    g AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dev) AS BIGINT) AS s,
+               CAST(sum(dev * dev) AS BIGINT) AS ss
+        FROM dv GROUP BY dow
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(s) AS BIGINT) AS st,
+               CAST(sum(ss) AS BIGINT) AS sst,
+               CAST(sum(CAST((CAST(s AS HUGEINT) * s) // n AS BIGINT))
+                    AS BIGINT) AS between_int
+        FROM g
+    )
+    SELECT k, nt,
+           round((between_int
+                  - CAST((CAST(st AS HUGEINT) * st) // nt AS BIGINT))
+                 / CAST(k - 1 AS DOUBLE)
+                 / ((sst - between_int) / CAST(nt - k AS DOUBLE)),
+                 5) AS w_stat
+    FROM m
+""")
+def stats_levene(spark, sf_dir):
+    """Brown-Forsythe test (the median-centered robust Levene variant):
+    is order-value *dispersion* homogeneous across day-of-week groups?
+    The statistic is a one-way ANOVA F computed on |x - median(group)|
+    — the companion to `stats_anova_f` (which compares means) and the
+    variance-homogeneity precondition check classical ANOVA itself
+    assumes.
+
+    Exactness: x is integer cents-scale; the group median is kept as
+    2*median (integer-exact for both the odd and the interpolated even
+    case on both engines), so every deviation |2x - m2| is an exact
+    BIGINT and the downstream F follows `stats_anova_f`'s exact
+    sufficient-statistics path (decimal multiply + integer DIV, no
+    unordered float merge; ss headroom ~2e18 holds past sf100).
+
+    Scale shape: two passes over the projected scan — a 7-key exact
+    median aggregate (percentile over bounded groups), broadcast of the
+    7-row median table back onto the facts, then one map-side-combined
+    moment aggregate. Weekday uses the engine-proof pmod
+    days-since-Monday rule shared with the ANOVA key."""
+    o = T(spark, sf_dir, "orders")
+    t = o.select(
+        F.pmod(F.datediff(F.col("o_orderdate").cast("date"),
+                          F.lit("1995-01-02").cast("date")), 7)
+        .cast("int").alias("dow"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("x"))
+    med = t.groupBy("dow").agg(
+        F.round(2 * F.expr("percentile(x, 0.5)")).cast("bigint").alias("m2"))
+    dv = (t.join(F.broadcast(med), "dow")
+          .select("dow", F.abs(2 * F.col("x") - F.col("m2")).alias("dev")))
+    g = (dv.groupBy("dow").agg(F.count("*").alias("n"),
+                               F.sum("dev").alias("s"),
+                               F.sum(F.col("dev") * F.col("dev")).alias("ss"))
+         .withColumn("t", F.expr(
+             "CAST((CAST(s AS DECIMAL(38,0)) * s) DIV n AS BIGINT)")))
+    m = g.agg(F.count("*").alias("k"),
+              F.sum("n").alias("nt"),
+              F.sum("s").alias("st"),
+              F.sum("ss").alias("sst"),
+              F.sum("t").alias("between_int"))
+    grand = F.expr("CAST((CAST(st AS DECIMAL(38,0)) * st) DIV nt AS BIGINT)")
+    ss_between = (F.col("between_int") - grand).cast("double")
+    ss_within = (F.col("sst") - F.col("between_int")).cast("double")
+    return m.select(
+        "k", "nt",
+        F.round((ss_between / (F.col("k") - 1))
+                / (ss_within / (F.col("nt") - F.col("k"))), 5)
+        .alias("w_stat"))
+
+
 # ---------------------------------------------- Kolmogorov-Smirnov 2-sample
 
 @query("stats_ks_two_sample", oracle="""

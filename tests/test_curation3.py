@@ -1,0 +1,130 @@
+"""Semantic guards for the data-selection batch (curation3 +
+stats_levene): the oracle gate proves Spark == DuckDB; these prove the
+operators mean what they claim — the Gopher rules fire on constructed
+violations, DSIR prefers target-language documents, neighbor Jaccard
+matches a direct set computation, and Brown-Forsythe agrees with
+scipy-free closed-form on a hand-built fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _census(spark, sf_dir):
+    from excel_to_db_spark.queries.curation3 import text_gopher_rules
+    return {r.lang: r for r in text_gopher_rules(spark, sf_dir).collect()}
+
+
+def test_gopher_rules_census_bounds(spark, sf_dir):
+    rows = _census(spark, sf_dir)
+    assert rows, "documents table is non-empty"
+    for r in rows.values():
+        for c in ("pass_wordcount", "pass_meanwordlen", "pass_alpha",
+                  "pass_stopwords", "pass_repetition", "pass_all"):
+            assert 0 <= r[c] <= r.n_docs
+        # pass_all can never exceed any individual rule's pass count
+        assert r.pass_all <= min(
+            r.pass_wordcount, r.pass_meanwordlen, r.pass_alpha,
+            r.pass_stopwords, r.pass_repetition)
+    # census is total: one row per language present in the corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert set(rows) == langs
+    assert sum(r.n_docs for r in rows.values()) == docs.count()
+
+
+def test_gopher_rules_fire_on_constructed_violations(spark, tmp_path):
+    """One doc violating each rule, one passing all five."""
+    from excel_to_db_spark.queries.curation3 import text_gopher_rules
+
+    good = " ".join(
+        ["the", "a", "of", "and"] + [f"word{i:02d}" for i in range(60)])
+    docs = [
+        (0, good, "en", "s", len(good)),                      # passes all
+        (1, "the of short doc", "en", "s", 16),               # wordcount
+        (2, " ".join(["the", "of"] + ["x"] * 58), "en", "s", 0),  # meanwordlen (len 1)
+        (3, " ".join(["the", "of"] + ["1234"] * 58), "en", "s", 0),  # alpha
+        (4, " ".join(f"tok{i}" for i in range(60)), "en", "s", 0),   # stopwords
+        (5, " ".join(["the", "of"] + ["spam"] * 58), "en", "s", 0),  # repetition
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = tmp_path / "documents.parquet"
+    df.write.mode("overwrite").parquet(str(out))
+    r = text_gopher_rules(spark, str(tmp_path)).collect()[0]
+    assert r.n_docs == 6
+    assert r.pass_wordcount == 5    # doc 1 fails (4 tokens)
+    assert r.pass_meanwordlen == 5  # doc 2 fails (mean len ~1)
+    assert r.pass_alpha == 5        # doc 3 fails (58/60 digit tokens)
+    assert r.pass_stopwords == 5    # doc 4 fails (no stop words)
+    # repetition: docs 2/3/5 repeat one token 58/60 times; doc 1 has
+    # max-freq 1 but 5*1 > 4 tokens — only docs 0 and 4 pass
+    assert r.pass_repetition == 2
+    assert r.pass_all == 1          # only doc 0
+
+
+def test_dsir_prefers_target_language(spark, sf_dir):
+    from excel_to_db_spark.queries.curation3 import pipeline_dsir_weights
+
+    rows = {r.lang: r for r in pipeline_dsir_weights(spark, sf_dir).collect()}
+    assert "en" in rows
+    # the target language must score higher on average than every
+    # non-target language, and dominate its own selection rate
+    for lang, r in rows.items():
+        if lang != "en":
+            assert rows["en"].avg_llr > r.avg_llr
+            assert (rows["en"].n_selected / rows["en"].n_docs
+                    >= r.n_selected / max(r.n_docs, 1))
+
+
+def test_jaccard_neighbors_matches_direct_sets(spark, sf_dir):
+    from excel_to_db_spark.queries.curation3 import graph_jaccard_neighbors
+
+    rows = graph_jaccard_neighbors(spark, sf_dir).collect()
+    assert rows and len(rows) <= 20
+    # descending similarity with deterministic tie-break
+    jms = [r.jaccard_micro for r in rows]
+    assert jms == sorted(jms, reverse=True)
+    # verify the top pair against a direct driver-side set computation
+    top = rows[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parts = {s: {r.l_partkey for r in
+                 li.filter(F.col("l_suppkey") == s)
+                 .select("l_partkey").distinct().collect()}
+             for s in (top.s1, top.s2)}
+    inter = len(parts[top.s1] & parts[top.s2])
+    union = len(parts[top.s1] | parts[top.s2])
+    assert top.deg1 == len(parts[top.s1])
+    assert top.deg2 == len(parts[top.s2])
+    # co can undercount only via the >64-supplier hub cap; at test SF
+    # no part is capped, so the match is exact
+    assert top.co == inter
+    assert top.jaccard_micro == (1000000 * inter) // union
+
+
+def test_brown_forsythe_closed_form(spark, tmp_path):
+    """Hand-built 2-group fixture: equal medians, unequal spread; the
+    W statistic must match the closed-form ANOVA on |x - median|."""
+    from excel_to_db_spark.queries.stats_tests import stats_levene
+
+    # dow 0 (Mondays): tight around 100; dow 1 (Tuesdays): wide
+    rows = []
+    for i, v in enumerate([99, 100, 101, 100]):
+        rows.append((i, f"1995-01-{2 + 7 * i:02d}", float(v)))  # Mondays
+    for i, v in enumerate([60, 100, 140, 100]):
+        rows.append((100 + i, f"1995-01-{3 + 7 * i:02d}", float(v)))  # Tuesdays
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderdate string, o_totalprice double")
+    (df.write.mode("overwrite")
+       .parquet(str(tmp_path / "orders.parquet")))
+    out = stats_levene(spark, str(tmp_path)).collect()[0]
+    assert out.k == 2 and out.nt == 8
+    # group devs (vs 2*median trick): A: |2x-200| = [2,0,2,0];
+    # B: |2x-200| = [80,0,80,0]
+    import statistics as st
+    a, b = [2, 0, 2, 0], [80, 0, 80, 0]
+    allv = a + b
+    sb = 4 * (st.mean(a) - st.mean(allv)) ** 2 + 4 * (st.mean(b) - st.mean(allv)) ** 2
+    sw = sum((x - st.mean(a)) ** 2 for x in a) + sum((x - st.mean(b)) ** 2 for x in b)
+    expect = (sb / 1) / (sw / 6)
+    assert abs(out.w_stat - expect) < 0.05  # integer DIV floors each s^2/n
