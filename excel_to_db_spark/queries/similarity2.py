@@ -244,3 +244,169 @@ def embedding_hard_negatives(spark, sf_dir):
             .join(F.broadcast(neg), F.col("neg_id") == F.col("nid"))
             .select(F.col("aid").alias("anchor_id"), "anchor_label",
                     "neg_id", "neg_dist", "neg_label"))
+
+
+@query("similarity_ivfpq", oracle="""
+    WITH iv AS (
+        SELECT vec_id,
+               [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM iv WHERE vec_id < 16),
+    asg AS (
+        SELECT vec_id,
+               min(CAST(list_sum([(v[i] - cv[i]) * (v[i] - cv[i])
+                                  for i in range(1, 65)]) AS BIGINT)
+                   * 16 + cid) % 16 AS cell
+        FROM iv CROSS JOIN cent GROUP BY vec_id
+    ),
+    res AS (
+        SELECT iv.vec_id, asg.cell,
+               [iv.v[i] - cent.cv[i] for i in range(1, 65)] AS r
+        FROM iv JOIN asg USING (vec_id) JOIN cent ON cent.cid = asg.cell
+    ),
+    sub AS (
+        SELECT vec_id, cell, s, r[s * 8 + 1 : s * 8 + 8] AS sv
+        FROM res, (SELECT unnest(range(0, 8)) AS s)
+    ),
+    cb AS (
+        SELECT vec_id - 16 AS c, s, sv AS cs
+        FROM sub WHERE vec_id >= 16 AND vec_id < 32
+    ),
+    enc AS (
+        SELECT a.vec_id, a.cell, a.s,
+               min(CAST(list_sum([(a.sv[i] - b.cs[i]) * (a.sv[i] - b.cs[i])
+                                  for i in range(1, 9)]) AS BIGINT)
+                   * 16 + b.c) % 16 AS code
+        FROM sub a JOIN cb b USING (s)
+        GROUP BY a.vec_id, a.cell, a.s
+    ),
+    qprobe AS (
+        SELECT cid AS cell FROM (
+            SELECT cent.cid,
+                   row_number() OVER (ORDER BY
+                       CAST(list_sum([(q.v[i] - cv[i]) * (q.v[i] - cv[i])
+                                      for i in range(1, 65)]) AS BIGINT),
+                       cid) AS rk
+            FROM cent, (SELECT v FROM iv WHERE vec_id = 0) q)
+        WHERE rk <= 2
+    ),
+    qres AS (
+        SELECT p.cell, [q.v[i] - cent.cv[i] for i in range(1, 65)] AS r
+        FROM qprobe p
+        JOIN cent ON cent.cid = p.cell,
+             (SELECT v FROM iv WHERE vec_id = 0) q
+    ),
+    qsub AS (
+        SELECT cell, s, r[s * 8 + 1 : s * 8 + 8] AS sv
+        FROM qres, (SELECT unnest(range(0, 8)) AS s)
+    ),
+    lut AS (
+        SELECT q.cell, q.s, b.c,
+               CAST(list_sum([(q.sv[i] - b.cs[i]) * (q.sv[i] - b.cs[i])
+                              for i in range(1, 9)]) AS BIGINT) AS d
+        FROM qsub q JOIN cb b USING (s)
+    ),
+    scored AS (
+        SELECT enc.vec_id, enc.cell, CAST(sum(lut.d) AS BIGINT) AS adc
+        FROM enc JOIN lut ON lut.cell = enc.cell AND lut.s = enc.s
+                          AND lut.c = enc.code
+        WHERE enc.vec_id <> 0
+        GROUP BY enc.vec_id, enc.cell
+    ),
+    top AS (SELECT * FROM scored ORDER BY adc, vec_id LIMIT 10)
+    SELECT vec_id AS n_id, cell, adc,
+           CAST(row_number() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rk
+    FROM top
+""")
+def similarity_ivfpq(spark, sf_dir):
+    """IVF-PQ: the two ANN compression legs composed the way FAISS
+    (and every billion-scale vector index) deploys them — a coarse
+    quantizer (16 cells, `similarity_ivf`'s) routes each vector to a
+    cell, the RESIDUAL vector - centroid is product-quantized (8
+    subspaces x 16 codes, `similarity_pq`'s layout; residual PQ
+    carries far more precision per code than raw-vector PQ because the
+    residual distribution is centered), and a query probes its
+    nprobe=2 nearest cells with a per-cell asymmetric-distance lookup
+    table over the QUERY residual. Returns the query's top-10
+    candidates with exact-integer ADC scores.
+
+    Determinism: quantize-first (floor(x*1000+0.5)) makes every
+    assignment, residual, code, and ADC total exact BIGINT arithmetic;
+    argmin ties fold into min(dist*16 + id) keys; codebook = residuals
+    of vectors 16..31 (deterministic, engine-recomputable on both
+    sides).
+
+    Scale shape: assignment and encoding are broadcast joins against
+    constant-size tables (16 centroids, 128 codebook rows) with
+    map-side-combinable min-aggs — the corpus is never shuffled wider
+    than its own (vec_id, s) reduce; the query side is all
+    constant-size (2 probes x 8 subspaces x 16 codes = 256-entry LUT,
+    broadcast); candidate scoring touches only the probed cells'
+    codes (at production scale: partition-pruned by `cell`) and emits
+    a 10-row TakeOrdered. No raw vector is ever read at query time —
+    the property that lets a billion-vector index live in memory."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
+    cent = (e.filter(F.col("vec_id") < 16)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    d64 = F.expr("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
+                 "0L, (acc, t) -> acc + t)")
+    asg = (e.crossJoin(F.broadcast(cent))
+           .groupBy("vec_id")
+           .agg((F.min(d64 * 16 + F.col("cid")) % 16).alias("cell")))
+    res = (e.join(asg, "vec_id")
+           .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
+           .select("vec_id", "cell",
+                   F.expr("zip_with(v, cv, (x, y) -> x - y)").alias("r")))
+    sub = (res.select("vec_id", "cell",
+                      F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"),
+                      "r")
+           .select("vec_id", "cell", "s",
+                   F.expr("slice(r, s * 8 + 1, 8)").alias("sv")))
+    cb = (sub.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 32))
+          .select((F.col("vec_id") - 16).alias("c"), "s",
+                  F.col("sv").alias("cs")))
+    d8 = F.expr("aggregate(zip_with(sv, cs, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, t) -> acc + t)")
+    enc = (sub.join(F.broadcast(cb), "s")
+           .groupBy("vec_id", "cell", "s")
+           .agg((F.min(d8 * 16 + F.col("c")) % 16).alias("code")))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qd64 = F.expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+                  "0L, (acc, t) -> acc + t)")
+    # 16-row window: bounded by the centroid count, never data-sized
+    qprobe = (cent.crossJoin(F.broadcast(qv))
+              .withColumn("rk", F.row_number().over(
+                  Window.orderBy(qd64.alias("qd"), F.col("cid"))))
+              .filter(F.col("rk") <= 2)
+              .select(F.col("cid").alias("cell"), "cv"))
+    qres = (qprobe.crossJoin(F.broadcast(qv))
+            .select("cell",
+                    F.expr("zip_with(qv, cv, (x, y) -> x - y)").alias("r")))
+    qsub = (qres.select("cell",
+                        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"),
+                        "r")
+            .select("cell", "s", F.expr("slice(r, s * 8 + 1, 8)").alias("sv")))
+    lut = (qsub.join(F.broadcast(cb), "s")
+           .select("cell", "s", "c", d8.alias("d")))
+    # explicit aliased join conditions (cell, s, code==c)
+    en = enc.filter(F.col("vec_id") != 0).alias("en")
+    lu = lut.alias("lu")
+    scored = (en.join(F.broadcast(lu),
+                      (F.col("en.cell") == F.col("lu.cell"))
+                      & (F.col("en.s") == F.col("lu.s"))
+                      & (F.col("en.code") == F.col("lu.c")))
+              .groupBy(F.col("en.vec_id").alias("vec_id"),
+                       F.col("en.cell").alias("cell"))
+              .agg(F.sum("lu.d").alias("adc")))
+    top = scored.orderBy("adc", "vec_id").limit(10)
+    # rank over the 10-row result — bounded single partition
+    return (top.withColumn(
+        "rk", F.row_number().over(Window.orderBy("adc", "vec_id")))
+        .select(F.col("vec_id").alias("n_id"), "cell", "adc", "rk"))

@@ -77,3 +77,34 @@ def test_kmeans_inertia_nonincreasing(spark, sf_dir):
 
     i1, i3 = inertia(1), inertia(3)
     assert i3 <= i1 + 1e-3
+
+
+def test_ivfpq_ranks_and_recall_vs_exact(spark, sf_dir):
+    """IVF-PQ's top-10 is an *approximation* of the exact integer-L2
+    top-10: ranks must be a valid 1..10 chain ordered by ADC, and the
+    candidate set must recover a non-trivial fraction of the exact
+    neighbors (cell routing + residual codes carry real signal; on the
+    small fixture we only pin a conservative floor)."""
+    from pyspark.sql import functions as F
+
+    from excel_to_db_spark.queries.similarity2 import similarity_ivfpq
+
+    rows = similarity_ivfpq(spark, sf_dir).collect()
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    adcs = [r.adc for r in rows]
+    assert adcs == sorted(adcs)
+    assert all(r.adc >= 0 for r in rows)
+
+    # exact integer-L2 top-10 for query 0 (same quantization contract)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    d = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+         .select("vec_id",
+                 F.expr("aggregate(zip_with(v, qv, (x, y) -> (x-y)*(x-y)), "
+                        "0L, (acc, t) -> acc + t)").alias("d2")))
+    exact = {r.vec_id for r in d.orderBy("d2", "vec_id").limit(10).collect()}
+    got = {r.n_id for r in rows}
+    assert len(got & exact) >= 3, (got, exact)
