@@ -535,6 +535,68 @@ def privacy_k_anonymity(spark, sf_dir):
         F.min("n").alias("k_anonymity"))
 
 
+# ------------------------------------------------ l-diversity audit
+
+@query("privacy_l_diversity", oracle="""
+    WITH qi AS (
+        SELECT c_nationkey,
+               CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+                          / 100000.0) AS BIGINT) AS bal_bucket,
+               c_mktsegment
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, bal_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+        FROM qi GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(l) AS BIGINT) AS l_diversity,
+           CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_homogeneous_groups,
+           CAST(sum(CASE WHEN l = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_exposed_rows,
+           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below_l3
+    FROM g
+""")
+def privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit — the attribute-disclosure companion to
+    `privacy_k_anonymity`: a QI group can be large (k-anonymous) yet
+    still leak if every member shares the same SENSITIVE value, so
+    here each (nation, balance-bucket) equivalence class is scored by
+    how many distinct market segments it contains. Reports the
+    dataset's l (smallest class diversity), fully homogeneous classes
+    (l=1 — anyone matching the QIs learns the sensitive value with
+    certainty), the rows so exposed, and classes below the common l=3
+    policy bar. Buckets reuse the k-anonymity key's exact integer
+    cents flooring, so classes are engine-identical.
+
+    Scale shape: one aggregation on the QI tuple with a distinct-count
+    (Spark plans this as the standard two-phase partial-distinct
+    expand; the sensitive column has 5 values, so the expansion factor
+    is bounded), then a scalar rollup — no row leaves the executors."""
+    c = T(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        F.floor(F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+                / 100000.0).alias("bal_bucket"),
+        "c_mktsegment")
+    g = (qi.groupBy("c_nationkey", "bal_bucket")
+         .agg(F.count("*").alias("n"),
+              F.countDistinct("c_mktsegment").alias("l")))
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.min("l").alias("l_diversity"),
+        F.sum(F.when(F.col("l") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_homogeneous_groups"),
+        F.sum(F.when(F.col("l") == 1, F.col("n")).otherwise(0))
+        .cast("bigint").alias("n_exposed_rows"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).cast("bigint")
+        .alias("n_below_l3"))
+
+
 # ------------------------------------------------ timezone conversion
 
 @query("tz_funcs", oracle="""

@@ -1073,6 +1073,84 @@ def stats_levene(spark, sf_dir):
         .alias("w_stat"))
 
 
+# ------------------------------------------------- Kendall rank correlation
+
+@query("stats_kendall", oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        FROM d a JOIN d b ON a.day < b.day
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN (x2 > x1 AND y2 > y1)
+                               OR (x2 < x1 AND y2 < y1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+               CAST(sum(CASE WHEN (x2 > x1 AND y2 < y1)
+                               OR (x2 < x1 AND y2 > y1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+               CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tx,
+               CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ty
+        FROM p
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+    SELECT n.n_days, c.conc, c.disc,
+           round((conc - disc)
+                 / sqrt((n0 - tx) * 1.0 * (n0 - ty)), 6) AS tau_b
+    FROM c, n
+""")
+def stats_kendall(spark, sf_dir):
+    """Kendall tau-b rank correlation between daily revenue and daily
+    order count — the tie-corrected, outlier-robust cousin of
+    `stats_spearman` (midranks) and `stats_theil_sen` (median slope):
+    tau counts concordant minus discordant day pairs, normalized by
+    the tie-adjusted pair counts.
+
+    Shape (the aggregate-then-quadratic pattern): the fact table first
+    COLLAPSES to the bounded daily series (one map-side-combinable
+    agg; ~2.4k days for any scale factor — the quadratic is over days,
+    never rows), then a broadcast theta self-join enumerates the
+    ~2.9M day pairs and one scalar aggregate counts
+    concordant/discordant/tied. Comparisons are sign tests on exact
+    integer (cents, count) pairs — no products, so no overflow at any
+    SF — and the single final sqrt is computed from exact BIGINTs,
+    making the 6dp tau engine-identical."""
+    o = T(spark, sf_dir, "orders")
+    d = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+         .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+              .alias("x"),
+              F.count("*").alias("y")))
+    a, b = d.alias("a"), d.alias("b")
+    p = (a.join(F.broadcast(b), F.col("a.day") < F.col("b.day"))
+         .select(F.col("a.x").alias("x1"), F.col("a.y").alias("y1"),
+                 F.col("b.x").alias("x2"), F.col("b.y").alias("y2")))
+    c = p.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(((F.col("x2") > F.col("x1")) & (F.col("y2") > F.col("y1")))
+                     | ((F.col("x2") < F.col("x1")) & (F.col("y2") < F.col("y1"))),
+                     1).otherwise(0)).alias("conc"),
+        F.sum(F.when(((F.col("x2") > F.col("x1")) & (F.col("y2") < F.col("y1")))
+                     | ((F.col("x2") < F.col("x1")) & (F.col("y2") > F.col("y1"))),
+                     1).otherwise(0)).alias("disc"),
+        F.sum(F.when(F.col("x1") == F.col("x2"), 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(F.col("y1") == F.col("y2"), 1).otherwise(0)).alias("ty"))
+    n = d.agg(F.count("*").alias("n_days"))
+    return (c.crossJoin(F.broadcast(n))
+            .select("n_days", "conc", "disc",
+                    F.round((F.col("conc") - F.col("disc"))
+                            / F.sqrt((F.col("n0") - F.col("tx")) * 1.0
+                                     * (F.col("n0") - F.col("ty"))), 6)
+                    .alias("tau_b")))
+
+
 # ---------------------------------------------- Kolmogorov-Smirnov 2-sample
 
 @query("stats_ks_two_sample", oracle="""

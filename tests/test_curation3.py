@@ -128,3 +128,63 @@ def test_brown_forsythe_closed_form(spark, tmp_path):
     sw = sum((x - st.mean(a)) ** 2 for x in a) + sum((x - st.mean(b)) ** 2 for x in b)
     expect = (sb / 1) / (sw / 6)
     assert abs(out.w_stat - expect) < 0.05  # integer DIV floors each s^2/n
+
+
+def test_l_diversity_flags_constructed_homogeneous_group(spark, tmp_path):
+    from excel_to_db_spark.queries.curation2 import privacy_l_diversity
+
+    rows = [
+        # nation 1, bucket 0: three customers, ALL segment A -> l=1
+        (1, 1, 100.0, "A"), (2, 1, 200.0, "A"), (3, 1, 300.0, "A"),
+        # nation 2, bucket 0: two customers, two segments -> l=2
+        (4, 2, 100.0, "A"), (5, 2, 200.0, "B"),
+        # nation 2, bucket 1: three segments -> l=3
+        (6, 2, 1100.0, "A"), (7, 2, 1200.0, "B"), (8, 2, 1300.0, "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey bigint, c_nationkey bigint, c_acctbal double, "
+              "c_mktsegment string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    out = privacy_l_diversity(spark, str(tmp_path)).collect()[0]
+    assert out.n_groups == 3
+    assert out.l_diversity == 1
+    assert out.n_homogeneous_groups == 1
+    assert out.n_exposed_rows == 3
+    assert out.n_below_l3 == 2  # the l=1 and l=2 classes
+
+
+def test_kendall_perfect_and_inverted(spark, tmp_path):
+    """Strictly increasing revenue with increasing count -> tau = 1;
+    a tied/mixed series -> the hand-computed tie-corrected value."""
+    from excel_to_db_spark.queries.stats_tests import stats_kendall
+
+    def mk(counts):
+        rows = []
+        key = 0
+        for i, cnt in enumerate(counts):
+            for _ in range(cnt):
+                rows.append((key, f"1995-02-{i + 1:02d}",
+                             float(100 * (i + 1))))
+                key += 1
+        return spark.createDataFrame(
+            rows, "o_orderkey bigint, o_orderdate string, "
+                  "o_totalprice double")
+
+    mk([1, 2, 3, 4]).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet"))
+    out = stats_kendall(spark, str(tmp_path)).collect()[0]
+    # daily x = 100*i*(i's count): [100, 400, 900, 1600] increasing;
+    # y = [1,2,3,4] increasing -> all 6 pairs concordant
+    assert out.n_days == 4 and out.conc == 6 and out.disc == 0
+    assert out.tau_b == 1.0
+
+    mk([4, 3, 2, 1]).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet"))
+    out = stats_kendall(spark, str(tmp_path)).collect()[0]
+    # daily x = 100*(i+1)*count = [400, 600, 600, 400] (two tied
+    # pairs), y = [4, 3, 2, 1]: pairs (0,1) (0,2) discordant,
+    # (1,3) (2,3) concordant, (0,3) (1,2) tied in x ->
+    # tau_b = (2-2)/sqrt((6-2)*(6-0)) = 0
+    assert out.n_days == 4
+    assert out.conc == 2 and out.disc == 2
+    assert out.tau_b == 0.0
