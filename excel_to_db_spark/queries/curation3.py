@@ -208,18 +208,22 @@ def pipeline_dsir_weights(spark, sf_dir):
                   F.pmod(_h32(F.concat(F.lit("dsir:"), F.col("tok"))),
                          F.lit(1024)).alias("b")))
     is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
-    tot = ht.agg(F.sum(is_en).alias("nt"), F.count("*").alias("nr"))
     rc = ht.groupBy("b").agg(F.count("*").alias("cr"),
                              F.sum(is_en).alias("ct"))
+    # corpus totals fold out of the bucket counts (<=1024 rows) — no
+    # separate corpus-wide scan/aggregate needed
+    tot = rc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     w = (rc.crossJoin(F.broadcast(tot))
          .select("b",
                  F.round(F.log(((F.col("ct") + 1.0) / (F.col("nt") + 1024))
                                / ((F.col("cr") + 1.0) / (F.col("nr") + 1024)))
                          * 1000000).cast("bigint").alias("wt")))
+    # lang rides in the grouping key (functionally dependent on doc_id)
+    # instead of a first() agg — first() forces a SortAggregate + Sort,
+    # a plain hash aggregate is strictly cheaper
     ds = (ht.join(F.broadcast(w), "b")
-          .groupBy("doc_id")
-          .agg(F.first("lang").alias("lang"),
-               F.sum("wt").alias("s"), F.count("*").alias("n")))
+          .groupBy("doc_id", "lang")
+          .agg(F.sum("wt").alias("s"), F.count("*").alias("n")))
     sc = ds.select("lang", F.round(F.col("s") * 1.0 / F.col("n"))
                    .cast("bigint").alias("llr_micro"))
     return (sc.groupBy("lang")
