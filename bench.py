@@ -105,6 +105,10 @@ HEADLINE = [
     "text_winnowing",          # shuffle-free winnowing fingerprints
     "graph_components",        # min-label propagation to fixpoint
     "dedup_source_matrix",     # sig equi-join cross-source overlap
+    "text_gopher_rules",       # 5-rule quality census, zero-shuffle HOFs
+    "pipeline_dsir_weights",   # hashed-unigram LM ratio selection
+    "similarity_ivfpq",        # coarse cells + residual PQ + ADC LUT
+    "graph_jaccard_neighbors", # bipartite wedge join + degree broadcast
 ]
 
 

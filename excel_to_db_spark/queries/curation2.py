@@ -597,6 +597,61 @@ def privacy_l_diversity(spark, sf_dir):
         .alias("n_below_l3"))
 
 
+# --------------------------------------- DP contribution-bounding census
+
+@query("privacy_sensitivity_census", oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(abs(CAST(round(value * 100) AS BIGINT)))
+                    AS BIGINT) AS mass
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(max(n_events) AS BIGINT) AS max_contribution,
+           CAST(sum(CASE WHEN n_events > 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over_clip,
+           CAST(sum(CASE WHEN n_events > 100 THEN n_events - 100
+                         ELSE 0 END) AS BIGINT) AS clipped_events,
+           CAST(sum(mass) AS BIGINT) AS total_mass,
+           CAST(sum(CASE WHEN n_events > 100
+                         THEN (mass * (n_events - 100)) // n_events
+                         ELSE 0 END) AS BIGINT) AS clipped_mass_est
+    FROM u
+""")
+def privacy_sensitivity_census(spark, sf_dir):
+    """Differential-privacy preparation census: before adding calibrated
+    noise to any user-level aggregate, a DP pipeline must BOUND each
+    user's contribution (clip), and the clip bound is chosen from
+    exactly this census — per-user event counts and absolute value
+    mass, how many users exceed a candidate bound (C=100 events), how
+    many events clipping would drop, and a proportional estimate of the
+    value mass lost (integer floor-division, engine-exact). The
+    max_contribution column IS the unclipped L0/L1 sensitivity the
+    noise scale would otherwise have to cover.
+
+    Scale shape: one map-side-combinable per-user aggregation (the same
+    shuffle any per-user feature job already pays) followed by a scalar
+    rollup; value mass in exact integer cents throughout."""
+    ev = T(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.count("*").alias("n_events"),
+              F.sum(F.abs(F.expr("CAST(round(value * 100) AS BIGINT)")))
+              .alias("mass")))
+    over = F.col("n_events") > 100
+    return u.agg(
+        F.count("*").alias("n_users"),
+        F.max("n_events").alias("max_contribution"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("bigint")
+        .alias("n_over_clip"),
+        F.sum(F.when(over, F.col("n_events") - 100).otherwise(0))
+        .cast("bigint").alias("clipped_events"),
+        F.sum("mass").alias("total_mass"),
+        F.sum(F.when(over, F.expr(
+            "CAST((mass * (n_events - 100)) DIV n_events AS BIGINT)"))
+              .otherwise(0)).cast("bigint").alias("clipped_mass_est"))
+
+
 # ------------------------------------------------ timezone conversion
 
 @query("tz_funcs", oracle="""

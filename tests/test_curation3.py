@@ -188,3 +188,30 @@ def test_kendall_perfect_and_inverted(spark, tmp_path):
     assert out.n_days == 4
     assert out.conc == 2 and out.disc == 2
     assert out.tau_b == 0.0
+
+
+def test_sensitivity_census_clipping_math(spark, tmp_path):
+    """Constructed fixture: one user at 150 events (over the C=100
+    clip), one at 10 — the census must report exact clip losses."""
+    from datetime import datetime
+
+    from excel_to_db_spark.queries.curation2 import privacy_sensitivity_census
+
+    rows = []
+    for i in range(150):
+        rows.append((i, datetime(2026, 1, 1, 0, 0, i % 60), 1, "c", 2.0, "{}"))
+    for i in range(10):
+        rows.append((1000 + i, datetime(2026, 1, 2), 2, "c", -3.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = privacy_sensitivity_census(spark, str(tmp_path)).collect()[0]
+    assert out.n_users == 2
+    assert out.max_contribution == 150
+    assert out.n_over_clip == 1
+    assert out.clipped_events == 50
+    # mass: user1 = 150*200 = 30000; user2 = 10*300 = 3000
+    assert out.total_mass == 33000
+    # proportional clip estimate: 30000 * 50 // 150 = 10000
+    assert out.clipped_mass_est == 10000
