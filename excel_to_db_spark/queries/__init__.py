@@ -115,7 +115,8 @@ _PRIORITY: tuple[str, ...] = (
 # plus the round-5 batch-4 keys (registered after the window):
 #   text_gopher_rules pipeline_dsir_weights graph_jaccard_neighbors
 #   stats_levene similarity_ivfpq privacy_l_diversity stats_kendall
-#   privacy_sensitivity_census
+#   privacy_sensitivity_census embedding_drift_mmd
+#   text_tokenizer_fertility stats_hill_tail_index
 # plus the round-5 batch-2/3 keys (registered after the window):
 #   pipeline_train_val_split dedup_source_matrix text_winnowing
 #   sql_identifier_clause ansi_try_funcs graph_components

@@ -308,3 +308,130 @@ def graph_jaccard_neighbors(spark, sf_dir):
                           "AS BIGINT)").alias("jaccard_micro")))
     return (res.orderBy(F.col("jaccard_micro").desc(), "s1", "s2")
             .limit(20))
+
+
+# ------------------------------------ corpus drift via MMD (moment trick)
+
+@query("embedding_drift_mmd", oracle="""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id, CASE WHEN label < 5 THEN 0 ELSE 1 END AS grp,
+               k.k AS k,
+               CAST(floor(CAST(embedding[k.k + 1] AS DOUBLE) * 1000
+                          + 0.5) AS BIGINT) AS q
+        FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS k) k
+    ),
+    g AS MATERIALIZED (
+        SELECT a.grp, a.k AS i, b.k AS j,
+               CAST(sum(a.q * b.q) AS BIGINT) AS gv
+        FROM q a JOIN q b USING (vec_id)
+        GROUP BY 1, 2, 3
+    ),
+    n AS (
+        SELECT CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+        FROM embeddings
+    ),
+    t AS (
+        SELECT sum(CAST(ga.gv AS HUGEINT) * ga.gv) AS tr_aa,
+               sum(CAST(gb.gv AS HUGEINT) * gb.gv) AS tr_bb,
+               sum(CAST(ga.gv AS HUGEINT) * gb.gv) AS tr_ab
+        FROM (SELECT i, j, gv FROM g WHERE grp = 0) ga
+        JOIN (SELECT i, j, gv FROM g WHERE grp = 1) gb USING (i, j)
+    )
+    SELECT n.na, n.nb,
+           round(CAST(t.tr_aa * n.nb * n.nb + t.tr_bb * n.na * n.na
+                      - 2 * t.tr_ab * n.na * n.nb AS DOUBLE)
+                 / (CAST(n.na AS DOUBLE) * n.na * n.nb * n.nb)
+                 / 1000000000000.0, 6) AS mmd2
+    FROM t, n
+""")
+def embedding_drift_mmd(spark, sf_dir):
+    """Corpus drift between two embedding populations (labels 0-4 vs
+    5-9) as Maximum Mean Discrepancy with the quadratic kernel
+    k(x,y) = (x.y)^2 — the two-sample distribution test a training
+    pipeline runs when a new crawl batch lands. The V-statistic
+    MMD^2 = E_aa[k] + E_bb[k] - 2 E_ab[k] normally costs O(n^2)
+    kernel evaluations; with the quadratic kernel every pairwise sum
+    collapses onto the groups' Gramians: sum_ij (x_i . y_j)^2 =
+    tr(G_a G_b), so the WHOLE statistic needs only two d x d moment
+    matrices — the same "moments, never pairs" escape hatch as
+    `stats_ols_multi` (normal equations) and `embedding_pca_power`.
+
+    Exactness: components quantized to exact milli-units, Gramians are
+    exact int64 (`operators/similarity.py:gramian_int`), trace products
+    accumulate in DECIMAL(38,0)/HUGEINT, and the three traces combine
+    over the common denominator na^2*nb^2 into ONE exact integer before
+    the single final double division — no float cancellation anywhere
+    (the naive E_aa + E_bb - 2E_ab subtraction of ~1e13-magnitude
+    doubles would lose exactly the digits the statistic lives in).
+
+    Scale shape: one mapInArrow Gramian pass per group (numpy m.T @ m
+    per Arrow batch, d^2-row partials, one tiny (i,j) shuffle); the
+    corpus is never joined to itself. Headroom: G entries ~ n*1e6 keep
+    trace products inside DECIMAL(38,0) past 1e9 vectors per group."""
+    e = T(spark, sf_dir, "embeddings")
+    from ..operators.similarity import gramian_int
+
+    a = e.filter(F.col("label") < 5)
+    b = e.filter(F.col("label") >= 5)
+    ga = gramian_int(a, scale=1e3)
+    gb = gramian_int(b, scale=1e3)
+    n = e.agg(
+        F.sum(F.when(F.col("label") < 5, 1).otherwise(0)).cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("label") >= 5, 1).otherwise(0)).cast("bigint")
+        .alias("nb"))
+    d38 = "decimal(38,0)"
+    t = (ga.alias("ga")
+         .join(gb.alias("gb"), ["i", "j"])
+         .agg(F.sum(F.col("ga.g").cast(d38) * F.col("ga.g")).alias("tr_aa"),
+              F.sum(F.col("gb.g").cast(d38) * F.col("gb.g")).alias("tr_bb"),
+              F.sum(F.col("ga.g").cast(d38) * F.col("gb.g")).alias("tr_ab")))
+    return (t.crossJoin(F.broadcast(n))
+            .select("na", "nb",
+                    F.round((F.col("tr_aa") * F.col("nb") * F.col("nb")
+                             + F.col("tr_bb") * F.col("na") * F.col("na")
+                             - 2 * F.col("tr_ab") * F.col("na") * F.col("nb"))
+                            .cast("double")
+                            / (F.col("na").cast("double") * F.col("na")
+                               * F.col("nb") * F.col("nb"))
+                            / 1e12, 6).alias("mmd2")))
+
+
+# ----------------------------------------- tokenizer fertility census
+
+@query("text_tokenizer_fertility", oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(sum(len(regexp_extract_all(text,
+                        '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+               AS n_subword_tokens,
+           round(sum(len(regexp_extract_all(text,
+                         '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 1.0
+                 / sum(len(string_split(text, ' '))), 6) AS fertility
+    FROM documents GROUP BY lang
+""")
+def text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: subword tokens emitted per
+    whitespace word — THE metric a multilingual tokenizer is judged by
+    (fertility far above 1 means a language pays more sequence length
+    per word, trains slower, and effectively buys less context; the
+    reason vocabularies are rebalanced across languages). Uses the
+    repo's BPE-ish subword proxy (`operators/text.py:
+    bpe_ish_token_count`, RE2-safe so both engines tokenize
+    identically); the ratio is one deterministic double division of
+    two exact BIGINT sums.
+
+    Scale shape: a pure map-side-combinable census — one projected
+    scan, per-row regexp counting in codegen, a 5-group aggregate."""
+    d = T(spark, sf_dir, "documents")
+    n_words = F.sum(X.token_count(F.col("text")))
+    n_sub = F.sum(X.bpe_ish_token_count(F.col("text")))
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 n_words.alias("n_words"),
+                 n_sub.alias("n_subword_tokens"),
+                 F.round(n_sub * 1.0 / n_words, 6).alias("fertility")))

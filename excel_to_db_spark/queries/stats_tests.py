@@ -1151,6 +1151,68 @@ def stats_kendall(spark, sf_dir):
                     .alias("tau_b")))
 
 
+# --------------------------------------------------- Hill tail-index
+
+@query("stats_hill_tail_index", oracle="""
+    WITH x AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+        FROM orders
+    ),
+    top AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, o_orderkey) AS rk
+        FROM x
+    ),
+    xmin AS (SELECT c AS cmin FROM top WHERE rk = 101),
+    s AS (
+        SELECT CAST(sum(CAST(round(ln(top.c * 1.0 / cmin) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS lsum
+        FROM top, xmin WHERE rk <= 100
+    )
+    SELECT CAST(100 AS BIGINT) AS n_tail,
+           xmin.cmin AS xmin_cents,
+           round(100000000.0 / s.lsum, 6) AS hill_alpha
+    FROM s, xmin
+""")
+def stats_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the tail index over the top-100 order values:
+    alpha_hat = k / sum ln(x_i / x_(k+1)) — the standard measure of how
+    heavy the upper tail is (alpha ~ Pareto exponent; smaller = heavier
+    tail = a few giant orders dominate revenue). The tail-risk
+    companion to `stats_benford` (digit law) and `pareto_share`
+    (concentration curve).
+
+    Determinism: the tail set is an exact top-k on integer cents with
+    o_orderkey tie-break (rank 100/101 boundary ties cannot differ
+    across engines); each ln ratio is computed from the same exact
+    integer pair and snapped to micro-units per row (SURVEY §4.3), so
+    the sum is exact BIGINT; the final alpha = k * 1e6 / lsum
+    (= 1e8 / lsum for k=100) is one deterministic double division.
+
+    Scale shape: one TakeOrdered top-101 (per-partition top-k, no full
+    sort), a 1-row broadcast of x_(101), and a 100-row aggregate — the
+    fact table is scanned once and never shuffled."""
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders")
+    x = o.select(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                 .alias("c"), "o_orderkey")
+    # top-101 via TakeOrderedAndProject (limit after orderBy), then a
+    # bounded 101-row window assigns ranks — never a full-data window
+    top = (x.orderBy(F.col("c").desc(), "o_orderkey").limit(101)
+           .withColumn("rk", F.row_number().over(
+               Window.orderBy(F.col("c").desc(), "o_orderkey"))))
+    xmin = top.filter(F.col("rk") == 101).select(F.col("c").alias("cmin"))
+    s = (top.filter(F.col("rk") <= 100).crossJoin(F.broadcast(xmin))
+         .agg(F.sum(F.expr(
+             "CAST(round(ln(c * 1.0 / cmin) * 1000000) AS BIGINT)"))
+             .alias("lsum"))
+         .crossJoin(F.broadcast(xmin)))
+    return s.select(F.lit(100).cast("bigint").alias("n_tail"),
+                    F.col("cmin").alias("xmin_cents"),
+                    F.round(100000000.0 / F.col("lsum"), 6)
+                    .alias("hill_alpha"))
+
+
 # ---------------------------------------------- Kolmogorov-Smirnov 2-sample
 
 @query("stats_ks_two_sample", oracle="""

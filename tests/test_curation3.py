@@ -215,3 +215,71 @@ def test_sensitivity_census_clipping_math(spark, tmp_path):
     assert out.total_mass == 33000
     # proportional clip estimate: 30000 * 50 // 150 = 10000
     assert out.clipped_mass_est == 10000
+
+
+def test_mmd_zero_on_identical_populations(spark, tmp_path):
+    """Two groups holding the SAME vector multiset must give exactly
+    mmd2 = 0 (the combined numerator is an exact integer zero), and a
+    disjoint-support pair must give mmd2 > 0."""
+    import numpy as np
+
+    from excel_to_db_spark.queries.curation3 import embedding_drift_mmd
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 64)).astype("float32")
+
+    def write(vecs_a, vecs_b):
+        rows = []
+        for i, v in enumerate(vecs_a):
+            rows.append((i, [float(x) for x in v], 0))
+        for i, v in enumerate(vecs_b):
+            rows.append((100 + i, [float(x) for x in v], 7))
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label bigint")
+        df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    write(base, base)  # identical multisets
+    out = embedding_drift_mmd(spark, str(tmp_path)).collect()[0]
+    assert out.na == 20 and out.nb == 20
+    assert out.mmd2 == 0.0
+
+    write(base, base + 5.0)  # shifted support
+    out = embedding_drift_mmd(spark, str(tmp_path)).collect()[0]
+    assert out.mmd2 > 0
+
+
+def test_fertility_counts_on_fixture(spark, tmp_path):
+    from excel_to_db_spark.queries.curation3 import text_tokenizer_fertility
+
+    docs = [
+        (0, "ab cd", "en", "s", 5),        # 2 words, 2 subword tokens
+        (1, "a1b xy", "en", "s", 6),       # 2 words, 4 subword (a,1,b / xy)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = text_tokenizer_fertility(spark, str(tmp_path)).collect()[0]
+    assert out.n_docs == 2
+    assert out.n_words == 4
+    assert out.n_subword_tokens == 6
+    assert out.fertility == 1.5
+
+
+def test_hill_alpha_closed_form(spark, tmp_path):
+    """100 tail orders at exactly 2x the 101st value: every ln ratio is
+    ln 2, so alpha = 1e8 / (100 * round(ln(2) * 1e6))."""
+    import math
+
+    from excel_to_db_spark.queries.stats_tests import stats_hill_tail_index
+
+    rows = [(i, "1995-01-01", 200.0) for i in range(100)]
+    rows += [(200, "1995-01-01", 100.0), (201, "1995-01-01", 100.0)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderdate string, o_totalprice double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = stats_hill_tail_index(spark, str(tmp_path)).collect()[0]
+    assert out.n_tail == 100
+    assert out.xmin_cents == 10000
+    expect = round(1e8 / (100 * round(math.log(2) * 1e6)), 6)
+    assert out.hill_alpha == expect
