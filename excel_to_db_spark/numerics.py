@@ -31,3 +31,17 @@ def fixed_sum(col: Column, scale: float = 100.0, digits: int = 2) -> Column:
 def cents_sum(col: Column) -> Column:
     """The 2dp money default: sum in integer cents."""
     return fixed_sum(col, 100.0, 2)
+
+
+def h32(col: Column) -> Column:
+    """First 32 bits of md5(col) as a non-negative BIGINT — the
+    engine-portable uniform hash the governance/selection keys share.
+    Oracle twin (DuckDB):
+
+        CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT AS BIGINT)
+
+    One definition for the whole tree: the Spark conv(...,16,10) and
+    the DuckDB UBIGINT parse MUST stay in lockstep or every key built
+    on this hash silently diverges cross-engine."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+            .cast("bigint"))

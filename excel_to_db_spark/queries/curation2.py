@@ -18,16 +18,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..numerics import h32
 from .registry import query
 from .relational import T
 
-
-def _h32(col):
-    """First 32 bits of md5(col) as a non-negative BIGINT — the
-    engine-portable uniform hash this module keys everything on (same
-    construction as queries/quality.py:sketch_count_min)."""
-    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
-            .cast("bigint"))
 
 
 # --------------------------------------------- leakage-free corpus split
@@ -62,7 +56,7 @@ def pipeline_train_val_split(spark, sf_dir):
     shuffle is 3 groups wide. Salting is unnecessary: md5 buckets are
     uniform by construction."""
     d = T(spark, sf_dir, "documents")
-    b = F.pmod(_h32(F.concat(F.lit("split:"),
+    b = F.pmod(h32(F.concat(F.lit("split:"),
                              F.col("doc_id").cast("string"))), F.lit(100))
     split = (F.when(b < 90, "train").when(b < 95, "val")
              .otherwise("test"))
@@ -314,7 +308,7 @@ def stats_bootstrap_ci(spark, sf_dir):
     w = o.select(
         "o_orderkey", "cents",
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
-    h = F.pmod(_h32(F.concat(F.lit("boot"), F.col("b").cast("string"),
+    h = F.pmod(h32(F.concat(F.lit("boot"), F.col("b").cast("string"),
                              F.lit(":"), F.col("o_orderkey").cast("string"))),
                F.lit(1000))
     wt = (F.when(h < 368, 0).when(h < 736, 1).when(h < 920, 2)
@@ -839,7 +833,7 @@ def stream_checkpoint_resume(spark, sf_dir):
 
 @query("events_session_pmi", oracle="""
     WITH l AS (
-        SELECT user_id, ts, event_type,
+        SELECT user_id, ts, event_id, event_type,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev
         FROM events
@@ -849,7 +843,7 @@ def stream_checkpoint_resume(spark, sf_dir):
                sum(CASE WHEN prev IS NULL
                              OR ts - prev > INTERVAL 5 minutes
                         THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY ts
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING) AS sid
         FROM l
     ),
@@ -893,14 +887,24 @@ def events_session_pmi(spark, sf_dir):
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     l = e.select("user_id", "ts", "event_id", "event_type",
                  F.lag("ts").over(w).alias("prev"))
+    # microsecond-exact gap test, matching both the oracle's
+    # `ts - prev > INTERVAL 5 minutes` and the streaming sessionizer's
+    # pinned _GAP_US contract — a seconds-truncated cast would keep a
+    # 300.4s gap in one session while the oracle splits it
     brk = F.when(F.col("prev").isNull()
-                 | (F.col("ts").cast("long")
-                    - F.col("prev").cast("long") > 300), 1).otherwise(0)
+                 | (F.unix_micros(F.col("ts"))
+                    - F.unix_micros(F.col("prev")) > 300 * 1_000_000),
+                 1).otherwise(0)
     sid = l.select("user_id", "event_type",
                    F.sum(brk).over(
                        w.rowsBetween(W.unboundedPreceding, 0)).alias("sid"))
     st = sid.select("user_id", "sid", "event_type").distinct()
-    n = st.select("user_id", "sid").distinct().count()     # driver scalar
+    # lazy 1-row session count broadcast onto the result (the repo's
+    # scalar-attach shape) — a driver-side .count() here would both run
+    # an eager job at plan-build time and recompute the sessionization
+    # pipeline once more than needed
+    n = (st.select("user_id", "sid").distinct()
+         .agg(F.count("*").alias("n")))
     cx = st.groupBy("event_type").agg(F.count("*").alias("c"))
     a, b = st.alias("a"), st.alias("b")
     cxy = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
@@ -915,8 +919,9 @@ def events_session_pmi(spark, sf_dir):
                    F.col("c").alias("cb"))
     return (cxy.join(F.broadcast(ca), "type_a")
             .join(F.broadcast(cb), "type_b")
+            .crossJoin(F.broadcast(n))
             .select("type_a", "type_b", "c_xy",
-                    F.round(F.log(F.lit(float(n)) * F.col("c_xy")
+                    F.round(F.log(F.col("n").cast("double") * F.col("c_xy")
                                   / (F.col("ca")
                                      * F.col("cb").cast("double"))), 4)
                     .alias("pmi")))

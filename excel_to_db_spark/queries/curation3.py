@@ -21,15 +21,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import text as X
+from ..numerics import h32
 from .registry import query
 from .relational import T
 
-
-def _h32(col):
-    """First 32 bits of md5(col) as a non-negative BIGINT (same
-    engine-portable construction as queries/curation2.py)."""
-    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
-            .cast("bigint"))
 
 
 # ------------------------------------------ Gopher rule-based filtering
@@ -205,7 +200,7 @@ def pipeline_dsir_weights(spark, sf_dir):
     ht = (d.select("doc_id", "lang",
                    F.explode(X.tokens(F.col("text"))).alias("tok"))
           .select("doc_id", "lang",
-                  F.pmod(_h32(F.concat(F.lit("dsir:"), F.col("tok"))),
+                  F.pmod(h32(F.concat(F.lit("dsir:"), F.col("tok"))),
                          F.lit(1024)).alias("b")))
     is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
     rc = ht.groupBy("b").agg(F.count("*").alias("cr"),

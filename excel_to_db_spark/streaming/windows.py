@@ -716,25 +716,27 @@ def run_stream_late_audit(spark: SparkSession, sf_dir: str,
     return spark.table(name), dropped
 
 
-def run_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Checkpoint-resume replay: the first availableNow run drains the
-    initially-staged half of the events log and commits offsets + agg
-    state to the checkpoint; a SECOND run against the same checkpoint
-    sees the newly-arrived second half, processes ONLY it (offset log),
-    and restores the running aggregation from the state store — the
-    exactly-once restart path a production job takes after every
-    deploy/crash. Complete output mode re-emits the full restored
-    state, so the final table must equal the one-shot batch aggregation
-    over the whole log (the oracle): double-counting the first half OR
-    losing restored state both break the equality."""
+def staged_checkpoint_replay(spark: SparkSession, sf_dir: str, agg_fn,
+                             prefix: str = "ckptr"):
+    """Shared two-arrival checkpoint-restart choreography: stage the
+    events log as two dated halves, run one availableNow query per
+    arrival against a SHARED checkpoint (complete output mode), and
+    return both StreamingQuery handles plus the final memory-table name
+    and the staged halves — so the production key
+    (`run_stream_checkpoint_resume`) and the offset-log test
+    (tests/test_curation2.py) exercise the IDENTICAL file-move
+    protocol instead of two drift-prone copies.
+
+    `agg_fn` maps the raw streaming DataFrame to its aggregation (the
+    part that differs per caller)."""
     import os
     import shutil
     import tempfile
 
     from ..tables import load_table
 
-    staged = tempfile.mkdtemp(prefix="e2db_ckptr_src_")
-    ckpt = tempfile.mkdtemp(prefix="e2db_ckptr_ck_")
+    staged = tempfile.mkdtemp(prefix=f"e2db_{prefix}_src_")
+    ckpt = tempfile.mkdtemp(prefix=f"e2db_{prefix}_ck_")
     batch = load_table(spark, sf_dir, "events")
     halves = [batch.filter(F.col("ts") < F.lit("2024-01-16")),
               batch.filter(F.col("ts") >= F.lit("2024-01-16"))]
@@ -747,22 +749,42 @@ def run_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                       os.path.join(staged, f"h{i}.parquet")))
     schema = spark.read.parquet(paths[0][0]).schema
 
-    def one_run(qname: str) -> None:
+    def one_run(qname: str):
         stream = (spark.readStream.schema(schema).format("parquet")
                   .option("pathGlobFilter", "*.parquet").load(staged))
-        q = (stream.groupBy("event_type")
-             .agg(F.count("*").alias("n_events"),
-                  _cents_sum(F.col("value")).alias("sum_value"))
+        q = (agg_fn(stream)
              .writeStream.outputMode("complete")
              .format("memory").queryName(qname)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True)
              )
-        run_scoped(spark, q)
+        return run_scoped(spark, q)
 
-    name = f"ckptr_{uuid.uuid4().hex[:8]}"
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     shutil.move(*paths[0])                 # only the first half exists
-    one_run(name + "_a")
+    q1 = one_run(name + "_a")
     shutil.move(*paths[1])                 # second half "arrives" later
-    one_run(name + "_b")                   # same checkpoint: resume
-    return spark.table(name + "_b")
+    q2 = one_run(name + "_b")              # same checkpoint: resume
+    return q1, q2, name + "_b", halves
+
+
+def run_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume replay: the first availableNow run drains the
+    initially-staged half of the events log and commits offsets + agg
+    state to the checkpoint; a SECOND run against the same checkpoint
+    sees the newly-arrived second half, processes ONLY it (offset log),
+    and restores the running aggregation from the state store — the
+    exactly-once restart path a production job takes after every
+    deploy/crash. Complete output mode re-emits the full restored
+    state, so the final table must equal the one-shot batch aggregation
+    over the whole log (the oracle): double-counting the first half OR
+    losing restored state both break the equality."""
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return (stream.groupBy("event_type")
+                .agg(F.count("*").alias("n_events"),
+                     _cents_sum(F.col("value")).alias("sum_value")))
+
+    _q1, _q2, table, _halves = staged_checkpoint_replay(
+        spark, sf_dir, agg, prefix="ckptr")
+    return spark.table(table)

@@ -382,50 +382,24 @@ def test_checkpoint_resume_processes_only_new_data(spark, sf_dir):
     newly-arrived half (offset log) and still emit the full-log totals
     (state restore) — equality with batch alone cannot distinguish
     resume from silent reprocess-everything, the input-row counts can."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
     from excel_to_db_spark.numerics import cents_sum
-    from excel_to_db_spark.streaming.windows import run_scoped
+    from excel_to_db_spark.streaming.windows import staged_checkpoint_replay
     from excel_to_db_spark.tables import load_table
 
-    staged = tempfile.mkdtemp(prefix="ckres_")
-    ckpt = tempfile.mkdtemp(prefix="ckres_ck_")
+    def agg(stream):
+        return (stream.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     cents_sum(F.col("value")).alias("sv")))
+
+    q1, q2, table, halves = staged_checkpoint_replay(
+        spark, sf_dir, agg, prefix="ckres")
     batch = load_table(spark, sf_dir, "events")
-    halves = [batch.filter(F.col("ts") < "2024-01-16"),
-              batch.filter(F.col("ts") >= "2024-01-16")]
-    paths = []
-    for i, part in enumerate(halves):
-        pdir = os.path.join(staged, f"h{i}.dir")
-        part.coalesce(1).write.mode("overwrite").parquet(pdir)
-        f = [x for x in os.listdir(pdir) if x.endswith(".parquet")][0]
-        paths.append((os.path.join(pdir, f),
-                      os.path.join(staged, f"h{i}.parquet")))
-    schema = spark.read.parquet(paths[0][0]).schema
-
-    def one_run(qn):
-        stream = (spark.readStream.schema(schema).format("parquet")
-                  .option("pathGlobFilter", "*.parquet").load(staged))
-        q = (stream.groupBy("event_type")
-             .agg(F.count("*").alias("n"),
-                  cents_sum(F.col("value")).alias("sv"))
-             .writeStream.outputMode("complete").format("memory")
-             .queryName(qn).option("checkpointLocation", ckpt)
-             .trigger(availableNow=True))
-        return run_scoped(spark, q)
-
-    name = f"ckres_{uuid.uuid4().hex[:6]}"
-    shutil.move(*paths[0])
-    q1 = one_run(name + "_a")
-    shutil.move(*paths[1])
-    q2 = one_run(name + "_b")
     r1 = sum(p["numInputRows"] for p in q1.recentProgress)
     r2 = sum(p["numInputRows"] for p in q2.recentProgress)
     assert r1 == halves[0].count()
     assert r2 == halves[1].count()          # ONLY the new file
     got = {(r.event_type, r.n) for r in
-           spark.table(name + "_b").select("event_type", "n").collect()}
+           spark.table(table).select("event_type", "n").collect()}
     want = {(r.event_type, r["count"]) for r in
             batch.groupBy("event_type").count().collect()}
     assert got == want
