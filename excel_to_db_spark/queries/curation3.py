@@ -430,3 +430,85 @@ def text_tokenizer_fertility(spark, sf_dir):
                  n_words.alias("n_words"),
                  n_sub.alias("n_subword_tokens"),
                  F.round(n_sub * 1.0 / n_words, 6).alias("fertility")))
+
+
+# ------------------------------------- policy-aware dedup (keep best)
+
+@query("dedup_quality_keep_best", oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_dis,
+               len(list_filter(string_split(text, ' '),
+                               t -> list_contains({_SW_EN_SQL}, t))) AS stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, fp,
+               CAST(round(round(least(n_tok / 20.0, 1.0)
+                                * least(n_dis * 2.0 / n_tok, 1.0)
+                                * least(stop * 10.0 / n_tok, 1.0), 6)
+                          * 1000000) AS BIGINT) AS qm
+        FROM feat
+    ),
+    cl AS (
+        SELECT fp, CAST(count(*) AS BIGINT) AS sz,
+               max(qm * 1000000000 + (1000000000 - doc_id)) AS best_key,
+               min(doc_id * 1000000000 + qm) AS first_key
+        FROM q GROUP BY fp HAVING count(*) > 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz - 1) AS BIGINT) AS n_dropped,
+           CAST(sum(best_key // 1000000000
+                    - first_key % 1000000000) AS BIGINT)
+               AS quality_gain_micro
+    FROM cl
+""")
+def dedup_quality_keep_best(spark, sf_dir):
+    """Policy-aware exact dedup: within each duplicate cluster (same
+    sorted-word-set fingerprint as `dedup_exact` / `pipeline_training_
+    data`), compare the naive KEEP-FIRST policy (lowest doc_id — what
+    a streaming pipeline does by arrival order) against KEEP-BEST
+    (highest quality score, ties to the lower doc_id), and report the
+    total quality improvement buying the better policy earns. This is
+    the census a curation team runs before deciding whether
+    quality-ranked dedup is worth a second pass over the corpus.
+
+    Exactness: the quality score is snapped to integer micro-units per
+    row, then BOTH policies fold into single min/max agg keys
+    (best = max(qm*1e9 + (1e9 - doc_id)) — max quality then min id;
+    first = min(doc_id*1e9 + qm) — min id carrying its own quality), so
+    the whole comparison is two map-side-combinable extrema per
+    cluster. doc_id < 1e9 and qm <= 1e6 keep the packed keys exact in
+    BIGINT (bound documented; at larger id spaces widen to
+    DECIMAL(38,0)).
+
+    Scale shape: one fingerprint shuffle (the dedup pipeline's existing
+    exchange) and a scalar rollup — the policy comparison is free
+    relative to the dedup itself."""
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = X.token_count(t)
+    n_dis = X.distinct_token_count(t)
+    stop = X.stopword_hits(t, X.LANG_STOPWORDS["en"])
+    qv = F.round(F.least(n_tok / 20.0, F.lit(1.0))
+                 * F.least(n_dis * 2.0 / n_tok, F.lit(1.0))
+                 * F.least(stop * 10.0 / n_tok, F.lit(1.0)), 6)
+    q = d.select(
+        "doc_id", X.fingerprint(t).alias("fp"),
+        F.round(qv * 1000000).cast("bigint").alias("qm"))
+    cl = (q.groupBy("fp")
+          .agg(F.count("*").alias("sz"),
+               F.max(F.col("qm") * 1000000000
+                     + (1000000000 - F.col("doc_id"))).alias("best_key"),
+               F.min(F.col("doc_id") * 1000000000
+                     + F.col("qm")).alias("first_key"))
+          .filter(F.col("sz") > 1))
+    return cl.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum(F.col("sz") - 1).alias("n_dropped"),
+        F.sum(F.expr("CAST(best_key DIV 1000000000 AS BIGINT)")
+              - F.col("first_key") % 1000000000)
+        .alias("quality_gain_micro"))

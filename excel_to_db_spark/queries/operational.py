@@ -150,3 +150,76 @@ def attribution_last_touch(spark, sf_dir):
         F.last(click, ignorenulls=True).over(w).alias("click_id"))
     return (seq.filter(F.col("event_type") == "purchase")
             .select(F.col("event_id").alias("purchase_id"), "click_id"))
+
+
+# ---------------------------------------------- bot-regularity heuristics
+
+@query("events_bot_heuristics", oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT)
+               - lag(CAST(epoch_us(ts) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(gap) AS BIGINT) AS s,
+               sum(CAST(gap AS HUGEINT) * gap) AS ss
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    ),
+    sc AS (
+        SELECT user_id, n,
+               CAST((1000000 * (n * ss - CAST(s AS HUGEINT) * s))
+                    // (CAST(s AS HUGEINT) * s) AS BIGINT) AS cv2_micro
+        FROM u WHERE n >= 20 AND s > 0
+    )
+    SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN cv2_micro < 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bot_like,
+           CAST(min(cv2_micro) AS BIGINT) AS min_cv2_micro
+    FROM sc
+""")
+def events_bot_heuristics(spark, sf_dir):
+    """Bot-likeness census from inter-event timing regularity: a human
+    user's gaps between consecutive events are bursty (squared
+    coefficient of variation cv^2 = var/mean^2 near or above 1); a
+    scripted client fires on a timer (cv^2 near 0). Scores every user
+    with >= 20 gaps and flags cv^2 < 0.01 — the first-line abuse signal
+    a telemetry pipeline computes before any model-based detection.
+
+    Exactness: gaps are exact epoch-microsecond BIGINT differences;
+    cv^2 = (n*ss - s^2)/s^2 is formed from exact integer moments in
+    DECIMAL(38,0)/HUGEINT (s^2 alone overflows int64 for active users)
+    and reported in integer micro-units via floor division — no float
+    exists anywhere in the statistic.
+
+    Scale shape: one user-partitioned lag window (the shuffle any
+    sessionization already pays), a per-user moment aggregate, then a
+    scalar census. Gap moments bound: |gap| < 2^43 us (~100 days), so
+    ss < n * 2^86 stays inside DECIMAL(38,0) past 1e12 events/user."""
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select("user_id",
+                 (F.unix_micros(F.col("ts"))
+                  - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias("gap"))
+    d38 = "decimal(38,0)"
+    u = (g.filter(F.col("gap").isNotNull())
+         .groupBy("user_id")
+         .agg(F.count("*").alias("n"),
+              F.sum("gap").alias("s"),
+              F.sum(F.col("gap").cast(d38) * F.col("gap")).alias("ss")))
+    sc = (u.filter((F.col("n") >= 20) & (F.col("s") > 0))
+          .select("user_id", "n", F.expr(
+              "CAST((1000000 * (n * ss - CAST(s AS DECIMAL(38,0)) * s)) "
+              "DIV (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)")
+              .alias("cv2_micro")))
+    n_users = u.agg(F.count("*").alias("n_users"))
+    return (sc.agg(F.count("*").alias("n_scored"),
+                   F.sum(F.when(F.col("cv2_micro") < 10000, 1).otherwise(0))
+                   .cast("bigint").alias("n_bot_like"),
+                   F.min("cv2_micro").alias("min_cv2_micro"))
+            .crossJoin(F.broadcast(n_users))
+            .select("n_users", "n_scored", "n_bot_like", "min_cv2_micro"))

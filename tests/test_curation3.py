@@ -283,3 +283,57 @@ def test_hill_alpha_closed_form(spark, tmp_path):
     assert out.xmin_cents == 10000
     expect = round(1e8 / (100 * round(math.log(2) * 1e6)), 6)
     assert out.hill_alpha == expect
+
+
+def test_bot_heuristics_flags_metronome_user(spark, tmp_path):
+    """A user firing exactly every 10s (cv^2 = 0) must be flagged; a
+    bursty user must not."""
+    from datetime import datetime, timedelta
+
+    from excel_to_db_spark.queries.operational import events_bot_heuristics
+
+    rows = []
+    t0 = datetime(2026, 1, 1)
+    for i in range(30):                      # metronome: gap exactly 10s
+        rows.append((i, t0 + timedelta(seconds=10 * i), 1, "c", 1.0, "{}"))
+    gaps = [1, 50, 3, 200, 7, 90, 2, 400, 5, 30] * 3   # bursty
+    t = t0
+    for i, gp in enumerate(gaps):
+        t += timedelta(seconds=gp)
+        rows.append((1000 + i, t, 2, "c", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = events_bot_heuristics(spark, str(tmp_path)).collect()[0]
+    assert out.n_users == 2
+    assert out.n_scored == 2        # both have >= 20 gaps
+    assert out.n_bot_like == 1      # only the metronome
+    assert out.min_cv2_micro == 0   # exactly zero variance
+
+
+def test_keep_best_beats_keep_first_on_fixture(spark, tmp_path):
+    """Cluster of two identical-fingerprint docs where the LATER doc
+    has higher quality: keep-first forfeits exactly the quality delta."""
+    from excel_to_db_spark.queries.curation3 import dedup_quality_keep_best
+
+    # same distinct-word set (same fingerprint), different repetition ->
+    # different lexical-diversity quality term
+    base = ["the", "a", "of", "and", "is"] + [f"w{i}" for i in range(15)]
+    lo = " ".join(base * 4)                  # 80 tokens, 20 distinct
+    hi = " ".join(base)                      # 20 tokens, 20 distinct
+    docs = [(0, lo, "en", "s", 0), (1, hi, "en", "s", 0),
+            (2, "unrelated text entirely", "en", "s", 0)]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = dedup_quality_keep_best(spark, str(tmp_path)).collect()[0]
+    assert out.n_clusters == 1
+    assert out.n_dropped == 1
+    # q(lo): len min(80/20,1)=1; diversity min(2*20/80,1)=0.5;
+    # stop 20 hits -> min(10*20/80,1)=1 -> q=0.5
+    # q(hi): len min(20/20,1)=1; diversity min(2*20/20,1)=1;
+    # stop 5 -> min(10*5/20,1)=1 -> q=1.0
+    # keep-first (doc 0) forfeits exactly 0.5 = 500000 micro-units
+    assert out.quality_gain_micro == 500000
