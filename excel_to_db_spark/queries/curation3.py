@@ -512,3 +512,155 @@ def dedup_quality_keep_best(spark, sf_dir):
         F.sum(F.expr("CAST(best_key DIV 1000000000 AS BIGINT)")
               - F.col("first_key") % 1000000000)
         .alias("quality_gain_micro"))
+
+
+# -------------------------------------- end-to-end curation funnel
+
+@query("pipeline_curation_funnel", oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tok,
+               len(replace(text, ' ', '')) AS sum_len,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp
+        FROM documents
+    ),
+    rules AS (
+        SELECT doc_id, lang, n_tok, fp,
+               CASE WHEN n_tok BETWEEN 50 AND 100000
+                     AND 3 * n_tok <= sum_len AND sum_len <= 10 * n_tok
+                     AND 5 * len(list_filter(toks,
+                                 t -> regexp_matches(t, '[a-z]')))
+                         >= 4 * n_tok
+                     AND len(list_intersect(list_distinct(toks),
+                                            {_SW_EN_SQL})) >= 2
+                     AND 5 * list_max(list_transform(list_distinct(toks),
+                                 d -> len(list_filter(toks, t -> t = d))))
+                         <= n_tok
+                    THEN 1 ELSE 0 END AS ok_quality
+        FROM feat
+    ),
+    ht AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('dsir:' || tok), 1, 8))::UBIGINT
+                    AS BIGINT) % 1024 AS b
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+    ),
+    rc AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS cr,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct
+        FROM ht GROUP BY b
+    ),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                   CAST(sum(cr) AS BIGINT) AS nr FROM rc),
+    w AS (
+        SELECT b, CAST(round(ln(((ct + 1.0) / (nt + 1024))
+                              / ((cr + 1.0) / (nr + 1024))) * 1000000)
+                       AS BIGINT) AS wt
+        FROM rc, tot
+    ),
+    ds AS (
+        SELECT ht.doc_id,
+               CAST(round(CAST(sum(w.wt) AS BIGINT) * 1.0 / count(*))
+                    AS BIGINT) AS llr_micro
+        FROM ht JOIN w USING (b) GROUP BY ht.doc_id
+    ),
+    f AS (
+        SELECT rules.*, ds.llr_micro FROM rules JOIN ds USING (doc_id)
+    ),
+    s2 AS (SELECT * FROM f WHERE ok_quality = 1 AND llr_micro > 0),
+    s3 AS (
+        SELECT fp, min(doc_id * 1000000000 + n_tok) AS k
+        FROM s2 GROUP BY fp
+    )
+    SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM f
+    UNION ALL
+    SELECT '1_quality', CAST(count(*) AS BIGINT),
+           CAST(sum(n_tok) AS BIGINT) FROM f WHERE ok_quality = 1
+    UNION ALL
+    SELECT '2_target', CAST(count(*) AS BIGINT),
+           CAST(sum(n_tok) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT '3_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(k % 1000000000) AS BIGINT) FROM s3
+""")
+def pipeline_curation_funnel(spark, sf_dir):
+    """The whole curation pipeline as ONE query — the flagship
+    composite a user of this engine actually ships: Gopher rule-based
+    quality filtering (`text_gopher_rules`), DSIR target-likeness
+    selection (`pipeline_dsir_weights`, score > 0), and exact dedup
+    (keep-first per sorted-word-set fingerprint), reported as the
+    stage-by-stage funnel (documents and tokens surviving each stage)
+    that every data card publishes. Each stage reuses the exact
+    formulation of its standalone key, so the funnel is their proven
+    composition, not a third implementation.
+
+    Scale shape: the per-doc feature pass (rules + fingerprint) is one
+    projected scan with HOF predicates; DSIR adds its bucket-count agg
+    + broadcast-weight scoring (the per-doc reduce is the one
+    corpus-keyed shuffle); dedup folds into a fingerprint min-agg
+    (representative doc_id and its token count packed into one BIGINT
+    key, doc_id < 1e9 / n_tok < 1e9 documented); the four funnel rows
+    are a UNION of scalar aggregates over the SAME feature frame —
+    Spark computes the feature subtree once per branch with exchange
+    reuse, and at production scale the frame would be checkpointed
+    between stages anyway."""
+    d = T(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    n_tok = X.token_count(F.col("text"))
+    sum_len = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    sw = F.array(*[F.lit(w) for w in X.LANG_STOPWORDS["en"]])
+    ok = (n_tok.between(50, 100000)
+          & (3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok)
+          & (5 * F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+             >= 4 * n_tok)
+          & (F.size(F.array_intersect(F.array_distinct(toks), sw)) >= 2)
+          & (5 * F.array_max(F.transform(
+              F.array_distinct(toks),
+              lambda d_: F.size(F.filter(toks, lambda t: t == d_))))
+             <= n_tok))
+    rules = d.select("doc_id", n_tok.alias("n_tok"),
+                     X.fingerprint(F.col("text")).alias("fp"),
+                     F.when(ok, 1).otherwise(0).alias("ok_quality"))
+    ht = (d.select("doc_id", "lang",
+                   F.explode(toks).alias("tok"))
+          .select("doc_id", "lang",
+                  F.pmod(h32(F.concat(F.lit("dsir:"), F.col("tok"))),
+                         F.lit(1024)).alias("b")))
+    is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    rc = ht.groupBy("b").agg(F.count("*").alias("cr"),
+                             F.sum(is_en).alias("ct"))
+    tot = rc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    w = (rc.crossJoin(F.broadcast(tot))
+         .select("b",
+                 F.round(F.log(((F.col("ct") + 1.0) / (F.col("nt") + 1024))
+                               / ((F.col("cr") + 1.0) / (F.col("nr") + 1024)))
+                         * 1000000).cast("bigint").alias("wt")))
+    ds = (ht.join(F.broadcast(w), "b")
+          .groupBy("doc_id")
+          .agg(F.round(F.sum("wt") * 1.0 / F.count("*"))
+               .cast("bigint").alias("llr_micro")))
+    f = rules.join(ds, "doc_id")
+    s2 = f.filter((F.col("ok_quality") == 1) & (F.col("llr_micro") > 0))
+    s3 = (s2.groupBy("fp")
+          .agg(F.min(F.col("doc_id") * 1000000000 + F.col("n_tok"))
+               .alias("k")))
+
+    def row(stage, frame, tok_col):
+        return frame.agg(
+            F.lit(stage).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum(tok_col).cast("bigint").alias("n_tokens")).select(
+            "stage", "n_docs", "n_tokens")
+
+    return (row("0_raw", f, F.col("n_tok"))
+            .unionAll(row("1_quality",
+                          f.filter(F.col("ok_quality") == 1),
+                          F.col("n_tok")))
+            .unionAll(row("2_target", s2, F.col("n_tok")))
+            .unionAll(row("3_dedup", s3,
+                          F.col("k") % 1000000000)))

@@ -337,3 +337,25 @@ def test_keep_best_beats_keep_first_on_fixture(spark, tmp_path):
     # stop 5 -> min(10*5/20,1)=1 -> q=1.0
     # keep-first (doc 0) forfeits exactly 0.5 = 500000 micro-units
     assert out.quality_gain_micro == 500000
+
+
+def test_curation_funnel_is_monotone_and_consistent(spark, sf_dir):
+    """Funnel invariants: each stage keeps a subset of the previous
+    one (docs and tokens non-increasing), and the stage counts must
+    agree with the standalone keys they compose."""
+    from excel_to_db_spark.queries.curation3 import (
+        pipeline_curation_funnel, text_gopher_rules)
+
+    rows = {r.stage: r for r in
+            pipeline_curation_funnel(spark, sf_dir).collect()}
+    assert list(sorted(rows)) == ["0_raw", "1_quality", "2_target", "3_dedup"]
+    order = ["0_raw", "1_quality", "2_target", "3_dedup"]
+    for a, b in zip(order, order[1:]):
+        assert rows[b].n_docs <= rows[a].n_docs
+        assert (rows[b].n_tokens or 0) <= (rows[a].n_tokens or 0)
+    # stage-1 count equals the standalone Gopher census's pass_all sum
+    gop = text_gopher_rules(spark, sf_dir).collect()
+    assert rows["1_quality"].n_docs == sum(r.pass_all for r in gop)
+    # raw stage covers the whole corpus
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rows["0_raw"].n_docs == n
