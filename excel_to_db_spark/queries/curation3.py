@@ -32,6 +32,43 @@ from .relational import T
 _SW_EN_SQL = "[" + ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"]) + "]"
 
 
+def gopher_census(d):
+    """The Gopher-rule census aggregation over a documents DataFrame —
+    shared by the batch key (`text_gopher_rules`) and its streaming
+    twin (`stream_quality_census`): stateless per-row predicates plus
+    one 5-group aggregate, so it runs unchanged under Structured
+    Streaming's complete output mode."""
+    toks = X.tokens(F.col("text"))
+    n_tok = X.token_count(F.col("text"))
+    sum_len = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    sw = F.array(*[F.lit(w) for w in X.LANG_STOPWORDS["en"]])
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_stop_dis = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    max_freq = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda d_: F.size(F.filter(toks, lambda t: t == d_))))
+
+    def rule(cond):
+        return F.when(cond, 1).otherwise(0)
+
+    r = d.select(
+        "lang",
+        rule(n_tok.between(50, 100000)).alias("r_wc"),
+        rule((3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok)).alias("r_mwl"),
+        rule(5 * n_alpha >= 4 * n_tok).alias("r_alpha"),
+        rule(n_stop_dis >= 2).alias("r_stop"),
+        rule(5 * max_freq <= n_tok).alias("r_rep"))
+    return (r.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("r_wc").alias("pass_wordcount"),
+                 F.sum("r_mwl").alias("pass_meanwordlen"),
+                 F.sum("r_alpha").alias("pass_alpha"),
+                 F.sum("r_stop").alias("pass_stopwords"),
+                 F.sum("r_rep").alias("pass_repetition"),
+                 F.sum(F.col("r_wc") * F.col("r_mwl") * F.col("r_alpha")
+                       * F.col("r_stop") * F.col("r_rep")).alias("pass_all")))
+
+
 @query("text_gopher_rules", oracle=f"""
     WITH f AS (
         SELECT lang,
@@ -94,36 +131,7 @@ def text_gopher_rules(spark, sf_dir):
     then a 5-group map-side-combined aggregate. The per-row repetition
     rule is O(distinct_tokens * n_tok) on short web documents — bounded
     by the wordcount rule itself at the 100k ceiling."""
-    d = T(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
-    n_tok = X.token_count(F.col("text"))
-    sum_len = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    sw = F.array(*[F.lit(w) for w in X.LANG_STOPWORDS["en"]])
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    n_stop_dis = F.size(F.array_intersect(F.array_distinct(toks), sw))
-    max_freq = F.array_max(F.transform(
-        F.array_distinct(toks),
-        lambda d_: F.size(F.filter(toks, lambda t: t == d_))))
-
-    def rule(cond):
-        return F.when(cond, 1).otherwise(0)
-
-    r = d.select(
-        "lang",
-        rule(n_tok.between(50, 100000)).alias("r_wc"),
-        rule((3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok)).alias("r_mwl"),
-        rule(5 * n_alpha >= 4 * n_tok).alias("r_alpha"),
-        rule(n_stop_dis >= 2).alias("r_stop"),
-        rule(5 * max_freq <= n_tok).alias("r_rep"))
-    return (r.groupBy("lang")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("r_wc").alias("pass_wordcount"),
-                 F.sum("r_mwl").alias("pass_meanwordlen"),
-                 F.sum("r_alpha").alias("pass_alpha"),
-                 F.sum("r_stop").alias("pass_stopwords"),
-                 F.sum("r_rep").alias("pass_repetition"),
-                 F.sum(F.col("r_wc") * F.col("r_mwl") * F.col("r_alpha")
-                       * F.col("r_stop") * F.col("r_rep")).alias("pass_all")))
+    return gopher_census(T(spark, sf_dir, "documents"))
 
 
 # ----------------------------------- DSIR importance-weighted selection
@@ -664,3 +672,52 @@ def pipeline_curation_funnel(spark, sf_dir):
             .unionAll(row("2_target", s2, F.col("n_tok")))
             .unionAll(row("3_dedup", s3,
                           F.col("k") % 1000000000)))
+
+
+@query("stream_quality_census", oracle=f"""
+    WITH f AS (
+        SELECT lang,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tok,
+               len(replace(text, ' ', '')) AS sum_len
+        FROM documents
+    ),
+    r AS (
+        SELECT lang,
+               CASE WHEN n_tok BETWEEN 50 AND 100000
+                    THEN 1 ELSE 0 END AS r_wc,
+               CASE WHEN 3 * n_tok <= sum_len AND sum_len <= 10 * n_tok
+                    THEN 1 ELSE 0 END AS r_mwl,
+               CASE WHEN 5 * len(list_filter(toks,
+                                 t -> regexp_matches(t, '[a-z]')))
+                         >= 4 * n_tok
+                    THEN 1 ELSE 0 END AS r_alpha,
+               CASE WHEN len(list_intersect(list_distinct(toks),
+                                            {_SW_EN_SQL})) >= 2
+                    THEN 1 ELSE 0 END AS r_stop,
+               CASE WHEN 5 * list_max(list_transform(list_distinct(toks),
+                                 d -> len(list_filter(toks, t -> t = d))))
+                         <= n_tok
+                    THEN 1 ELSE 0 END AS r_rep
+        FROM f
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(r_wc) AS BIGINT) AS pass_wordcount,
+           CAST(sum(r_mwl) AS BIGINT) AS pass_meanwordlen,
+           CAST(sum(r_alpha) AS BIGINT) AS pass_alpha,
+           CAST(sum(r_stop) AS BIGINT) AS pass_stopwords,
+           CAST(sum(r_rep) AS BIGINT) AS pass_repetition,
+           CAST(sum(r_wc * r_mwl * r_alpha * r_stop * r_rep) AS BIGINT)
+               AS pass_all
+    FROM r GROUP BY lang
+""")
+def stream_quality_census(spark, sf_dir):
+    """Streaming twin of `text_gopher_rules`: the same census computed
+    by the Structured Streaming engine over a file-source replay of the
+    documents table (see streaming/windows.py:run_stream_quality_census
+    for the state-size argument). The batch SQL oracle checks the
+    streaming engine's final complete-mode emission value-for-value."""
+    from ..streaming.windows import run_stream_quality_census
+
+    return run_stream_quality_census(spark, sf_dir)

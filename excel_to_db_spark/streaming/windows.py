@@ -788,3 +788,36 @@ def run_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     _q1, _q2, table, _halves = staged_checkpoint_replay(
         spark, sf_dir, agg, prefix="ckptr")
     return spark.table(table)
+
+
+def run_stream_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality census executed by the Structured Streaming
+    engine: the documents table replayed through the parquet file
+    source and aggregated with the IDENTICAL stateless-predicate +
+    5-group census the batch key uses
+    (queries/curation3.py:gopher_census) — the shape of a curation
+    gate that scores every incoming crawl batch as it lands instead of
+    in a nightly sweep. Complete output mode on finite replayed input
+    => final emission equals the batch census, so the batch oracle
+    verifies the streaming operator value-for-value.
+
+    State is just 5 language groups x 7 counters — a streaming
+    aggregation whose state CANNOT grow with the corpus, the best-case
+    profile for an unbounded quality monitor."""
+    from ..queries.curation3 import gopher_census
+
+    name = f"qcensus_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # the file source wants a directory basePath; the sf dir holds every
+    # table, so select just the documents file with a glob filter (same
+    # pattern as events_stream_reader)
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("pathGlobFilter", "documents.parquet")
+              .option("maxFilesPerTrigger", "1").load(sf_dir))
+    q = (gopher_census(stream)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         )
+    run_scoped(spark, q)
+    return spark.table(name)
