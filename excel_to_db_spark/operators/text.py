@@ -58,6 +58,22 @@ def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
                            lambda t: F.array_contains(wordset, t))).cast("bigint")
 
 
+def quality_score(t: Column) -> Column:
+    """Composite document quality score in [0,1] — THE one definition
+    (product of clamped length / lexical-diversity / stopword-fluency
+    sub-scores) shared by quality_features, pipeline_training_data, and
+    dedup_quality_keep_best; a threshold tuned here moves every
+    consumer together. Unrounded: call sites round per their contract.
+    Note (n_dis/n)*2 and (2*n_dis)/n are IEEE-identical (scaling by 2
+    is exact), so either spelling matches the SQL oracles."""
+    n_tok = token_count(t)
+    n_dis = distinct_token_count(t)
+    stop = stopword_hits(t, LANG_STOPWORDS["en"])
+    return (F.least(n_tok / 20.0, F.lit(1.0))
+            * F.least(n_dis * 2.0 / n_tok, F.lit(1.0))
+            * F.least(stop * 10.0 / n_tok, F.lit(1.0)))
+
+
 def quality_features(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features + a composite score in [0,1]:
@@ -74,9 +90,7 @@ def quality_features(df: DataFrame, text_col: str = "text",
     mean_len = ((F.length(t) - n_tok + 1) / n_tok)  # single-spaced text
     stop = stopword_hits(t, LANG_STOPWORDS["en"])
     ttr = n_dis / n_tok
-    score = (F.least(n_tok / 20.0, F.lit(1.0))
-             * F.least(ttr * 2, F.lit(1.0))
-             * F.least(stop * 10.0 / n_tok, F.lit(1.0)))
+    score = quality_score(t)
     return df.select(
         F.col(id_col),
         n_tok.alias("n_tok"),

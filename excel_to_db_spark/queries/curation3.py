@@ -32,32 +32,41 @@ from .relational import T
 _SW_EN_SQL = "[" + ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"]) + "]"
 
 
+def gopher_rules(t):
+    """The five Gopher rule predicates as named boolean Columns over a
+    text Column — THE one definition consumed by the batch census
+    (`text_gopher_rules`), its streaming twin (`stream_quality_census`),
+    and the curation funnel (`pipeline_curation_funnel`); a threshold
+    tuned here moves all three together."""
+    toks = X.tokens(t)
+    n_tok = X.token_count(t)
+    sum_len = F.length(F.regexp_replace(t, " ", ""))
+    sw = F.array(*[F.lit(w) for w in X.LANG_STOPWORDS["en"]])
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_stop_dis = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    max_freq = F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda d_: F.size(F.filter(toks, lambda x: x == d_))))
+    return {
+        "r_wc": n_tok.between(50, 100000),
+        "r_mwl": (3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok),
+        "r_alpha": 5 * n_alpha >= 4 * n_tok,
+        "r_stop": n_stop_dis >= 2,
+        "r_rep": 5 * max_freq <= n_tok,
+    }
+
+
 def gopher_census(d):
     """The Gopher-rule census aggregation over a documents DataFrame —
     shared by the batch key (`text_gopher_rules`) and its streaming
     twin (`stream_quality_census`): stateless per-row predicates plus
     one 5-group aggregate, so it runs unchanged under Structured
     Streaming's complete output mode."""
-    toks = X.tokens(F.col("text"))
-    n_tok = X.token_count(F.col("text"))
-    sum_len = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    sw = F.array(*[F.lit(w) for w in X.LANG_STOPWORDS["en"]])
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    n_stop_dis = F.size(F.array_intersect(F.array_distinct(toks), sw))
-    max_freq = F.array_max(F.transform(
-        F.array_distinct(toks),
-        lambda d_: F.size(F.filter(toks, lambda t: t == d_))))
-
-    def rule(cond):
-        return F.when(cond, 1).otherwise(0)
-
+    rules = gopher_rules(F.col("text"))
     r = d.select(
         "lang",
-        rule(n_tok.between(50, 100000)).alias("r_wc"),
-        rule((3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok)).alias("r_mwl"),
-        rule(5 * n_alpha >= 4 * n_tok).alias("r_alpha"),
-        rule(n_stop_dis >= 2).alias("r_stop"),
-        rule(5 * max_freq <= n_tok).alias("r_rep"))
+        *[F.when(cond, 1).otherwise(0).alias(name)
+          for name, cond in rules.items()])
     return (r.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("r_wc").alias("pass_wordcount"),
@@ -463,7 +472,7 @@ def text_tokenizer_fertility(spark, sf_dir):
     ),
     cl AS (
         SELECT fp, CAST(count(*) AS BIGINT) AS sz,
-               max(qm * 1000000000 + (1000000000 - doc_id)) AS best_key,
+               max(qm * 1000000000 + (999999999 - doc_id)) AS best_key,
                min(doc_id * 1000000000 + qm) AS first_key
         FROM q GROUP BY fp HAVING count(*) > 1
     )
@@ -489,7 +498,9 @@ def dedup_quality_keep_best(spark, sf_dir):
     (best = max(qm*1e9 + (1e9 - doc_id)) — max quality then min id;
     first = min(doc_id*1e9 + qm) — min id carrying its own quality), so
     the whole comparison is two map-side-combinable extrema per
-    cluster. doc_id < 1e9 and qm <= 1e6 keep the packed keys exact in
+    cluster. The id complement is 999999999 - doc_id so doc_id 0 (a
+    real id in this corpus) cannot carry into the quality digits;
+    doc_id <= 999999999 and qm <= 1e6 keep the packed keys exact in
     BIGINT (bound documented; at larger id spaces widen to
     DECIMAL(38,0)).
 
@@ -498,19 +509,14 @@ def dedup_quality_keep_best(spark, sf_dir):
     relative to the dedup itself."""
     d = T(spark, sf_dir, "documents")
     t = F.col("text")
-    n_tok = X.token_count(t)
-    n_dis = X.distinct_token_count(t)
-    stop = X.stopword_hits(t, X.LANG_STOPWORDS["en"])
-    qv = F.round(F.least(n_tok / 20.0, F.lit(1.0))
-                 * F.least(n_dis * 2.0 / n_tok, F.lit(1.0))
-                 * F.least(stop * 10.0 / n_tok, F.lit(1.0)), 6)
+    qv = F.round(X.quality_score(t), 6)
     q = d.select(
         "doc_id", X.fingerprint(t).alias("fp"),
         F.round(qv * 1000000).cast("bigint").alias("qm"))
     cl = (q.groupBy("fp")
           .agg(F.count("*").alias("sz"),
                F.max(F.col("qm") * 1000000000
-                     + (1000000000 - F.col("doc_id"))).alias("best_key"),
+                     + (999999999 - F.col("doc_id"))).alias("best_key"),
                F.min(F.col("doc_id") * 1000000000
                      + F.col("qm")).alias("first_key"))
           .filter(F.col("sz") > 1))
@@ -617,20 +623,14 @@ def pipeline_curation_funnel(spark, sf_dir):
     Spark computes the feature subtree once per branch with exchange
     reuse, and at production scale the frame would be checkpointed
     between stages anyway."""
+    import functools
+    import operator
+
     d = T(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
     n_tok = X.token_count(F.col("text"))
-    sum_len = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    sw = F.array(*[F.lit(w) for w in X.LANG_STOPWORDS["en"]])
-    ok = (n_tok.between(50, 100000)
-          & (3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok)
-          & (5 * F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-             >= 4 * n_tok)
-          & (F.size(F.array_intersect(F.array_distinct(toks), sw)) >= 2)
-          & (5 * F.array_max(F.transform(
-              F.array_distinct(toks),
-              lambda d_: F.size(F.filter(toks, lambda t: t == d_))))
-             <= n_tok))
+    ok = functools.reduce(operator.and_,
+                          gopher_rules(F.col("text")).values())
     rules = d.select("doc_id", n_tok.alias("n_tok"),
                      X.fingerprint(F.col("text")).alias("fp"),
                      F.when(ok, 1).otherwise(0).alias("ok_quality"))

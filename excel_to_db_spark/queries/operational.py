@@ -171,9 +171,11 @@ def attribution_last_touch(spark, sf_dir):
     ),
     sc AS (
         SELECT user_id, n,
-               CAST((1000000 * (n * ss - CAST(s AS HUGEINT) * s))
-                    // (CAST(s AS HUGEINT) * s) AS BIGINT) AS cv2_micro
-        FROM u WHERE n >= 20 AND s > 0
+               CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST((1000000 * (n * ss - CAST(s AS HUGEINT) * s))
+                              // (CAST(s AS HUGEINT) * s) AS BIGINT)
+               END AS cv2_micro
+        FROM u WHERE n >= 20
     )
     SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
            CAST(count(*) AS BIGINT) AS n_scored,
@@ -194,12 +196,18 @@ def events_bot_heuristics(spark, sf_dir):
     cv^2 = (n*ss - s^2)/s^2 is formed from exact integer moments in
     DECIMAL(38,0)/HUGEINT (s^2 alone overflows int64 for active users)
     and reported in integer micro-units via floor division — no float
-    exists anywhere in the statistic.
+    exists anywhere in the statistic. A user whose >= 20 gaps are ALL
+    zero (batch uploads sharing one timestamp) is the limit case of
+    regularity: cv^2 is defined as 0 there, flagging it, rather than
+    dividing by s = 0 or silently dropping the strongest bot signal.
 
     Scale shape: one user-partitioned lag window (the shuffle any
     sessionization already pays), a per-user moment aggregate, then a
-    scalar census. Gap moments bound: |gap| < 2^43 us (~100 days), so
-    ss < n * 2^86 stays inside DECIMAL(38,0) past 1e12 events/user."""
+    scalar census. Moments bound: the scored numerator is
+    1e6 * n * ss ~ 1e6 * n^2 * gap^2, inside DECIMAL(38,0) up to
+    ~3e5 gaps/user at day-scale gaps (and ~1e8 at minute-scale) —
+    beyond that, rescale gaps to milliseconds before the moments (the
+    statistic is scale-invariant)."""
     e = T(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     g = e.select("user_id",
@@ -211,10 +219,11 @@ def events_bot_heuristics(spark, sf_dir):
          .agg(F.count("*").alias("n"),
               F.sum("gap").alias("s"),
               F.sum(F.col("gap").cast(d38) * F.col("gap")).alias("ss")))
-    sc = (u.filter((F.col("n") >= 20) & (F.col("s") > 0))
+    sc = (u.filter(F.col("n") >= 20)
           .select("user_id", "n", F.expr(
-              "CAST((1000000 * (n * ss - CAST(s AS DECIMAL(38,0)) * s)) "
-              "DIV (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)")
+              "CASE WHEN s = 0 THEN CAST(0 AS BIGINT) "
+              "ELSE CAST((1000000 * (n * ss - CAST(s AS DECIMAL(38,0)) * s)) "
+              "DIV (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT) END")
               .alias("cv2_micro")))
     n_users = u.agg(F.count("*").alias("n_users"))
     return (sc.agg(F.count("*").alias("n_scored"),

@@ -164,11 +164,8 @@ def pipeline_training_data(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     t = F.col("text")
     n_tok = X.token_count(t)
-    n_dis = X.distinct_token_count(t)
     stop = X.stopword_hits(t, X.LANG_STOPWORDS["en"])
-    q = F.round(F.least(n_tok / 20.0, F.lit(1.0))
-                * F.least(n_dis * 2.0 / n_tok, F.lit(1.0))
-                * F.least(stop * 10.0 / n_tok, F.lit(1.0)), 6)
+    q = F.round(X.quality_score(t), 6)
     scored = d.select("doc_id", "source",
                       n_tok.alias("n_tok"), stop.alias("stop"),
                       q.alias("q"), X.fingerprint(t).alias("fp"))

@@ -96,9 +96,27 @@ def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
                     "n_events", "sum_value"))
 
 
+def table_stream_reader(spark: SparkSession, sf_dir: str, table: str,
+                        max_files_per_trigger: int | None = None
+                        ) -> DataFrame:
+    """readStream over one testdata table's parquet file. The file
+    source needs an explicit schema (taken from a batch read) and a
+    directory basePath — the sf dir holds every table, so the single
+    table file is selected with a glob filter. One definition for every
+    table-replay streaming key (events_stream_reader layers the events
+    ts normalization on top)."""
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    reader = spark.readStream.schema(schema).format("parquet") \
+        .option("pathGlobFilter", f"{table}.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.load(sf_dir)
+
+
 def events_stream_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet. The file source needs an
-    explicit schema; we take it from a batch read of the same file.
+    """readStream over the events parquet (table_stream_reader plus the
+    events ts normalization).
 
     The raw `ts` arrives as TIMESTAMP_NTZ (timestamp[us]-no-tz parquet)
     or, under nanosAsLong, as a nanosecond long — neither is accepted by
@@ -110,14 +128,7 @@ def events_stream_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     require_utc(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file stream source wants a directory basePath; the sf dir holds
-    # every table, so select just the events file with a glob filter.
-    stream = (spark.readStream.schema(raw_schema)
-              .format("parquet")
-              .option("pathGlobFilter", "events.parquet")
-              .load(sf_dir))
-    return normalize_event_ts(stream)
+    return normalize_event_ts(table_stream_reader(spark, sf_dir, "events"))
 
 
 def run_tumbling_stream(spark: SparkSession, sf_dir: str,
@@ -807,13 +818,8 @@ def run_stream_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries.curation3 import gopher_census
 
     name = f"qcensus_{uuid.uuid4().hex[:8]}"
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    # the file source wants a directory basePath; the sf dir holds every
-    # table, so select just the documents file with a glob filter (same
-    # pattern as events_stream_reader)
-    stream = (spark.readStream.schema(schema).format("parquet")
-              .option("pathGlobFilter", "documents.parquet")
-              .option("maxFilesPerTrigger", "1").load(sf_dir))
+    stream = table_stream_reader(spark, sf_dir, "documents",
+                                 max_files_per_trigger=1)
     q = (gopher_census(stream)
          .writeStream.outputMode("complete")
          .format("memory").queryName(name)

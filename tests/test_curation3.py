@@ -359,3 +359,49 @@ def test_curation_funnel_is_monotone_and_consistent(spark, sf_dir):
     # raw stage covers the whole corpus
     n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert rows["0_raw"].n_docs == n
+
+
+def test_keep_best_doc_id_zero_no_carry(spark, tmp_path):
+    """Regression (review r5): when doc_id 0 is itself the best AND
+    first doc of its cluster, the packed-key decode must report gain 0
+    — the old (1e9 - doc_id) complement carried into the quality
+    digits and inflated the gain by 1 micro-unit."""
+    from excel_to_db_spark.queries.curation3 import dedup_quality_keep_best
+
+    base = ["the", "a", "of", "and", "is"] + [f"w{i}" for i in range(15)]
+    hi = " ".join(base)          # doc 0: the better doc
+    lo = " ".join(base * 4)      # doc 1: same fingerprint, lower quality
+    docs = [(0, hi, "en", "s", 0), (1, lo, "en", "s", 0)]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = dedup_quality_keep_best(spark, str(tmp_path)).collect()[0]
+    assert out.n_clusters == 1 and out.n_dropped == 1
+    assert out.quality_gain_micro == 0   # keep-first already keeps best
+
+
+def test_bot_heuristics_all_zero_gaps_is_flagged(spark, tmp_path):
+    """Regression (review r5): a batch-uploading client whose >= 20
+    gaps are ALL zero is the limit case of regularity and must be
+    flagged (cv^2 defined as 0), not silently dropped by an s > 0
+    filter."""
+    from datetime import datetime, timedelta
+
+    from excel_to_db_spark.queries.operational import events_bot_heuristics
+
+    t0 = datetime(2026, 1, 1)
+    rows = [(i, t0, 1, "c", 1.0, "{}") for i in range(30)]   # one instant
+    gaps = [1, 50, 3, 200, 7, 90, 2, 400, 5, 30] * 3
+    t = t0
+    for i, gp in enumerate(gaps):
+        t += timedelta(seconds=gp)
+        rows.append((1000 + i, t, 2, "c", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = events_bot_heuristics(spark, str(tmp_path)).collect()[0]
+    assert out.n_scored == 2
+    assert out.n_bot_like == 1
+    assert out.min_cv2_micro == 0
