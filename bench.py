@@ -109,6 +109,10 @@ HEADLINE = [
     "pipeline_dsir_weights",   # hashed-unigram LM ratio selection
     "similarity_ivfpq",        # coarse cells + residual PQ + ADC LUT
     "graph_jaccard_neighbors", # bipartite wedge join + degree broadcast
+    "pipeline_curation_funnel",  # rules -> DSIR -> dedup, one query
+    "embedding_drift_mmd",     # MMD^2 via per-group Gramian moments
+    "events_bot_heuristics",   # timing-regularity census, exact moments
+    "dedup_quality_keep_best", # packed-key policy comparison
 ]
 
 

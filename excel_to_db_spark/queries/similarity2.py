@@ -410,3 +410,98 @@ def similarity_ivfpq(spark, sf_dir):
     return (top.withColumn(
         "rk", F.row_number().over(Window.orderBy("adc", "vec_id")))
         .select(F.col("vec_id").alias("n_id"), "cell", "adc", "rk"))
+
+
+@query("similarity_ndcg_eval", oracle="""
+    WITH iv AS (
+        SELECT vec_id, label,
+               [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv, label AS qlbl FROM iv WHERE vec_id = 0),
+    d AS (
+        SELECT vec_id, label,
+               CAST(list_sum([(v[i] - qv[i]) * (v[i] - qv[i])
+                              for i in range(1, 65)]) AS BIGINT) AS d2,
+               CASE WHEN label = qlbl THEN 1 ELSE 0 END AS rel
+        FROM iv, q WHERE vec_id <> 0
+    ),
+    top AS (
+        SELECT rel, row_number() OVER (ORDER BY d2, vec_id) AS rk
+        FROM d ORDER BY d2, vec_id LIMIT 10
+    ),
+    dcg AS (
+        SELECT CAST(sum(CAST(round(rel * 1000000 / log2(rk + 1))
+                             AS BIGINT)) AS BIGINT) AS dcg_micro,
+               CAST(sum(rel) AS BIGINT) AS n_rel_top
+        FROM top
+    ),
+    ideal AS (
+        SELECT CAST(sum(CAST(round(1000000 / log2(rk + 1)) AS BIGINT))
+                    AS BIGINT) AS idcg_micro
+        FROM (SELECT row_number() OVER (ORDER BY rel DESC) AS rk, rel
+              FROM top) WHERE rel = 1
+    ),
+    tot AS (SELECT CAST(sum(rel) AS BIGINT) AS n_rel_total FROM d)
+    SELECT dcg.n_rel_top, tot.n_rel_total,
+           round(dcg.dcg_micro * 1.0
+                 / (CASE WHEN ideal.idcg_micro IS NULL OR ideal.idcg_micro = 0
+                         THEN 1 ELSE ideal.idcg_micro END), 6) AS ndcg_at_10
+    FROM dcg, ideal, tot
+""")
+def similarity_ndcg_eval(spark, sf_dir):
+    """NDCG@10 retrieval evaluation: rank the corpus against query
+    vector 0 by exact integer L2 and score the top-10 with binary
+    same-label relevance — the standard IR metric that rewards placing
+    relevant neighbors EARLY, completing the eval trio next to
+    `similarity_recall` (set overlap, rank-blind) and
+    `embedding_mrl_eval` (truncation robustness).
+
+    Exactness: distances and ranks are exact integers; each DCG term
+    rel/log2(rank+1) is computed from the same (rel, rank) integer pair
+    on both engines and snapped to micro-units per row (SURVEY §4.3),
+    so DCG and ideal-DCG are exact BIGINTs; NDCG is one final double
+    division (guarded to 1 when there are no relevant docs, so the
+    metric reads 0 rather than NULL).
+
+    Scale shape: one broadcast of the query row, a projected scan
+    computing distance + relevance in codegen, a TakeOrdered top-10,
+    and window/aggregate work on 10 rows — nothing data-sized leaves
+    the executors; the relevant-total rides the same scan as a
+    map-side-combined sum."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.col("v").alias("qv"), F.col("label").alias("qlbl")))
+    d = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+         .select("vec_id",
+                 F.expr("aggregate(zip_with(v, qv, (x, y) -> (x-y)*(x-y)), "
+                        "0L, (acc, t) -> acc + t)").alias("d2"),
+                 F.when(F.col("label") == F.col("qlbl"), 1).otherwise(0)
+                 .alias("rel")))
+    top = (d.orderBy("d2", "vec_id").limit(10)
+           .withColumn("rk", F.row_number().over(
+               Window.orderBy("d2", "vec_id"))))
+    dcg = top.agg(
+        F.sum(F.expr("CAST(round(rel * 1000000 / log2(rk + 1)) AS BIGINT)"))
+        .alias("dcg_micro"),
+        F.sum("rel").alias("n_rel_top"))
+    ideal = (top.filter(F.col("rel") == 1)
+             .withColumn("irk", F.row_number().over(
+                 Window.orderBy(F.col("rel").desc())))
+             .agg(F.sum(F.expr(
+                 "CAST(round(1000000 / log2(irk + 1)) AS BIGINT)"))
+                 .alias("idcg_micro")))
+    tot = d.agg(F.sum("rel").alias("n_rel_total"))
+    return (dcg.crossJoin(F.broadcast(ideal)).crossJoin(F.broadcast(tot))
+            .select("n_rel_top", "n_rel_total",
+                    F.round(F.col("dcg_micro") * 1.0
+                            / F.when(F.col("idcg_micro").isNull()
+                                     | (F.col("idcg_micro") == 0), 1)
+                            .otherwise(F.col("idcg_micro")), 6)
+                    .alias("ndcg_at_10")))

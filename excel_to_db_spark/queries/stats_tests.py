@@ -1213,6 +1213,128 @@ def stats_hill_tail_index(spark, sf_dir):
                     .alias("hill_alpha"))
 
 
+# ------------------------------------------ split-conformal prediction
+
+@query("stats_conformal_coverage", oracle="""
+    WITH li AS (
+        SELECT l_orderkey * 8 + l_linenumber AS k,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+               CAST(('0x' || substr(md5('conf:' ||
+                        CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)),
+                        1, 8))::UBIGINT AS BIGINT) % 10 AS sp
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM li WHERE sp <= 5
+    ),
+    beta AS (
+        SELECT CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                    AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                      AS DOUBLE) AS b1,
+               n, sx, sy
+        FROM m
+    ),
+    b0 AS (SELECT b1, (sy - b1 * sx) / n AS b0 FROM beta),
+    calres AS (
+        SELECT li.k,
+               CAST(round(abs(y - (b0.b0 + b0.b1 * x))) AS BIGINT) AS r
+        FROM li, b0 WHERE sp IN (6, 7)
+    ),
+    kk AS (SELECT (9 * (count(*) + 1) + 9) // 10 AS kq,
+                  CAST(count(*) AS BIGINT) AS n_cal
+           FROM calres),
+    ranked AS (
+        SELECT r, row_number() OVER (ORDER BY r, k) AS rr FROM calres
+    ),
+    qv AS (SELECT r AS q FROM ranked, kk WHERE rr = kk.kq),
+    te AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN
+                    CAST(round(abs(y - (b0.b0 + b0.b1 * x))) AS BIGINT)
+                    <= qv.q THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        FROM li, b0, qv WHERE sp >= 8
+    )
+    SELECT kk.n_cal, te.n_test, qv.q AS q_cents,
+           round(te.covered * 1.0 / te.n_test, 6) AS coverage
+    FROM te, qv, kk
+""")
+def stats_conformal_coverage(spark, sf_dir):
+    """Split-conformal prediction interval with its finite-sample
+    coverage guarantee, end-to-end: fit OLS (extended price ~ quantity)
+    on a 60% hash split, take the ceil(0.9*(n+1))-th smallest absolute
+    calibration residual as the interval half-width q, and verify on
+    the held-out 20% that |y - yhat| <= q covers ~90% of rows — the
+    distribution-free uncertainty wrapper (Vovk; Angelopoulos & Bates
+    2023) modern ML eval pipelines put around ANY point predictor.
+
+    Determinism: the 60/20/20 split is the md5-bucket rule of
+    `pipeline_train_val_split`; OLS betas come from exact integer
+    moments combined in DECIMAL(38,0)/HUGEINT (n*sxy overflows int64
+    at this row count) with ONE double division; residuals snap to
+    integer cents per row; the conformal rank k = ceil(9(n+1)/10) is
+    computed in pure integer arithmetic (a float 0.9*(n+1) ceil can
+    be off by one at exact multiples); and the k-th order statistic
+    is selected by rank with a unique row-key tie-break.
+
+    Scale shape: moments are one map-side-combined aggregate; the
+    order statistic uses `operators/ranking.distributed_rank` (range-
+    bucketed parallel ranking — no single-partition window, no
+    data-sized TakeOrdered); betas and q ride as 1-row broadcasts.
+    The coverage check is one more projected scan."""
+    from ..numerics import h32
+    from ..operators.ranking import distributed_rank
+
+    li = T(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
+        F.pmod(h32(F.concat(F.lit("conf:"),
+                            (F.col("l_orderkey") * 8
+                             + F.col("l_linenumber")).cast("string"))),
+               F.lit(10)).alias("sp"))
+    m = (li.filter(F.col("sp") <= 5)
+         .agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    d38 = "CAST({0} AS DECIMAL(38,0))"
+    beta = m.select(
+        (F.expr(d38.format("n") + " * sxy - " + d38.format("sx") + " * sy")
+         .cast("double")
+         / F.expr(d38.format("n") + " * sxx - " + d38.format("sx") + " * sx")
+         .cast("double")).alias("b1"),
+        "n", "sx", "sy")
+    b0 = beta.select("b1", ((F.col("sy") - F.col("b1") * F.col("sx"))
+                            / F.col("n")).alias("b0"))
+    resid = F.expr("CAST(round(abs(y - (b0 + b1 * x))) AS BIGINT)")
+    calres = (li.filter(F.col("sp").isin(6, 7))
+              .crossJoin(F.broadcast(b0))
+              .select("k", resid.alias("r")))
+    kk = calres.agg(
+        F.expr("CAST((9 * (count(*) + 1) + 9) DIV 10 AS BIGINT)").alias("kq"),
+        F.count("*").alias("n_cal"))
+    ranked = distributed_rank(calres, "r", "k", rank_col="rr")
+    qv = (ranked.crossJoin(F.broadcast(kk))
+          .filter(F.col("rr") == F.col("kq"))
+          .select(F.col("r").alias("q")))
+    te = (li.filter(F.col("sp") >= 8)
+          .crossJoin(F.broadcast(b0)).crossJoin(F.broadcast(qv))
+          .agg(F.count("*").alias("n_test"),
+               F.sum(F.when(resid <= F.col("q"), 1).otherwise(0))
+               .cast("bigint").alias("covered")))
+    return (te.crossJoin(F.broadcast(qv)).crossJoin(F.broadcast(kk))
+            .select("n_cal", "n_test", F.col("q").alias("q_cents"),
+                    F.round(F.col("covered") * 1.0 / F.col("n_test"), 6)
+                    .alias("coverage")))
+
+
 # ---------------------------------------------- Kolmogorov-Smirnov 2-sample
 
 @query("stats_ks_two_sample", oracle="""

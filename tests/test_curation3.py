@@ -405,3 +405,40 @@ def test_bot_heuristics_all_zero_gaps_is_flagged(spark, tmp_path):
     assert out.n_scored == 2
     assert out.n_bot_like == 1
     assert out.min_cv2_micro == 0
+
+
+def test_conformal_coverage_holds(spark, sf_dir):
+    """The split-conformal guarantee: held-out coverage must sit near
+    the nominal 90% (finite-sample band for the test corpus size)."""
+    from excel_to_db_spark.queries.stats_tests import stats_conformal_coverage
+
+    out = stats_conformal_coverage(spark, sf_dir).collect()[0]
+    assert out.n_cal > 0 and out.n_test > 0
+    assert out.q_cents > 0
+    assert 0.82 <= out.coverage <= 0.98
+
+
+def test_ndcg_perfect_when_all_relevant(spark, tmp_path):
+    """If every nearest neighbor shares the query's label, NDCG@10 = 1
+    exactly; if none do, NDCG = 0."""
+    import numpy as np
+
+    from excel_to_db_spark.queries.similarity2 import similarity_ndcg_eval
+
+    rng = np.random.default_rng(3)
+
+    def write(labels):
+        rows = [(i, [float(x) for x in rng.normal(size=64)], int(lb))
+                for i, lb in enumerate(labels)]
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label bigint"
+        ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    write([0] * 30)            # query label 0, all corpus label 0
+    out = similarity_ndcg_eval(spark, str(tmp_path)).collect()[0]
+    assert out.n_rel_top == 10 and out.ndcg_at_10 == 1.0
+
+    write([0] + [1] * 29)      # nothing shares the query label
+    out = similarity_ndcg_eval(spark, str(tmp_path)).collect()[0]
+    assert out.n_rel_top == 0 and out.n_rel_total == 0
+    assert out.ndcg_at_10 == 0.0
