@@ -119,7 +119,7 @@ _PRIORITY: tuple[str, ...] = (
 #   text_tokenizer_fertility stats_hill_tail_index
 #   events_bot_heuristics dedup_quality_keep_best
 #   pipeline_curation_funnel stream_quality_census
-#   similarity_ndcg_eval stats_conformal_coverage
+#   similarity_ndcg_eval stats_conformal_coverage privacy_dp_histogram
 # plus the round-5 batch-2/3 keys (registered after the window):
 #   pipeline_train_val_split dedup_source_matrix text_winnowing
 #   sql_identifier_clause ansi_try_funcs graph_components

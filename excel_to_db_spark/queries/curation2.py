@@ -1032,3 +1032,55 @@ def dedup_url_canonical(spark, sf_dir):
             .agg(F.count("*").alias("n_raw"),
                  F.countDistinct("url").alias("n_raw_distinct"),
                  F.countDistinct("canon").alias("n_canonical")))
+
+
+# --------------------------------------- DP noisy-histogram mechanism
+
+@query("privacy_dp_histogram", oracle="""
+    WITH c AS (
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY c_nationkey
+    ),
+    u AS (
+        SELECT c_nationkey, n,
+               (CAST(('0x' || substr(md5('dp:' ||
+                        CAST(c_nationkey AS VARCHAR)), 1, 8))::UBIGINT
+                     AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS uu
+        FROM c
+    )
+    SELECT c_nationkey, n,
+           n * 1000000
+           + CAST(round(-sign(uu) * ln(1 - 2 * abs(uu)) * 1000000)
+                  AS BIGINT) AS noisy_micro
+    FROM u
+""")
+def privacy_dp_histogram(spark, sf_dir):
+    """Laplace-mechanism noisy histogram (epsilon = 1, sensitivity 1:
+    each customer contributes one row to one nation bucket): count per
+    nation plus Laplace(1) noise drawn by inverse-CDF
+    noise = -b*sign(u)*ln(1-2|u|), u ~ Uniform(-1/2, 1/2) — the
+    release step a DP pipeline performs after
+    `privacy_sensitivity_census` has bounded contributions. This key
+    is the MECHANISM HARNESS: u comes from the md5 hash of the bucket
+    id ((h32+0.5)/2^32 - 1/2, never exactly +-1/2 so the log is
+    finite) so both engines draw the identical deviate and the release
+    is cross-engine verifiable; a production release swaps the hash
+    for a real CSPRNG draw — one line — and drops the true-count
+    column this test surface keeps for verification.
+
+    Exactness: counts exact; one ln per bucket computed from the same
+    exact rational on both engines, snapped to micro-units, and added
+    to the count in integer micro-space.
+
+    Scale shape: one map-side-combined count aggregate over the
+    grouping key; the noise is a per-bucket scalar expression — the
+    mechanism costs nothing at any scale."""
+    c = (T(spark, sf_dir, "customer")
+         .groupBy("c_nationkey").agg(F.count("*").alias("n")))
+    uu = ((h32(F.concat(F.lit("dp:"), F.col("c_nationkey").cast("string")))
+           + 0.5) / 4294967296.0 - 0.5)
+    noise = F.round(-F.signum(uu) * F.log(1 - 2 * F.abs(uu)) * 1000000) \
+        .cast("bigint")
+    return c.select("c_nationkey", "n",
+                    (F.col("n") * 1000000 + noise).alias("noisy_micro"))

@@ -442,3 +442,21 @@ def test_ndcg_perfect_when_all_relevant(spark, tmp_path):
     out = similarity_ndcg_eval(spark, str(tmp_path)).collect()[0]
     assert out.n_rel_top == 0 and out.n_rel_total == 0
     assert out.ndcg_at_10 == 0.0
+
+
+def test_dp_histogram_noise_is_laplace_shaped(spark, sf_dir):
+    """The hash-seeded deviates must behave like Laplace(1): zero-ish
+    median, and the noisy release differs from the truth by the drawn
+    noise exactly (integer micro-space, no float drift)."""
+    from excel_to_db_spark.queries.curation2 import privacy_dp_histogram
+
+    rows = privacy_dp_histogram(spark, sf_dir).collect()
+    assert rows
+    noises = [(r.noisy_micro - r.n * 1000000) / 1e6 for r in rows]
+    # Laplace(1): |noise| has mean 1; with 25 buckets allow a wide band
+    mean_abs = sum(abs(x) for x in noises) / len(noises)
+    assert 0.2 <= mean_abs <= 3.0
+    # deterministic: a second run draws identical deviates
+    again = privacy_dp_histogram(spark, sf_dir).collect()
+    assert {(r.c_nationkey, r.noisy_micro) for r in rows} == \
+           {(r.c_nationkey, r.noisy_micro) for r in again}
