@@ -120,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
 #   events_bot_heuristics dedup_quality_keep_best
 #   pipeline_curation_funnel stream_quality_census
 #   similarity_ndcg_eval stats_conformal_coverage privacy_dp_histogram
+#   shard_rendezvous_stability similarity_filtered_search
 # plus the round-5 batch-2/3 keys (registered after the window):
 #   pipeline_train_val_split dedup_source_matrix text_winnowing
 #   sql_identifier_clause ansi_try_funcs graph_components

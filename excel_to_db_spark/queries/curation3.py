@@ -721,3 +721,89 @@ def stream_quality_census(spark, sf_dir):
     from ..streaming.windows import run_stream_quality_census
 
     return run_stream_quality_census(spark, sf_dir)
+
+
+# ---------------------------------- rendezvous-hash shard stability
+
+@query("shard_rendezvous_stability", oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    a AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('mod:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    AS BIGINT) AS h
+        FROM d
+    ),
+    hrw AS (
+        SELECT doc_id, n_shards,
+               max(CAST(('0x' || substr(md5('hrw:' ||
+                            CAST(doc_id AS VARCHAR) || ':' ||
+                            CAST(s.s AS VARCHAR)), 1, 8))::UBIGINT
+                        AS BIGINT) * 16 + s.s) % 16 AS shard
+        FROM d, (SELECT unnest(range(0, 9)) AS s) s,
+             (SELECT unnest([8, 9]) AS n_shards) ns
+        WHERE s.s < n_shards
+        GROUP BY doc_id, n_shards
+    ),
+    m AS (
+        SELECT a.doc_id,
+               h % 8 AS mod8, h % 9 AS mod9,
+               h8.shard AS hrw8, h9.shard AS hrw9
+        FROM a
+        JOIN (SELECT doc_id, shard FROM hrw WHERE n_shards = 8) h8
+          USING (doc_id)
+        JOIN (SELECT doc_id, shard FROM hrw WHERE n_shards = 9) h9
+          USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS moved_mod,
+           CAST(sum(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS moved_hrw,
+           round(sum(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS frac_moved_mod,
+           round(sum(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS frac_moved_hrw
+    FROM m
+""")
+def shard_rendezvous_stability(spark, sf_dir):
+    """Why shard assignment must be rendezvous (HRW) hashing, measured:
+    grow the shard count 8 -> 9 and count how many documents MOVE under
+    (a) modulo assignment (h % N — reshuffles ~8/9 of the corpus) vs
+    (b) highest-random-weight assignment (argmax over shards of
+    h(doc, shard) — moves only the ~1/9 that the new shard wins). At
+    100 TB the moved fraction IS the recompute/restage bill of every
+    scale-out, which is why the curation pack's shard keys
+    (`shard_pack`, `shuffle_epoch`) must never use modulo on a
+    resizable shard count. Argmax ties fold into the max(h*16 + s) % 16
+    packed key (same trick as the PQ argmin).
+
+    Scale shape: per-row hash arithmetic (9 hashes/doc) plus one
+    scalar census — embarrassingly parallel, zero shuffles beyond the
+    final 1-row rollup; the HRW explode is bounded by the shard count,
+    not the corpus."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    h = h32(F.concat(F.lit("mod:"), F.col("doc_id").cast("string")))
+
+    def hrw_shard(n):
+        scores = [
+            (h32(F.concat(F.lit("hrw:"), F.col("doc_id").cast("string"),
+                          F.lit(f":{s}"))) * 16 + s)
+            for s in range(n)]
+        return F.greatest(*scores) % 16
+
+    m = d.select(
+        (h % 8).alias("mod8"), (h % 9).alias("mod9"),
+        hrw_shard(8).alias("hrw8"), hrw_shard(9).alias("hrw9"))
+    return m.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("mod8") != F.col("mod9"), 1).otherwise(0))
+        .cast("bigint").alias("moved_mod"),
+        F.sum(F.when(F.col("hrw8") != F.col("hrw9"), 1).otherwise(0))
+        .cast("bigint").alias("moved_hrw"),
+        F.round(F.sum(F.when(F.col("mod8") != F.col("mod9"), 1)
+                      .otherwise(0)) * 1.0 / F.count("*"), 6)
+        .alias("frac_moved_mod"),
+        F.round(F.sum(F.when(F.col("hrw8") != F.col("hrw9"), 1)
+                      .otherwise(0)) * 1.0 / F.count("*"), 6)
+        .alias("frac_moved_hrw"))

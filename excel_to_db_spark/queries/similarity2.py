@@ -505,3 +505,81 @@ def similarity_ndcg_eval(spark, sf_dir):
                                      | (F.col("idcg_micro") == 0), 1)
                             .otherwise(F.col("idcg_micro")), 6)
                     .alias("ndcg_at_10")))
+
+
+@query("similarity_filtered_search", oracle="""
+    WITH iv AS (
+        SELECT vec_id, label,
+               [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv, label AS qlbl FROM iv WHERE vec_id = 0),
+    d AS (
+        SELECT vec_id, label,
+               CAST(list_sum([(v[i] - qv[i]) * (v[i] - qv[i])
+                              for i in range(1, 65)]) AS BIGINT) AS d2
+        FROM iv, q WHERE vec_id <> 0
+    ),
+    pre AS (
+        SELECT vec_id FROM d, q WHERE label = qlbl
+        ORDER BY d2, vec_id LIMIT 10
+    ),
+    post AS (
+        SELECT vec_id FROM (
+            SELECT vec_id, label FROM d ORDER BY d2, vec_id LIMIT 30
+        ), q WHERE label = qlbl
+    )
+    SELECT CAST((SELECT count(*) FROM pre) AS BIGINT) AS n_true_topk,
+           CAST((SELECT count(*) FROM post) AS BIGINT) AS n_post_found,
+           CAST((SELECT count(*) FROM pre JOIN post USING (vec_id))
+                AS BIGINT) AS n_recovered,
+           round((SELECT count(*) FROM pre JOIN post USING (vec_id))
+                 * 1.0 / greatest((SELECT count(*) FROM pre), 1), 6)
+               AS post_filter_recall
+""")
+def similarity_filtered_search(spark, sf_dir):
+    """Attribute-filtered vector search, both deployment strategies
+    measured against each other: PRE-FILTER (restrict the corpus to
+    the query's label, then exact top-10 — the ground truth, what a
+    filtered index computes natively) vs POST-FILTER (take the global
+    top-30 by distance, then drop non-matching labels — what a
+    filter-blind ANN index does), reporting how much of the true
+    filtered top-10 the post-filter strategy recovers. This is THE
+    operational question of constrained vector search (per-tenant or
+    per-language retrieval): when the filter is selective (10% here),
+    post-filtering a fixed candidate pool silently loses recall, and
+    this key puts the exact number on it.
+
+    Exactness: integer-quantized distances, vec_id tie-breaks, exact
+    top-k on both paths; recall is one guarded double division.
+
+    Scale shape: one broadcast of the query, one projected distance
+    scan feeding BOTH strategies (pre-filter pushes the label
+    predicate into the scan — at production scale that is partition
+    pruning on the label column), two TakeOrdered top-ks, and
+    set-overlap on <= 30 rows."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.col("v").alias("qv"), F.col("label").alias("qlbl")))
+    d = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+         .select("vec_id", "label", "qlbl",
+                 F.expr("aggregate(zip_with(v, qv, (x, y) -> (x-y)*(x-y)), "
+                        "0L, (acc, t) -> acc + t)").alias("d2")))
+    pre = (d.filter(F.col("label") == F.col("qlbl"))
+           .orderBy("d2", "vec_id").limit(10).select("vec_id"))
+    post = (d.orderBy("d2", "vec_id").limit(30)
+            .filter(F.col("label") == F.col("qlbl")).select("vec_id"))
+    n_true = pre.agg(F.count("*").alias("n_true_topk"))
+    n_post = post.agg(F.count("*").alias("n_post_found"))
+    n_rec = (pre.join(post, "vec_id")
+             .agg(F.count("*").alias("n_recovered")))
+    return (n_true.crossJoin(F.broadcast(n_post))
+            .crossJoin(F.broadcast(n_rec))
+            .select("n_true_topk", "n_post_found", "n_recovered",
+                    F.round(F.col("n_recovered") * 1.0
+                            / F.greatest(F.col("n_true_topk"), F.lit(1)), 6)
+                    .alias("post_filter_recall")))

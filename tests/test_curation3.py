@@ -460,3 +460,28 @@ def test_dp_histogram_noise_is_laplace_shaped(spark, sf_dir):
     again = privacy_dp_histogram(spark, sf_dir).collect()
     assert {(r.c_nationkey, r.noisy_micro) for r in rows} == \
            {(r.c_nationkey, r.noisy_micro) for r in again}
+
+
+def test_rendezvous_moves_one_over_n_plus_one(spark, sf_dir):
+    """HRW must move ~1/9 of docs on an 8->9 scale-out while modulo
+    moves ~8/9 — the whole point of the operator."""
+    from excel_to_db_spark.queries.curation3 import shard_rendezvous_stability
+
+    out = shard_rendezvous_stability(spark, sf_dir).collect()[0]
+    assert out.n_docs > 0
+    assert 0.75 <= out.frac_moved_mod <= 0.97
+    assert 0.03 <= out.frac_moved_hrw <= 0.25
+    assert out.frac_moved_hrw < out.frac_moved_mod / 3
+
+
+def test_filtered_search_prefilter_is_ground_truth(spark, sf_dir):
+    """Post-filter recall is bounded by 1 and consistent with its own
+    counters; every post-filtered hit must carry the query's label."""
+    from excel_to_db_spark.queries.similarity2 import similarity_filtered_search
+
+    out = similarity_filtered_search(spark, sf_dir).collect()[0]
+    assert 0 <= out.n_recovered <= min(out.n_true_topk, out.n_post_found)
+    assert 0.0 <= out.post_filter_recall <= 1.0
+    if out.n_true_topk:
+        assert out.post_filter_recall == round(
+            out.n_recovered / out.n_true_topk, 6)
