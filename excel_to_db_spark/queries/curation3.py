@@ -807,3 +807,118 @@ def shard_rendezvous_stability(spark, sf_dir):
         F.round(F.sum(F.when(F.col("hrw8") != F.col("hrw9"), 1)
                       .otherwise(0)) * 1.0 / F.count("*"), 6)
         .alias("frac_moved_hrw"))
+
+
+# ------------------------------------- quality-curriculum ordering
+
+@query("pipeline_curriculum_order", oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_dis,
+               len(list_filter(string_split(text, ' '),
+                               t -> list_contains({_SW_EN_SQL}, t))) AS stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, n_tok,
+               CAST(round(round(least(n_tok / 20.0, 1.0)
+                                * least(n_dis * 2.0 / n_tok, 1.0)
+                                * least(stop * 10.0 / n_tok, 1.0), 6)
+                          * 1000000) AS BIGINT) AS qm
+        FROM feat
+    ),
+    r AS (
+        SELECT doc_id, n_tok, qm,
+               row_number() OVER (ORDER BY qm DESC, doc_id) AS pos,
+               (SELECT count(*) FROM q) AS n
+        FROM q
+    )
+    SELECT CAST(((pos - 1) * 10) // n AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(round(sum(qm) * 1.0 / count(*)) AS BIGINT)
+               / 1000000.0 AS avg_quality
+    FROM r GROUP BY 1
+""")
+def pipeline_curriculum_order(spark, sf_dir):
+    """Quality-curriculum training order: rank the corpus by the shared
+    quality score (best first, doc_id tie-break) and report the
+    token/quality census per training-position decile — the ordering a
+    curriculum or end-of-training annealing schedule consumes (high-
+    quality data last is the common annealing recipe; this census is
+    what you inspect before committing a multi-week run to it). The
+    decile curve also VERIFIES the ordering: avg_quality must be
+    non-increasing across deciles.
+
+    Scale shape: quality is per-row arithmetic; the global position
+    comes from `operators/ranking.distributed_rank` (range-bucketed,
+    no single-partition window); the census is one 10-group
+    aggregate. Positions, deciles, and quality micro-units are all
+    exact integers."""
+    from ..operators.ranking import distributed_rank
+
+    d = T(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tok"),
+        F.round(F.round(X.quality_score(F.col("text")), 6) * 1000000)
+        .cast("bigint").alias("qm"))
+    # rank by quality DESC via the ascending ranker on negated quality
+    r = distributed_rank(q.withColumn("negq", -F.col("qm")),
+                         "negq", "doc_id", rank_col="pos")
+    n = q.agg(F.count("*").alias("n"))
+    return (r.crossJoin(F.broadcast(n))
+            .select(F.expr("CAST(((pos - 1) * 10) DIV n AS BIGINT)")
+                    .alias("decile"), "n_tok", "qm")
+            .groupBy("decile")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 (F.round(F.sum("qm") * 1.0 / F.count("*"))
+                  .cast("bigint") / 1000000.0).alias("avg_quality")))
+
+
+# --------------------------- weighted sampling without replacement
+
+@query("sample_weighted_es", oracle="""
+    WITH u AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               (CAST(('0x' || substr(md5('es:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                     AS BIGINT) + 0.5) / 4294967296.0 AS uu
+        FROM documents WHERE n_chars > 0
+    ),
+    k AS (
+        SELECT doc_id, w,
+               CAST(round(ln(uu) / w * 1000000000) AS BIGINT) AS key_nano
+        FROM u
+    )
+    SELECT doc_id, w, key_nano
+    FROM k ORDER BY key_nano DESC, doc_id LIMIT 20
+""")
+def sample_weighted_es(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each item draws key u^(1/w) (u uniform, w its weight) and
+    the k largest keys are a correctly-distributed weighted sample —
+    the one-pass, shuffle-light way to draw a quality- or
+    length-weighted corpus subsample, completing the sampling family
+    (bernoulli / reservoir / stratified / PPS-systematic are all
+    UNweighted or rate-based). Ordering by u^(1/w) equals ordering by
+    ln(u)/w (monotone transform, sign shared: ln(u) < 0), which is the
+    numerically-stable form A-ES-max implementations use.
+
+    Determinism: u is the md5-hash uniform ((h32+0.5)/2^32, never 0 so
+    the log is finite); ln(u)/w is computed from the same exact
+    (hash, weight) pair on both engines and snapped to nano-units per
+    row; the top-20 is an exact TakeOrdered with doc_id tie-break.
+
+    Scale shape: per-row hash + log arithmetic and ONE top-k — no
+    shuffle at all (per-partition top-20 merge on the driver), the
+    cheapest possible distributed weighted sampler."""
+    d = T(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    uu = ((h32(F.concat(F.lit("es:"), F.col("doc_id").cast("string")))
+           + 0.5) / 4294967296.0)
+    k = d.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("w"),
+        F.round(F.log(uu) / F.col("n_chars") * 1000000000)
+        .cast("bigint").alias("key_nano"))
+    return k.orderBy(F.col("key_nano").desc(), "doc_id").limit(20)

@@ -485,3 +485,39 @@ def test_filtered_search_prefilter_is_ground_truth(spark, sf_dir):
     if out.n_true_topk:
         assert out.post_filter_recall == round(
             out.n_recovered / out.n_true_topk, 6)
+
+
+def test_curriculum_deciles_are_monotone(spark, sf_dir):
+    """Ranking by quality means per-decile average quality must be
+    non-increasing, deciles must partition the corpus, and tokens must
+    total the corpus token count."""
+    from excel_to_db_spark.queries.curation3 import pipeline_curriculum_order
+    from excel_to_db_spark.operators import text as X
+
+    rows = sorted(pipeline_curriculum_order(spark, sf_dir).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(len(rows)))
+    qs = [r.avg_quality for r in rows]
+    assert all(a >= b for a, b in zip(qs, qs[1:]))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    total_tok = docs.select(
+        F.sum(X.token_count(F.col("text"))).alias("t")).collect()[0].t
+    assert sum(r.n_tokens for r in rows) == total_tok
+
+
+def test_weighted_es_prefers_heavy_docs(spark, sf_dir):
+    """A-ES with weight = n_chars must over-represent long documents:
+    the sampled mean weight exceeds the corpus mean, keys are valid
+    (ln(u)/w < 0), and the draw is deterministic."""
+    from excel_to_db_spark.queries.curation3 import sample_weighted_es
+
+    rows = sample_weighted_es(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.key_nano < 0 for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.w for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    again = sample_weighted_es(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == {r.doc_id for r in again}
