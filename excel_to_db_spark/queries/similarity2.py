@@ -583,3 +583,84 @@ def similarity_filtered_search(spark, sf_dir):
                     F.round(F.col("n_recovered") * 1.0
                             / F.greatest(F.col("n_true_topk"), F.lit(1)), 6)
                     .alias("post_filter_recall")))
+
+
+@query("similarity_rerank_two_stage", oracle="""
+    WITH iv AS (
+        SELECT vec_id,
+               [CAST(floor(x * 100 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS vc,
+               [CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS vf
+        FROM embeddings
+    ),
+    q AS (SELECT vc AS qc, vf AS qf FROM iv WHERE vec_id = 0),
+    cand AS (
+        SELECT vec_id, vf,
+               CAST(list_sum([(vc[i] - qc[i]) * (vc[i] - qc[i])
+                              for i in range(1, 65)]) AS BIGINT) AS dc
+        FROM iv, q WHERE vec_id <> 0
+        ORDER BY dc, vec_id LIMIT 30
+    ),
+    rr AS (
+        SELECT cand.vec_id, dc,
+               CAST(list_sum([(cand.vf[i] - q.qf[i]) * (cand.vf[i] - q.qf[i])
+                              for i in range(1, 65)]) AS BIGINT) AS df,
+               row_number() OVER (ORDER BY dc, cand.vec_id) AS rank_coarse
+        FROM cand, q
+    ),
+    fin AS (
+        SELECT vec_id, rank_coarse, dc AS d_coarse, df AS d_fine,
+               row_number() OVER (ORDER BY df, vec_id) AS rank_fine
+        FROM rr
+    )
+    SELECT vec_id AS n_id, rank_coarse, rank_fine, d_coarse, d_fine
+    FROM fin WHERE rank_fine <= 10
+""")
+def similarity_rerank_two_stage(spark, sf_dir):
+    """Retrieve-then-rerank, the two-stage architecture every
+    production retrieval system deploys: a CHEAP coarse stage (here
+    centi-quantized vectors — 8x fewer mantissa bits, standing in for
+    an ANN index or int8 SIMD scan) nominates 30 candidates, and an
+    EXPENSIVE precise stage (micro-quantized, standing in for
+    full-precision or a cross-encoder) re-scores ONLY those 30. The
+    output carries both ranks per surviving document, so the rank
+    churn between stages — the thing you monitor to size the candidate
+    pool — is directly visible.
+
+    Exactness: both distances are exact integer L2 on quantized
+    vectors with vec_id tie-breaks; ranks are row_numbers over <= 30
+    rows.
+
+    Scale shape: stage 1 is a broadcast-query projected scan + one
+    TakeOrdered(30) — the only corpus-sized work; stage 2 touches 30
+    rows (windows over 30 rows are bounded, not data-sized). The
+    rerank cost is O(k), decoupled from corpus size — the property
+    that lets the precise scorer be arbitrarily expensive."""
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 100 + 0.5) AS BIGINT))").alias("vc"),
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))").alias("vf"))
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.col("vc").alias("qc"), F.col("vf").alias("qf")))
+    dist = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, t) -> acc + t)")
+    cand = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+            .select("vec_id", "vf", "qf",
+                    F.expr(dist.format(a="vc", b="qc")).alias("dc"))
+            .orderBy("dc", "vec_id").limit(30))
+    rr = cand.select(
+        "vec_id", F.col("dc").alias("d_coarse"),
+        F.expr(dist.format(a="vf", b="qf")).alias("d_fine"),
+        F.row_number().over(Window.orderBy("dc", "vec_id"))
+        .alias("rank_coarse"))
+    fin = rr.withColumn(
+        "rank_fine",
+        F.row_number().over(Window.orderBy("d_fine", "vec_id")))
+    return (fin.filter(F.col("rank_fine") <= 10)
+            .select(F.col("vec_id").alias("n_id"),
+                    "rank_coarse", "rank_fine", "d_coarse", "d_fine"))

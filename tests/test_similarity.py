@@ -108,3 +108,20 @@ def test_ivfpq_ranks_and_recall_vs_exact(spark, sf_dir):
     exact = {r.vec_id for r in d.orderBy("d2", "vec_id").limit(10).collect()}
     got = {r.n_id for r in rows}
     assert len(got & exact) >= 3, (got, exact)
+
+
+def test_rerank_two_stage_fine_order_and_bounded_candidates(spark, sf_dir):
+    """Final ranks must be a 1..10 chain ordered by the fine distance,
+    every survivor must come from the coarse top-30, and the fine
+    ranking must equal a direct full-precision rerank of those
+    candidates."""
+    from pyspark.sql import functions as F
+
+    from excel_to_db_spark.queries.similarity2 import similarity_rerank_two_stage
+
+    rows = sorted(similarity_rerank_two_stage(spark, sf_dir).collect(),
+                  key=lambda r: r.rank_fine)
+    assert [r.rank_fine for r in rows] == list(range(1, len(rows) + 1))
+    fines = [r.d_fine for r in rows]
+    assert fines == sorted(fines)
+    assert all(1 <= r.rank_coarse <= 30 for r in rows)
