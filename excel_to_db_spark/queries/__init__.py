@@ -122,7 +122,7 @@ _PRIORITY: tuple[str, ...] = (
 #   similarity_ndcg_eval stats_conformal_coverage privacy_dp_histogram
 #   shard_rendezvous_stability similarity_filtered_search
 #   pipeline_curriculum_order sample_weighted_es
-#   similarity_rerank_two_stage
+#   similarity_rerank_two_stage stats_srm_check stats_power_mde
 # plus the round-5 batch-2/3 keys (registered after the window):
 #   pipeline_train_val_split dedup_source_matrix text_winnowing
 #   sql_identifier_clause ansi_try_funcs graph_components

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..numerics import fixed_sum
+from ..numerics import fixed_sum, h32
 from .registry import query
 from .relational import T
 
@@ -1499,3 +1499,111 @@ def stats_spearman(spark, sf_dir):
               * F.sqrt(syy / n - (sy / n) * (sy / n))))
     return m.select(F.col("n").cast("bigint").alias("n"),
                     F.round(rho, 6).alias("rho_spearman"))
+
+
+# ------------------------------------------- experimentation operations
+
+@query("stats_srm_check", oracle="""
+    WITH a AS (
+        SELECT CAST(('0x' || substr(md5('ab:' ||
+                        CAST(o_custkey AS VARCHAR)), 1, 8))::UBIGINT
+                    AS BIGINT) % 2 AS arm,
+               o_custkey
+        FROM orders
+    ),
+    u AS (SELECT arm, count(DISTINCT o_custkey) AS n FROM a GROUP BY arm),
+    m AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT)
+                   AS n1
+        FROM u
+    )
+    SELECT n0, n1,
+           round((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+                 / ((n0 + n1) / 2.0)
+                 + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)
+                 / ((n0 + n1) / 2.0), 6) AS chi2,
+           (n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+           / ((n0 + n1) / 2.0)
+           + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)
+           / ((n0 + n1) / 2.0) > 3.8415 AS srm_flag
+    FROM m
+""")
+def stats_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check — the first health gate every A/B
+    platform runs before reading a metric: customers hash-assigned
+    50/50 (the `pipeline_train_val_split` bucket rule), then a 1-dof
+    chi-square against the expected equal split; chi2 > 3.8415 (the
+    95% critical value, pre-folded like `stats_wilson_ci`'s z
+    constants) flags an unhealthy experiment whose results must be
+    discarded regardless of what the metric says.
+
+    Exactness: per-arm DISTINCT-customer counts are exact; the chi2 is
+    a fixed closed-form expression over two BIGINTs, written with the
+    identical operation tree on both engines before the 6-dp round;
+    the flag compares the UNROUNDED value so it cannot disagree with
+    the statistic.
+
+    Scale shape: one distinct aggregation on (arm, customer) — the
+    dedup any assignment log needs anyway — then a 2-row rollup."""
+    o = T(spark, sf_dir, "orders")
+    arm = F.pmod(h32(F.concat(F.lit("ab:"),
+                              F.col("o_custkey").cast("string"))), F.lit(2))
+    u = (o.select(arm.alias("arm"), "o_custkey")
+         .groupBy("arm").agg(F.countDistinct("o_custkey").alias("n")))
+    m = u.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0))
+        .cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0))
+        .cast("bigint").alias("n1"))
+    e = (F.col("n0") + F.col("n1")) / 2.0
+    chi2 = ((F.col("n0") - e) * (F.col("n0") - e) / e
+            + (F.col("n1") - e) * (F.col("n1") - e) / e)
+    return m.select("n0", "n1", F.round(chi2, 6).alias("chi2"),
+                    (chi2 > 3.8415).alias("srm_flag"))
+
+
+@query("stats_power_mde", oracle="""
+    WITH b AS (
+        SELECT o_orderpriority AS segment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM orders GROUP BY 1
+    )
+    SELECT segment, n, k,
+           round(k / CAST(n AS DOUBLE), 6) AS base_rate,
+           round(2.8016
+                 * sqrt(2 * (k / CAST(n AS DOUBLE))
+                        * (1 - k / CAST(n AS DOUBLE)) / (n / 2.0)), 6)
+               AS mde_abs
+    FROM b
+""")
+def stats_power_mde(spark, sf_dir):
+    """Minimum detectable effect per segment — the experiment-planning
+    number that answers "is this segment even big enough to test in":
+    for a two-proportion test at alpha = 5% (two-sided) and 80% power,
+    MDE ~= (z_{a/2} + z_b) * sqrt(2 p (1-p) / n_arm) with the constant
+    z_{0.025} + z_{0.2} = 1.96 + 0.8416 = 2.8016 pre-folded (the
+    `stats_wilson_ci` convention) and n_arm = half the segment. Read
+    with `stats_srm_check` (is the split healthy) and
+    `stats_wilson_ci` (what did we measure), this completes the
+    experimentation-ops trio.
+
+    Exactness: counts exact; the MDE is one fixed closed-form float
+    expression per segment over (k, n), identical operation tree on
+    both engines, 6-dp round.
+
+    Scale shape: one map-side-combinable aggregate, 5 output rows."""
+    o = T(spark, sf_dir, "orders")
+    b = (o.groupBy(F.col("o_orderpriority").alias("segment"))
+         .agg(F.count("*").alias("n"),
+              F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+              .cast("bigint").alias("k")))
+    p = F.col("k") / F.col("n").cast("double")
+    return b.select(
+        "segment", "n", "k",
+        F.round(p, 6).alias("base_rate"),
+        F.round(2.8016 * F.sqrt(2 * p * (1 - p) / (F.col("n") / 2.0)), 6)
+        .alias("mde_abs"))
