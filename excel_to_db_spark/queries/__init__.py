@@ -34,6 +34,7 @@ from . import curation     # noqa: E402,F401  Tier C: epoch shuffle/shard pack/m
 from . import curation2    # noqa: E402,F401  Tier C: split census/source dup matrix/winnowing
 from . import similarity2  # noqa: E402,F401  Tier C: product-quantization ANN
 from . import curation3    # noqa: E402,F401  Tier C: Gopher rules/DSIR selection/neighbor Jaccard
+from . import estimation   # noqa: E402,F401  Tier C: KMV sketch/salted join/BH-FDR/t-closeness/k-core
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -118,6 +119,9 @@ _PRIORITY: tuple[str, ...] = (
 #   privacy_sensitivity_census embedding_drift_mmd
 #   text_tokenizer_fertility stats_hill_tail_index
 #   events_bot_heuristics dedup_quality_keep_best
+# plus the round-5 batch-6 keys (estimation.py, registered after the
+# window): sketch_kmv_distinct join_skew_salted stats_fdr_bh
+#   privacy_t_closeness graph_kcore
 #   pipeline_curation_funnel stream_quality_census
 #   similarity_ndcg_eval stats_conformal_coverage privacy_dp_histogram
 #   shard_rendezvous_stability similarity_filtered_search

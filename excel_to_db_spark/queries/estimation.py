@@ -1,0 +1,550 @@
+"""Scale-estimation & robustness pack (round 5, batch 6): mergeable
+cardinality sketches, skew-defeating join rewrites, multiple-testing
+control, disclosure-distance auditing, and core decomposition. The
+reference engine (294 LoC of Rust delegating to SQLite, reference
+src/main.rs) has none of this surface; these are Tier-C mission
+operators in the style of queries/curation*.py — each one exists
+because the 100 TB story needs it:
+
+- KMV sketches merge with k values per shard instead of shuffling every
+  distinct value to one reducer — the mergeability is the point and is
+  proven in-query (merged kth == direct kth, exact equality).
+- Salted joins are THE standard rewrite when one join key carries a
+  disproportionate share of a 100 TB fact table; the key proves the
+  rewrite is result-identical to the plain join the oracle runs.
+- Benjamini-Hochberg turns per-segment test statistics into a
+  fleet-wide decision rule — a reverse running-min window, not a
+  driver-side loop.
+
+Determinism contract (SURVEY §4.3): every statistic is accumulated from
+exact integers (counts, 32-bit hash values, integer cents) and rounded
+ONCE at the end; downstream float consumers (BH's q-values) read the
+already-rounded value so merge order can never move a result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..numerics import cents_sum, h32
+from .registry import query
+from .relational import T
+
+
+# ------------------------------------------- KMV distinct sketch (merge)
+
+_KMV_K = 64
+_KMV_H_SQL = ("CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))"
+              "::UBIGINT AS BIGINT)")
+
+
+@query("sketch_kmv_distinct", oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT {_KMV_H_SQL} AS h, l_orderkey % 8 AS shard
+        FROM lineitem
+    ),
+    exact AS (
+        SELECT count(DISTINCT l_partkey) AS exact_ndv FROM lineitem
+    ),
+    direct_k AS (
+        SELECT h FROM (SELECT DISTINCT h FROM h) ORDER BY h LIMIT {_KMV_K}
+    ),
+    shard_k AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (PARTITION BY shard ORDER BY h)
+                      AS rn
+            FROM h
+        ) WHERE rn <= {_KMV_K}
+    ),
+    merged_k AS (
+        SELECT h FROM (SELECT DISTINCT h FROM shard_k)
+        ORDER BY h LIMIT {_KMV_K}
+    ),
+    stat AS (
+        SELECT 'direct' AS method, max(h) AS kth_hash,
+               CAST(count(*) AS BIGINT) AS k
+        FROM direct_k
+        UNION ALL
+        SELECT 'merged', max(h), CAST(count(*) AS BIGINT) FROM merged_k
+    )
+    SELECT method, k, kth_hash,
+           CAST(floor((k - 1) * 4294967296.0 / kth_hash) AS BIGINT)
+               AS est_ndv,
+           exact_ndv,
+           round(100.0 * (CAST(floor((k - 1) * 4294967296.0 / kth_hash)
+                               AS BIGINT) - exact_ndv) / exact_ndv, 4)
+               AS err_pct
+    FROM stat, exact
+""")
+def sketch_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) with
+    its merge law proven in-query.
+
+    KMV keeps the k smallest distinct 32-bit hash values of a column
+    and estimates NDV as (k-1)/u_(k) where u_(k) = kth_hash / 2^32.
+    The 'direct' row builds one global sketch; the 'merged' row builds
+    a per-shard sketch (8 shards by l_orderkey — shards OVERLAP in
+    values, as real partitions would) and merges by union + re-taking
+    the k smallest. Because each shard's k-min set contains every
+    global k-min hash that shard saw, the merged sketch equals the
+    direct one EXACTLY — that equality (same kth_hash, same est) is
+    what the two result rows certify, and it is why the sketch scales:
+    at 100 TB each executor ships k=64 longs, not its whole distinct
+    set, and the combine is associative so Spark can tree-aggregate it.
+    The global sort-limit-k here is TakeOrderedAndProject (per-partition
+    top-k then a k*n_partitions driver merge), never a full sort.
+    Estimation error vs the exact NDV is reported as err_pct
+    (theory: RMSE ~ 1/sqrt(k-2) ~ 12.7% at k=64)."""
+    K = _KMV_K
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey")
+    hashes = li.select(
+        h32(F.col("l_partkey").cast("string")).alias("h"),
+        (F.col("l_orderkey") % 8).alias("shard"),
+    ).distinct()
+
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_ndv"))
+
+    direct_k = hashes.select("h").distinct().orderBy("h").limit(K)
+    from pyspark.sql import Window
+    shard_k = (hashes
+               .withColumn("rn", F.row_number().over(
+                   Window.partitionBy("shard").orderBy("h")))
+               .filter(F.col("rn") <= K)
+               .select("h"))
+    merged_k = shard_k.distinct().orderBy("h").limit(K)
+
+    stat = (direct_k.agg(F.max("h").alias("kth_hash"),
+                         F.count("*").alias("k"))
+            .select(F.lit("direct").alias("method"), "k", "kth_hash")
+            .unionAll(
+                merged_k.agg(F.max("h").alias("kth_hash"),
+                             F.count("*").alias("k"))
+                .select(F.lit("merged").alias("method"), "k", "kth_hash")))
+
+    est = F.floor((F.col("k") - 1) * F.lit(4294967296.0)
+                  / F.col("kth_hash"))
+    return (stat.crossJoin(F.broadcast(exact))
+            .select("method", "k", "kth_hash",
+                    est.alias("est_ndv"), "exact_ndv",
+                    F.round(100.0 * (est - F.col("exact_ndv"))
+                            / F.col("exact_ndv"), 4).alias("err_pct")))
+
+
+# ------------------------------------------------------ skew-salted join
+
+_NSALT = 8
+
+
+@query("join_skew_salted", oracle="""
+    SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+""")
+def join_skew_salted(spark, sf_dir):
+    """Skew-salted join: the standard rewrite for a hot join key, proven
+    result-identical to the plain join (which is what the oracle runs).
+
+    A 100 TB fact table with one disproportionately popular key defeats
+    hash-partitioned joins: every row for that key lands on one reducer.
+    The rewrite: (1) fact side gains a salt in [0, S) derived from a
+    NON-join column (here l_orderkey % 8, so one suppkey's rows spread
+    over 8 reducers); (2) the dimension side is replicated S times via
+    explode(sequence(0, S-1)); (3) join on (key, salt). Row multiplicity
+    is preserved exactly — each fact row matches exactly one replica —
+    so any downstream aggregate is unchanged, which the cents-exact
+    revenue per nation certifies. AQE's skewedJoin handles MEASURED
+    skew at runtime; explicit salting remains the tool when the skew is
+    known and the dimension is too big to broadcast (replication factor
+    S trades dim-side volume for fact-side balance). Revenue follows
+    the SURVEY §4.3 integer-cents rule so the salted plan's different
+    partial-agg grouping cannot move the rounded sum."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    fact = li.withColumn("salt", F.col("l_orderkey") % _NSALT)
+    dim = s.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_NSALT - 1))))
+
+    joined = fact.join(
+        dim, (fact.l_suppkey == dim.s_suppkey)
+        & (fact.salt == dim.salt))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (joined.groupBy("s_nationkey")
+            .agg(F.count("*").alias("n_lines"),
+                 cents_sum(rev).alias("revenue")))
+
+
+# -------------------------------------- Benjamini-Hochberg FDR control
+
+_BH_ERFC = """
+    (0.254829592 * t + -0.284496736 * t * t + 1.421413741 * t * t * t
+     + -1.453152027 * t * t * t * t + 1.061405429 * t * t * t * t * t)
+    * exp(-z * z)
+"""
+
+
+@query("stats_fdr_bh", oracle=f"""
+    WITH cnt AS (
+        SELECT s_nationkey,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS b
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    ),
+    tot AS (
+        SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+        FROM cnt
+    ),
+    chi AS (
+        SELECT s_nationkey, a, b,
+               round(
+                   (CAST(ta + tb AS DOUBLE)
+                    * CAST(a * (tb - b) - b * (ta - a) AS DOUBLE)
+                    * CAST(a * (tb - b) - b * (ta - a) AS DOUBLE))
+                   / (CAST(a + b AS DOUBLE) * CAST(ta + tb - a - b AS DOUBLE)
+                      * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)),
+                   6) AS chi2
+        FROM cnt, tot
+    ),
+    pv AS (
+        SELECT s_nationkey, a, b, chi2,
+               round((SELECT {_BH_ERFC} FROM
+                      (SELECT 1.0 / (1.0 + 0.3275911 * z) AS t, z FROM
+                       (SELECT sqrt(chi2 / 2.0) AS z))), 8) AS p_value
+        FROM chi
+    ),
+    ranked AS (
+        SELECT s_nationkey, a, b, chi2, p_value,
+               CAST(row_number() OVER (ORDER BY p_value, s_nationkey)
+                    AS BIGINT) AS bh_rank,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pv
+    )
+    SELECT s_nationkey, a AS n_returned, b AS n_other, chi2, p_value,
+           bh_rank,
+           round(min(p_value * m / bh_rank) OVER (
+               ORDER BY bh_rank
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 8)
+               AS q_value,
+           round(min(p_value * m / bh_rank) OVER (
+               ORDER BY bh_rank
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 8)
+               <= 0.05 AS reject
+    FROM ranked
+""")
+def stats_fdr_bh(spark, sf_dir):
+    """Benjamini-Hochberg step-up FDR control across 25 per-nation
+    two-proportion tests (Benjamini & Hochberg 1995).
+
+    Each nation's suppliers are tested for a deviant return rate via
+    the 1-df 2x2 chi-square against the rest of the fleet — computed
+    from exact BIGINT counts (a*(tb-b) - b*(ta-a) is the exact integer
+    cross-product difference; only the final ratio is floating, with an
+    identical operation ORDER on both engines so IEEE rounding agrees),
+    snapped to 6 dp. The p-value is the 1-df chi-square survival
+    function erfc(sqrt(x/2)) via the Abramowitz-Stegun 7.1.26
+    polynomial — the SAME explicit arithmetic on both engines, snapped
+    to 8 dp BEFORE any downstream use (SURVEY §4.3: snap, then
+    consume). BH then needs two windows, not a driver loop: ascending
+    rank by (p, nationkey), and the step-up q-value as a REVERSE
+    running min over p*m/i (ROWS CURRENT..UNBOUNDED FOLLOWING). At a
+    100 TB fleet with millions of segments this stays one sort-shuffle
+    + one window pass; the m segments never sit on the driver.
+    Rejections control expected false-discovery rate at 5%."""
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cnt = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .groupBy("s_nationkey")
+           .agg(F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                      .otherwise(0)).alias("a"),
+                F.sum(F.when(F.col("l_returnflag") == "R", 0)
+                      .otherwise(1)).alias("b")))
+    tot = cnt.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+
+    d = F.col("a") * (F.col("tb") - F.col("b")) \
+        - F.col("b") * (F.col("ta") - F.col("a"))
+    chi2 = F.round(
+        ((F.col("ta") + F.col("tb")).cast("double")
+         * d.cast("double") * d.cast("double"))
+        / ((F.col("a") + F.col("b")).cast("double")
+           * (F.col("ta") + F.col("tb") - F.col("a") - F.col("b"))
+           .cast("double")
+           * F.col("ta").cast("double") * F.col("tb").cast("double")),
+        6)
+    chi = (cnt.crossJoin(F.broadcast(tot))
+           .select("s_nationkey", "a", "b", chi2.alias("chi2")))
+
+    z = F.sqrt(F.col("chi2") / 2.0)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    erfc = ((0.254829592 * t + (-0.284496736) * t * t
+             + 1.421413741 * t * t * t
+             + (-1.453152027) * t * t * t * t
+             + 1.061405429 * t * t * t * t * t) * F.exp(-z * z))
+    pv = chi.select("s_nationkey", "a", "b", "chi2",
+                    F.round(erfc, 8).alias("p_value"))
+
+    from pyspark.sql import Window
+    w_rank = Window.orderBy("p_value", "s_nationkey")
+    ranked = (pv
+              .withColumn("bh_rank",
+                          F.row_number().over(w_rank).cast("bigint"))
+              .withColumn("m", F.count("*").over(
+                  Window.partitionBy()).cast("bigint")))
+    w_suffix = (Window.orderBy("bh_rank")
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    q = F.round(F.min(F.col("p_value") * F.col("m") / F.col("bh_rank"))
+                .over(w_suffix), 8)
+    return ranked.select(
+        "s_nationkey", F.col("a").alias("n_returned"),
+        F.col("b").alias("n_other"), "chi2", "p_value", "bh_rank",
+        q.alias("q_value"), (q <= 0.05).alias("reject"))
+
+
+# ------------------------------------------------- t-closeness auditing
+
+@query("privacy_t_closeness", oracle="""
+    WITH j AS (
+        SELECT c_mktsegment, c_nationkey, o_orderpriority
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cnt AS (
+        SELECT c_mktsegment, c_nationkey, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS c
+        FROM j GROUP BY ALL
+    ),
+    prios AS (SELECT DISTINCT o_orderpriority FROM j),
+    grp AS (
+        SELECT c_mktsegment, c_nationkey, CAST(sum(c) AS BIGINT) AS n_g
+        FROM cnt GROUP BY ALL
+    ),
+    gcum AS (
+        SELECT o_orderpriority,
+               CAST(sum(c) OVER (ORDER BY o_orderpriority) AS BIGINT)
+                   AS cum_glob,
+               CAST(sum(c) OVER () AS BIGINT) AS n_tot
+        FROM (SELECT o_orderpriority, sum(c) AS c FROM cnt GROUP BY ALL)
+    ),
+    dense AS (
+        SELECT g.c_mktsegment, g.c_nationkey, g.n_g, p.o_orderpriority,
+               COALESCE(c.c, 0) AS c
+        FROM grp g CROSS JOIN prios p
+        LEFT JOIN cnt c ON c.c_mktsegment = g.c_mktsegment
+                       AND c.c_nationkey = g.c_nationkey
+                       AND c.o_orderpriority = p.o_orderpriority
+    ),
+    cum AS (
+        SELECT d.c_mktsegment, d.c_nationkey, d.n_g, gl.n_tot,
+               CAST(sum(d.c) OVER (
+                   PARTITION BY d.c_mktsegment, d.c_nationkey
+                   ORDER BY d.o_orderpriority) AS BIGINT) AS cum_g,
+               gl.cum_glob
+        FROM dense d
+        JOIN gcum gl ON gl.o_orderpriority = d.o_orderpriority
+    )
+    SELECT c_mktsegment, c_nationkey, n_g AS n_orders,
+           round(CAST(sum(abs(cum_g * n_tot - cum_glob * n_g)) AS DOUBLE)
+                 / (CAST(n_g AS DOUBLE) * CAST(n_tot AS DOUBLE) * 4.0),
+                 6) AS t_close,
+           round(CAST(sum(abs(cum_g * n_tot - cum_glob * n_g)) AS DOUBLE)
+                 / (CAST(n_g AS DOUBLE) * CAST(n_tot AS DOUBLE) * 4.0),
+                 6) > 0.08 AS is_breach
+    FROM cum
+    GROUP BY c_mktsegment, c_nationkey, n_g, n_tot
+""")
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness disclosure audit (Li, Li & Venkatasubramanian 2007)
+    over the (mktsegment, nationkey) quasi-identifier groups, sensitive
+    attribute = o_orderpriority.
+
+    k-anonymity hides identity, l-diversity forces distinct sensitive
+    values (privacy_l_diversity); t-closeness is the stronger contract:
+    each QI group's sensitive-value DISTRIBUTION must lie within
+    distance t of the global one, or group membership itself leaks
+    information. For an ORDERED categorical attribute the Earth-Mover
+    distance is the mean absolute difference of the prefix CDFs — here
+    computed EXACTLY: per-group and global cumulative counts stay
+    BIGINT, the per-level term |cum_g*N - cum_G*n_g| is an exact
+    integer over the common denominator n_g*N (no float CDFs to
+    cancel), summed exactly, divided and rounded ONCE (SURVEY §4.3).
+    Missing levels are densified via group x level cross join before
+    the cumulative window, so every group compares over the full L=5
+    levels. Distributed shape: one count shuffle on (QI, level), one
+    partitioned cumulative window, one group-sum — no per-group
+    driver work, so millions of QI groups cost the same three
+    shuffles. is_breach flags groups with t > 0.08."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey")
+    j = (o.join(c, o.o_custkey == c.c_custkey)
+         .select("c_mktsegment", "c_nationkey", "o_orderpriority"))
+
+    cnt = (j.groupBy("c_mktsegment", "c_nationkey", "o_orderpriority")
+           .agg(F.count("*").alias("c")))
+    prios = j.select("o_orderpriority").distinct()
+    grp = (cnt.groupBy("c_mktsegment", "c_nationkey")
+           .agg(F.sum("c").alias("n_g")))
+
+    from pyspark.sql import Window
+    lvl = cnt.groupBy("o_orderpriority").agg(F.sum("c").alias("c"))
+    glob = lvl.select(
+        "o_orderpriority",
+        F.sum("c").over(Window.orderBy("o_orderpriority")
+                        .rowsBetween(Window.unboundedPreceding,
+                                     Window.currentRow)).alias("cum_glob"),
+        F.sum("c").over(Window.partitionBy()).alias("n_tot"))
+
+    dense = (grp.crossJoin(F.broadcast(prios))
+             .join(cnt, ["c_mktsegment", "c_nationkey", "o_orderpriority"],
+                   "left")
+             .withColumn("c", F.coalesce(F.col("c"), F.lit(0))))
+
+    w_cum = (Window.partitionBy("c_mktsegment", "c_nationkey")
+             .orderBy("o_orderpriority")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (dense
+           .withColumn("cum_g", F.sum("c").over(w_cum))
+           .join(F.broadcast(glob), "o_orderpriority"))
+
+    t_close = F.round(
+        F.sum(F.abs(F.col("cum_g") * F.col("n_tot")
+                    - F.col("cum_glob") * F.col("n_g"))).cast("double")
+        / (F.col("n_g").cast("double") * F.col("n_tot").cast("double")
+           * 4.0), 6)
+    return (cum.groupBy("c_mktsegment", "c_nationkey", "n_g", "n_tot")
+            .agg(t_close.alias("t_close"))
+            .select("c_mktsegment", "c_nationkey",
+                    F.col("n_g").alias("n_orders"), "t_close",
+                    (F.col("t_close") > 0.08).alias("is_breach")))
+
+
+# ------------------------------------------------ k-core peeling rounds
+
+_KCORE_ORACLE_HEAD = """
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    d0 AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY node
+    ),
+    scal AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS v0,
+               CAST((SELECT count(*) FROM e0) AS BIGINT) AS en0,
+               CAST((2 * (SELECT count(*) FROM e0) + count(*) - 1)
+                    // count(*) AS BIGINT) AS k
+        FROM d0
+    ),
+"""
+
+_KCORE_ROUND_TMPL = """
+    n{r} AS MATERIALIZED (
+        SELECT node FROM d{p}, scal WHERE d >= k
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT a, b FROM e{p}
+        WHERE a IN (SELECT node FROM n{r})
+          AND b IN (SELECT node FROM n{r})
+    ),
+    d{r} AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})
+        GROUP BY node
+    ),
+"""
+
+_KCORE_ROUNDS = 4
+_KCORE_ORACLE = (
+    _KCORE_ORACLE_HEAD
+    + "".join(_KCORE_ROUND_TMPL.format(r=r, p=r - 1)
+              for r in range(1, _KCORE_ROUNDS + 1)).rstrip().rstrip(",")
+    + "\n    SELECT 0 AS peel_round, v0 AS n_nodes, en0 AS n_edges, k"
+    "\n    FROM scal"
+    + "".join(
+        f"\n    UNION ALL SELECT {r},"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM n{r}),"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM e{r}), k FROM scal"
+        for r in range(1, _KCORE_ROUNDS + 1))
+)
+
+
+@query("graph_kcore", oracle=_KCORE_ORACLE)
+def graph_kcore(spark, sf_dir):
+    """k-core peeling (Seidman 1983; distributed form: Montresor et al.
+    2013) on the part co-purchase graph, four synchronous rounds at
+    k = ceil(mean degree).
+
+    Edges: distinct part pairs co-occurring in an order (canonical
+    a < b — one equi-self-join on l_orderkey, bounded by the ~4
+    lines/order fanout, never all-pairs). The threshold is derived
+    IN-QUERY from exact integer counts (k = (2|E| + |V| - 1) DIV |V|),
+    so the key is scale-invariant — no magic constant tuned to one SF.
+    Each peel round is the classic bulk-synchronous step: degree count
+    (one shuffle on node), threshold filter against the broadcast
+    scalar, then two LEFT SEMI joins that keep edges whose endpoints
+    both survive. Rounds are inherently sequential (a removal changes
+    neighbors' degrees), so the loop builds 4 chained plan stages —
+    at 100 TB the same loop runs
+    with each round's edge set checkpointed to parquet and the round
+    count capped, exactly like the label-propagation keys. Reported:
+    surviving node/edge counts per round — monotone non-increasing,
+    converged when two consecutive rounds agree. The oracle unrolls
+    the same 4 rounds as chained MATERIALIZED CTEs.
+
+    Plan hygiene: each round's node/edge set is cut with a LAZY
+    localCheckpoint (eager=False — nothing runs at build time), not
+    .persist(): every round references the previous one four times
+    (degree, two semi-joins, stats row) and embeds the k-scalar
+    subtree, so an uncut logical plan grows ~4x per round and the
+    4-round union OOMs the driver just STRINGIFYING the tree
+    (measured at sf0.001). Checkpointing makes each round a plan
+    leaf: constant-size tree, one short job per round."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    e0 = (x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+                 & (F.col("x.l_partkey") < F.col("y.l_partkey")))
+          .select(F.col("x.l_partkey").alias("a"),
+                  F.col("y.l_partkey").alias("b"))
+          .distinct().localCheckpoint(eager=False))
+
+    def deg(e):
+        return (e.select(F.col("a").alias("node"))
+                .unionAll(e.select(F.col("b").alias("node")))
+                .groupBy("node").agg(F.count("*").alias("d")))
+
+    d0 = deg(e0)
+    scal = (d0.agg(F.count("*").alias("v0"))
+            .crossJoin(e0.agg(F.count("*").alias("en0")))
+            .withColumn("k", F.expr("(2 * en0 + v0 - 1) DIV v0")))
+
+    stats = [scal.select(F.lit(0).alias("peel_round"),
+                         F.col("v0").alias("n_nodes"),
+                         F.col("en0").alias("n_edges"), "k")]
+    cur, dcur = e0, d0
+    for r in range(1, _KCORE_ROUNDS + 1):
+        keep = (dcur.crossJoin(F.broadcast(scal.select("k")))
+                .filter(F.col("d") >= F.col("k"))
+                .select("node").localCheckpoint(eager=False))
+        nxt = (cur
+               .join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+               .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+               .select("a", "b").localCheckpoint(eager=False))
+        stats.append(
+            keep.agg(F.count("*").alias("n_nodes"))
+            .crossJoin(nxt.agg(F.count("*").alias("n_edges")))
+            .crossJoin(F.broadcast(scal.select("k")))
+            .select(F.lit(r).alias("peel_round"), "n_nodes", "n_edges",
+                    "k"))
+        cur, dcur = nxt, deg(nxt)
+
+    out = stats[0]
+    for s_df in stats[1:]:
+        out = out.unionAll(s_df)
+    return out

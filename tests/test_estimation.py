@@ -1,0 +1,136 @@
+"""Semantic guards for the scale-estimation batch (estimation.py): the
+oracle gate proves Spark == DuckDB; these prove the operators mean what
+they claim — the KMV merge law holds exactly, the salted join is
+row-identical to the plain join, BH q-values satisfy the step-up
+procedure's algebraic invariants, t-closeness agrees with a direct
+pandas recompute, and k-core peeling is monotone from a verified
+round-0 state."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_kmv_merge_law_exact(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import sketch_kmv_distinct
+    rows = {r.method: r for r in
+            sketch_kmv_distinct(spark, sf_dir).collect()}
+    assert set(rows) == {"direct", "merged"}
+    d, m = rows["direct"], rows["merged"]
+    # The merge law: union of per-shard k-min sets re-trimmed to k
+    # equals the global k-min set — kth hash and estimate identical.
+    assert d.kth_hash == m.kth_hash
+    assert d.est_ndv == m.est_ndv
+    assert d.k == m.k == 64
+    # Estimator sanity: within 5 sigma of theory (RMSE ~ 1/sqrt(k-2)).
+    sigma_pct = 100.0 / math.sqrt(64 - 2)
+    assert abs(d.err_pct) < 5 * sigma_pct
+    assert d.exact_ndv > 0
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import join_skew_salted
+    got = {r.s_nationkey: (r.n_lines, r.revenue)
+           for r in join_skew_salted(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    plain = (li.join(s, li.l_suppkey == s.s_suppkey)
+             .groupBy("s_nationkey")
+             .agg(F.count("*").alias("n_lines"),
+                  F.round(F.sum(F.round(
+                      F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")) * 100)
+                      .cast("bigint")) / 100.0, 2).alias("revenue")))
+    want = {r.s_nationkey: (r.n_lines, r.revenue)
+            for r in plain.collect()}
+    assert got == want
+    assert sum(v[0] for v in got.values()) == li.count()
+
+
+def test_fdr_bh_stepup_invariants(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import stats_fdr_bh
+    rows = sorted(stats_fdr_bh(spark, sf_dir).collect(),
+                  key=lambda r: r.bh_rank)
+    m = len(rows)
+    assert [r.bh_rank for r in rows] == list(range(1, m + 1))
+    for r in rows:
+        assert r.chi2 >= 0
+        assert 0.0 <= r.p_value <= 1.0
+        # Adjusted q never undercuts the raw p (m/j >= 1, p sorted).
+        assert r.q_value >= r.p_value - 1e-9
+        assert r.reject == (r.q_value <= 0.05)
+        assert r.n_returned + r.n_other > 0
+    # q is non-decreasing in rank (running suffix-min of an expression
+    # that BH guarantees is floored by earlier values).
+    for a, b in zip(rows, rows[1:]):
+        assert a.q_value <= b.q_value + 1e-12
+    # p is sorted ascending by construction of the rank.
+    for a, b in zip(rows, rows[1:]):
+        assert a.p_value <= b.p_value + 1e-12
+
+
+def test_t_closeness_matches_pandas_recompute(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import privacy_t_closeness
+    got = {(r.c_mktsegment, r.c_nationkey): (r.n_orders, r.t_close)
+           for r in privacy_t_closeness(spark, sf_dir).collect()}
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment", "c_nationkey"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    levels = sorted(j["o_orderpriority"].unique())
+    n_tot = len(j)
+    glob_cum = (j["o_orderpriority"].value_counts()
+                .reindex(levels, fill_value=0).cumsum())
+    want = {}
+    for (seg, nat), g in j.groupby(["c_mktsegment", "c_nationkey"]):
+        n_g = len(g)
+        cum = (g["o_orderpriority"].value_counts()
+               .reindex(levels, fill_value=0).cumsum())
+        num = sum(abs(int(cum[lv]) * n_tot - int(glob_cum[lv]) * n_g)
+                  for lv in levels)
+        want[(seg, int(nat))] = (
+            n_g, round(num / (n_g * n_tot * (len(levels) - 1)), 6))
+    assert got == want
+    for n_orders, t in got.values():
+        assert 0.0 <= t <= 1.0
+
+
+def test_kcore_monotone_from_verified_round0(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import graph_kcore
+    rows = sorted(graph_kcore(spark, sf_dir).collect(),
+                  key=lambda r: r.peel_round)
+    assert [r.peel_round for r in rows] == [0, 1, 2, 3, 4]
+    # Round 0 matches an independent edge-set computation.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+         .select(F.col("a.l_partkey").alias("u"),
+                 F.col("b.l_partkey").alias("v")).distinct())
+    n_edges = e.count()
+    n_nodes = (e.select(F.col("u").alias("n"))
+               .union(e.select("v")).distinct().count())
+    r0 = rows[0]
+    assert (r0.n_nodes, r0.n_edges) == (n_nodes, n_edges)
+    # k = ceil(mean degree), derived in-query.
+    assert r0.k == (2 * n_edges + n_nodes - 1) // n_nodes
+    # Peeling only removes: counts are monotone non-increasing, and a
+    # fixpoint (equal consecutive rounds) stays fixed.
+    for p, q in zip(rows, rows[1:]):
+        assert q.n_nodes <= p.n_nodes and q.n_edges <= p.n_edges
+        assert q.k == r0.k
+    for p, q in zip(rows[1:], rows[2:]):
+        if (p.n_nodes, p.n_edges) == (q.n_nodes, q.n_edges):
+            continue
+    # Survivors of round 1 each had degree >= k in the round-0 graph.
+    deg0 = (e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n").count())
+    n1_expected = deg0.filter(F.col("count") >= r0.k).count()
+    assert rows[1].n_nodes == n1_expected
