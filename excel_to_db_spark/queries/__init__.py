@@ -119,9 +119,10 @@ _PRIORITY: tuple[str, ...] = (
 #   privacy_sensitivity_census embedding_drift_mmd
 #   text_tokenizer_fertility stats_hill_tail_index
 #   events_bot_heuristics dedup_quality_keep_best
-# plus the round-5 batch-6 keys (estimation.py, registered after the
+# plus the round-5 batch-6/7 keys (estimation.py, registered after the
 # window): sketch_kmv_distinct join_skew_salted stats_fdr_bh
-#   privacy_t_closeness graph_kcore
+#   privacy_t_closeness graph_kcore sketch_ams_f2
+#   stats_permutation_test stats_diff_in_diff sample_neyman_allocation
 #   pipeline_curation_funnel stream_quality_census
 #   similarity_ndcg_eval stats_conformal_coverage privacy_dp_histogram
 #   shard_rendezvous_stability similarity_filtered_search

@@ -548,3 +548,411 @@ def graph_kcore(spark, sf_dir):
     for s_df in stats[1:]:
         out = out.unionAll(s_df)
     return out
+
+
+# ----------------------------------------------- AMS (tug-of-war) F2
+
+_AMS_R = 16
+_AMS_SIGN_SQL = ("(1 - 2 * (CAST(('0x' || substr(md5(l_partkey || ':' || "
+                 "est_id), 1, 8))::UBIGINT AS BIGINT) % 2))")
+
+
+@query("sketch_ams_f2", oracle=f"""
+    WITH f AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS f
+        FROM lineitem GROUP BY l_partkey
+    ),
+    exact AS (
+        SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2 FROM f
+    ),
+    est AS (
+        SELECT est_id, CAST(sum({_AMS_SIGN_SQL} * f) AS BIGINT)
+                   AS signed_sum
+        FROM f CROSS JOIN (SELECT range AS est_id FROM range({_AMS_R}))
+        GROUP BY est_id
+    ),
+    sq AS (
+        SELECT est_id, signed_sum,
+               signed_sum * signed_sum AS est_f2
+        FROM est
+    ),
+    m AS (
+        SELECT sum(est_f2) / {_AMS_R}.0 AS mean_raw FROM sq
+    )
+    SELECT CAST(est_id AS INTEGER) AS est_id, signed_sum, est_f2,
+           exact_f2, round(mean_raw, 2) AS mean_est_f2,
+           round(100.0 * (mean_raw - exact_f2) / exact_f2, 4) AS err_pct
+    FROM sq, exact, m
+""")
+def sketch_ams_f2(spark, sf_dir):
+    """AMS 'tug-of-war' sketch for the second frequency moment F2 =
+    sum f_i^2 (Alon, Matias & Szegedy 1996), 16 independent estimators
+    against the exact answer.
+
+    Each estimator draws a +-1 sign per key from the shared h32 hash
+    (so both engines see the SAME 'random' bits) and keeps one signed
+    counter S_j = sum_i sign_j(i) * f_i; E[S_j^2] = F2 exactly, and
+    averaging 16 estimators tames the variance (theory:
+    Var[S^2] <= 2*F2^2, so the 16-mean has ~35% RMSE). Everything is
+    exact BIGINT — counts, signs, signed sums, squares — so there is
+    no float path at all until the final mean/err division (SURVEY
+    §4.3). Why it matters at 100 TB: S_j is a LINEAR function of the
+    frequency vector, so sketches of shards merge by plain addition
+    (one bigint per estimator per shard), F2 of a union/difference
+    stream is computable from sketch algebra, and the whole thing is
+    one map-side-combinable groupBy — the exact-F2 shuffle on key
+    frequencies that this query also runs (for comparison) is the
+    thing the sketch REPLACES at scale. Joint self-join sizes
+    (F2 equals the self-join size on the key) are the classic use."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey")
+    f = li.groupBy("l_partkey").agg(F.count("*").alias("f"))
+    exact = f.agg(F.sum(F.col("f") * F.col("f")).alias("exact_f2"))
+
+    est = (f.withColumn("est_id",
+                        F.explode(F.sequence(F.lit(0), F.lit(_AMS_R - 1))))
+           .withColumn("sign", 1 - 2 * (h32(F.concat(
+               F.col("l_partkey").cast("string"), F.lit(":"),
+               F.col("est_id").cast("string"))) % 2))
+           .groupBy("est_id")
+           .agg(F.sum(F.col("sign") * F.col("f")).alias("signed_sum"))
+           .withColumn("est_f2",
+                       F.col("signed_sum") * F.col("signed_sum")))
+    m = est.agg((F.sum("est_f2") / float(_AMS_R)).alias("mean_raw"))
+    return (est.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(m))
+            .select(F.col("est_id").cast("int").alias("est_id"),
+                    "signed_sum", "est_f2", "exact_f2",
+                    F.round(F.col("mean_raw"), 2).alias("mean_est_f2"),
+                    F.round(100.0 * (F.col("mean_raw")
+                                     - F.col("exact_f2"))
+                            / F.col("exact_f2"), 4).alias("err_pct")))
+
+
+# ------------------------------------------- randomization (perm) test
+
+_PERM_B = 99
+_PERM_LAB_SQL = ("(CAST(('0x' || substr(md5(o_orderkey || ':' || p), 1, 8))"
+                 "::UBIGINT AS BIGINT) % 2)")
+
+
+@query("stats_permutation_test", oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS is_a,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    obs AS (
+        SELECT CAST(sum(is_a) AS BIGINT) AS na,
+               CAST(sum(1 - is_a) AS BIGINT) AS nb,
+               CAST(sum(is_a * v) AS BIGINT) AS sa,
+               CAST(sum((1 - is_a) * v) AS BIGINT) AS sb
+        FROM base
+    ),
+    labeled AS (
+        SELECT p, v, {_PERM_LAB_SQL} AS lab
+        FROM base CROSS JOIN (SELECT range AS p FROM range(1, {_PERM_B + 1}))
+    ),
+    perm AS (
+        SELECT p,
+               CAST(sum(CASE WHEN lab = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(sum(CASE WHEN lab = 0 THEN v ELSE 0 END)
+                    AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb,
+               CAST(sum(CASE WHEN lab = 1 THEN v ELSE 0 END)
+                    AS BIGINT) AS sb
+        FROM labeled
+        GROUP BY p
+    ),
+    cmp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_exceed
+        FROM perm, obs o
+        WHERE perm.na = 0 OR perm.nb = 0
+           OR abs(CAST(perm.sa AS DECIMAL(38,0)) * perm.nb
+                  - CAST(perm.sb AS DECIMAL(38,0)) * perm.na)
+              * (CAST(o.na AS DECIMAL(38,0)) * o.nb)
+              >= abs(CAST(o.sa AS DECIMAL(38,0)) * o.nb
+                     - CAST(o.sb AS DECIMAL(38,0)) * o.na)
+                 * (CAST(perm.na AS DECIMAL(38,0)) * perm.nb)
+    )
+    SELECT o.na AS n_a, o.nb AS n_b,
+           round((CAST(o.sa AS DOUBLE) / o.na
+                  - CAST(o.sb AS DOUBLE) / o.nb) / 100.0, 4)
+               AS mean_diff,
+           CAST({_PERM_B} AS BIGINT) AS n_perms, n_exceed,
+           round((1.0 + n_exceed) / (1.0 + {_PERM_B}), 6) AS p_value
+    FROM obs o, cmp
+""")
+def stats_permutation_test(spark, sf_dir):
+    """Approximate randomization (Monte-Carlo permutation) test for the
+    BUILDING-vs-MACHINERY difference in mean order value — the
+    distribution-free alternative to the parametric Welch key, with
+    hash-derived relabelings so both engines replay the SAME 99 draws.
+
+    Each pseudo-permutation p relabels every order by h32(key:p) % 2
+    (Fisher-style random relabeling — split sizes are binomial rather
+    than fixed, the standard Monte-Carlo variant). The test statistic
+    |mean_A - mean_B| is compared EXACTLY: means stay rational
+    (integer-cent sums over counts), and |s_a*n_b - s_b*n_a| cross-
+    multiplied through DECIMAL(38,0) decides every exceedance with zero
+    float involvement — a permutation whose statistic ties the observed
+    one counts as an exceedance on both engines, deterministically.
+    p = (1 + #exceed) / (B + 1), the add-one estimator that keeps the
+    test valid at any B. Distributed shape: explode x99 then ONE
+    map-side-combinable aggregate — no per-permutation pass over the
+    data, no driver loop; B scales the explode factor linearly and
+    the 100 TB version just raises spark.sql.shuffle.partitions."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .select(
+                "o_orderkey",
+                F.when(F.col("c_mktsegment") == "BUILDING", 1)
+                .otherwise(0).alias("is_a"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                .alias("v")))
+
+    obs = base.agg(
+        F.sum("is_a").alias("na"),
+        F.sum(1 - F.col("is_a")).alias("nb"),
+        F.sum(F.col("is_a") * F.col("v")).alias("sa"),
+        F.sum((1 - F.col("is_a")) * F.col("v")).alias("sb"))
+
+    lab = h32(F.concat(F.col("o_orderkey").cast("string"), F.lit(":"),
+                       F.col("p").cast("string"))) % 2
+    perm = (base.withColumn(
+        "p", F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))))
+        .withColumn("lab", lab)
+        .groupBy("p")
+        .agg(F.sum(F.when(F.col("lab") == 0, 1).otherwise(0)).alias("na"),
+             F.sum(F.when(F.col("lab") == 0, F.col("v")).otherwise(0))
+             .alias("sa"),
+             F.sum(F.when(F.col("lab") == 1, 1).otherwise(0)).alias("nb"),
+             F.sum(F.when(F.col("lab") == 1, F.col("v")).otherwise(0))
+             .alias("sb")))
+
+    d38 = "decimal(38,0)"
+    po = perm.crossJoin(F.broadcast(
+        obs.select(F.col("na").alias("ona"), F.col("nb").alias("onb"),
+                   F.col("sa").alias("osa"), F.col("sb").alias("osb"))))
+    exceed = ((F.col("na") == 0) | (F.col("nb") == 0)
+              | (F.abs(F.col("sa").cast(d38) * F.col("nb")
+                       - F.col("sb").cast(d38) * F.col("na"))
+                 * (F.col("ona").cast(d38) * F.col("onb"))
+                 >= F.abs(F.col("osa").cast(d38) * F.col("onb")
+                          - F.col("osb").cast(d38) * F.col("ona"))
+                 * (F.col("na").cast(d38) * F.col("nb"))))
+    cmp = po.agg(
+        F.sum(F.when(exceed, 1).otherwise(0)).alias("n_exceed"))
+
+    return (obs.crossJoin(F.broadcast(cmp))
+            .select(F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+                    F.round((F.col("sa").cast("double") / F.col("na")
+                             - F.col("sb").cast("double") / F.col("nb"))
+                            / 100.0, 4).alias("mean_diff"),
+                    F.lit(_PERM_B).cast("bigint").alias("n_perms"),
+                    "n_exceed",
+                    F.round((1.0 + F.col("n_exceed"))
+                            / (1.0 + _PERM_B), 6).alias("p_value")))
+
+
+# ------------------------------------------------ difference-in-differences
+
+_DID_SPLIT = "1995-06-17"
+
+
+@query("stats_diff_in_diff", oracle=f"""
+    WITH cells AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS treated,
+               CASE WHEN o_orderdate >= DATE '{_DID_SPLIT}' THEN 1
+                    ELSE 0 END AS post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY ALL
+    ),
+    m AS (
+        SELECT
+          round(CAST(max(CASE WHEN treated = 1 AND post = 0 THEN s END)
+                     AS DOUBLE)
+                / (100.0 * max(CASE WHEN treated = 1 AND post = 0
+                               THEN n END)), 4) AS m_treat_pre,
+          round(CAST(max(CASE WHEN treated = 1 AND post = 1 THEN s END)
+                     AS DOUBLE)
+                / (100.0 * max(CASE WHEN treated = 1 AND post = 1
+                               THEN n END)), 4) AS m_treat_post,
+          round(CAST(max(CASE WHEN treated = 0 AND post = 0 THEN s END)
+                     AS DOUBLE)
+                / (100.0 * max(CASE WHEN treated = 0 AND post = 0
+                               THEN n END)), 4) AS m_ctrl_pre,
+          round(CAST(max(CASE WHEN treated = 0 AND post = 1 THEN s END)
+                     AS DOUBLE)
+                / (100.0 * max(CASE WHEN treated = 0 AND post = 1
+                               THEN n END)), 4) AS m_ctrl_post,
+          CAST(sum(n) AS BIGINT) AS n_orders
+        FROM cells
+    )
+    SELECT m_treat_pre, m_treat_post, m_ctrl_pre, m_ctrl_post, n_orders,
+           round((m_treat_post - m_treat_pre)
+                 - (m_ctrl_post - m_ctrl_pre), 4) AS did_estimate
+    FROM m
+""")
+def stats_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimator: BUILDING-segment customers
+    as the 'treated' group, period split at {split}, outcome = mean
+    order value (Card & Krueger style two-by-two design).
+
+    DiD removes both the stable group difference and the common time
+    trend: the estimate is (treat_post - treat_pre) - (ctrl_post -
+    ctrl_pre). All four cell means come from exact integer-cent sums
+    (one map-side-combinable aggregate over the fact table — the 2x2
+    design needs only 4 (n, sum) pairs no matter the corpus size);
+    each mean is rounded to 4 dp FIRST, and the estimate is computed
+    from the rounded means (SURVEY §4.3: snap, then consume — the
+    subtraction of near-equal means is exactly the cancellation-prone
+    shape the rule exists for). The 2x2 pivot is a conditional-max
+    over four rows, never a self-join."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .select(
+                 F.when(F.col("c_mktsegment") == "BUILDING", 1)
+                 .otherwise(0).alias("treated"),
+                 F.when(F.col("o_orderdate") >= F.lit(_DID_SPLIT)
+                        .cast("date"), 1).otherwise(0).alias("post"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("v"))
+             .groupBy("treated", "post")
+             .agg(F.count("*").alias("n"), F.sum("v").alias("s")))
+
+    def cell_mean(tr, po):
+        return F.round(
+            F.max(F.when((F.col("treated") == tr) & (F.col("post") == po),
+                         F.col("s"))).cast("double")
+            / (100.0 * F.max(F.when((F.col("treated") == tr)
+                                    & (F.col("post") == po),
+                                    F.col("n")))), 4)
+
+    m = cells.agg(
+        cell_mean(1, 0).alias("m_treat_pre"),
+        cell_mean(1, 1).alias("m_treat_post"),
+        cell_mean(0, 0).alias("m_ctrl_pre"),
+        cell_mean(0, 1).alias("m_ctrl_post"),
+        F.sum("n").alias("n_orders"))
+    return m.select(
+        "m_treat_pre", "m_treat_post", "m_ctrl_pre", "m_ctrl_post",
+        "n_orders",
+        F.round((F.col("m_treat_post") - F.col("m_treat_pre"))
+                - (F.col("m_ctrl_post") - F.col("m_ctrl_pre")), 4)
+        .alias("did_estimate"))
+
+
+# --------------------------------------------- Neyman optimal allocation
+
+_NEYMAN_N = 1000
+
+
+@query("sample_neyman_allocation", oracle=f"""
+    WITH v AS (
+        SELECT c_mktsegment AS stratum,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    m AS (
+        SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               sum(CAST(v AS HUGEINT) * v) AS ss
+        FROM v GROUP BY stratum
+    ),
+    w AS (
+        SELECT stratum, n,
+               sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                   AS sh
+        FROM m
+    ),
+    ws AS (
+        SELECT stratum, n, sh, CAST(round(n * sh) AS BIGINT) AS wsnap
+        FROM w
+    ),
+    tot AS (SELECT CAST(sum(wsnap) AS BIGINT) AS wtot FROM ws),
+    b AS (
+        SELECT stratum, n, sh, wsnap,
+               ({_NEYMAN_N} * wsnap) // wtot AS base,
+               {_NEYMAN_N} * wsnap
+                   - (({_NEYMAN_N} * wsnap) // wtot) * wtot AS rem
+        FROM ws, tot
+    ),
+    r AS (
+        SELECT stratum, n, sh, base, rem,
+               CAST(row_number() OVER (ORDER BY rem DESC, stratum)
+                    AS BIGINT) AS rk,
+               CAST({_NEYMAN_N} - sum(base) OVER () AS BIGINT) AS leftover
+        FROM b
+    )
+    SELECT stratum, n AS n_h, round(sh / 100.0, 4) AS s_h,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r
+""")
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman optimal allocation of a fixed 1000-row sample budget
+    across the market-segment strata (Neyman 1934): n_h proportional to
+    N_h * S_h, which minimizes the variance of the stratified mean —
+    high-variance strata earn more than proportional share.
+
+    Per-stratum std devs come from exact integer moments (cent sums
+    BIGINT, squares through HUGEINT/DECIMAL(38,0); the double division
+    happens once, with the identical operation order on both engines).
+    The fractional quotas are settled by the largest-remainder method
+    in EXACT integer arithmetic: weights snapped to integer units, base
+    shares via integer DIV, remainders n*w - base*W compared as exact
+    BIGINTs (ties broken by stratum name) — so sum(alloc) == 1000
+    exactly, with no float in the rounding path at all. The whole
+    allocation is one map-side-combinable moment aggregate plus
+    O(#strata) scalar work — the 100 TB fact table is read once; the
+    ranking window touches 5 rows, not the corpus. This is the
+    planning half of stratified sampling (sample_stratified draws the
+    rows; this key decides how many to draw from where)."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .select(F.col("c_mktsegment").alias("stratum"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("v")))
+    m = (v.groupBy("stratum")
+         .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+              F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+              .alias("ss")))
+    sh = F.sqrt((F.col("n").cast("double") * F.col("ss").cast("double")
+                 - F.col("s").cast("double") * F.col("s").cast("double"))
+                / (F.col("n").cast("double")
+                   * (F.col("n").cast("double") - 1.0)))
+    ws = m.select("stratum", "n", sh.alias("sh"),
+                  F.round(F.col("n") * sh).cast("bigint").alias("wsnap"))
+    tot = ws.agg(F.sum("wsnap").alias("wtot"))
+    b = (ws.crossJoin(F.broadcast(tot))
+         .withColumn("base", F.expr(f"({_NEYMAN_N} * wsnap) DIV wtot"))
+         .withColumn("rem", _NEYMAN_N * F.col("wsnap")
+                     - F.col("base") * F.col("wtot")))
+    from pyspark.sql import Window
+    r = (b.withColumn("rk", F.row_number().over(
+             Window.orderBy(F.col("rem").desc(), "stratum"))
+             .cast("bigint"))
+         .withColumn("leftover",
+                     (_NEYMAN_N - F.sum("base").over(Window.partitionBy()))
+                     .cast("bigint")))
+    return r.select(
+        "stratum", F.col("n").alias("n_h"),
+        F.round(F.col("sh") / 100.0, 4).alias("s_h"),
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1)
+         .otherwise(0)).cast("bigint").alias("alloc"))

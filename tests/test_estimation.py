@@ -134,3 +134,94 @@ def test_kcore_monotone_from_verified_round0(spark, sf_dir):
             .groupBy("n").count())
     n1_expected = deg0.filter(F.col("count") >= r0.k).count()
     assert rows[1].n_nodes == n1_expected
+
+
+def test_ams_f2_estimators_and_exact_moment(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import sketch_ams_f2
+    rows = sorted(sketch_ams_f2(spark, sf_dir).collect(),
+                  key=lambda r: r.est_id)
+    assert [r.est_id for r in rows] == list(range(16))
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey"])
+    f2 = int((li["l_partkey"].value_counts() ** 2).sum())
+    mean_raw = sum(r.est_f2 for r in rows) / 16.0
+    for r in rows:
+        assert r.est_f2 == r.signed_sum * r.signed_sum
+        assert r.exact_f2 == f2
+        assert r.mean_est_f2 == round(mean_raw, 2)
+    # 16-estimator mean: sigma ~ sqrt(2/16)*F2 = 35%; allow 5 sigma.
+    assert abs(rows[0].err_pct) < 175.0
+
+
+def test_permutation_test_pvalue_arithmetic(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import stats_permutation_test
+    r = stats_permutation_test(spark, sf_dir).collect()[0]
+    assert r.n_perms == 99
+    assert 0 <= r.n_exceed <= 99
+    assert r.p_value == round((1 + r.n_exceed) / 100.0, 6)
+    assert 0.0 < r.p_value <= 1.0
+    # Observed statistic matches a direct recompute.
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j = j[j["c_mktsegment"].isin(["BUILDING", "MACHINERY"])]
+    cents = (j["o_totalprice"] * 100).round().astype("int64")
+    a = cents[j["c_mktsegment"] == "BUILDING"]
+    b = cents[j["c_mktsegment"] == "MACHINERY"]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    want = round((a.sum() / len(a) - b.sum() / len(b)) / 100.0, 4)
+    assert r.mean_diff == want
+
+
+def test_diff_in_diff_cell_algebra(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import stats_diff_in_diff
+    r = stats_diff_in_diff(spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["treated"] = (j["c_mktsegment"] == "BUILDING").astype(int)
+    j["post"] = (pd.to_datetime(j["o_orderdate"])
+                 >= pd.Timestamp("1995-06-17")).astype(int)
+    j["v"] = (j["o_totalprice"] * 100).round().astype("int64")
+
+    def mean4(tr, po):
+        g = j[(j.treated == tr) & (j.post == po)]
+        return round(g["v"].sum() / (100.0 * len(g)), 4)
+
+    assert r.m_treat_pre == mean4(1, 0)
+    assert r.m_treat_post == mean4(1, 1)
+    assert r.m_ctrl_pre == mean4(0, 0)
+    assert r.m_ctrl_post == mean4(0, 1)
+    assert r.n_orders == len(j)
+    assert r.did_estimate == round(
+        (r.m_treat_post - r.m_treat_pre)
+        - (r.m_ctrl_post - r.m_ctrl_pre), 4)
+
+
+def test_neyman_allocation_budget_and_optimality(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import (
+        sample_neyman_allocation)
+    rows = sample_neyman_allocation(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert sum(r.alloc for r in rows) == 1000
+    # Largest-remainder: every allocation is within 1 of the exact
+    # real-valued Neyman quota n * (N_h s_h) / sum(N_h s_h).
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["v"] = (j["o_totalprice"] * 100).round().astype("int64")
+    w = {seg: len(g) * g["v"].std(ddof=1)
+         for seg, g in j.groupby("c_mktsegment")}
+    wtot = sum(w.values())
+    for r in rows:
+        assert r.n_h == len(j[j["c_mktsegment"] == r.stratum])
+        assert r.s_h > 0
+        quota = 1000 * w[r.stratum] / wtot
+        assert abs(r.alloc - quota) <= 1.0
