@@ -113,6 +113,14 @@ HEADLINE = [
     "embedding_drift_mmd",     # MMD^2 via per-group Gramian moments
     "events_bot_heuristics",   # timing-regularity census, exact moments
     "dedup_quality_keep_best", # packed-key policy comparison
+    # round-5 batch-6/7 (estimation.py; no r4 baseline entry)
+    "sketch_kmv_distinct",     # mergeable KMV NDV sketch, merge law proven
+    "sketch_ams_f2",           # 16-estimator AMS F2 linear sketch
+    "join_skew_salted",        # salt-replicated hot-key join rewrite
+    "stats_fdr_bh",            # BH step-up via reverse running-min window
+    "stats_permutation_test",  # 99 hash-relabelings, one exploded agg
+    "privacy_t_closeness",     # exact prefix-CDF EMD per QI group
+    "graph_kcore",             # 4-round peeling, localCheckpoint rounds
 ]
 
 
