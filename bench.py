@@ -121,6 +121,9 @@ HEADLINE = [
     "stats_permutation_test",  # 99 hash-relabelings, one exploded agg
     "privacy_t_closeness",     # exact prefix-CDF EMD per QI group
     "graph_kcore",             # 4-round peeling, localCheckpoint rounds
+    "similarity_mrr_eval",     # sort-free first-relevant-rank MRR@10
+    "similarity_mmr_diversify",# all-integer greedy MMR top-5
+    "eval_quality_gains",      # distributed-rank decile lift curve
 ]
 
 

@@ -123,6 +123,8 @@ _PRIORITY: tuple[str, ...] = (
 # window): sketch_kmv_distinct join_skew_salted stats_fdr_bh
 #   privacy_t_closeness graph_kcore sketch_ams_f2
 #   stats_permutation_test stats_diff_in_diff sample_neyman_allocation
+# plus the round-5 batch-8 keys: similarity_mrr_eval
+#   similarity_mmr_diversify eval_quality_gains
 #   pipeline_curation_funnel stream_quality_census
 #   similarity_ndcg_eval stats_conformal_coverage privacy_dp_histogram
 #   shard_rendezvous_stability similarity_filtered_search

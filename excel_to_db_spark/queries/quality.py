@@ -859,3 +859,126 @@ def graph_assortativity(spark, sf_dir):
     return m.select(F.expr("n DIV 2").alias("n_edges"),
                     F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 5)
                     .alias("assortativity"))
+
+
+# ---------------------------------------------- quality gains curve
+
+_SW_SQL_GAINS = "[" + ", ".join(
+    f"'{w}'" for w in X.LANG_STOPWORDS["en"]) + "]"
+
+
+@query("eval_quality_gains", oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_dis,
+               len(list_filter(string_split(text, ' '),
+                               t -> list_contains({_SW_SQL_GAINS}, t)))
+                   AS stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, fp,
+               CAST(round(round(least(n_tok / 20.0, 1.0)
+                                * least(n_dis * 2.0 / n_tok, 1.0)
+                                * least(stop * 10.0 / n_tok, 1.0), 6)
+                          * 1000000) AS BIGINT) AS qm
+        FROM feat
+    ),
+    lab AS (
+        SELECT q.doc_id, q.qm,
+               CASE WHEN c.sz > 1 THEN 1 ELSE 0 END AS is_dup
+        FROM q JOIN (SELECT fp, count(*) AS sz FROM q GROUP BY fp) c
+          ON q.fp = c.fp
+    ),
+    rnk AS (
+        SELECT qm, is_dup,
+               row_number() OVER (ORDER BY qm, doc_id) AS rr,
+               count(*) OVER () AS n_total
+        FROM lab
+    ),
+    dec AS (
+        SELECT CAST(((rr - 1) * 10) // n_total AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(is_dup) AS BIGINT) AS n_dups
+        FROM rnk GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile, n_docs, n_dups,
+               CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+               CAST(sum(n_dups) OVER w AS BIGINT) AS cum_dups,
+               CAST(sum(n_docs) OVER () AS BIGINT) AS n_total,
+               CAST(sum(n_dups) OVER () AS BIGINT) AS tot_dups
+        FROM dec
+        WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT decile, n_docs, n_dups, cum_dups,
+           round(100.0 * cum_dups
+                 / (CASE WHEN tot_dups = 0 THEN 1 ELSE tot_dups END), 4)
+               AS capture_pct,
+           round((CAST(cum_dups AS DOUBLE) * n_total)
+                 / (CAST(cum_docs AS DOUBLE)
+                    * (CASE WHEN tot_dups = 0 THEN 1
+                       ELSE tot_dups END)), 4) AS lift
+    FROM cum
+""")
+def eval_quality_gains(spark, sf_dir):
+    """Cumulative-gains (lift) curve for quality-targeted dedup triage:
+    rank documents by the shared composite quality score ASCENDING
+    (worst first), split into 10 global deciles, and measure what
+    fraction of all duplicate documents the first k deciles capture —
+    the curve a curation team reads before deciding how deep a
+    quality-ordered review/filter pass must go. A lift above 1.0 in
+    the early deciles certifies that low quality PREDICTS duplication;
+    a flat curve says the score is useless for targeting.
+
+    Same one-definition contract as the other quality keys: the score
+    is operators/text.quality_score, the duplicate label is the
+    sorted-word-set fingerprint family (`dedup_exact`), both snapped
+    to exact integers (micro-units / 0-1 flags) before any ranking or
+    summation. The global rank uses operators/ranking.distributed_rank
+    (two-phase percentile bucketing — no single-partition window over
+    the corpus); deciles come from exact integer arithmetic on the
+    rank, and the cumulative window runs over 10 decile rows, not the
+    data. One fingerprint shuffle + one rank pipeline + one 10-row
+    window at any corpus size."""
+    from ..operators.ranking import distributed_rank
+
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = d.select(
+        "doc_id", X.fingerprint(t).alias("fp"),
+        F.round(F.round(X.quality_score(t), 6) * 1000000)
+        .cast("bigint").alias("qm"))
+    cl = q.groupBy("fp").agg(F.count("*").alias("sz"))
+    lab = (q.join(cl, "fp")
+           .select("doc_id", "qm",
+                   F.when(F.col("sz") > 1, 1).otherwise(0)
+                   .alias("is_dup")))
+    rnk = distributed_rank(lab, "qm", "doc_id", "rr")
+    n_total = lab.agg(F.count("*").alias("n_total"))
+    dec = (rnk.crossJoin(F.broadcast(n_total))
+           .select(F.expr("CAST(((rr - 1) * 10) DIV n_total AS BIGINT)")
+                   .alias("decile"), "is_dup")
+           .groupBy("decile")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("is_dup").alias("n_dups")))
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    cum = (dec
+           .withColumn("cum_docs", F.sum("n_docs").over(w))
+           .withColumn("cum_dups", F.sum("n_dups").over(w))
+           .withColumn("n_total", F.sum("n_docs").over(wall))
+           .withColumn("tot_dups", F.sum("n_dups").over(wall)))
+    safe_dups = F.when(F.col("tot_dups") == 0, 1).otherwise(
+        F.col("tot_dups"))
+    return cum.select(
+        "decile", "n_docs", "n_dups", "cum_dups",
+        F.round(100.0 * F.col("cum_dups") / safe_dups, 4)
+        .alias("capture_pct"),
+        F.round((F.col("cum_dups").cast("double") * F.col("n_total"))
+                / (F.col("cum_docs").cast("double") * safe_dups), 4)
+        .alias("lift"))

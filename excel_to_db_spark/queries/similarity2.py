@@ -664,3 +664,219 @@ def similarity_rerank_two_stage(spark, sf_dir):
     return (fin.filter(F.col("rank_fine") <= 10)
             .select(F.col("vec_id").alias("n_id"),
                     "rank_coarse", "rank_fine", "d_coarse", "d_fine"))
+
+
+@query("similarity_mrr_eval", oracle="""
+    WITH iv AS (
+        SELECT vec_id, label,
+               [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS v
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, label AS qlbl, v AS qv
+        FROM iv WHERE vec_id < 10
+    ),
+    d AS (
+        SELECT q_id, qlbl, iv.vec_id, iv.label,
+               CAST(list_sum([(v[i] - qv[i]) * (v[i] - qv[i])
+                              for i in range(1, 65)]) AS BIGINT) AS d2
+        FROM iv, q WHERE iv.vec_id <> q_id
+    ),
+    best AS (
+        SELECT q_id,
+               min(CASE WHEN label = qlbl
+                        THEN (d2, vec_id) END) AS best_rel
+        FROM d GROUP BY q_id
+    ),
+    rnk AS (
+        SELECT d.q_id,
+               CAST(1 + sum(CASE WHEN (d.d2, d.vec_id) < b.best_rel
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS first_rel_rank
+        FROM d JOIN best b ON d.q_id = b.q_id
+        WHERE b.best_rel IS NOT NULL
+        GROUP BY d.q_id
+    ),
+    rr AS (
+        SELECT q.q_id,
+               COALESCE(r.first_rel_rank, CAST(0 AS BIGINT))
+                   AS first_rel_rank,
+               CASE WHEN r.first_rel_rank IS NULL
+                         OR r.first_rel_rank > 10 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(1000000.0 / r.first_rel_rank)
+                              AS BIGINT) END AS rr_micro
+        FROM q LEFT JOIN rnk r ON q.q_id = r.q_id
+    ),
+    m AS (
+        SELECT round(sum(rr_micro) / (count(*) * 1000000.0), 6)
+                   AS mrr_at_10
+        FROM rr
+    )
+    SELECT q_id, first_rel_rank, rr_micro, mrr_at_10 FROM rr, m
+""")
+def similarity_mrr_eval(spark, sf_dir):
+    """MRR@10 over a 10-query batch (vec_ids 0-9, binary same-label
+    relevance) — the third classic rank metric next to
+    `similarity_recall` (set overlap) and `similarity_ndcg_eval`
+    (graded position credit); MRR cares only where the FIRST relevant
+    hit lands.
+
+    The distributed shape is the interesting part: the rank of the
+    first relevant document is computed WITHOUT any sort or top-k —
+    rank = 1 + |{docs with (d2, vec_id) lexicographically below the
+    best relevant doc}|, i.e. one min-aggregate to find the best
+    relevant candidate per query and one count-aggregate against it
+    (struct comparison keeps the tie-break exact on both engines).
+    That is two map-side-combinable aggregates over the scored scan —
+    at 100 TB there is no per-query sort, no window over data-sized
+    partitions, and adding queries widens the broadcast, not the
+    shuffle. Distances are exact integer milli-unit L2; reciprocal
+    ranks snap to micro-units per query (SURVEY §4.3) before the one
+    final MRR division."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
+    q = (e.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("label").alias("qlbl"), F.col("v").alias("qv")))
+    d = (e.crossJoin(F.broadcast(q))
+         .filter(F.col("vec_id") != F.col("q_id"))
+         .select("q_id", "qlbl", "vec_id", "label",
+                 F.expr("aggregate(zip_with(v, qv, (x, y) -> (x-y)*(x-y)),"
+                        " 0L, (acc, t) -> acc + t)").alias("d2")))
+    best = (d.groupBy("q_id")
+            .agg(F.min(F.when(F.col("label") == F.col("qlbl"),
+                              F.struct("d2", "vec_id"))).alias("best_rel")))
+    rnk = (d.join(F.broadcast(best), "q_id")
+           .filter(F.col("best_rel").isNotNull())
+           .groupBy("q_id")
+           .agg((1 + F.sum(F.when(
+               F.struct("d2", "vec_id") < F.col("best_rel"), 1)
+               .otherwise(0))).cast("bigint").alias("first_rel_rank")))
+    rr = (q.select("q_id").join(F.broadcast(rnk), "q_id", "left")
+          .select(
+              "q_id",
+              F.coalesce(F.col("first_rel_rank"), F.lit(0).cast("bigint"))
+              .alias("first_rel_rank"),
+              F.when(F.col("first_rel_rank").isNull()
+                     | (F.col("first_rel_rank") > 10),
+                     F.lit(0).cast("bigint"))
+              .otherwise(F.round(1000000.0 / F.col("first_rel_rank"))
+                         .cast("bigint")).alias("rr_micro")))
+    m = rr.agg(F.round(F.sum("rr_micro")
+                       / (F.count("*") * 1000000.0), 6).alias("mrr_at_10"))
+    return rr.crossJoin(F.broadcast(m))
+
+
+_MMR_D2 = ("CAST(list_sum([(c.v[i] - s.v[i]) * (c.v[i] - s.v[i]) "
+           "for i in range(1, 65)]) AS BIGINT)")
+
+
+def _mmr_round_sql(r: int) -> str:
+    p = r - 1
+    return f"""
+    p{r} AS MATERIALIZED (
+        SELECT {r} AS pick_order, vec_id, label, v, d2q, min_d2_sel
+        FROM (
+            SELECT c.vec_id, any_value(c.label) AS label,
+                   any_value(c.v) AS v, any_value(c.d2q) AS d2q,
+                   min({_MMR_D2}) AS min_d2_sel
+            FROM cand c CROSS JOIN s{p} s
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM s{p})
+            GROUP BY c.vec_id
+        )
+        ORDER BY min_d2_sel - d2q DESC, vec_id LIMIT 1
+    ),
+    s{r} AS MATERIALIZED (
+        SELECT * FROM s{p} UNION ALL SELECT * FROM p{r}
+    ),"""
+
+
+_MMR_ORACLE = ("""
+    WITH iv AS (
+        SELECT vec_id, label,
+               [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM iv WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+        SELECT vec_id, label, v,
+               CAST(list_sum([(v[i] - qv[i]) * (v[i] - qv[i])
+                              for i in range(1, 65)]) AS BIGINT) AS d2q
+        FROM iv, q WHERE vec_id <> 0
+        ORDER BY d2q, vec_id LIMIT 20
+    ),
+    s1 AS MATERIALIZED (
+        SELECT 1 AS pick_order, vec_id, label, v, d2q,
+               CAST(NULL AS BIGINT) AS min_d2_sel
+        FROM cand ORDER BY d2q, vec_id LIMIT 1
+    ),"""
+    + "".join(_mmr_round_sql(r) for r in range(2, 6)).rstrip().rstrip(",")
+    + """
+    SELECT CAST(pick_order AS INTEGER) AS pick_order, vec_id, label,
+           d2q, min_d2_sel
+    FROM s5""")
+
+
+@query("similarity_mmr_diversify", oracle=_MMR_ORACLE)
+def similarity_mmr_diversify(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-5 (Carbonell &
+    Goldstein 1998) from a 20-candidate pool around query vector 0 —
+    the retrieval-diversity operator a dedup-aware training-data
+    sampler uses to avoid returning five near-copies of the same
+    nearest neighbor.
+
+    With lambda = 1/2 and similarity = negative L2, the MMR argmax
+    reduces to maximizing (min distance to the already-selected set)
+    - (distance to the query) — ENTIRELY in exact integer milli-unit
+    arithmetic: no float appears anywhere in this key, so both engines
+    take identical greedy paths (ties broken by vec_id). Greedy
+    selection is inherently sequential, but each round touches only
+    the 20-row candidate pool against the <=4 selected rows: the
+    corpus-sized work is the ONE TakeOrdered(20) scan building the
+    pool; the 5 rounds are constant-size plan stages (candidates
+    lazily localCheckpointed — same plan-growth hygiene as
+    graph_kcore). The oracle replays the same greedy loop as chained
+    MATERIALIZED CTEs. min_d2_sel is NULL for the first pick (pure
+    relevance) and records each later pick's diversity margin."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+            .select("vec_id", "label", "v",
+                    F.expr("aggregate(zip_with(v, qv, "
+                           "(x, y) -> (x-y)*(x-y)), 0L, "
+                           "(acc, t) -> acc + t)").alias("d2q"))
+            .orderBy("d2q", "vec_id").limit(20)
+            .localCheckpoint(eager=False))
+
+    sel = (cand.orderBy("d2q", "vec_id").limit(1)
+           .select(F.lit(1).alias("pick_order"), "vec_id", "label", "v",
+                   "d2q", F.lit(None).cast("bigint").alias("min_d2_sel")))
+    d2cs = F.expr("aggregate(zip_with(v, sv, (x, y) -> (x-y)*(x-y)), "
+                  "0L, (acc, t) -> acc + t)")
+    for r in range(2, 6):
+        rem = cand.join(sel.select("vec_id"), "vec_id", "left_anti")
+        scored = (rem.crossJoin(F.broadcast(sel.select(
+                      F.col("v").alias("sv"))))
+                  .withColumn("d2cs", d2cs)
+                  .groupBy("vec_id")
+                  .agg(F.first("label").alias("label"),
+                       F.first("v").alias("v"),
+                       F.first("d2q").alias("d2q"),
+                       F.min("d2cs").alias("min_d2_sel")))
+        pick = (scored
+                .orderBy((F.col("min_d2_sel") - F.col("d2q")).desc(),
+                         "vec_id")
+                .limit(1)
+                .select(F.lit(r).alias("pick_order"), "vec_id", "label",
+                        "v", "d2q", "min_d2_sel"))
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+
+    return sel.select(F.col("pick_order").cast("int").alias("pick_order"),
+                      "vec_id", "label", "d2q", "min_d2_sel")
