@@ -124,6 +124,8 @@ HEADLINE = [
     "similarity_mrr_eval",     # sort-free first-relevant-rank MRR@10
     "similarity_mmr_diversify",# all-integer greedy MMR top-5
     "eval_quality_gains",      # distributed-rank decile lift curve
+    "drift_psi",               # pre-registered-bucket PSI drift gate
+    "mixture_unimax_budget",   # closed-form epoch-capped water-filling
 ]
 
 

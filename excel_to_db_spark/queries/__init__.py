@@ -125,6 +125,8 @@ _PRIORITY: tuple[str, ...] = (
 #   stats_permutation_test stats_diff_in_diff sample_neyman_allocation
 # plus the round-5 batch-8 keys: similarity_mrr_eval
 #   similarity_mmr_diversify eval_quality_gains
+# plus the round-5 batch-9 keys: drift_psi mixture_unimax_budget
+#   sql_group_order_all
 #   pipeline_curation_funnel stream_quality_census
 #   similarity_ndcg_eval stats_conformal_coverage privacy_dp_histogram
 #   shard_rendezvous_stability similarity_filtered_search

@@ -956,3 +956,219 @@ def sample_neyman_allocation(spark, sf_dir):
         F.round(F.col("sh") / 100.0, 4).alias("s_h"),
         (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1)
          .otherwise(0)).cast("bigint").alias("alloc"))
+
+
+# ------------------------------------------ population stability index
+
+_PSI_EDGES = [500000, 1000000, 2500000, 5000000, 7500000,
+              10000000, 15000000, 20000000, 30000000]  # cents
+
+
+def _psi_bucket_sql(col: str) -> str:
+    conds = " ".join(
+        f"WHEN {col} < {e} THEN {i}" for i, e in enumerate(_PSI_EDGES))
+    return f"CASE {conds} ELSE {len(_PSI_EDGES)} END"
+
+
+@query("drift_psi", oracle=f"""
+    WITH v AS (
+        SELECT {_psi_bucket_sql("CAST(round(o_totalprice * 100) AS BIGINT)")}
+                   AS bucket,
+               CASE WHEN o_orderdate < DATE '1995-06-17' THEN 1 ELSE 0 END
+                   AS pre
+        FROM orders
+    ),
+    b AS (SELECT range AS bucket FROM range({len(_PSI_EDGES) + 1})),
+    cnt AS (
+        SELECT b.bucket,
+               CAST(COALESCE(sum(CASE WHEN pre = 1 THEN 1 END), 0)
+                    AS BIGINT) AS n_pre,
+               CAST(COALESCE(sum(CASE WHEN pre = 0 THEN 1 END), 0)
+                    AS BIGINT) AS n_post
+        FROM b LEFT JOIN v ON v.bucket = b.bucket
+        GROUP BY b.bucket
+    ),
+    tot AS (
+        SELECT CAST(sum(n_pre) AS BIGINT) AS tp,
+               CAST(sum(n_post) AS BIGINT) AS tq
+        FROM cnt
+    ),
+    term AS (
+        SELECT bucket, n_pre, n_post,
+               CAST(round(
+                   (((n_pre * 2 + 1) * 1.0 / (tp * 2 + {len(_PSI_EDGES) + 1}))
+                    - ((n_post * 2 + 1) * 1.0
+                       / (tq * 2 + {len(_PSI_EDGES) + 1})))
+                   * ln(((n_pre * 2 + 1) * 1.0
+                         / (tp * 2 + {len(_PSI_EDGES) + 1}))
+                        / ((n_post * 2 + 1) * 1.0
+                           / (tq * 2 + {len(_PSI_EDGES) + 1})))
+                   * 1000000000) AS BIGINT) AS term_nano
+        FROM cnt, tot
+    ),
+    s AS (SELECT CAST(sum(term_nano) AS BIGINT) AS psi_nano FROM term)
+    SELECT CAST(bucket AS INTEGER) AS bucket, n_pre, n_post, term_nano,
+           round(psi_nano / 1000000000.0, 6) AS psi
+    FROM term, s
+""")
+def drift_psi(spark, sf_dir):
+    """Population Stability Index between the pre- and post-1995-06-17
+    order-value distributions over 10 pre-registered price buckets —
+    the standard model-monitoring drift gate (PSI < 0.1 stable,
+    0.1-0.25 shifting, > 0.25 retrain).
+
+    PSI = sum_i (p_i - q_i) * ln(p_i / q_i). Buckets are FIXED cent
+    thresholds (pre-registered, as production monitoring requires —
+    data-derived edges would let the comparison window move its own
+    goalposts); empty buckets are densified via the bucket spine and
+    smoothed with the add-half (Jeffreys) estimator p_i =
+    (2c_i + 1) / (2n + k), which keeps ln finite with zero tuning
+    constants. Each bucket's term is computed from exact integer
+    counts with the IDENTICAL expression shape on both engines and
+    snapped to nano-units BEFORE the sum (SURVEY §4.3) — ln is the
+    only float op, and it never feeds an unordered accumulation
+    unrounded. One map-side-combinable bucket count over the fact
+    table + O(k) scalar work: drift monitoring at 100 TB costs one
+    scan."""
+    k = len(_PSI_EDGES) + 1
+    o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    bucket = F.lit(len(_PSI_EDGES))
+    for i, e in reversed(list(enumerate(_PSI_EDGES))):
+        bucket = F.when(cents < e, i).otherwise(bucket)
+    v = o.select(
+        bucket.alias("bucket"),
+        F.when(F.col("o_orderdate") < F.lit("1995-06-17").cast("date"), 1)
+        .otherwise(0).alias("pre"))
+    spine = spark.range(k).select(F.col("id").cast("int").alias("bucket"))
+    cnt = (spine.join(v, "bucket", "left")
+           .groupBy("bucket")
+           .agg(F.coalesce(F.sum(F.when(F.col("pre") == 1, 1)), F.lit(0))
+                .cast("bigint").alias("n_pre"),
+                F.coalesce(F.sum(F.when(F.col("pre") == 0, 1)), F.lit(0))
+                .cast("bigint").alias("n_post")))
+    tot = cnt.agg(F.sum("n_pre").alias("tp"), F.sum("n_post").alias("tq"))
+    p = (F.col("n_pre") * 2 + 1) * 1.0 / (F.col("tp") * 2 + k)
+    q = (F.col("n_post") * 2 + 1) * 1.0 / (F.col("tq") * 2 + k)
+    term = (cnt.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_pre", "n_post",
+                    F.round((p - q) * F.log(p / q) * 1000000000)
+                    .cast("bigint").alias("term_nano")))
+    s = term.agg(F.sum("term_nano").alias("psi_nano"))
+    return (term.crossJoin(F.broadcast(s))
+            .select(F.col("bucket").cast("int").alias("bucket"),
+                    "n_pre", "n_post", "term_nano",
+                    F.round(F.col("psi_nano") / 1000000000.0, 6)
+                    .alias("psi")))
+
+
+# --------------------------------------- UniMax epoch-capped allocation
+
+@query("mixture_unimax_budget", oracle="""
+    WITH s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS s_tok
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(s_tok) AS BIGINT) AS st,
+               CAST(count(*) AS BIGINT) AS m
+        FROM s
+    ),
+    o AS (
+        SELECT source, n_docs, s_tok, 2 * s_tok AS cap,
+               CAST(row_number() OVER (ORDER BY 2 * s_tok, source)
+                    AS BIGINT) AS j,
+               CAST(COALESCE(sum(2 * s_tok) OVER (
+                   ORDER BY 2 * s_tok, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS pprev,
+               (st * 3) // 5 AS b, m
+        FROM s, tot
+    ),
+    c AS (
+        SELECT *, CASE WHEN cap * (m - j + 1) + pprev <= b
+                       THEN 1 ELSE 0 END AS capped
+        FROM o
+    ),
+    agg AS (
+        SELECT CAST(COALESCE(sum(CASE WHEN capped = 1 THEN cap END), 0)
+                    AS BIGINT) AS pc,
+               CAST(sum(1 - capped) AS BIGINT) AS mu
+        FROM c
+    ),
+    a AS (
+        SELECT c.source, c.n_docs, c.s_tok, c.cap, c.capped, c.b,
+               CASE WHEN c.capped = 1 THEN c.cap
+                    ELSE (c.b - agg.pc) // agg.mu
+                         + (CASE WHEN CAST(row_number() OVER (
+                                PARTITION BY c.capped ORDER BY c.j)
+                                AS BIGINT) <= (c.b - agg.pc) % agg.mu
+                            THEN 1 ELSE 0 END)
+               END AS alloc
+        FROM c, agg
+    )
+    SELECT source, n_docs, s_tok, cap AS capacity, capped = 1 AS capped,
+           CAST(alloc AS BIGINT) AS alloc,
+           round(CAST(alloc AS DOUBLE) / s_tok, 4) AS epochs
+    FROM a
+""")
+def mixture_unimax_budget(spark, sf_dir):
+    """UniMax epoch-capped budget allocation (Chung et al. 2023):
+    distribute a token budget B = 60% of the corpus across sources as
+    EVENLY as possible, subject to no source being repeated beyond 2
+    epochs — the published fix for temperature sampling's failure mode
+    where upsampling a tiny source past usefulness burns budget.
+
+    The water-filling solution is computed in CLOSED FORM with window
+    functions instead of the paper's iterative loop: sort sources by
+    capped capacity ascending; source j is saturated iff
+    cap_j * (m-j+1) + prefix_{j-1} <= B (an EXACT integer predicate —
+    saturation is a prefix property, so one pass decides every
+    source); the survivors split the remaining budget by integer DIV
+    with the remainder settled largest-remainder-style by rank, so
+    sum(alloc) == B exactly, token for token, with no float anywhere
+    (the reported epochs ratio is display-only). The corpus-sized work
+    is ONE token-count aggregate; every window here runs over #sources
+    rows. Companion to `mixture_interleave` (which paces the actual
+    read order) and `sample_neyman_allocation` (variance-optimal
+    rather than fairness-capped)."""
+    d = T(spark, sf_dir, "documents")
+    from ..operators import text as X
+    s = (d.groupBy("source")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum(X.token_count(F.col("text"))).alias("s_tok")))
+    tot = s.agg(F.sum("s_tok").alias("st"), F.count("*").alias("m"))
+    from pyspark.sql import Window
+    wj = Window.orderBy("cap", "source")
+    o = (s.crossJoin(F.broadcast(tot))
+         .withColumn("cap", 2 * F.col("s_tok"))
+         .withColumn("j", F.row_number().over(wj).cast("bigint"))
+         .withColumn("pprev", F.coalesce(
+             F.sum("cap").over(wj.rowsBetween(Window.unboundedPreceding,
+                                              -1)), F.lit(0)))
+         .withColumn("b", F.expr("(st * 3) DIV 5")))
+    c = o.withColumn(
+        "capped",
+        F.when(F.col("cap") * (F.col("m") - F.col("j") + 1)
+               + F.col("pprev") <= F.col("b"), 1).otherwise(0))
+    agg = c.agg(
+        F.coalesce(F.sum(F.when(F.col("capped") == 1, F.col("cap"))),
+                   F.lit(0)).cast("bigint").alias("pc"),
+        F.sum(1 - F.col("capped")).alias("mu"))
+    rk = F.row_number().over(
+        Window.partitionBy("capped").orderBy("j")).cast("bigint")
+    a = (c.crossJoin(F.broadcast(agg))
+         .withColumn("rk", rk)
+         .withColumn(
+             "alloc",
+             F.when(F.col("capped") == 1, F.col("cap"))
+             .otherwise(F.expr("(b - pc) DIV mu")
+                        + F.when(F.col("rk") <= F.expr("(b - pc) % mu"),
+                                 1).otherwise(0))))
+    return a.select(
+        "source", "n_docs", "s_tok", F.col("cap").alias("capacity"),
+        (F.col("capped") == 1).alias("capped"),
+        F.col("alloc").cast("bigint").alias("alloc"),
+        F.round(F.col("alloc").cast("double") / F.col("s_tok"), 4)
+        .alias("epochs"))

@@ -436,3 +436,37 @@ def sql_group_by_all(spark, sf_dir):
         FROM {name} WHERE o_orderdate < '1994-01-01'
         GROUP BY ALL
     """)
+
+
+@query("sql_group_order_all", oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS sum_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+""")
+def sql_group_order_all(spark, sf_dir):
+    """GROUP BY ALL + ORDER BY ALL (Spark 4 surface; the convenience
+    grouping DuckDB pioneered and ANSI took up): every non-aggregate
+    select item becomes a grouping key, and ORDER BY ALL sorts by the
+    full select list left-to-right — the analyst shorthand that
+    removes the copy-the-select-list failure mode (adding a column to
+    the projection silently changing GROUP BY is a classic bug class).
+    Semantically identical to spelling the keys out, so Catalyst
+    plans the same partial/final hash aggregate; the ORDER BY ALL sort
+    is total and deterministic here because the grouped keys are
+    unique. Money stays in integer cents (SURVEY §4.3); the division
+    result is CAST back to DOUBLE because Spark types 100.0 as
+    DECIMAL(4,1) (same note as sql_parameterized)."""
+    name = f"orders_{uuid.uuid4().hex[:8]}"
+    T(spark, sf_dir, "orders").createOrReplaceTempView(name)
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          / 100.0, 2) AS DOUBLE) AS sum_price
+        FROM {name}
+        GROUP BY ALL
+        ORDER BY ALL
+    """)

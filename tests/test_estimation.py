@@ -225,3 +225,73 @@ def test_neyman_allocation_budget_and_optimality(spark, sf_dir):
         assert r.s_h > 0
         quota = 1000 * w[r.stratum] / wtot
         assert abs(r.alloc - quota) <= 1.0
+
+
+def test_psi_terms_nonnegative_and_sum(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import drift_psi
+    rows = sorted(drift_psi(spark, sf_dir).collect(),
+                  key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(10))
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    assert sum(r.n_pre + r.n_post for r in rows) == len(o)
+    total_nano = sum(r.term_nano for r in rows)
+    for r in rows:
+        # (p - q) ln(p/q) >= 0 always — a negative term is a math bug.
+        assert r.term_nano >= 0
+        assert r.psi == round(total_nano / 1e9, 6)
+        assert r.n_pre >= 0 and r.n_post >= 0
+
+
+def test_unimax_waterfill_invariants(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import mixture_unimax_budget
+    rows = mixture_unimax_budget(spark, sf_dir).collect()
+    total = sum(r.s_tok for r in rows)
+    budget = (3 * total) // 5
+    assert sum(r.alloc for r in rows) == budget
+    uncapped = []
+    for r in rows:
+        assert r.capacity == 2 * r.s_tok
+        assert 0 <= r.alloc <= r.capacity
+        assert r.epochs <= 2.0
+        if r.capped:
+            assert r.alloc == r.capacity
+        else:
+            uncapped.append(r.alloc)
+    # Fairness: uncapped sources differ by at most one token.
+    if uncapped:
+        assert max(uncapped) - min(uncapped) <= 1
+
+
+def test_unimax_caps_tiny_source(spark, tmp_path):
+    """A constructed skew: the tiny source saturates its 2-epoch cap
+    and the survivors split the rest evenly."""
+    from excel_to_db_spark.queries.estimation import mixture_unimax_budget
+    def doc(i, src, n_tok):
+        return (i, " ".join(f"w{j}" for j in range(n_tok)), "en", src, 0)
+    docs = [doc(0, "tiny", 10), doc(1, "mid", 1000), doc(2, "big", 2000)]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.source: r for r in
+            mixture_unimax_budget(spark, str(tmp_path)).collect()}
+    # total 3010, B = 1806; fair share 602 > cap(tiny) = 20 -> capped;
+    # remaining 1786 split 893/893.
+    assert rows["tiny"].capped and rows["tiny"].alloc == 20
+    assert not rows["mid"].capped and rows["mid"].alloc == 893
+    assert not rows["big"].capped and rows["big"].alloc == 893
+
+
+def test_group_order_all_matches_explicit(spark, sf_dir):
+    from excel_to_db_spark.queries.sql_features import sql_group_order_all
+    got = [tuple(r) for r in sql_group_order_all(spark, sf_dir).collect()]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want_df = (o.groupBy("o_orderstatus", "o_orderpriority")
+               .agg(F.count("*").alias("n"),
+                    (F.round(F.sum(F.round(F.col("o_totalprice") * 100)
+                                   .cast("bigint")) / 100.0, 2))
+                    .cast("double").alias("sum_price")))
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want  # ORDER BY ALL == sorted by full select list
