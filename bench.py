@@ -126,6 +126,7 @@ HEADLINE = [
     "eval_quality_gains",      # distributed-rank decile lift curve
     "drift_psi",               # pre-registered-bucket PSI drift gate
     "mixture_unimax_budget",   # closed-form epoch-capped water-filling
+    "text_zipf_fit",           # micro-snapped log-log OLS on top-1000
 ]
 
 

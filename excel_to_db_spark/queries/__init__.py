@@ -127,6 +127,8 @@ _PRIORITY: tuple[str, ...] = (
 #   similarity_mmr_diversify eval_quality_gains
 # plus the round-5 batch-9 keys: drift_psi mixture_unimax_budget
 #   sql_group_order_all
+# plus the round-5 batch-10 keys: stream_drift_psi text_zipf_fit
+#   parquet_schema_evolution
 #   pipeline_curation_funnel stream_quality_census
 #   similarity_ndcg_eval stats_conformal_coverage privacy_dp_histogram
 #   shard_rendezvous_stability similarity_filtered_search

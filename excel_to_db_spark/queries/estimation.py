@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..numerics import cents_sum, h32
-from .registry import query
+from .registry import REGISTRY, query
 from .relational import T
 
 
@@ -1030,23 +1030,49 @@ def drift_psi(spark, sf_dir):
     unrounded. One map-side-combinable bucket count over the fact
     table + O(k) scalar work: drift monitoring at 100 TB costs one
     scan."""
-    k = len(_PSI_EDGES) + 1
-    o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    return psi_from_counts(
+        spark,
+        psi_bucket_counts(
+            T(spark, sf_dir, "orders").select("o_orderdate",
+                                              "o_totalprice")))
+
+
+def psi_bucket_counts(o):
+    """The census half of the PSI pipeline — ONE streaming-safe
+    aggregate (stateless per-row bucket/period flags + a <= 10-group
+    conditional-count aggregate), shared by the batch key
+    (`drift_psi`) and its streaming twin (`stream_drift_psi`): the
+    drift counters a monitor maintains incrementally in complete
+    output mode. No spine join here (static-LEFT-outer-JOIN-stream is
+    unsupported); densification happens in psi_from_counts on the
+    emitted, bounded state."""
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     bucket = F.lit(len(_PSI_EDGES))
     for i, e in reversed(list(enumerate(_PSI_EDGES))):
         bucket = F.when(cents < e, i).otherwise(bucket)
     v = o.select(
-        bucket.alias("bucket"),
+        bucket.cast("int").alias("bucket"),
         F.when(F.col("o_orderdate") < F.lit("1995-06-17").cast("date"), 1)
         .otherwise(0).alias("pre"))
+    return (v.groupBy("bucket")
+            .agg(F.sum(F.when(F.col("pre") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_pre"),
+                 F.sum(F.when(F.col("pre") == 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_post")))
+
+
+def psi_from_counts(spark, cnt):
+    """The scalar half: densify the (<= 10-row) bucket counts over the
+    full spine, Jeffreys-smooth, nano-snap each term, sum exactly —
+    O(k) work on state the census guarantees is bounded."""
+    k = len(_PSI_EDGES) + 1
     spine = spark.range(k).select(F.col("id").cast("int").alias("bucket"))
-    cnt = (spine.join(v, "bucket", "left")
-           .groupBy("bucket")
-           .agg(F.coalesce(F.sum(F.when(F.col("pre") == 1, 1)), F.lit(0))
-                .cast("bigint").alias("n_pre"),
-                F.coalesce(F.sum(F.when(F.col("pre") == 0, 1)), F.lit(0))
-                .cast("bigint").alias("n_post")))
+    cnt = (spine.join(cnt, "bucket", "left")
+           .select("bucket",
+                   F.coalesce(F.col("n_pre"), F.lit(0)).cast("bigint")
+                   .alias("n_pre"),
+                   F.coalesce(F.col("n_post"), F.lit(0)).cast("bigint")
+                   .alias("n_post")))
     tot = cnt.agg(F.sum("n_pre").alias("tp"), F.sum("n_post").alias("tq"))
     p = (F.col("n_pre") * 2 + 1) * 1.0 / (F.col("tp") * 2 + k)
     q = (F.col("n_post") * 2 + 1) * 1.0 / (F.col("tq") * 2 + k)
@@ -1172,3 +1198,123 @@ def mixture_unimax_budget(spark, sf_dir):
         F.col("alloc").cast("bigint").alias("alloc"),
         F.round(F.col("alloc").cast("double") / F.col("s_tok"), 4)
         .alias("epochs"))
+
+
+_PSI_ORACLE = REGISTRY["drift_psi"].oracle
+
+
+@query("stream_drift_psi", oracle=_PSI_ORACLE)
+def stream_drift_psi(spark, sf_dir):
+    """Streaming twin of `drift_psi`: the bucket counters maintained by
+    the Structured Streaming engine over a file-source replay of the
+    orders table (see streaming/windows.py:run_stream_drift_psi for
+    the state-size argument), PSI arithmetic applied to the final
+    complete-mode emission. The batch SQL oracle checks the streaming
+    counters value-for-value."""
+    from ..streaming.windows import run_stream_drift_psi
+
+    return run_stream_drift_psi(spark, sf_dir)
+
+
+# --------------------------------------------------- Zipf law fit
+
+@query("text_zipf_fit", oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS f
+        FROM tok GROUP BY tok
+    ),
+    top AS (
+        SELECT tok, f,
+               CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT)
+                   AS rk
+        FROM freq ORDER BY f DESC, tok LIMIT 1000
+    ),
+    pts AS (
+        SELECT rk, tok, f,
+               CAST(round(ln(rk) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(f) * 1000000) AS BIGINT) AS y
+        FROM top
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM pts
+    ),
+    fit AS (
+        SELECT n,
+               CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cov_n,
+               CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS varx_n,
+               CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vary_n
+        FROM m
+    ),
+    best AS (SELECT tok AS top_token, f AS top_freq FROM top WHERE rk = 1)
+    SELECT n AS n_points, top_token, top_freq,
+           round(cov_n / varx_n, 4) AS zipf_slope,
+           round((cov_n / varx_n) * (cov_n / vary_n), 4) AS r2
+    FROM fit, best
+""")
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log-frequency vs log-rank on the top-1000 tokens (natural text
+    gives slope ~ -1; a synthetic or heavily-templated corpus shows up
+    immediately as a flat or kinked rank-frequency curve — this is the
+    10-second corpus-linguistics sanity check a curation team runs on
+    every new source).
+
+    Exactness path (SURVEY §4.3): token frequencies and ranks are
+    exact integers; each point's (ln rank, ln f) is snapped to
+    micro-units BEFORE the moment sums, which then accumulate in
+    HUGEINT/DECIMAL(38,0) (n*Sxy ~ 7e19 overflows int64); slope and
+    r^2 are two final double divisions with identical operation order
+    on both engines. The micro-unit scaling cancels in the slope, so
+    the reported value is the dimensionless exponent. Distributed
+    shape: one explode + hash-count shuffle (the token histogram every
+    text key already pays), a TakeOrdered(1000), and windows/moments
+    over those 1000 rows only — vocabulary size never reaches the
+    driver."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("f"))
+    top = (freq.orderBy(F.col("f").desc(), "tok").limit(1000)
+           .withColumn("rk", F.row_number().over(
+               Window.orderBy(F.col("f").desc(), "tok")).cast("bigint")))
+    pts = top.select(
+        "rk", "tok", "f",
+        F.round(F.log(F.col("rk")) * 1000000).cast("bigint").alias("x"),
+        F.round(F.log(F.col("f")) * 1000000).cast("bigint").alias("y"))
+    d38 = "decimal(38,0)"
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"))
+    fit = m.select(
+        "n",
+        (F.col("n") * F.col("sxy")
+         - F.col("sx").cast(d38) * F.col("sy")).cast("double")
+        .alias("cov_n"),
+        (F.col("n") * F.col("sxx")
+         - F.col("sx").cast(d38) * F.col("sx")).cast("double")
+        .alias("varx_n"),
+        (F.col("n") * F.col("syy")
+         - F.col("sy").cast(d38) * F.col("sy")).cast("double")
+        .alias("vary_n"))
+    best = (top.filter(F.col("rk") == 1)
+            .select(F.col("tok").alias("top_token"),
+                    F.col("f").alias("top_freq")))
+    return (fit.crossJoin(F.broadcast(best))
+            .select(F.col("n").alias("n_points"), "top_token", "top_freq",
+                    F.round(F.col("cov_n") / F.col("varx_n"), 4)
+                    .alias("zipf_slope"),
+                    F.round((F.col("cov_n") / F.col("varx_n"))
+                            * (F.col("cov_n") / F.col("vary_n")), 4)
+                    .alias("r2")))

@@ -310,3 +310,51 @@ def range_partition_histogram(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  F.round(F.min("cents") / 100.0, 2).alias("min_price"),
                  F.round(F.max("cents") / 100.0, 2).alias("max_price")))
+
+
+@query("parquet_schema_evolution", oracle="""
+    SELECT CAST(1 + (o_orderkey % 2) AS INTEGER) AS epoch,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_priority,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    GROUP BY 1
+""")
+def parquet_schema_evolution(spark, sf_dir):
+    """Schema evolution across parquet write epochs — the lakehouse
+    reality every long-lived 100 TB table lives with: epoch=1 was
+    written BEFORE the o_orderpriority column existed; epoch=2 adds
+    it. The reader must union the schemas (mergeSchema=true), surface
+    the missing column as NULL for old files, and keep partition
+    discovery working off the epoch=N directory layout — all three
+    are verified by the census (epoch-1 rows are 100% NULL in the
+    added column; integer-cent sums survive the round trip exactly).
+
+    Physical notes: mergeSchema triggers a footer-merge job across
+    files (O(#files), why production tables move the schema to a
+    catalog); the epoch partition column comes from directory names,
+    so an epoch filter would prune entire directories without reading
+    a byte (same machinery as dynamic_partition_overwrite). The
+    oracle recomputes the census from the ORIGINAL table — the
+    round trip must be invisible."""
+    out = tempfile.mkdtemp(prefix="e2db_schevo_")
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("total_cents"))
+    (o.filter(F.col("o_orderkey") % 2 == 0)
+     .select("o_orderkey", "total_cents")
+     .write.mode("overwrite").parquet(f"{out}/epoch=1"))
+    (o.filter(F.col("o_orderkey") % 2 == 1)
+     .select("o_orderkey", "total_cents", "o_orderpriority")
+     .write.mode("overwrite").parquet(f"{out}/epoch=2"))
+    back = (spark.read.option("mergeSchema", "true")
+            .option("basePath", out).parquet(out))
+    return (back.groupBy("epoch")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.when(F.col("o_orderpriority").isNull(), 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_null_priority"),
+                 F.sum("total_cents").alias("sum_cents")))

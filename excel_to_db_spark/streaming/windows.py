@@ -827,3 +827,32 @@ def run_stream_quality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
          )
     run_scoped(spark, q)
     return spark.table(name)
+
+
+def run_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift counters maintained by the Structured Streaming engine:
+    the orders table replayed through the parquet file source and
+    aggregated with the IDENTICAL stateless bucket/period flags +
+    <= 10-group conditional-count census the batch key uses
+    (queries/estimation.py:psi_bucket_counts) — the shape of a drift
+    monitor that updates its bucket counters on every incoming batch
+    instead of rescanning history. The PSI arithmetic itself
+    (densify, Jeffreys smooth, nano-snapped terms) runs batch-side on
+    the final complete-mode emission, which for a finite replay equals
+    the batch census — so the batch SQL oracle verifies the streaming
+    counters value-for-value.
+
+    State is <= 10 buckets x 2 counters — like the quality census, a
+    monitor whose state CANNOT grow with the order history."""
+    from ..queries.estimation import psi_bucket_counts, psi_from_counts
+
+    name = f"psicensus_{uuid.uuid4().hex[:8]}"
+    stream = table_stream_reader(spark, sf_dir, "orders",
+                                 max_files_per_trigger=1)
+    q = (psi_bucket_counts(stream)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         )
+    run_scoped(spark, q)
+    return psi_from_counts(spark, spark.table(name))

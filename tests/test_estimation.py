@@ -295,3 +295,59 @@ def test_group_order_all_matches_explicit(spark, sf_dir):
                     .cast("double").alias("sum_price")))
     want = sorted(tuple(r) for r in want_df.collect())
     assert got == want  # ORDER BY ALL == sorted by full select list
+
+
+def test_stream_psi_equals_batch(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import (drift_psi,
+                                                      stream_drift_psi)
+    batch = sorted(map(tuple, drift_psi(spark, sf_dir).collect()))
+    stream = sorted(map(tuple, stream_drift_psi(spark, sf_dir).collect()))
+    assert batch == stream
+
+
+def test_zipf_fit_matches_numpy(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import text_zipf_fit
+    r = text_zipf_fit(spark, sf_dir).collect()[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    freq = pd.Series(
+        " ".join(docs["text"]).split(" ")).value_counts()
+    # pandas value_counts ties are unordered; re-sort (freq desc, tok)
+    fr = sorted(zip(freq.index, freq.values),
+                key=lambda t: (-t[1], t[0]))[:1000]
+    assert r.n_points == len(fr)
+    assert r.top_token == fr[0][0] and r.top_freq == fr[0][1]
+    import numpy as np
+    x = np.array([round(math.log(i + 1) * 1e6) for i in range(len(fr))],
+                 dtype=object)
+    y = np.array([round(math.log(int(f)) * 1e6) for _, f in fr],
+                 dtype=object)
+    n = len(fr)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(a * a for a in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    syy = sum(b * b for b in y)
+    cov_n = float(n * sxy - sx * sy)
+    varx_n = float(n * sxx - sx * sx)
+    vary_n = float(n * syy - sy * sy)
+    assert r.zipf_slope == round(cov_n / varx_n, 4)
+    assert r.r2 == round((cov_n / varx_n) * (cov_n / vary_n), 4)
+    assert r.zipf_slope < 0
+    assert 0.0 <= r.r2 <= 1.0
+
+
+def test_schema_evolution_census(spark, sf_dir):
+    from excel_to_db_spark.queries.storage import parquet_schema_evolution
+    rows = {r.epoch: r for r in
+            parquet_schema_evolution(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2}
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    even = o["o_orderkey"] % 2 == 0
+    # Epoch 1 predates the column: every row NULL. Epoch 2: none.
+    assert rows[1].n_null_priority == rows[1].n_rows == int(even.sum())
+    assert rows[2].n_null_priority == 0
+    assert rows[2].n_rows == int((~even).sum())
+    assert rows[1].sum_cents == int(cents[even].sum())
+    assert rows[2].sum_cents == int(cents[~even].sum())
