@@ -127,6 +127,7 @@ HEADLINE = [
     "drift_psi",               # pre-registered-bucket PSI drift gate
     "mixture_unimax_budget",   # closed-form epoch-capped water-filling
     "text_zipf_fit",           # micro-snapped log-log OLS on top-1000
+    "text_bm25_search",        # scan-filtered posting lists, micro-snapped
 ]
 
 

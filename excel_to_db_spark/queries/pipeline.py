@@ -1015,3 +1015,109 @@ def pipeline_data_card(spark, sf_dir):
                     .alias("exact_dup_rate"),
                     "n_langs",
                     F.col("h").alias("lang_entropy_bits")))
+
+
+# ------------------------------------------------------ BM25 ranking
+
+_BM25_TERMS = ("spark", "vector", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query("text_bm25_search", oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM tok GROUP BY doc_id
+    ),
+    corp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE w IN ('spark', 'vector', 'hash')
+        GROUP BY doc_id, w
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    ts AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * ({_BM25_K1} + 1.0))
+                   / (tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B}
+                         + {_BM25_B} * dl.dl * corp.n_docs
+                           / corp.sum_dl))
+                   * 1000000) AS BIGINT) AS term_score_micro
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN corp
+    ),
+    sc AS (
+        SELECT doc_id, CAST(sum(term_score_micro) AS BIGINT)
+                   AS score_micro
+        FROM ts GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, score_micro
+    FROM sc ORDER BY score_micro DESC, doc_id LIMIT 10
+""")
+def text_bm25_search(spark, sf_dir):
+    """BM25-ranked keyword search (Robertson-Sparck Jones; k1=1.2,
+    b=0.75, the Lucene-default parametrization with the +1 smoothed
+    idf) for the 3-term query {{spark, vector, hash}}, top-10 — the
+    ranking upgrade over `text_keyword_search`'s boolean conjunctive
+    match and the lexical baseline every hybrid (BM25 + vector)
+    retrieval stack needs.
+
+    Exactness: tf, df, doc length, and corpus totals are exact
+    integers; each (doc, term) partial score is ONE double expression
+    with identical operation order on both engines (dl/avgdl is
+    spelled dl*N/sum_dl so no intermediate rational rounds twice) and
+    is snapped to micro-units BEFORE the per-doc sum (SURVEY §4.3 —
+    the sum over query terms is then exact BIGINT addition). Top-10 by
+    (score, doc_id) is a TakeOrderedAndProject. Distributed shape:
+    the posting lists for the query terms are filtered AT THE TOKEN
+    SCAN (predicate pushdown on the exploded stream), so the scored
+    join touches only matching docs; df/corpus stats are tiny
+    broadcasts. One token histogram + one doc-length aggregate — both
+    shuffles the text family already pays."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(F.split(F.col("text"), " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corp = dl.agg(F.count("*").alias("n_docs"),
+                  F.sum("dl").alias("sum_dl"))
+    tf = (tok.filter(F.col("w").isin(*_BM25_TERMS))
+          .groupBy("doc_id", F.col("w").alias("term"))
+          .agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    denom = (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                 * F.col("n_docs") / F.col("sum_dl")))
+    ts = (tf.join(F.broadcast(df), "term")
+          .join(dl, "doc_id")
+          .crossJoin(F.broadcast(corp))
+          .select("doc_id",
+                  F.round(idf * (F.col("tf") * (k1 + 1.0)) / denom
+                          * 1000000).cast("bigint")
+                  .alias("term_score_micro")))
+    sc = ts.groupBy("doc_id").agg(F.sum("term_score_micro")
+                                  .alias("score_micro"))
+    from pyspark.sql import Window
+    top = (sc.orderBy(F.col("score_micro").desc(), "doc_id").limit(10)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.col("score_micro").desc(), "doc_id"))
+               .cast("bigint")))
+    return top.select("rank", "doc_id", "score_micro")

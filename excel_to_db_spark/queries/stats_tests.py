@@ -1607,3 +1607,123 @@ def stats_power_mde(spark, sf_dir):
         F.round(p, 6).alias("base_rate"),
         F.round(2.8016 * F.sqrt(2 * p * (1 - p) / (F.col("n") / 2.0)), 6)
         .alias("mde_abs"))
+
+
+# ---------------------------------------- two-way ANOVA w/ interaction
+
+@query("stats_anova_twoway", oracle="""
+    WITH t AS (
+        SELECT CAST((7 + (CAST(o_orderdate AS DATE)
+                          - DATE '1995-01-02')) % 7 AS INTEGER) AS dow,
+               o_orderstatus AS st,
+               CAST(round(o_totalprice) AS BIGINT) AS x
+        FROM orders
+    ),
+    cells AS (
+        SELECT dow, st, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS q
+        FROM t GROUP BY dow, st
+    ),
+    ca AS (
+        SELECT CAST(sum(CAST(CAST(s AS HUGEINT) * s // n AS BIGINT))
+                    AS BIGINT) AS a_int,
+               CAST(count(*) AS BIGINT) AS k_dow
+        FROM (SELECT dow, CAST(sum(n) AS BIGINT) AS n,
+                     CAST(sum(s) AS BIGINT) AS s
+              FROM cells GROUP BY dow)
+    ),
+    cb AS (
+        SELECT CAST(sum(CAST(CAST(s AS HUGEINT) * s // n AS BIGINT))
+                    AS BIGINT) AS b_int,
+               CAST(count(*) AS BIGINT) AS k_st
+        FROM (SELECT st, CAST(sum(n) AS BIGINT) AS n,
+                     CAST(sum(s) AS BIGINT) AS s
+              FROM cells GROUP BY st)
+    ),
+    cc AS (
+        SELECT CAST(sum(CAST(CAST(s AS HUGEINT) * s // n AS BIGINT))
+                    AS BIGINT) AS c_int,
+               CAST(count(*) AS BIGINT) AS m_cells,
+               CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(s) AS BIGINT) AS st_sum,
+               CAST(sum(q) AS BIGINT) AS q_tot
+        FROM cells
+    ),
+    g AS (
+        SELECT *, CAST(CAST(st_sum AS HUGEINT) * st_sum // nt AS BIGINT)
+                      AS grand_int
+        FROM cc, ca, cb
+    )
+    SELECT nt AS n, k_dow, k_st, m_cells,
+           round(((a_int - grand_int) * 1.0 / (k_dow - 1))
+                 / ((q_tot - c_int) * 1.0 / (nt - m_cells)), 5)
+               AS f_dow,
+           round(((b_int - grand_int) * 1.0 / (k_st - 1))
+                 / ((q_tot - c_int) * 1.0 / (nt - m_cells)), 5)
+               AS f_status,
+           round(((c_int - a_int - b_int + grand_int) * 1.0
+                  / ((k_dow - 1) * (k_st - 1)))
+                 / ((q_tot - c_int) * 1.0 / (nt - m_cells)), 5)
+               AS f_inter
+    FROM g
+""")
+def stats_anova_twoway(spark, sf_dir):
+    """Two-way ANOVA with interaction on order value: factor A =
+    order-date weekday (7 levels, the same pmod days-since-Monday rule
+    as stats_anova_f), factor B = order status (3 levels) — the
+    method-of-moments decomposition SS_A, SS_B, SS_AB = SS_cells -
+    SS_A - SS_B (exact for balanced designs, the classical textbook
+    estimator for near-balanced ones like this uniform TPC-H layout;
+    documented approximation, not Type-III).
+
+    Every sum of squares comes from exact integer moments: per-cell
+    (n, sum, sum-of-squares) BIGINTs, squared through HUGEINT/
+    DECIMAL(38,0) with integer-DIV (the same floor-bias-below-rounding
+    argument as stats_anova_f: each of the <= 21 floored terms biases
+    a ~1e13 quantity by < 1). The three F ratios are the only float
+    ops, computed with identical operation order and rounded to 5 dp.
+    Distributed shape: ONE (dow, status) cell aggregate over the fact
+    table (map-side combinable, 21 cells); both marginal roll-ups and
+    the grand term fold out of the cell table — the corpus is read
+    once, exactly like the one-way key."""
+    o = T(spark, sf_dir, "orders")
+    t = o.select(
+        F.pmod(F.datediff(F.col("o_orderdate").cast("date"),
+                          F.lit("1995-01-02").cast("date")), 7)
+        .cast("int").alias("dow"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("x"))
+    cells = (t.groupBy("dow", "st")
+             .agg(F.count("*").alias("n"), F.sum("x").alias("s"),
+                  F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+                  .cast("bigint").alias("q")))
+    term = "CAST((CAST(s AS DECIMAL(38,0)) * s) DIV n AS BIGINT)"
+    ca = (cells.groupBy("dow")
+          .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+          .select(F.expr(term).alias("ta"))
+          .agg(F.sum("ta").alias("a_int"), F.count("*").alias("k_dow")))
+    cb = (cells.groupBy("st")
+          .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+          .select(F.expr(term).alias("tb"))
+          .agg(F.sum("tb").alias("b_int"), F.count("*").alias("k_st")))
+    cc = (cells.select(F.expr(term).alias("tc"), "n", "s", "q")
+          .agg(F.sum("tc").alias("c_int"), F.count("*").alias("m_cells"),
+               F.sum("n").alias("nt"), F.sum("s").alias("st_sum"),
+               F.sum("q").alias("q_tot")))
+    g = (cc.crossJoin(F.broadcast(ca)).crossJoin(F.broadcast(cb))
+         .withColumn("grand_int", F.expr(
+             "CAST((CAST(st_sum AS DECIMAL(38,0)) * st_sum) DIV nt "
+             "AS BIGINT)")))
+    mse = (F.col("q_tot") - F.col("c_int")) * 1.0 \
+        / (F.col("nt") - F.col("m_cells"))
+    return g.select(
+        F.col("nt").alias("n"), "k_dow", "k_st", "m_cells",
+        F.round(((F.col("a_int") - F.col("grand_int")) * 1.0
+                 / (F.col("k_dow") - 1)) / mse, 5).alias("f_dow"),
+        F.round(((F.col("b_int") - F.col("grand_int")) * 1.0
+                 / (F.col("k_st") - 1)) / mse, 5).alias("f_status"),
+        F.round(((F.col("c_int") - F.col("a_int") - F.col("b_int")
+                  + F.col("grand_int")) * 1.0
+                 / ((F.col("k_dow") - 1) * (F.col("k_st") - 1))) / mse, 5)
+        .alias("f_inter"))

@@ -91,3 +91,70 @@ def test_quality_gains_accounting(spark, sf_dir):
         cum += r.n_dups
         assert r.cum_dups == cum
         assert 0 <= r.n_dups <= r.n_docs
+
+
+def test_bm25_matches_pandas_recompute(spark, sf_dir):
+    import math
+    from excel_to_db_spark.queries.pipeline import text_bm25_search
+    got = sorted(text_bm25_search(spark, sf_dir).collect(),
+                 key=lambda r: r.rank)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    terms = ("spark", "vector", "hash")
+    k1, b = 1.2, 0.75
+    toks = {int(r.doc_id): r.text.split(" ") for _, r in docs.iterrows()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n_docs, sum_dl = len(dl), sum(dl.values())
+    tf = {(d, t): ts.count(t) for d, ts in toks.items()
+          for t in terms if t in ts}
+    df = {t: sum(1 for (d2, t2) in tf if t2 == t) for t in terms}
+    score = {}
+    for (d, t), f in tf.items():
+        idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+        den = f + k1 * (1.0 - b + b * dl[d] * n_docs / sum_dl)
+        score[d] = score.get(d, 0) + round(
+            idf * (f * (k1 + 1.0)) / den * 1e6)
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.doc_id, r.score_micro) for r in got] == \
+        [(d, s) for d, s in want]
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+def test_anova_twoway_matches_integer_recompute(spark, sf_dir):
+    from excel_to_db_spark.queries.stats_tests import stats_anova_twoway
+    r = stats_anova_twoway(spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_orderstatus",
+                                 "o_totalprice"])
+    dow = ((pd.to_datetime(o["o_orderdate"])
+            - pd.Timestamp("1995-01-02")).dt.days % 7).astype(int)
+    x = o["o_totalprice"].round().astype("int64")
+    cells = {}
+    for d, s, v in zip(dow, o["o_orderstatus"], x):
+        n, sm, q = cells.get((d, s), (0, 0, 0))
+        cells[(d, s)] = (n + 1, sm + int(v), q + int(v) ** 2)
+
+    def roll(keyfn):
+        agg = {}
+        for k, (n, sm, _) in cells.items():
+            kk = keyfn(k)
+            a, b = agg.get(kk, (0, 0))
+            agg[kk] = (a + n, b + sm)
+        return sum(s * s // n for n, s in agg.values()), len(agg)
+
+    a_int, k_dow = roll(lambda k: k[0])
+    b_int, k_st = roll(lambda k: k[1])
+    c_int = sum(s * s // n for n, s, _ in cells.values())
+    nt = sum(n for n, _, _ in cells.values())
+    st_sum = sum(s for _, s, _ in cells.values())
+    q_tot = sum(q for _, _, q in cells.values())
+    grand = st_sum * st_sum // nt
+    m_cells = len(cells)
+    mse = (q_tot - c_int) * 1.0 / (nt - m_cells)
+    assert (r.n, r.k_dow, r.k_st, r.m_cells) == (nt, k_dow, k_st, m_cells)
+    assert r.f_dow == round(((a_int - grand) * 1.0 / (k_dow - 1)) / mse, 5)
+    assert r.f_status == round(((b_int - grand) * 1.0 / (k_st - 1))
+                               / mse, 5)
+    assert r.f_inter == round(
+        ((c_int - a_int - b_int + grand) * 1.0
+         / ((k_dow - 1) * (k_st - 1))) / mse, 5)
