@@ -128,6 +128,7 @@ HEADLINE = [
     "mixture_unimax_budget",   # closed-form epoch-capped water-filling
     "text_zipf_fit",           # micro-snapped log-log OLS on top-1000
     "text_bm25_search",        # scan-filtered posting lists, micro-snapped
+    "search_hybrid_rrf",       # BM25 + vector arms, RRF fusion
 ]
 
 

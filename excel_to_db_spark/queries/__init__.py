@@ -130,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
 # plus the round-5 batch-10 keys: stream_drift_psi text_zipf_fit
 #   parquet_schema_evolution
 # plus the round-5 batch-11 keys: text_bm25_search stats_anova_twoway
+#   search_hybrid_rrf
 #   pipeline_curation_funnel stream_quality_census
 #   similarity_ndcg_eval stats_conformal_coverage privacy_dp_histogram
 #   shard_rendezvous_stability similarity_filtered_search

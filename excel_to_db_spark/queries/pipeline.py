@@ -1024,8 +1024,8 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@query("text_bm25_search", oracle=f"""
-    WITH tok AS (
+_BM25_SQL_CORE = f"""
+    tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w
         FROM documents
     ),
@@ -1065,7 +1065,11 @@ _BM25_B = 0.75
         SELECT doc_id, CAST(sum(term_score_micro) AS BIGINT)
                    AS score_micro
         FROM ts GROUP BY doc_id
-    )
+    )"""
+
+
+@query("text_bm25_search", oracle=f"""
+    WITH {_BM25_SQL_CORE}
     SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
                 AS BIGINT) AS rank,
            doc_id, score_micro
@@ -1091,7 +1095,22 @@ def text_bm25_search(spark, sf_dir):
     join touches only matching docs; df/corpus stats are tiny
     broadcasts. One token histogram + one doc-length aggregate — both
     shuffles the text family already pays."""
-    d = T(spark, sf_dir, "documents")
+    return (bm25_scores(T(spark, sf_dir, "documents"))
+            .orderBy(F.col("score_micro").desc(), "doc_id").limit(10)
+            .withColumn("rank", _rank_by_score())
+            .select("rank", "doc_id", "score_micro"))
+
+
+def _rank_by_score():
+    from pyspark.sql import Window
+    return F.row_number().over(
+        Window.orderBy(F.col("score_micro").desc(), "doc_id"))         .cast("bigint")
+
+
+def bm25_scores(d):
+    """BM25 per-document scores (micro-int) for the fixed 3-term query
+    — THE one scoring definition shared by `text_bm25_search` and the
+    hybrid-fusion key (`search_hybrid_rrf`)."""
     tok = d.select("doc_id",
                    F.explode(F.split(F.col("text"), " ")).alias("w"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -1113,11 +1132,5 @@ def text_bm25_search(spark, sf_dir):
                   F.round(idf * (F.col("tf") * (k1 + 1.0)) / denom
                           * 1000000).cast("bigint")
                   .alias("term_score_micro")))
-    sc = ts.groupBy("doc_id").agg(F.sum("term_score_micro")
-                                  .alias("score_micro"))
-    from pyspark.sql import Window
-    top = (sc.orderBy(F.col("score_micro").desc(), "doc_id").limit(10)
-           .withColumn("rank", F.row_number().over(
-               Window.orderBy(F.col("score_micro").desc(), "doc_id"))
-               .cast("bigint")))
-    return top.select("rank", "doc_id", "score_micro")
+    return ts.groupBy("doc_id").agg(F.sum("term_score_micro")
+                                    .alias("score_micro"))

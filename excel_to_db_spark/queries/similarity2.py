@@ -880,3 +880,111 @@ def similarity_mmr_diversify(spark, sf_dir):
 
     return sel.select(F.col("pick_order").cast("int").alias("pick_order"),
                       "vec_id", "label", "d2q", "min_d2_sel")
+
+
+from .pipeline import _BM25_SQL_CORE  # noqa: E402  (registered earlier)
+
+_HYBRID_RRF_ORACLE = f"""
+    WITH {_BM25_SQL_CORE},
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                    AS BIGINT) AS lex_rank
+        FROM (SELECT * FROM sc WHERE doc_id <> 0
+              ORDER BY score_micro DESC, doc_id LIMIT 20)
+    ),
+    iv2 AS (
+        SELECT vec_id,
+               [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS v
+        FROM embeddings
+    ),
+    qv AS (SELECT v AS qvec FROM iv2 WHERE vec_id = 0),
+    dv AS (
+        SELECT vec_id AS doc_id,
+               CAST(list_sum([(v[i] - qvec[i]) * (v[i] - qvec[i])
+                              for i in range(1, 65)]) AS BIGINT) AS d2
+        FROM iv2, qv WHERE vec_id <> 0
+    ),
+    vec AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY d2, doc_id) AS BIGINT)
+                   AS vec_rank
+        FROM (SELECT * FROM dv ORDER BY d2, doc_id LIMIT 20)
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.lex_rank, v.vec_rank,
+               COALESCE(CAST(round(1000000.0 / (60 + l.lex_rank))
+                             AS BIGINT), 0)
+               + COALESCE(CAST(round(1000000.0 / (60 + v.vec_rank))
+                               AS BIGINT), 0) AS rrf_micro
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, lex_rank, vec_rank, rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10
+"""
+
+
+@query("search_hybrid_rrf", oracle=_HYBRID_RRF_ORACLE)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009, k=60): the lexical arm is the shared BM25 scorer
+    (queries/pipeline.py:bm25_scores, same 3-term query), the vector
+    arm is exact integer milli-L2 against query vector 0; each arm
+    nominates its top-20, and RRF fuses them by summed 1/(60 + rank)
+    — the standard score-free fusion that needs NO calibration between
+    BM25's unbounded scores and a distance metric, which is exactly
+    why hybrid stacks use it.
+
+    Exactness: ranks are exact integers, each arm's reciprocal-rank
+    contribution snaps to micro-units per row before the (exact
+    BIGINT) fusion sum; a doc absent from one arm contributes 0 from
+    it (FULL OUTER join of the two 20-row lists, nullable per-arm
+    ranks preserved in the output for audit). Distributed shape: the
+    two arms are independent TakeOrdered(20) pipelines over their own
+    scans — fusion itself touches <= 40 rows. The query doc (id 0) is
+    excluded from both arms."""
+    from pyspark.sql import Window
+
+    from .pipeline import bm25_scores
+
+    d = T(spark, sf_dir, "documents")
+    lex20 = (bm25_scores(d).filter(F.col("doc_id") != 0)
+             .orderBy(F.col("score_micro").desc(), "doc_id").limit(20))
+    lex = lex20.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.col("score_micro").desc(),
+                                           "doc_id"))
+        .cast("bigint").alias("lex_rank"))
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dv = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+          .select(F.col("vec_id").alias("doc_id"),
+                  F.expr("aggregate(zip_with(v, qv, (x, y) -> "
+                         "(x-y)*(x-y)), 0L, (acc, t) -> acc + t)")
+                  .alias("d2")))
+    vec20 = dv.orderBy("d2", "doc_id").limit(20)
+    vec = vec20.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("d2", "doc_id"))
+        .cast("bigint").alias("vec_rank"))
+
+    rr = lambda c: F.coalesce(  # noqa: E731 — tiny local combinator
+        F.round(1000000.0 / (60 + c)).cast("bigint"), F.lit(0))
+    fused = (lex.join(vec, "doc_id", "full_outer")
+             .select("doc_id", "lex_rank", "vec_rank",
+                     (rr(F.col("lex_rank"))
+                      + rr(F.col("vec_rank"))).alias("rrf_micro")))
+    top = (fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(10)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.col("rrf_micro").desc(), "doc_id"))
+               .cast("bigint")))
+    return top.select("rank", "doc_id", "lex_rank", "vec_rank",
+                      "rrf_micro")

@@ -158,3 +158,54 @@ def test_anova_twoway_matches_integer_recompute(spark, sf_dir):
     assert r.f_inter == round(
         ((c_int - a_int - b_int + grand) * 1.0
          / ((k_dow - 1) * (k_st - 1))) / mse, 5)
+
+
+def test_hybrid_rrf_fuses_both_arms(spark, sf_dir):
+    import math
+    import numpy as np
+    from excel_to_db_spark.queries.similarity2 import search_hybrid_rrf
+    got = sorted(search_hybrid_rrf(spark, sf_dir).collect(),
+                 key=lambda r: r.rank)
+
+    # Lexical arm replay (same BM25 math as test_bm25, minus doc 0).
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    terms, k1, b = ("spark", "vector", "hash"), 1.2, 0.75
+    toks = {int(r.doc_id): r.text.split(" ") for _, r in docs.iterrows()}
+    dl = {d: len(t) for d, t in toks.items()}
+    n_docs, sum_dl = len(dl), sum(dl.values())
+    tf = {(d, t): ts.count(t) for d, ts in toks.items()
+          for t in terms if t in ts}
+    df = {t: sum(1 for (_, t2) in tf if t2 == t) for t in terms}
+    score = {}
+    for (d, t), f in tf.items():
+        idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+        den = f + k1 * (1.0 - b + b * dl[d] * n_docs / sum_dl)
+        score[d] = score.get(d, 0) + round(
+            idf * (f * (k1 + 1.0)) / den * 1e6)
+    score.pop(0, None)
+    lex = {d: i + 1 for i, (d, _) in enumerate(
+        sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:20])}
+
+    # Vector arm replay.
+    ids, _, v = _milli_vectors(sf_dir)
+    qi = np.where(ids == 0)[0][0]
+    mask = ids != 0
+    d2 = ((v[mask] - v[qi]) ** 2).sum(axis=1)
+    order = np.lexsort((ids[mask], d2))[:20]
+    vec = {int(ids[mask][i]): r + 1 for r, i in enumerate(order)}
+
+    fused = {}
+    for d, rk in lex.items():
+        fused[d] = fused.get(d, 0) + round(1e6 / (60 + rk))
+    for d, rk in vec.items():
+        fused[d] = fused.get(d, 0) + round(1e6 / (60 + rk))
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.doc_id, r.rrf_micro) for r in got] == want
+    for r in got:
+        assert (r.lex_rank is None) == (r.doc_id not in lex)
+        assert (r.vec_rank is None) == (r.doc_id not in vec)
+        if r.lex_rank is not None:
+            assert r.lex_rank == lex[r.doc_id]
+        if r.vec_rank is not None:
+            assert r.vec_rank == vec[r.doc_id]
