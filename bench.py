@@ -129,6 +129,7 @@ HEADLINE = [
     "text_zipf_fit",           # micro-snapped log-log OLS on top-1000
     "text_bm25_search",        # scan-filtered posting lists, micro-snapped
     "search_hybrid_rrf",       # BM25 + vector arms, RRF fusion
+    "dedup_soft_weights",      # 1/cluster-size loss-weight census
 ]
 
 

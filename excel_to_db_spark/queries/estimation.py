@@ -1318,3 +1318,177 @@ def text_zipf_fit(spark, sf_dir):
                     F.round((F.col("cov_n") / F.col("varx_n"))
                             * (F.col("cov_n") / F.col("vary_n")), 4)
                     .alias("r2")))
+
+
+# --------------------------------------------- Bellman-Ford SSSP rounds
+
+_SSSP_ROUNDS = 4
+
+_SSSP_ORACLE_HEAD = """
+    WITH raw AS (
+        SELECT cn.n_nationkey AS u, sn.n_nationkey AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_nationkey <> sn.n_nationkey
+        GROUP BY 1, 2
+    ),
+    und AS (
+        SELECT least(u, v) AS a, greatest(u, v) AS b,
+               CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM raw GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tc FROM und),
+    e AS MATERIALIZED (
+        SELECT u, v, w FROM (
+            SELECT a AS u, b AS v, 1 + tc // cnt AS w FROM und, tot
+            UNION ALL
+            SELECT b, a, 1 + tc // cnt FROM und, tot
+        )
+    ),
+    d0 AS MATERIALIZED (SELECT 0 AS node, CAST(0 AS BIGINT) AS dist),
+"""
+
+_SSSP_ROUND_TMPL = """
+    d{r} AS MATERIALIZED (
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM d{p}
+            UNION ALL
+            SELECT e.v AS node, d{p}.dist + e.w AS dist
+            FROM d{p} JOIN e ON e.u = d{p}.node
+        ) GROUP BY node
+    ),
+"""
+
+_SSSP_ORACLE = (
+    _SSSP_ORACLE_HEAD
+    + "".join(_SSSP_ROUND_TMPL.format(r=r, p=r - 1)
+              for r in range(1, _SSSP_ROUNDS + 1)).rstrip().rstrip(",")
+    + f"\n    SELECT node, dist FROM d{_SSSP_ROUNDS}"
+)
+
+
+@query("graph_sssp_bellman", oracle=_SSSP_ORACLE)
+def graph_sssp_bellman(spark, sf_dir):
+    """Single-source shortest paths from nation 0 by synchronous
+    Bellman-Ford relaxation over the WEIGHTED nation trade graph —
+    edge cost 1 + total_traffic DIV edge_traffic, so heavily-traded
+    lanes are cheap (an exact integer weight: no float ever enters
+    the min-plus algebra, which is what makes distributed SSSP
+    hash-comparable at all).
+
+    Four relaxation rounds, each the classic bulk-synchronous step:
+    candidate distances = current frontier JOIN edges (shuffle on the
+    edge source), then a min-aggregate per node folds candidates into
+    the running labels — the same iterate-join-aggregate skeleton as
+    graph_pagerank3/graph_bfs_levels, with min-plus instead of
+    sum-times. Rounds reference the previous label set twice (union +
+    join), so each round is cut with a lazy localCheckpoint (the
+    graph_kcore plan-growth lesson). Four rounds bound path length at
+    4 hops; on this dense 25-node trade graph that reaches every
+    node, which the convergence test asserts (round 4 == round 3).
+    The oracle unrolls the identical rounds as MATERIALIZED CTEs."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    raw = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+           .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+           .groupBy(F.col("c_nationkey").alias("u"),
+                    F.col("s_nationkey").alias("v"))
+           .agg(F.count("*").alias("cnt")))
+    und = (raw.groupBy(F.least("u", "v").alias("a"),
+                       F.greatest("u", "v").alias("b"))
+           .agg(F.sum("cnt").alias("cnt")))
+    tot = und.agg(F.sum("cnt").alias("tc"))
+    w = F.expr("1 + tc DIV cnt")
+    half = und.crossJoin(F.broadcast(tot))
+    e = (half.select(F.col("a").alias("u"), F.col("b").alias("v"),
+                     w.alias("w"))
+         .unionAll(half.select(F.col("b").alias("u"),
+                               F.col("a").alias("v"), w.alias("w")))
+         .localCheckpoint(eager=False))
+
+    d = spark.createDataFrame([(0, 0)], "node int, dist bigint").select(
+        F.col("node").cast("int").alias("node"),
+        F.col("dist").cast("bigint").alias("dist"))
+    for _ in range(_SSSP_ROUNDS):
+        cand = (d.join(e, d.node == e.u)
+                .select(F.col("v").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("dist")))
+        d = (d.unionByName(cand)
+             .groupBy("node").agg(F.min("dist").alias("dist"))
+             .localCheckpoint(eager=False))
+    return d
+
+
+# ------------------------------------------- soft-dedup loss weighting
+
+@query("dedup_soft_weights", oracle="""
+    WITH q AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fp,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    cl AS (
+        SELECT fp, CAST(count(*) AS BIGINT) AS sz FROM q GROUP BY fp
+    ),
+    wts AS (
+        SELECT q.source, q.n_tok, cl.sz,
+               CAST(round(1000000.0 / cl.sz) AS BIGINT) AS w_micro
+        FROM q JOIN cl ON q.fp = cl.fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_in_clusters,
+           CAST(sum(w_micro) AS BIGINT) AS eff_docs_micro,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_tok * w_micro) AS BIGINT) AS eff_tokens_micro
+    FROM wts GROUP BY source
+""")
+def dedup_soft_weights(spark, sf_dir):
+    """Soft dedup: instead of DROPPING duplicates, down-weight every
+    member of an exact-duplicate cluster to 1/cluster_size for the
+    training loss — total weight per distinct content stays exactly 1,
+    so no information is deleted but no document is over-counted (the
+    repetition-control alternative curation stacks reach for when
+    near-dup clusters carry provenance worth keeping). Reported per
+    source: raw vs effective document and token counts — the gap IS
+    each source's internal redundancy.
+
+    Same fingerprint family as `dedup_exact` / `dedup_quality_keep_
+    best` (one definition of 'duplicate' across the policy keys).
+    Weights snap to micro-units per row (1e6/sz is exact to half a
+    micro-unit; the per-source sums are then exact BIGINT adds —
+    SURVEY §4.3). One fingerprint shuffle + one source rollup; at
+    100 TB this is strictly cheaper than hard dedup because no
+    keep-row election is needed — the weight is a pure function of
+    cluster size."""
+    from ..operators import text as X
+
+    d = T(spark, sf_dir, "documents")
+    q = d.select("doc_id", "source",
+                 X.fingerprint(F.col("text")).alias("fp"),
+                 X.token_count(F.col("text")).alias("n_tok"))
+    cl = q.groupBy("fp").agg(F.count("*").alias("sz"))
+    wts = (q.join(cl, "fp")
+           .select("source", "n_tok", "sz",
+                   F.round(1000000.0 / F.col("sz")).cast("bigint")
+                   .alias("w_micro")))
+    return (wts.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_in_clusters"),
+                 F.sum("w_micro").alias("eff_docs_micro"),
+                 F.sum("n_tok").alias("n_tokens"),
+                 F.sum(F.col("n_tok") * F.col("w_micro"))
+                 .alias("eff_tokens_micro")))

@@ -351,3 +351,75 @@ def test_schema_evolution_census(spark, sf_dir):
     assert rows[2].n_rows == int((~even).sum())
     assert rows[1].sum_cents == int(cents[even].sum())
     assert rows[2].sum_cents == int(cents[~even].sum())
+
+
+def test_sssp_matches_dijkstra(spark, sf_dir):
+    import heapq
+    from excel_to_db_spark.queries.estimation import graph_sssp_bellman
+    got = {r.node: r.dist for r in
+           graph_sssp_bellman(spark, sf_dir).collect()}
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    s = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    j = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(c, left_on="o_custkey", right_on="c_custkey")
+         .merge(s, left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[j["c_nationkey"] != j["s_nationkey"]]
+    cnt = {}
+    for u, v in zip(j["c_nationkey"], j["s_nationkey"]):
+        a, b = (int(u), int(v)) if u < v else (int(v), int(u))
+        cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    tc = sum(cnt.values())
+    adj = {}
+    for (a, b), n in cnt.items():
+        w = 1 + tc // n
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = dd + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    # 4 Bellman-Ford rounds must have converged on this dense graph:
+    # the relaxed labels equal true shortest distances.
+    assert got == dist
+
+
+def test_soft_dedup_weights_conserve_content(spark, sf_dir):
+    import hashlib
+    from excel_to_db_spark.queries.estimation import dedup_soft_weights
+    rows = {r.source: r for r in
+            dedup_soft_weights(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    fp = docs["text"].map(lambda t: hashlib.md5(
+        " ".join(sorted(set(t.split(" ")))).encode()).hexdigest())
+    sz = fp.map(fp.value_counts())
+    w = (1e6 / sz).round().astype("int64")
+    ntok = docs["text"].map(lambda t: len(t.split(" ")))
+    for src, g in docs.groupby("source"):
+        idx = g.index
+        r = rows[src]
+        assert r.n_docs == len(idx)
+        assert r.n_in_clusters == int((sz[idx] > 1).sum())
+        assert r.eff_docs_micro == int(w[idx].sum())
+        assert r.n_tokens == int(ntok[idx].sum())
+        assert r.eff_tokens_micro == int((ntok[idx] * w[idx]).sum())
+        assert r.eff_docs_micro <= r.n_docs * 1000000
+    # Global conservation: summed weight == number of DISTINCT contents
+    # (each cluster's members sum to exactly 1, bar micro rounding).
+    total_eff = sum(r.eff_docs_micro for r in rows.values())
+    n_distinct = fp.nunique()
+    assert abs(total_eff - n_distinct * 1000000) <= len(docs)
