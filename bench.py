@@ -130,6 +130,7 @@ HEADLINE = [
     "text_bm25_search",        # scan-filtered posting lists, micro-snapped
     "search_hybrid_rrf",       # BM25 + vector arms, RRF fusion
     "dedup_soft_weights",      # 1/cluster-size loss-weight census
+    "text_perplexity_buckets", # CCNet terciles, integer-exact membership
 ]
 
 

@@ -1134,3 +1134,100 @@ def bm25_scores(d):
                   .alias("term_score_micro")))
     return ts.groupBy("doc_id").agg(F.sum("term_score_micro")
                                     .alias("score_micro"))
+
+
+# ------------------------------------- CCNet-style perplexity buckets
+
+@query("text_perplexity_buckets", oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    bge AS (
+        SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM (
+            SELECT doc_id, lang,
+                   unnest([{'w1': t[i], 'w2': t[i+1]}
+                           for i in range(1, len(t))]) AS b
+            FROM toks)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bge GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bge GROUP BY w1),
+    ds AS (
+        SELECT doc_id, any_value(lang) AS lang,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CAST(round(log2(c2 * 1.0 / c1) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS s_micro
+        FROM bge JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY doc_id
+    ),
+    val AS (
+        SELECT doc_id, lang, n_bigrams,
+               (s_micro * 1000) // n_bigrams AS v
+        FROM ds
+    ),
+    rnk AS (
+        SELECT lang, n_bigrams, v,
+               row_number() OVER (ORDER BY v, doc_id) AS rr,
+               count(*) OVER () AS nd
+        FROM val
+    ),
+    bkt AS (
+        SELECT lang, n_bigrams, v,
+               CASE ((rr - 1) * 3) // nd
+                    WHEN 0 THEN 'tail' WHEN 1 THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM rnk
+    )
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(sum(v) // count(*) AS BIGINT) AS mean_logp_nano
+    FROM bkt GROUP BY lang, bucket
+""")
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus bigram LM (the SAME c2/c1
+    normalization as `text_bigram_lm`), split the corpus into global
+    head/middle/tail TERCILES of mean log-probability, and report the
+    per-(lang, bucket) census — the partition CCNet feeds downstream
+    so training can oversample the 'head' (fluent) slice.
+
+    Exactness upgrade over the scorer key: each bigram's log2(c2/c1)
+    is snapped to micro-units BEFORE the per-doc sum (exact BIGINT),
+    and the per-doc ranking value is the integer DIV by bigram count
+    (nano-log units) — so tercile membership is decided by pure
+    integer comparison on both engines, with doc_id tie-breaks.
+    Terciles use operators/ranking.distributed_rank (no corpus-wide
+    single-partition window); docs with < 2 tokens have no bigrams
+    and drop out of scoring on both engines identically. The big
+    shuffle is the bigram groupBy the LM already pays; the count
+    tables broadcast back onto the stream."""
+    from ..operators.ranking import distributed_rank
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    bg = (toks.select("doc_id", "lang", F.explode(F.expr(
+              "transform(slice(t, 1, size(t)-1),"
+              " (x, i) -> struct(x AS w1, t[i+1] AS w2))")).alias("b"))
+          .select("doc_id", "lang", "b.w1", "b.w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    ds = (bg.join(F.broadcast(c2), ["w1", "w2"])
+          .join(F.broadcast(c1), ["w1"])
+          .groupBy("doc_id", "lang")
+          .agg(F.count("*").alias("n_bigrams"),
+               F.sum(F.round(F.log2(F.col("c2") * 1.0 / F.col("c1"))
+                             * 1000000).cast("bigint")).alias("s_micro")))
+    val = ds.select("doc_id", "lang", "n_bigrams",
+                    F.expr("(s_micro * 1000) DIV n_bigrams").alias("v"))
+    rnk = distributed_rank(val, "v", "doc_id", "rr")
+    nd = val.agg(F.count("*").alias("nd"))
+    bkt = (rnk.crossJoin(F.broadcast(nd))
+           .select("lang", "n_bigrams", "v",
+                   F.expr("CASE ((rr - 1) * 3) DIV nd WHEN 0 THEN 'tail'"
+                          " WHEN 1 THEN 'middle' ELSE 'head' END")
+                   .alias("bucket")))
+    return (bkt.groupBy("lang", "bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_bigrams").alias("n_bigrams"),
+                 F.expr("CAST(sum(v) DIV count(*) AS BIGINT)")
+                 .alias("mean_logp_nano")))

@@ -988,3 +988,74 @@ def search_hybrid_rrf(spark, sf_dir):
                .cast("bigint")))
     return top.select("rank", "doc_id", "lex_rank", "vec_rank",
                       "rrf_micro")
+
+
+_NEG_THRESH = 200_000_000  # h32 threshold: ~4.7% of the 32-bit space
+
+
+@query("sample_negatives_contrastive", oracle=f"""
+    WITH anchors AS (
+        SELECT vec_id AS q_id, label AS qlbl FROM embeddings
+        WHERE vec_id < 10
+    ),
+    cand AS (
+        SELECT a.q_id, e.vec_id, e.label,
+               CAST(('0x' || substr(md5(a.q_id || ':' ||
+                        CAST(e.vec_id AS VARCHAR)), 1, 8))::UBIGINT
+                    AS BIGINT) AS h
+        FROM anchors a, embeddings e
+        WHERE e.vec_id <> a.q_id AND e.label <> a.qlbl
+    ),
+    thr AS (SELECT * FROM cand WHERE h < {_NEG_THRESH}),
+    rnk AS (
+        SELECT q_id, vec_id, label, h,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY h, vec_id) AS BIGINT)
+                   AS neg_rank
+        FROM thr
+    )
+    SELECT q_id, neg_rank, vec_id, label, h
+    FROM rnk WHERE neg_rank <= 5
+""")
+def sample_negatives_contrastive(spark, sf_dir):
+    """Deterministic uniform negative sampling for contrastive
+    training: for each of the 10 anchor vectors, draw 5 different-label
+    negatives by hash order — h32(anchor:candidate) makes the 'random'
+    draw a pure function of the pair, so resharding, retries, and both
+    engines reproduce the identical sample (the property a training
+    pipeline needs for resumable epochs).
+
+    The scale trick is the HASH-THRESHOLD PRE-FILTER: candidates are
+    cut to h < tau (~4.7% of the hash space) BEFORE any ranking, so
+    the per-anchor window sorts an O(tau * N) expected handful, not
+    the corpus — the same pre-sampling a billion-document pipeline
+    uses to avoid materializing every (anchor, candidate) pair. The
+    5 smallest hashes survive any tau above their value, so the
+    filtered top-5 equals the unfiltered top-5 whenever >= 5
+    candidates clear the threshold (both engines apply the same rule,
+    so the contract holds even in the degenerate under-5 case).
+    In-batch negatives are what most stacks default to; this is the
+    explicit-sampling variant that controls the negative distribution
+    (excluding same-label collisions, which in-batch sampling
+    cannot)."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    anchors = (e.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("label").alias("qlbl")))
+    from ..numerics import h32
+    cand = (e.crossJoin(F.broadcast(anchors))
+            .filter((F.col("vec_id") != F.col("q_id"))
+                    & (F.col("label") != F.col("qlbl")))
+            .select("q_id", "vec_id", "label",
+                    h32(F.concat(F.col("q_id").cast("string"), F.lit(":"),
+                                 F.col("vec_id").cast("string")))
+                    .alias("h"))
+            .filter(F.col("h") < _NEG_THRESH))
+    rnk = cand.withColumn(
+        "neg_rank",
+        F.row_number().over(Window.partitionBy("q_id")
+                            .orderBy("h", "vec_id")).cast("bigint"))
+    return (rnk.filter(F.col("neg_rank") <= 5)
+            .select("q_id", "neg_rank", "vec_id", "label", "h"))

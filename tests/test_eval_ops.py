@@ -209,3 +209,49 @@ def test_hybrid_rrf_fuses_both_arms(spark, sf_dir):
             assert r.lex_rank == lex[r.doc_id]
         if r.vec_rank is not None:
             assert r.vec_rank == vec[r.doc_id]
+
+
+def test_perplexity_buckets_tercile_accounting(spark, sf_dir):
+    from excel_to_db_spark.queries.pipeline import text_perplexity_buckets
+    rows = text_perplexity_buckets(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    scored = int((docs["text"].str.split(" ").str.len() >= 2).sum())
+    assert sum(r.n_docs for r in rows) == scored
+    by_bucket = {}
+    means = {}
+    for r in rows:
+        assert r.bucket in ("head", "middle", "tail")
+        by_bucket[r.bucket] = by_bucket.get(r.bucket, 0) + r.n_docs
+        means.setdefault(r.bucket, []).append(r.mean_logp_nano)
+    # Global terciles: bucket sizes within 1 of each other.
+    sizes = list(by_bucket.values())
+    assert max(sizes) - min(sizes) <= 2
+    # Ordering: head (most fluent) has the highest mean log-prob.
+    assert max(means["tail"]) <= min(means["head"])
+
+
+def test_negative_sampling_contract(spark, sf_dir):
+    import hashlib
+    from excel_to_db_spark.queries.similarity2 import (
+        sample_negatives_contrastive)
+    rows = sample_negatives_contrastive(spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+    label = dict(zip(emb["vec_id"], emb["label"]))
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+        assert r.label == label[r.vec_id]
+        assert r.label != label[r.q_id]      # negatives only
+        assert r.vec_id != r.q_id
+        assert r.h < 200_000_000
+        want_h = int(hashlib.md5(
+            f"{r.q_id}:{r.vec_id}".encode()).hexdigest()[:8], 16)
+        assert r.h == want_h                  # replayable draw
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        hs = [r.h for r in rs]
+        assert hs == sorted(hs)
