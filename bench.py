@@ -131,6 +131,7 @@ HEADLINE = [
     "search_hybrid_rrf",       # BM25 + vector arms, RRF fusion
     "dedup_soft_weights",      # 1/cluster-size loss-weight census
     "text_perplexity_buckets", # CCNet terciles, integer-exact membership
+    "embedding_binary_quant",  # sign codes + popcount Hamming recall
 ]
 
 

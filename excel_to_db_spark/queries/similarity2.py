@@ -1059,3 +1059,122 @@ def sample_negatives_contrastive(spark, sf_dir):
                             .orderBy("h", "vec_id")).cast("bigint"))
     return (rnk.filter(F.col("neg_rank") <= 5)
             .select("q_id", "neg_rank", "vec_id", "label", "h"))
+
+
+@query("embedding_binary_quant", oracle="""
+    WITH iv AS (
+        SELECT vec_id,
+               [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT vec_id, u.i AS i, u.x AS x FROM (
+            SELECT vec_id,
+                   unnest([{'i': i, 'x': v[i]} for i in range(1, 65)]) AS u
+            FROM iv)
+    ),
+    ctr AS (
+        SELECT i, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT)
+                   AS c
+        FROM dims GROUP BY i
+    ),
+    codes AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN i <= 32
+                             THEN CAST(CASE WHEN x > c THEN 1 ELSE 0 END
+                                       AS BIGINT) << (i - 1)
+                             ELSE 0 END) AS BIGINT) AS lo,
+               CAST(sum(CASE WHEN i > 32
+                             THEN CAST(CASE WHEN x > c THEN 1 ELSE 0 END
+                                       AS BIGINT) << (i - 33)
+                             ELSE 0 END) AS BIGINT) AS hi
+        FROM dims JOIN ctr USING (i)
+        GROUP BY vec_id
+    ),
+    qc AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0),
+    ham AS (
+        SELECT vec_id,
+               CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi))
+                    AS BIGINT) AS hamming
+        FROM codes, qc WHERE vec_id <> 0
+    ),
+    btop AS (
+        SELECT vec_id FROM ham ORDER BY hamming, vec_id LIMIT 10
+    ),
+    qv AS (SELECT v AS qvec FROM iv WHERE vec_id = 0),
+    etop AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   CAST(list_sum([(v[i] - qvec[i]) * (v[i] - qvec[i])
+                                  for i in range(1, 65)]) AS BIGINT) AS d2
+            FROM iv, qv WHERE vec_id <> 0
+        ) ORDER BY d2, vec_id LIMIT 10
+    ),
+    ov AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_overlap
+        FROM btop JOIN etop USING (vec_id)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM iv)
+    SELECT n_vectors, n_overlap,
+           round(n_overlap / 10.0, 2) AS recall_at_10
+    FROM n, ov
+""")
+def embedding_binary_quant(spark, sf_dir):
+    """1-bit (binary) embedding quantization with recall\\@10 against the
+    exact-L2 ground truth — the 32x-compression rerank-first stage
+    modern vector stacks ship (sign quantization + Hamming distance;
+    cf. the Matryoshka key for the truncation axis, PQ/IVF-PQ for the
+    codebook axis).
+
+    Binarization is mean-centered per dimension (raw sign would be
+    degenerate if a dimension never changes sign): the per-dim center
+    is the integer-DIV mean of the milli-unit values, so bit
+    assignment is an EXACT integer comparison on both engines; the 64
+    bits pack into two BIGINT halves via in-aggregate shifts (bit 63
+    never touches a sign bit), and Hamming distance is two XORs + two
+    bit_counts — pure integer ops end to end, the whole point of
+    binary codes: at 100 TB, 16 bytes/vector scan with popcount
+    beats any float kernel, then the float rerank touches only the
+    shortlist. recall@10 here reports exactly how much that
+    compression costs on this corpus. Distributed shape: one explode
+    + per-dim mean (64 groups), one code aggregate per vector, one
+    broadcast of the 16-byte query code, two TakeOrdered(10)s."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
+    dims = (e.select("vec_id", F.posexplode("v").alias("p", "x"))
+            .select("vec_id", (F.col("p") + 1).alias("i"), "x"))
+    ctr = dims.groupBy("i").agg(
+        F.expr("CAST(sum(x) DIV count(*) AS BIGINT)").alias("c"))
+    bit_sql = "CAST(CASE WHEN x > c THEN 1 ELSE 0 END AS BIGINT)"
+    codes = (dims.join(F.broadcast(ctr), "i")
+             .groupBy("vec_id")
+             .agg(F.expr(f"CAST(sum(CASE WHEN i <= 32 THEN "
+                         f"shiftleft({bit_sql}, CAST(i - 1 AS INT)) "
+                         f"ELSE 0 END) AS BIGINT)").alias("lo"),
+                  F.expr(f"CAST(sum(CASE WHEN i > 32 THEN "
+                         f"shiftleft({bit_sql}, CAST(i - 33 AS INT)) "
+                         f"ELSE 0 END) AS BIGINT)").alias("hi")))
+    qc = (codes.filter(F.col("vec_id") == 0)
+          .select(F.col("lo").alias("qlo"), F.col("hi").alias("qhi")))
+    ham = (codes.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qc))
+           .select("vec_id",
+                   (F.bit_count(F.expr("lo ^ qlo"))
+                    + F.bit_count(F.expr("hi ^ qhi"))).cast("bigint")
+                   .alias("hamming")))
+    btop = ham.orderBy("hamming", "vec_id").limit(10).select("vec_id")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qvec"))
+    etop = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+            .select("vec_id",
+                    F.expr("aggregate(zip_with(v, qvec, (x, y) -> "
+                           "(x-y)*(x-y)), 0L, (acc, t) -> acc + t)")
+                    .alias("d2"))
+            .orderBy("d2", "vec_id").limit(10).select("vec_id"))
+    ov = btop.join(etop, "vec_id").agg(F.count("*").alias("n_overlap"))
+    n = e.agg(F.count("*").alias("n_vectors"))
+    return (n.crossJoin(F.broadcast(ov))
+            .select("n_vectors", "n_overlap",
+                    F.round(F.col("n_overlap") / 10.0, 2)
+                    .alias("recall_at_10")))

@@ -255,3 +255,24 @@ def test_negative_sampling_contract(spark, sf_dir):
         assert len(rs) <= 5
         hs = [r.h for r in rs]
         assert hs == sorted(hs)
+
+
+def test_binary_quant_recall_replay(spark, sf_dir):
+    import numpy as np
+    from excel_to_db_spark.queries.similarity2 import embedding_binary_quant
+    r = embedding_binary_quant(spark, sf_dir).collect()[0]
+    ids, _, v = _milli_vectors(sf_dir)
+    assert r.n_vectors == len(ids)
+    ctr = v.sum(axis=0) // len(ids)          # integer-DIV per-dim mean
+    bits = (v > ctr).astype("int64")
+    qi = np.where(ids == 0)[0][0]
+    ham = (bits != bits[qi]).sum(axis=1)
+    mask = ids != 0
+    border = np.lexsort((ids[mask], ham[mask]))[:10]
+    btop = set(ids[mask][border].tolist())
+    d2 = ((v[mask] - v[qi]) ** 2).sum(axis=1)
+    eorder = np.lexsort((ids[mask], d2))[:10]
+    etop = set(ids[mask][eorder].tolist())
+    assert r.n_overlap == len(btop & etop)
+    assert r.recall_at_10 == round(r.n_overlap / 10.0, 2)
+    assert 0 <= r.n_overlap <= 10
