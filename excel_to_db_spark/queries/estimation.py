@@ -1492,3 +1492,88 @@ def dedup_soft_weights(spark, sf_dir):
                  F.sum("n_tok").alias("n_tokens"),
                  F.sum(F.col("n_tok") * F.col("w_micro"))
                  .alias("eff_tokens_micro")))
+
+
+# ------------------------------------ DP median (exponential mechanism)
+
+@query("privacy_dp_median", oracle="""
+    WITH c AS (
+        SELECT CAST(l_quantity AS INTEGER) AS qty,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT qty, c,
+               CAST(sum(c) OVER (ORDER BY qty) AS BIGINT) AS cum,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM c
+    ),
+    util AS (
+        SELECT qty, c,
+               -abs((cum - c) - (n - cum)) AS u,
+               cum, n
+        FROM cum
+    ),
+    noisy AS (
+        SELECT qty, c, u, cum, n,
+               CAST(round((u / 2.0
+                   - ln(-ln((CAST(('0x' || substr(md5('dpmed:' ||
+                         CAST(qty AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+                         + 0.5) / 4294967296.0))) * 1000000000)
+                    AS BIGINT) AS score_nano
+        FROM util
+    ),
+    med AS (
+        SELECT min(qty) AS true_median FROM cum, (SELECT max(n) AS nn
+                                                  FROM cum)
+        WHERE cum * 2 >= nn
+    )
+    SELECT qty, c AS n_rows, CAST(u AS BIGINT) AS utility, score_nano,
+           CAST(row_number() OVER (ORDER BY score_nano DESC, qty)
+                AS BIGINT) = 1 AS is_choice,
+           true_median
+    FROM noisy, med
+""")
+def privacy_dp_median(spark, sf_dir):
+    """Differentially-private median of l_quantity via the exponential
+    mechanism (McSherry & Talwar 2007), epsilon = 1, candidate set =
+    the 50 observed quantity levels — the third leg of the governance
+    release path next to `privacy_dp_histogram` (Laplace counts) and
+    `privacy_sensitivity_census` (contribution bounding): rank
+    statistics need the exponential mechanism because adding noise to
+    a median directly destroys it.
+
+    Utility u(q) = -|#less - #greater| is EXACT integer (sensitivity
+    2, so the score is u/2 at eps=1); sampling uses the Gumbel-max
+    trick with hash-derived uniforms (h32('dpmed:'||q) + 0.5)/2^32 —
+    both engines replay the same draw, making a randomized mechanism
+    hash-verifiable (same device as privacy_dp_histogram). Scores are
+    nano-snapped before the argmax; the chosen value is flagged
+    alongside the true median, so the released error is visible in
+    the result. One count aggregate over the fact table; every window
+    runs over the 50 candidate rows."""
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("qty"))
+    c = li.groupBy("qty").agg(F.count("*").alias("c"))
+    w = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    cum = (c.withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(Window.partitionBy())))
+    u = -F.abs((F.col("cum") - F.col("c")) - (F.col("n") - F.col("cum")))
+    u01 = (h32(F.concat(F.lit("dpmed:"), F.col("qty").cast("string")))
+           + 0.5) / 4294967296.0
+    score = F.round((u / 2.0 - F.log(-F.log(u01))) * 1000000000) \
+        .cast("bigint")
+    noisy = cum.select("qty", "c", u.cast("bigint").alias("u"),
+                       score.alias("score_nano"))
+    med = (cum.filter(F.col("cum") * 2 >= F.col("n"))
+           .agg(F.min("qty").alias("true_median")))
+    pick = Window.orderBy(F.col("score_nano").desc(), "qty")
+    return (noisy.crossJoin(F.broadcast(med))
+            .select("qty", F.col("c").alias("n_rows"),
+                    F.col("u").alias("utility"), "score_nano",
+                    (F.row_number().over(pick).cast("bigint") == 1)
+                    .alias("is_choice"),
+                    "true_median"))

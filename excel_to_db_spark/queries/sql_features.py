@@ -470,3 +470,43 @@ def sql_group_order_all(spark, sf_dir):
         GROUP BY ALL
         ORDER BY ALL
     """)
+
+
+@query("union_by_name_missing", oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority,
+           CAST(count(o_custkey) AS BIGINT) AS n_with_custkey
+    FROM (
+        SELECT o_orderstatus, o_custkey, NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT o_orderpriority, o_orderstatus, NULL AS o_custkey
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderstatus
+""")
+def union_by_name_missing(spark, sf_dir):
+    """UNION BY NAME with missing columns — the schema-drift-tolerant
+    union (DataFrame `unionByName(allowMissingColumns=True)`; DuckDB
+    spells it UNION ALL BY NAME): two extracts whose projections
+    DISAGREE in column order AND column set combine by NAME, absent
+    columns padded with NULL — positional UNION would silently pair
+    o_orderpriority with o_custkey here, the classic integration bug
+    this operator exists to kill. The census counts non-NULL per
+    column per status to prove each column kept its own values
+    through the union (not its positional neighbor's). Catalyst
+    resolves the mapping at analysis time — the physical plan is the
+    same two scans + union as the positional form, zero runtime
+    cost. Same family as `parquet_schema_evolution` (drift at the
+    storage layer vs drift at the query layer)."""
+    o = T(spark, sf_dir, "orders")
+    even = (o.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderstatus", "o_custkey"))
+    odd = (o.filter(F.col("o_orderkey") % 2 == 1)
+           .select("o_orderpriority", "o_orderstatus"))
+    u = even.unionByName(odd, allowMissingColumns=True)
+    return (u.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.count("o_orderpriority").alias("n_with_priority"),
+                 F.count("o_custkey").alias("n_with_custkey")))

@@ -423,3 +423,59 @@ def test_soft_dedup_weights_conserve_content(spark, sf_dir):
     total_eff = sum(r.eff_docs_micro for r in rows.values())
     n_distinct = fp.nunique()
     assert abs(total_eff - n_distinct * 1000000) <= len(docs)
+
+
+def test_union_by_name_no_positional_mixup(spark, sf_dir):
+    from excel_to_db_spark.queries.sql_features import union_by_name_missing
+    rows = {r.o_orderstatus: r for r in
+            union_by_name_missing(spark, sf_dir).collect()}
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderstatus"])
+    even = o["o_orderkey"] % 2 == 0
+    for st, r in rows.items():
+        n_even = int((even & (o["o_orderstatus"] == st)).sum())
+        n_odd = int((~even & (o["o_orderstatus"] == st)).sum())
+        assert r.n == n_even + n_odd
+        # Columns kept their OWN values: priority only from odd arm,
+        # custkey only from even arm.
+        assert r.n_with_priority == n_odd
+        assert r.n_with_custkey == n_even
+
+
+def test_dp_median_mechanism_contract(spark, sf_dir):
+    import hashlib
+    import math
+    from excel_to_db_spark.queries.estimation import privacy_dp_median
+    rows = sorted(privacy_dp_median(spark, sf_dir).collect(),
+                  key=lambda r: r.qty)
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity"])
+    q = li["l_quantity"].astype(int)
+    counts = q.value_counts().sort_index()
+    n = len(q)
+    assert [r.qty for r in rows] == list(counts.index)
+    assert sum(r.n_rows for r in rows) == n
+    # Exact utility and replayable Gumbel noise per candidate.
+    cum = 0
+    best = None
+    for r in rows:
+        c = int(counts[r.qty])
+        less, greater = cum, n - cum - c
+        cum += c
+        assert r.utility == -abs(less - greater)
+        h = int(hashlib.md5(f"dpmed:{r.qty}".encode()).hexdigest()[:8], 16)
+        u01 = (h + 0.5) / 2**32
+        want = round((r.utility / 2.0 - math.log(-math.log(u01))) * 1e9)
+        assert r.score_nano == want
+        if best is None or (r.score_nano, -r.qty) > best[0]:
+            best = ((r.score_nano, -r.qty), r.qty)
+    # Exactly one choice, and it is the nano-score argmax.
+    choices = [r.qty for r in rows if r.is_choice]
+    assert choices == [best[1]]
+    # True median = smallest value whose cumulative count covers n/2.
+    run = 0
+    for qty, c in counts.items():
+        run += int(c)
+        if 2 * run >= n:
+            assert rows[0].true_median == int(qty)
+            break
