@@ -806,7 +806,7 @@ _DID_SPLIT = "1995-06-17"
 """)
 def stats_diff_in_diff(spark, sf_dir):
     """Difference-in-differences estimator: BUILDING-segment customers
-    as the 'treated' group, period split at {split}, outcome = mean
+    as the 'treated' group, period split at 1995-06-17, outcome = mean
     order value (Card & Krueger style two-by-two design).
 
     DiD removes both the stable group difference and the common time

@@ -1095,16 +1095,14 @@ def text_bm25_search(spark, sf_dir):
     join touches only matching docs; df/corpus stats are tiny
     broadcasts. One token histogram + one doc-length aggregate — both
     shuffles the text family already pays."""
+    from pyspark.sql import Window
+
     return (bm25_scores(T(spark, sf_dir, "documents"))
             .orderBy(F.col("score_micro").desc(), "doc_id").limit(10)
-            .withColumn("rank", _rank_by_score())
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.col("score_micro").desc(), "doc_id"))
+                .cast("bigint"))
             .select("rank", "doc_id", "score_micro"))
-
-
-def _rank_by_score():
-    from pyspark.sql import Window
-    return F.row_number().over(
-        Window.orderBy(F.col("score_micro").desc(), "doc_id"))         .cast("bigint")
 
 
 def bm25_scores(d):

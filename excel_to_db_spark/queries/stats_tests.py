@@ -1613,8 +1613,9 @@ def stats_power_mde(spark, sf_dir):
 
 @query("stats_anova_twoway", oracle="""
     WITH t AS (
-        SELECT CAST((7 + (CAST(o_orderdate AS DATE)
-                          - DATE '1995-01-02')) % 7 AS INTEGER) AS dow,
+        SELECT CAST((((CAST(o_orderdate AS DATE)
+                       - DATE '1995-01-02') % 7) + 7) % 7 AS INTEGER)
+                   AS dow,
                o_orderstatus AS st,
                CAST(round(o_totalprice) AS BIGINT) AS x
         FROM orders

@@ -125,9 +125,14 @@ def test_kcore_monotone_from_verified_round0(spark, sf_dir):
     for p, q in zip(rows, rows[1:]):
         assert q.n_nodes <= p.n_nodes and q.n_edges <= p.n_edges
         assert q.k == r0.k
+    # A fixpoint stays fixed: once two consecutive rounds agree, every
+    # later round must repeat the same counts.
+    fixed_at = None
     for p, q in zip(rows[1:], rows[2:]):
-        if (p.n_nodes, p.n_edges) == (q.n_nodes, q.n_edges):
-            continue
+        if fixed_at is not None:
+            assert (q.n_nodes, q.n_edges) == fixed_at
+        elif (p.n_nodes, p.n_edges) == (q.n_nodes, q.n_edges):
+            fixed_at = (p.n_nodes, p.n_edges)
     # Survivors of round 1 each had degree >= k in the round-0 graph.
     deg0 = (e.select(F.col("u").alias("n"))
             .unionAll(e.select(F.col("v").alias("n")))

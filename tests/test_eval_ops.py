@@ -263,7 +263,8 @@ def test_binary_quant_recall_replay(spark, sf_dir):
     r = embedding_binary_quant(spark, sf_dir).collect()[0]
     ids, _, v = _milli_vectors(sf_dir)
     assert r.n_vectors == len(ids)
-    ctr = v.sum(axis=0) // len(ids)          # integer-DIV per-dim mean
+    # integer-DIV (truncating, like Spark DIV / DuckDB //), NOT floor
+    ctr = np.trunc(v.sum(axis=0) / len(ids)).astype("int64")
     bits = (v > ctr).astype("int64")
     qi = np.where(ids == 0)[0][0]
     ham = (bits != bits[qi]).sum(axis=1)
