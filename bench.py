@@ -132,6 +132,8 @@ HEADLINE = [
     "dedup_soft_weights",      # 1/cluster-size loss-weight census
     "text_perplexity_buckets", # CCNet terciles, integer-exact membership
     "embedding_binary_quant",  # sign codes + popcount Hamming recall
+    "ts_cusum_detection",      # CUSUM recursion as two stacked windows
+    "sample_kcenter_seeds",    # maximin sweep, state-carrying rounds
 ]
 
 

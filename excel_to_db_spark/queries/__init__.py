@@ -136,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
 #   sample_negatives_contrastive
 # plus the round-5 batch-14 keys: embedding_binary_quant
 # plus the round-5 batch-15 keys: union_by_name_missing privacy_dp_median
+# plus the round-5 batch-16 keys: ts_cusum_detection sample_kcenter_seeds
 #   pipeline_curation_funnel stream_quality_census
 #   similarity_ndcg_eval stats_conformal_coverage privacy_dp_histogram
 #   shard_rendezvous_stability similarity_filtered_search

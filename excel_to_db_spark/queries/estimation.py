@@ -1577,3 +1577,70 @@ def privacy_dp_median(spark, sf_dir):
                     (F.row_number().over(pick).cast("bigint") == 1)
                     .alias("is_choice"),
                     "true_median"))
+
+
+# ---------------------------------------------- CUSUM change detection
+
+@query("ts_cusum_detection", oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS d
+        FROM daily
+    ),
+    dev AS (
+        SELECT day, c, c * d - t AS dev, t, d
+        FROM daily, tot
+    ),
+    pre1 AS (
+        SELECT day, c, t, d,
+               CAST(sum(dev) OVER (ORDER BY day) AS BIGINT) AS p
+        FROM dev
+    ),
+    pre AS (
+        SELECT day, c, t, d, p,
+               CAST(min(p) OVER (ORDER BY day) AS BIGINT) AS minp
+        FROM pre1
+    )
+    SELECT day, c AS n_orders,
+           CAST(p - least(minp, 0) AS BIGINT) AS s_units,
+           p - least(minp, 0) > 8 * t AS alarm
+    FROM pre
+""")
+def ts_cusum_detection(spark, sf_dir):
+    """One-sided CUSUM change detection (Page 1954) on the daily order
+    count — the classic sequential drift alarm, computed WITHOUT the
+    sequential recursion: S_t = max(0, S_{t-1} + x_t - k) unrolls to
+    S_t = P_t - min(0, min_{j<=t} P_j) where P is the running sum of
+    deviations, so two stacked ordered windows (a cumulative sum and a
+    running min OVER it) replace the loop — the standard trick for
+    porting per-row recursions to a set engine.
+
+    Everything is exact integers: deviations are scaled by the day
+    count (c*D - T) so the reference level k = mean needs no division;
+    S stays in count-times-days units and the alarm threshold (8
+    mean-days of cumulated excess, i.e. 8*T in scaled units) is an
+    integer compare. The ordered windows run over the DAY spine
+    (~2.4k rows, bounded by the calendar, not the corpus — the same
+    bounded-window argument as the other daily time-series keys); the
+    corpus-sized work is the one daily count aggregate."""
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"))
+    daily = o.groupBy("day").agg(F.count("*").alias("c"))
+    tot = daily.agg(F.sum("c").alias("t"), F.count("*").alias("d"))
+    dev = (daily.crossJoin(F.broadcast(tot))
+           .withColumn("dev", F.col("c") * F.col("d") - F.col("t")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    pre = (dev.withColumn("p", F.sum("dev").over(w))
+           .withColumn("minp", F.min("p").over(w)))
+    s = F.col("p") - F.least(F.col("minp"), F.lit(0))
+    return pre.select(
+        "day", F.col("c").alias("n_orders"),
+        s.cast("bigint").alias("s_units"),
+        (s > 8 * F.col("t")).alias("alarm"))

@@ -1178,3 +1178,108 @@ def embedding_binary_quant(spark, sf_dir):
             .select("n_vectors", "n_overlap",
                     F.round(F.col("n_overlap") / 10.0, 2)
                     .alias("recall_at_10")))
+
+
+_KC_D2 = ("CAST(list_sum([(m.v[i] - p.v[i]) * (m.v[i] - p.v[i]) "
+          "for i in range(1, 65)]) AS BIGINT)")
+
+
+def _kcenter_round_sql(r: int) -> str:
+    prev = f"m{r - 1}"
+    return f"""
+    p{r} AS MATERIALIZED (
+        SELECT vec_id, label, v, mind FROM {prev}
+        ORDER BY mind DESC, vec_id LIMIT 1
+    ),
+    m{r} AS MATERIALIZED (
+        SELECT m.vec_id, m.label, m.v,
+               least(m.mind, {_KC_D2}) AS mind
+        FROM {prev} m, p{r} p
+        WHERE m.vec_id <> p.vec_id
+    ),"""
+
+
+_KCENTER_ORACLE = ("""
+    WITH pts AS (
+        SELECT vec_id, label,
+               [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+                for x in embedding::DOUBLE[]] AS v
+        FROM embeddings
+    ),
+    s1 AS MATERIALIZED (
+        SELECT vec_id, label, v FROM pts WHERE vec_id = 0
+    ),
+    m1 AS MATERIALIZED (
+        SELECT m.vec_id, m.label, m.v, {d2s1} AS mind
+        FROM pts m, s1 p WHERE m.vec_id <> 0
+    ),"""
+    .format(d2s1=_KC_D2)
+    + "".join(_kcenter_round_sql(r) for r in range(2, 6))
+    .rstrip().rstrip(",")
+    + """,
+    sel AS (
+        SELECT 1 AS pick_order, vec_id, label,
+               CAST(NULL AS BIGINT) AS sel_dist
+        FROM s1
+        UNION ALL SELECT 2, vec_id, label, mind FROM p2
+        UNION ALL SELECT 3, vec_id, label, mind FROM p3
+        UNION ALL SELECT 4, vec_id, label, mind FROM p4
+        UNION ALL SELECT 5, vec_id, label, mind FROM p5
+    ),
+    cov AS (SELECT CAST(max(mind) AS BIGINT) AS coverage_d2 FROM m5)
+    SELECT CAST(pick_order AS INTEGER) AS pick_order, vec_id, label,
+           sel_dist, coverage_d2
+    FROM sel, cov
+""")
+
+
+@query("sample_kcenter_seeds", oracle=_KCENTER_ORACLE)
+def sample_kcenter_seeds(spark, sf_dir):
+    """Gonzalez greedy k-center (1985): pick 5 maximally-spread seed
+    vectors — each round selects the point FARTHEST from everything
+    chosen so far (maximin), the 2-approximation to the NP-hard
+    k-center cover and the standard seeding for clustering /
+    diversity-aware data selection (contrast with `similarity_mmr_
+    diversify`, which diversifies a relevance-filtered 20-row pool;
+    k-center sweeps the WHOLE corpus each round).
+
+    Distributed shape per round: one `least(mind, d2(v, new_center))`
+    update against the broadcast 1-row pick (the classic incremental
+    trick — min-distance state rides WITH each point, so round r
+    costs one projection + one TakeOrdered(1), never a pairwise
+    matrix), with lazy localCheckpoint cutting the per-round plan
+    (graph_kcore lesson). All distances exact integer milli-L2: the
+    greedy path and the final coverage radius (max-min distance of
+    the unselected corpus, the quantity k-center minimizes) are
+    hash-identical on both engines. sel_dist records each pick's
+    distance to the prior set — NULL for the arbitrary seed."""
+    from pyspark.sql import Window  # noqa: F401  (parity w/ siblings)
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(CAST(embedding AS array<double>), "
+               "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
+    d2 = F.expr("aggregate(zip_with(v, cv, (x, y) -> (x-y)*(x-y)), "
+                "0L, (acc, t) -> acc + t)")
+    seed = e.filter(F.col("vec_id") == 0)
+    m = (e.filter(F.col("vec_id") != 0)
+         .crossJoin(F.broadcast(seed.select(F.col("v").alias("cv"))))
+         .select("vec_id", "label", "v", d2.alias("mind"))
+         .localCheckpoint(eager=False))
+    sel = seed.select(F.lit(1).alias("pick_order"), "vec_id", "label",
+                      F.lit(None).cast("bigint").alias("sel_dist"))
+    for r in range(2, 6):
+        pick = m.orderBy(F.col("mind").desc(), "vec_id").limit(1) \
+                .localCheckpoint(eager=False)
+        sel = sel.unionByName(
+            pick.select(F.lit(r).alias("pick_order"), "vec_id", "label",
+                        F.col("mind").alias("sel_dist")))
+        m = (m.join(pick.select("vec_id"), "vec_id", "left_anti")
+             .crossJoin(F.broadcast(pick.select(F.col("v").alias("cv"))))
+             .select("vec_id", "label", "v",
+                     F.least(F.col("mind"), d2).alias("mind"))
+             .localCheckpoint(eager=False))
+    cov = m.agg(F.max("mind").alias("coverage_d2"))
+    return (sel.crossJoin(F.broadcast(cov))
+            .select(F.col("pick_order").cast("int").alias("pick_order"),
+                    "vec_id", "label", "sel_dist", "coverage_d2"))

@@ -277,3 +277,51 @@ def test_binary_quant_recall_replay(spark, sf_dir):
     assert r.n_overlap == len(btop & etop)
     assert r.recall_at_10 == round(r.n_overlap / 10.0, 2)
     assert 0 <= r.n_overlap <= 10
+
+
+def test_cusum_two_window_unroll(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import ts_cusum_detection
+    rows = sorted(ts_cusum_detection(spark, sf_dir).collect(),
+                  key=lambda r: r.day)
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate"])
+    daily = o.groupby("o_orderdate").size().sort_index()
+    t, d = int(daily.sum()), len(daily)
+    # Replay the SEQUENTIAL recursion and match the window unroll.
+    s = 0
+    want = []
+    for c in daily.values:
+        s = max(0, s + int(c) * d - t)
+        want.append(s)
+    assert [r.s_units for r in rows] == want
+    for r, w in zip(rows, want):
+        assert r.alarm == (w > 8 * t)
+    assert len(rows) == d
+
+
+def test_kcenter_greedy_replay(spark, sf_dir):
+    import numpy as np
+    from excel_to_db_spark.queries.similarity2 import sample_kcenter_seeds
+    got = sorted(sample_kcenter_seeds(spark, sf_dir).collect(),
+                 key=lambda r: r.pick_order)
+    assert [r.pick_order for r in got] == [1, 2, 3, 4, 5]
+    ids, _, v = _milli_vectors(sf_dir)
+    sel = [int(np.where(ids == 0)[0][0])]
+    mind = {i: int(((v[i] - v[sel[0]]) ** 2).sum())
+            for i in range(len(ids)) if ids[i] != 0}
+    dists = [None]
+    for _ in range(4):
+        pick = max(mind, key=lambda i: (mind[i], -int(ids[i])))
+        dists.append(mind[pick])
+        sel.append(pick)
+        del mind[pick]
+        for i in mind:
+            mind[i] = min(mind[i], int(((v[i] - v[pick]) ** 2).sum()))
+    assert [r.vec_id for r in got] == [int(ids[i]) for i in sel]
+    assert [r.sel_dist for r in got] == dists
+    # Coverage radius is the maximin of the unselected remainder, and
+    # the greedy picks are non-increasing in selection distance.
+    assert got[0].coverage_d2 == max(mind.values())
+    picks = [r.sel_dist for r in got[1:]]
+    assert all(a >= b for a, b in zip(picks, picks[1:]))
+    assert got[0].coverage_d2 <= picks[-1]
