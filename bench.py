@@ -134,6 +134,7 @@ HEADLINE = [
     "embedding_binary_quant",  # sign codes + popcount Hamming recall
     "ts_cusum_detection",      # CUSUM recursion as two stacked windows
     "sample_kcenter_seeds",    # maximin sweep, state-carrying rounds
+    "attribution_markov_removal",  # absorbing-chain removal effects
 ]
 
 

@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
 # plus the round-5 batch-14 keys: embedding_binary_quant
 # plus the round-5 batch-15 keys: union_by_name_missing privacy_dp_median
 # plus the round-5 batch-16 keys: ts_cusum_detection sample_kcenter_seeds
+# plus the round-5 batch-17 keys: attribution_markov_removal
 #   pipeline_curation_funnel stream_quality_census
 #   similarity_ndcg_eval stats_conformal_coverage privacy_dp_histogram
 #   shard_rendezvous_stability similarity_filtered_search

@@ -232,3 +232,215 @@ def events_bot_heuristics(spark, sf_dir):
                    F.min("cv2_micro").alias("min_cv2_micro"))
             .crossJoin(F.broadcast(n_users))
             .select("n_users", "n_scored", "n_bot_like", "min_cv2_micro"))
+
+
+# --------------------------------- Markov removal-effect attribution
+
+_MARKOV_ROUNDS = 6
+
+_MARKOV_EDGE_SQL = """
+    ev AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    fc AS (
+        SELECT user_id, min(rn) AS conv_rn FROM ev
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    j AS (
+        SELECT e.user_id,
+               CASE WHEN e.event_type = 'purchase' THEN 'CONV'
+                    ELSE e.event_type END AS state,
+               e.rn
+        FROM ev e LEFT JOIN fc ON e.user_id = fc.user_id
+        WHERE fc.conv_rn IS NULL OR e.rn <= fc.conv_rn
+    ),
+    hops AS (
+        SELECT user_id, state,
+               lead(state) OVER (PARTITION BY user_id ORDER BY rn)
+                   AS nxt,
+               rn
+        FROM j
+    ),
+    raw_edges AS (
+        SELECT 'START' AS from_s, state AS to_s FROM hops WHERE rn = 1
+        UNION ALL
+        SELECT state, COALESCE(nxt, 'END') FROM hops
+        WHERE state <> 'CONV'
+    ),
+    froms AS (SELECT DISTINCT from_s FROM raw_edges),
+    redir AS (
+        SELECT from_s,
+               CASE WHEN to_s IN ('CONV', 'END') THEN to_s
+                    WHEN to_s IN (SELECT from_s FROM froms) THEN to_s
+                    ELSE 'END' END AS to_s
+        FROM raw_edges
+    ),
+    cnt AS (
+        SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS c
+        FROM redir GROUP BY 1, 2
+    ),
+    tots AS (
+        SELECT from_s, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1
+    ),
+    base_edges AS (
+        SELECT cnt.from_s, cnt.to_s, (c * 1000000) // tot AS w
+        FROM cnt JOIN tots USING (from_s)
+    ),
+    chans AS (
+        SELECT from_s AS chan FROM froms WHERE from_s <> 'START'
+    ),
+    edges AS MATERIALIZED (
+        SELECT 'base' AS scen, from_s, to_s, w FROM base_edges
+        UNION ALL
+        SELECT c.chan, e.from_s,
+               CASE WHEN e.to_s = c.chan THEN 'END' ELSE e.to_s END,
+               e.w
+        FROM base_edges e CROSS JOIN chans c
+        WHERE e.from_s <> c.chan
+    ),
+    v0 AS MATERIALIZED (
+        SELECT scen, 'START' AS state, CAST(1000000 AS BIGINT) AS p
+        FROM (SELECT 'base' AS scen UNION ALL SELECT chan FROM chans)
+    ),
+"""
+
+_MARKOV_ROUND_SQL = """
+    v{r} AS MATERIALIZED (
+        SELECT scen, state, CAST(sum(p) AS BIGINT) AS p FROM (
+            SELECT scen, state, p FROM v{p}
+            WHERE state IN ('CONV', 'END')
+            UNION ALL
+            SELECT e.scen, e.to_s AS state, (v.p * e.w) // 1000000 AS p
+            FROM v{p} v JOIN edges e
+              ON e.scen = v.scen AND e.from_s = v.state
+        ) GROUP BY scen, state
+    ),
+"""
+
+_MARKOV_ORACLE = (
+    "    WITH " + _MARKOV_EDGE_SQL.strip()
+    + "".join(_MARKOV_ROUND_SQL.format(r=r, p=r - 1)
+              for r in range(1, _MARKOV_ROUNDS + 1)).rstrip().rstrip(",")
+    + f"""
+    ,
+    pc AS (
+        SELECT scen, CAST(COALESCE(max(CASE WHEN state = 'CONV'
+                                            THEN p END), 0) AS BIGINT)
+                   AS p_conv_micro
+        FROM v{_MARKOV_ROUNDS} GROUP BY scen
+    ),
+    base AS (SELECT p_conv_micro AS pb FROM pc WHERE scen = 'base')
+    SELECT scen AS channel, p_conv_micro,
+           CASE WHEN scen = 'base' THEN CAST(NULL AS BIGINT)
+                ELSE ((pb - p_conv_micro) * 1000000) // pb
+           END AS removal_effect_micro
+    FROM pc, base
+""")
+
+
+@query("attribution_markov_removal", oracle=_MARKOV_ORACLE)
+def attribution_markov_removal(spark, sf_dir):
+    """Markov-chain removal-effect attribution (Anderl et al. 2016) —
+    the algorithmic upgrade over `attribution_last_touch` /
+    `attribution_position`: model user journeys as a first-order
+    Markov chain (states = event types, absorbing CONV at the first
+    purchase, END otherwise), then credit each channel by how much
+    the 6-step conversion probability DROPS when that channel's node
+    is removed (its inbound edges redirected to END) — channels that
+    merely co-occur get no credit; channels journeys actually route
+    through do.
+
+    Exactness: transition probabilities are integer-DIV micro-units
+    from exact counts; each value-iteration round multiplies and
+    re-truncates in integer space ((p * w) DIV 1e6 per edge — snap
+    THEN sum, the SURVEY §4.3 rule applied to a fixpoint iteration),
+    so all 5 scenario chains are hash-identical across engines.
+    Dangling 'to' states redirect to END at edge-build so mass is
+    conserved. Distributed shape: journeys cost one user-window pass
+    (the shuffle sessionization already pays); the chain itself is
+    O(states^2 x scenarios) rows — value iteration joins a <= 35-row
+    vector against a <= 150-row edge table per round, with the
+    corpus never re-read. The oracle unrolls the same 6 rounds as
+    MATERIALIZED CTEs."""
+    from ..tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = e.withColumn("rn", F.row_number().over(w))
+    fc = (ev.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.min("rn").alias("conv_rn")))
+    j = (ev.join(fc, "user_id", "left")
+         .filter(F.col("conv_rn").isNull()
+                 | (F.col("rn") <= F.col("conv_rn")))
+         .select("user_id",
+                 F.when(F.col("event_type") == "purchase", "CONV")
+                 .otherwise(F.col("event_type")).alias("state"), "rn"))
+    hops = j.withColumn(
+        "nxt", F.lead("state").over(
+            W.partitionBy("user_id").orderBy("rn")))
+    raw = (hops.filter(F.col("rn") == 1)
+           .select(F.lit("START").alias("from_s"),
+                   F.col("state").alias("to_s"))
+           .unionByName(
+               hops.filter(F.col("state") != "CONV")
+               .select(F.col("state").alias("from_s"),
+                       F.coalesce(F.col("nxt"), F.lit("END"))
+                       .alias("to_s"))))
+    froms = raw.select("from_s").distinct()
+    redir = (raw.join(F.broadcast(froms.withColumnRenamed(
+                 "from_s", "to_s").withColumn("known", F.lit(1))),
+                 "to_s", "left")
+             .select("from_s",
+                     F.when(F.col("to_s").isin("CONV", "END"),
+                            F.col("to_s"))
+                     .when(F.col("known") == 1, F.col("to_s"))
+                     .otherwise("END").alias("to_s")))
+    cnt = redir.groupBy("from_s", "to_s").agg(F.count("*").alias("c"))
+    tots = cnt.groupBy("from_s").agg(F.sum("c").alias("tot"))
+    base_edges = (cnt.join(F.broadcast(tots), "from_s")
+                  .select("from_s", "to_s",
+                          F.expr("(c * 1000000) DIV tot").alias("w")))
+    chans = (froms.filter(F.col("from_s") != "START")
+             .select(F.col("from_s").alias("chan")))
+    edges = (base_edges.select(F.lit("base").alias("scen"), "from_s",
+                               "to_s", "w")
+             .unionByName(
+                 base_edges.crossJoin(F.broadcast(chans))
+                 .filter(F.col("from_s") != F.col("chan"))
+                 .select(F.col("chan").alias("scen"), "from_s",
+                         F.when(F.col("to_s") == F.col("chan"), "END")
+                         .otherwise(F.col("to_s")).alias("to_s"), "w"))
+             .localCheckpoint(eager=False))
+    scens = (chans.select(F.col("chan").alias("scen"))
+             .unionByName(chans.sparkSession.range(1).select(
+                 F.lit("base").alias("scen"))))
+    v = scens.select("scen", F.lit("START").alias("state"),
+                     F.lit(1000000).cast("bigint").alias("p")) \
+        .localCheckpoint(eager=False)
+    for _ in range(_MARKOV_ROUNDS):
+        absorbed = v.filter(F.col("state").isin("CONV", "END"))
+        flow = (v.join(edges, (edges.scen == v.scen)
+                       & (edges.from_s == v.state))
+                .select(edges.scen.alias("scen"),
+                        F.col("to_s").alias("state"),
+                        F.expr("(p * w) DIV 1000000").alias("p")))
+        v = (absorbed.select("scen", "state", "p").unionByName(flow)
+             .groupBy("scen", "state").agg(F.sum("p").alias("p"))
+             .localCheckpoint(eager=False))
+    pc = (v.groupBy("scen")
+          .agg(F.coalesce(F.max(F.when(F.col("state") == "CONV",
+                                       F.col("p"))), F.lit(0))
+               .cast("bigint").alias("p_conv_micro")))
+    base = (pc.filter(F.col("scen") == "base")
+            .select(F.col("p_conv_micro").alias("pb")))
+    return (pc.crossJoin(F.broadcast(base))
+            .select(F.col("scen").alias("channel"), "p_conv_micro",
+                    F.when(F.col("scen") == "base",
+                           F.lit(None).cast("bigint"))
+                    .otherwise(F.expr(
+                        "((pb - p_conv_micro) * 1000000) DIV pb"))
+                    .alias("removal_effect_micro")))

@@ -325,3 +325,59 @@ def test_kcenter_greedy_replay(spark, sf_dir):
     picks = [r.sel_dist for r in got[1:]]
     assert all(a >= b for a, b in zip(picks, picks[1:]))
     assert got[0].coverage_d2 <= picks[-1]
+
+
+def test_markov_removal_effect_replay(spark, sf_dir):
+    from excel_to_db_spark.queries.operational import (
+        attribution_markov_removal)
+    got = {r.channel: r for r in
+           attribution_markov_removal(spark, sf_dir).collect()}
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    edges = {}
+    for _, g in ev.groupby("user_id"):
+        states = []
+        for t in g["event_type"]:
+            states.append("CONV" if t == "purchase" else t)
+            if t == "purchase":
+                break
+        path = ["START"] + states
+        if path[-1] != "CONV":
+            path.append("END")
+        for a, b in zip(path, path[1:]):
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+    froms = {a for a, _ in edges}
+    redirected = {}
+    for (a, b), c in edges.items():
+        if b not in froms and b not in ("CONV", "END"):
+            b = "END"
+        redirected[(a, b)] = redirected.get((a, b), 0) + c
+    edges = redirected
+    tots = {}
+    for (a, _), c in edges.items():
+        tots[a] = tots.get(a, 0) + c
+    w = {(a, b): (c * 10**6) // tots[a] for (a, b), c in edges.items()}
+
+    def run(removed=None):
+        e = {(a, ("END" if b == removed else b)): wt
+             for (a, b), wt in w.items() if a != removed}
+        v = {"START": 10**6}
+        for _ in range(6):
+            nv = {s: p for s, p in v.items() if s in ("CONV", "END")}
+            for (a, b), wt in e.items():
+                if a in v and a not in ("CONV", "END"):
+                    nv[b] = nv.get(b, 0) + (v[a] * wt) // 10**6
+            v = nv
+        return v.get("CONV", 0)
+
+    pb = run()
+    assert got["base"].p_conv_micro == pb
+    assert got["base"].removal_effect_micro is None
+    for ch in froms - {"START"}:
+        pr = run(ch)
+        assert got[ch].p_conv_micro == pr
+        assert got[ch].removal_effect_micro == ((pb - pr) * 10**6) // pb
+        assert 0 <= got[ch].removal_effect_micro <= 10**6
