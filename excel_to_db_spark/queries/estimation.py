@@ -1644,3 +1644,110 @@ def ts_cusum_detection(spark, sf_dir):
         "day", F.col("c").alias("n_orders"),
         s.cast("bigint").alias("s_units"),
         (s > 8 * F.col("t")).alias("alarm"))
+
+
+# ------------------------------------------------ IPW treatment effect
+
+@query("stats_ipw_ate", oracle="""
+    WITH j AS (
+        SELECT c_nationkey AS stratum,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS treat,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    prop AS (
+        SELECT stratum, CAST(count(*) AS BIGINT) AS n_s,
+               CAST(sum(treat) AS BIGINT) AS n_t
+        FROM j GROUP BY stratum
+    ),
+    wtd AS (
+        SELECT j.stratum, j.treat, j.v, p.n_s, p.n_t,
+               CASE WHEN j.treat = 1 THEN (p.n_s * 1000000) // p.n_t
+                    ELSE (p.n_s * 1000000) // (p.n_s - p.n_t)
+               END AS w_micro
+        FROM j JOIN prop p ON j.stratum = p.stratum
+        WHERE p.n_t > 0 AND p.n_s - p.n_t > 0
+    ),
+    agg AS (
+        SELECT CAST(sum(CASE WHEN treat = 1 THEN w_micro END) AS BIGINT)
+                   AS wt1,
+               sum(CASE WHEN treat = 1
+                        THEN CAST(v AS HUGEINT) * w_micro END) AS s1,
+               CAST(sum(CASE WHEN treat = 0 THEN w_micro END) AS BIGINT)
+                   AS wt0,
+               sum(CASE WHEN treat = 0
+                        THEN CAST(v AS HUGEINT) * w_micro END) AS s0,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(treat) AS BIGINT) AS n_treat
+        FROM wtd
+    )
+    SELECT n, n_treat,
+           round(CAST(s1 AS DOUBLE) / CAST(wt1 AS DOUBLE) / 100.0, 4)
+               AS mean_treated_ipw,
+           round(CAST(s0 AS DOUBLE) / CAST(wt0 AS DOUBLE) / 100.0, 4)
+               AS mean_control_ipw,
+           round(round(CAST(s1 AS DOUBLE) / CAST(wt1 AS DOUBLE)
+                       / 100.0, 4)
+                 - round(CAST(s0 AS DOUBLE) / CAST(wt0 AS DOUBLE)
+                         / 100.0, 4), 4) AS ate_ipw
+    FROM agg
+""")
+def stats_ipw_ate(spark, sf_dir):
+    """Inverse-propensity-weighted average treatment effect (Horvitz-
+    Thompson / Hajek estimator): BUILDING-segment membership as
+    'treatment', nation as the confounding stratum — each order is
+    weighted by 1/p(treat|stratum) (treated) or 1/(1-p) (control), so
+    strata where treatment is rare count each treated order more and
+    the reweighted arms share one covariate distribution. Completes
+    the causal set next to `stats_diff_in_diff` (time confounding),
+    `stats_cuped` (variance reduction) and `stats_permutation_test`
+    (exact inference).
+
+    Exactness: propensities are exact stratum counts, so the weight
+    is integer-DIV micro-units (n_s*1e6 DIV n_t — no float
+    propensity model anywhere); weighted sums accumulate value-cents
+    x micro-weights in HUGEINT/DECIMAL(38,0); the two Hajek means are
+    single double divisions, snapped to 4 dp BEFORE the subtraction
+    (SURVEY §4.3 — differencing near-equal means is the cancellation
+    shape). Strata with an empty arm drop out (positivity violation
+    — the standard exclusion, made explicit). One stratum-count
+    aggregate + one weighted aggregate over the joined fact: two
+    corpus passes, no per-stratum work on the driver."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment")
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .select(F.col("c_nationkey").alias("stratum"),
+                 F.when(F.col("c_mktsegment") == "BUILDING", 1)
+                 .otherwise(0).alias("treat"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("v")))
+    prop = (j.groupBy("stratum")
+            .agg(F.count("*").alias("n_s"), F.sum("treat").alias("n_t")))
+    wtd = (j.join(F.broadcast(prop), "stratum")
+           .filter((F.col("n_t") > 0) & (F.col("n_s") - F.col("n_t") > 0))
+           .withColumn("w_micro", F.expr(
+               "CASE WHEN treat = 1 THEN (n_s * 1000000) DIV n_t "
+               "ELSE (n_s * 1000000) DIV (n_s - n_t) END")))
+    d38 = "decimal(38,0)"
+    agg = wtd.agg(
+        F.sum(F.when(F.col("treat") == 1, F.col("w_micro"))).cast("bigint")
+        .alias("wt1"),
+        F.sum(F.when(F.col("treat") == 1,
+                     F.col("v").cast(d38) * F.col("w_micro")))
+        .alias("s1"),
+        F.sum(F.when(F.col("treat") == 0, F.col("w_micro"))).cast("bigint")
+        .alias("wt0"),
+        F.sum(F.when(F.col("treat") == 0,
+                     F.col("v").cast(d38) * F.col("w_micro")))
+        .alias("s0"),
+        F.count("*").alias("n"), F.sum("treat").alias("n_treat"))
+    m1 = F.round(F.col("s1").cast("double") / F.col("wt1").cast("double")
+                 / 100.0, 4)
+    m0 = F.round(F.col("s0").cast("double") / F.col("wt0").cast("double")
+                 / 100.0, 4)
+    return agg.select(
+        "n", "n_treat", m1.alias("mean_treated_ipw"),
+        m0.alias("mean_control_ipw"),
+        F.round(m1 - m0, 4).alias("ate_ipw"))

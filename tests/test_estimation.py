@@ -484,3 +484,31 @@ def test_dp_median_mechanism_contract(spark, sf_dir):
         if 2 * run >= n:
             assert rows[0].true_median == int(qty)
             break
+
+
+def test_ipw_ate_matches_pandas_recompute(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import stats_ipw_ate
+    r = stats_ipw_ate(spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey",
+                                 "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["treat"] = (j["c_mktsegment"] == "BUILDING").astype(int)
+    j["v"] = (j["o_totalprice"] * 100).round().astype("int64")
+    g = j.groupby("c_nationkey").agg(n_s=("treat", "size"),
+                                     n_t=("treat", "sum"))
+    j = j.join(g, on="c_nationkey")
+    j = j[(j["n_t"] > 0) & (j["n_s"] - j["n_t"] > 0)]
+    w = j.apply(lambda row: (row.n_s * 10**6) // row.n_t if row.treat
+                else (row.n_s * 10**6) // (row.n_s - row.n_t), axis=1)
+    t = j["treat"] == 1
+    m1 = round(float((j.loc[t, "v"] * w[t]).sum()) / float(w[t].sum())
+               / 100.0, 4)
+    m0 = round(float((j.loc[~t, "v"] * w[~t]).sum()) / float(w[~t].sum())
+               / 100.0, 4)
+    assert (r.n, r.n_treat) == (len(j), int(j["treat"].sum()))
+    assert r.mean_treated_ipw == m1
+    assert r.mean_control_ipw == m0
+    assert r.ate_ipw == round(m1 - m0, 4)
