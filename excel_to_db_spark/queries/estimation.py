@@ -1751,3 +1751,115 @@ def stats_ipw_ate(spark, sf_dir):
         "n", "n_treat", m1.alias("mean_treated_ipw"),
         m0.alias("mean_control_ipw"),
         F.round(m1 - m0, 4).alias("ate_ipw"))
+
+
+# ------------------------------------- doubly-robust (AIPW) estimator
+
+@query("stats_aipw_ate", oracle="""
+    WITH j AS (
+        SELECT c_nationkey AS stratum,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS treat,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    mods AS (
+        SELECT stratum, CAST(count(*) AS BIGINT) AS n_s,
+               CAST(sum(treat) AS BIGINT) AS n_t,
+               CAST(sum(CASE WHEN treat = 1 THEN v ELSE 0 END) AS BIGINT)
+                   AS s_t,
+               CAST(sum(CASE WHEN treat = 0 THEN v ELSE 0 END) AS BIGINT)
+                   AS s_c
+        FROM j GROUP BY stratum
+    ),
+    scored AS (
+        SELECT j.treat, j.v,
+               s_t // n_t AS m1,
+               s_c // (n_s - n_t) AS m0,
+               (n_s * 1000000) // n_t AS w1,
+               (n_s * 1000000) // (n_s - n_t) AS w0
+        FROM j JOIN mods USING (stratum)
+        WHERE n_t > 0 AND n_s - n_t > 0
+    ),
+    terms AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(m1 - m0) AS BIGINT) AS reg_sum,
+               sum(CASE WHEN treat = 1
+                        THEN CAST(v - m1 AS HUGEINT) * w1 ELSE 0 END)
+                   AS aug1,
+               sum(CASE WHEN treat = 0
+                        THEN CAST(v - m0 AS HUGEINT) * w0 ELSE 0 END)
+                   AS aug0
+        FROM scored
+    )
+    SELECT n,
+           round(CAST(reg_sum AS DOUBLE) / n / 100.0, 4) AS ate_outcome,
+           round((CAST(reg_sum AS DOUBLE)
+                  + CAST(aug1 AS DOUBLE) / 1000000.0
+                  - CAST(aug0 AS DOUBLE) / 1000000.0) / n / 100.0, 4)
+               AS ate_aipw
+    FROM terms
+""")
+def stats_aipw_ate(spark, sf_dir):
+    """Doubly-robust (AIPW / augmented-IPW) treatment effect — the
+    estimator that stays consistent if EITHER the outcome model or the
+    propensity model is right: ATE = mean over all units of
+    [m1(s) - m0(s)] + 1/n * sum of the inverse-propensity-weighted
+    residual corrections treat*(v - m1)/p - (1-treat)*(v - m0)/(1-p).
+    Outcome model = per-stratum arm means, propensity = per-stratum
+    treatment share (both saturated in the nation stratum, the same
+    design as `stats_ipw_ate` — the two keys bracket the estimator
+    family: pure weighting vs weighting + regression).
+
+    Exactness: arm means and inverse propensities are integer-DIV
+    (cents / micro-units) from exact counts; the residual corrections
+    accumulate cents x micro-weights in HUGEINT/DECIMAL(38,0); the
+    final assembly is one double expression with identical operation
+    order, rounded once. The documented approximation: m and w are
+    floor-quotients (bias < 1 cent / 1 micro-weight per term, far
+    under the 4-dp rounding). Distributed shape: ONE stratum-moment
+    aggregate (n, n_t, both arm sums in the same pass) broadcast back
+    onto the fact scan, then one global aggregate — two corpus reads,
+    everything map-side combinable."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment")
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .select(F.col("c_nationkey").alias("stratum"),
+                 F.when(F.col("c_mktsegment") == "BUILDING", 1)
+                 .otherwise(0).alias("treat"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("v")))
+    mods = (j.groupBy("stratum")
+            .agg(F.count("*").alias("n_s"), F.sum("treat").alias("n_t"),
+                 F.sum(F.when(F.col("treat") == 1, F.col("v"))
+                       .otherwise(0)).alias("s_t"),
+                 F.sum(F.when(F.col("treat") == 0, F.col("v"))
+                       .otherwise(0)).alias("s_c")))
+    scored = (j.join(F.broadcast(mods), "stratum")
+              .filter((F.col("n_t") > 0)
+                      & (F.col("n_s") - F.col("n_t") > 0))
+              .select("treat", "v",
+                      F.expr("s_t DIV n_t").alias("m1"),
+                      F.expr("s_c DIV (n_s - n_t)").alias("m0"),
+                      F.expr("(n_s * 1000000) DIV n_t").alias("w1"),
+                      F.expr("(n_s * 1000000) DIV (n_s - n_t)")
+                      .alias("w0")))
+    d38 = "decimal(38,0)"
+    terms = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("m1") - F.col("m0")).alias("reg_sum"),
+        F.sum(F.when(F.col("treat") == 1,
+                     (F.col("v") - F.col("m1")).cast(d38) * F.col("w1"))
+              .otherwise(0)).alias("aug1"),
+        F.sum(F.when(F.col("treat") == 0,
+                     (F.col("v") - F.col("m0")).cast(d38) * F.col("w0"))
+              .otherwise(0)).alias("aug0"))
+    return terms.select(
+        "n",
+        F.round(F.col("reg_sum").cast("double") / F.col("n") / 100.0, 4)
+        .alias("ate_outcome"),
+        F.round((F.col("reg_sum").cast("double")
+                 + F.col("aug1").cast("double") / 1000000.0
+                 - F.col("aug0").cast("double") / 1000000.0)
+                / F.col("n") / 100.0, 4).alias("ate_aipw"))

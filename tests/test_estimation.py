@@ -512,3 +512,36 @@ def test_ipw_ate_matches_pandas_recompute(spark, sf_dir):
     assert r.mean_treated_ipw == m1
     assert r.mean_control_ipw == m0
     assert r.ate_ipw == round(m1 - m0, 4)
+
+
+def test_aipw_matches_pandas_recompute(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import stats_aipw_ate
+    r = stats_aipw_ate(spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey",
+                                 "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["treat"] = (j["c_mktsegment"] == "BUILDING").astype(int)
+    j["v"] = (j["o_totalprice"] * 100).round().astype("int64")
+    reg_sum = aug1 = aug0 = n = 0
+    for _, g in j.groupby("c_nationkey"):
+        n_s, n_t = len(g), int(g["treat"].sum())
+        if n_t == 0 or n_s - n_t == 0:
+            continue
+        m1 = int(g.loc[g.treat == 1, "v"].sum()) // n_t
+        m0 = int(g.loc[g.treat == 0, "v"].sum()) // (n_s - n_t)
+        w1 = (n_s * 10**6) // n_t
+        w0 = (n_s * 10**6) // (n_s - n_t)
+        n += n_s
+        reg_sum += (m1 - m0) * n_s
+        aug1 += int(((g.loc[g.treat == 1, "v"] - m1) * w1).sum())
+        aug0 += int(((g.loc[g.treat == 0, "v"] - m0) * w0).sum())
+    assert r.n == n
+    assert r.ate_outcome == round(reg_sum / n / 100.0, 4)
+    assert r.ate_aipw == round(
+        (reg_sum + aug1 / 1e6 - aug0 / 1e6) / n / 100.0, 4)
+    # Both estimators agree on sign and rough magnitude (same design).
+    assert abs(r.ate_aipw - r.ate_outcome) < max(
+        1.0, abs(r.ate_outcome))
