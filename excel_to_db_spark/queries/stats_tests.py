@@ -364,10 +364,14 @@ def stats_cuped(spark, sf_dir):
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     SELECT flag, day,
+           -- + 0.0 folds IEEE negative zero to +0.0: a tiny negative r
+           -- rounds to -0.0 on DuckDB but 0.0 on Spark (observed at
+           -- sf0.001), and the value hash is sign-sensitive.
            round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                  / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                     * sqrt(CAST(n AS DOUBLE) * syy
-                           - CAST(sy AS DOUBLE) * sy)), 5) AS r_qty_rev
+                           - CAST(sy AS DOUBLE) * sy)), 5) + 0.0
+               AS r_qty_rev
     FROM framed
     WHERE n = 7
       AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
@@ -409,8 +413,9 @@ def window_rolling_corr(spark, sf_dir):
     cov = d("n") * F.col("sxy") - d("sx") * F.col("sy")
     return (framed.filter((F.col("n") == 7) & (vx > 0) & (vy > 0))
             .select("flag", "day",
-                    F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 5)
-                     .alias("r_qty_rev")))
+                    # + 0.0: fold -0.0 to +0.0 (see oracle note)
+                    (F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 5) + 0.0)
+                    .alias("r_qty_rev")))
 
 
 # --------------------------------------------------- correlation matrix
