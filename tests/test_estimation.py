@@ -545,3 +545,28 @@ def test_aipw_matches_pandas_recompute(spark, sf_dir):
     # Both estimators agree on sign and rough magnitude (same design).
     assert abs(r.ate_aipw - r.ate_outcome) < max(
         1.0, abs(r.ate_outcome))
+
+
+def test_mann_kendall_matches_recompute(spark, sf_dir):
+    import math
+    from excel_to_db_spark.queries.stats_tests import stats_mann_kendall
+    r = stats_mann_kendall(spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate"])
+    daily = o.groupby("o_orderdate").size().sort_index().values
+    n = len(daily)
+    s = 0
+    for i in range(n):
+        for jj in range(i + 1, n):
+            s += int(daily[jj] > daily[i]) - int(daily[jj] < daily[i])
+    tie_term = 0
+    vals, cnts = pd.Series(daily).value_counts().index, \
+        pd.Series(daily).value_counts().values
+    for t in cnts:
+        if t > 1:
+            tie_term += int(t) * (t - 1) * (2 * t + 5)
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    z = round((s - (1 if s > 0 else -1 if s < 0 else 0))
+              / math.sqrt(var), 5)
+    assert (r.n, r.s_stat) == (n, s)
+    assert r.z_stat == z
