@@ -1863,3 +1863,94 @@ def stats_aipw_ate(spark, sf_dir):
                  + F.col("aug1").cast("double") / 1000000.0
                  - F.col("aug0").cast("double") / 1000000.0)
                 / F.col("n") / 100.0, 4).alias("ate_aipw"))
+
+
+# ------------------------------------- delta-method ratio-metric SE
+
+@query("stats_delta_method_ratio", oracle="""
+    WITH j AS (
+        SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'treat'
+                    ELSE 'control' END AS arm,
+               o_custkey AS unit,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    u AS (
+        SELECT arm, unit, CAST(count(*) AS BIGINT) AS y,
+               CAST(sum(x) AS BIGINT) AS x
+        FROM j GROUP BY arm, unit
+    ),
+    m AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM u GROUP BY arm
+    )
+    SELECT arm, n, sy AS n_orders,
+           round(CAST(sx AS DOUBLE) / sy / 100.0, 4) AS ratio,
+           round(sqrt(greatest(
+                 ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                  - 2.0 * (CAST(sx AS DOUBLE) / sy)
+                        * (CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * sy / n)
+                  + (CAST(sx AS DOUBLE) / sy)
+                    * (CAST(sx AS DOUBLE) / sy)
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n))
+                 / (n - 1.0), 0.0))
+                 / (CAST(sy AS DOUBLE) / n) / sqrt(CAST(n AS DOUBLE))
+                 / 100.0, 6) AS se_ratio
+    FROM m
+""")
+def stats_delta_method_ratio(spark, sf_dir):
+    """Delta-method standard error for a RATIO metric (revenue per
+    order) with customer-level randomization units — the estimator
+    every experimentation platform needs because ratio metrics violate
+    the i.i.d.-rows assumption: orders cluster within customers, so
+    var(sum x / sum y) must come from the per-UNIT joint moments
+    (Deng et al. 2017, 'ratio metrics in randomized experiments'):
+    var(r) ~ [var(x) - 2 r cov(x,y) + r^2 var(y)] / (n ybar^2).
+
+    The fact collapses to per-(arm, unit) exact integer pairs (cents,
+    order count) in one aggregate; the five cross-moments accumulate
+    in HUGEINT/DECIMAL(38,0); ratio and SE are single double
+    expressions with identical operation order on both engines,
+    snapped once (a greatest(.,0) guards the variance against
+    last-ulp negativity in degenerate arms). Compare
+    `stats_power_mde`/`stats_srm_check` (binary/count metrics) — this
+    key closes the ratio-metric gap in the experimentation set. Two
+    map-side-combinable aggregates; nothing unit-level leaves the
+    executors."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .select(F.when(F.col("c_mktsegment") == "BUILDING", "treat")
+                 .otherwise("control").alias("arm"),
+                 F.col("o_custkey").alias("unit"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("x")))
+    u = (j.groupBy("arm", "unit")
+         .agg(F.count("*").alias("y"), F.sum("x").alias("x")))
+    d38 = "decimal(38,0)"
+    m = (u.groupBy("arm")
+         .agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+              F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+              F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy")))
+    dx = F.col("sx").cast("double")
+    dy = F.col("sy").cast("double")
+    dn = F.col("n").cast("double")
+    r = dx / dy
+    varnum = ((F.col("sxx").cast("double") - dx * F.col("sx") / F.col("n"))
+              - 2.0 * r * (F.col("sxy").cast("double")
+                           - dx * F.col("sy") / F.col("n"))
+              + r * r * (F.col("syy").cast("double")
+                         - dy * F.col("sy") / F.col("n")))
+    se = (F.sqrt(F.greatest(varnum / (F.col("n") - 1.0), F.lit(0.0)))
+          / (dy / F.col("n")) / F.sqrt(dn) / 100.0)
+    return m.select("arm", "n", F.col("sy").alias("n_orders"),
+                    F.round(r / 100.0, 4).alias("ratio"),
+                    F.round(se, 6).alias("se_ratio"))

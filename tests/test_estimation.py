@@ -570,3 +570,36 @@ def test_mann_kendall_matches_recompute(spark, sf_dir):
               / math.sqrt(var), 5)
     assert (r.n, r.s_stat) == (n, s)
     assert r.z_stat == z
+
+
+def test_delta_method_ratio_recompute(spark, sf_dir):
+    import math
+    from excel_to_db_spark.queries.estimation import (
+        stats_delta_method_ratio)
+    rows = {r.arm: r for r in
+            stats_delta_method_ratio(spark, sf_dir).collect()}
+    assert set(rows) == {"treat", "control"}
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["arm"] = (j["c_mktsegment"] == "BUILDING").map(
+        {True: "treat", False: "control"})
+    j["cents"] = (j["o_totalprice"] * 100).round().astype("int64")
+    for arm, g in j.groupby("arm"):
+        u = g.groupby("o_custkey").agg(x=("cents", "sum"),
+                                       y=("cents", "size"))
+        n = len(u)
+        sx, sy = int(u.x.sum()), int(u.y.sum())
+        rr = sx / sy
+        varnum = (float((u.x ** 2).sum()) - sx * sx / n
+                  - 2.0 * rr * (float((u.x * u.y).sum()) - sx * sy / n)
+                  + rr * rr * (float((u.y ** 2).sum()) - sy * sy / n))
+        se = (math.sqrt(max(varnum / (n - 1.0), 0.0))
+              / (sy / n) / math.sqrt(n) / 100.0)
+        got = rows[arm]
+        assert (got.n, got.n_orders) == (n, sy)
+        assert got.ratio == round(rr / 100.0, 4)
+        assert abs(got.se_ratio - round(se, 6)) <= 1e-6
+        assert got.se_ratio > 0
