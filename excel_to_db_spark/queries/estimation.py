@@ -1954,3 +1954,96 @@ def stats_delta_method_ratio(spark, sf_dir):
     return m.select("arm", "n", F.col("sy").alias("n_orders"),
                     F.round(r / 100.0, 4).alias("ratio"),
                     F.round(se, 6).alias("se_ratio"))
+
+
+# ------------------------------------------ seasonality period scan
+
+_SEASON_PERIODS = (5, 6, 7, 8, 9)
+
+
+@query("ts_seasonality_strength", oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS di
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS ss
+        FROM daily
+    ),
+    folds AS (
+        SELECT p.p, d.di % p.p AS phase,
+               CAST(count(*) AS BIGINT) AS n_ph,
+               CAST(sum(d.c) AS BIGINT) AS s_ph
+        FROM daily d CROSS JOIN (SELECT unnest({list(_SEASON_PERIODS)})
+                                 AS p) p
+        GROUP BY 1, 2
+    ),
+    between_ AS (
+        SELECT p, CAST(sum(CAST(CAST(s_ph AS HUGEINT) * s_ph // n_ph
+                                AS BIGINT)) AS BIGINT) AS b_int
+        FROM folds GROUP BY p
+    )
+    SELECT CAST(p AS INTEGER) AS period,
+           round((b_int - CAST(CAST(s AS HUGEINT) * s // n AS BIGINT))
+                 * 1.0
+                 / (ss - CAST(CAST(s AS HUGEINT) * s // n AS BIGINT)),
+                 6) AS strength,
+           CAST(row_number() OVER (
+               ORDER BY round((b_int - CAST(CAST(s AS HUGEINT) * s // n
+                                            AS BIGINT)) * 1.0
+                              / (ss - CAST(CAST(s AS HUGEINT) * s // n
+                                           AS BIGINT)), 6) DESC, p)
+                AS BIGINT) = 1 AS is_dominant
+    FROM between_, tot
+""")
+def ts_seasonality_strength(spark, sf_dir):
+    """Seasonality-period detection by folded variance ratio: for each
+    candidate period p in {{5..9}}, fold the daily order-count series
+    by day-index mod p and measure the fraction of total variance the
+    p phase means explain (the one-way-ANOVA R^2 of the fold model) —
+    the dominant period maximizes it. This is the integer-exact
+    alternative to a periodogram: cos/sin differ in the last ulp
+    between Java and C libm (cross-engine hash poison), while the
+    fold needs only the anova-style integer moments (per-phase
+    (sum^2 DIV n) in HUGEINT/DECIMAL(38,0), grand term folded out —
+    the exact machinery of stats_anova_f applied per candidate
+    period).
+
+    One daily aggregate, one (period, phase) aggregate over
+    days x 5 candidates (calendar-bounded, not corpus-bounded), one
+    <= 45-row rollup. The strength ratio is a single snapped double;
+    the argmax is an integer-tie-broken window over 5 rows."""
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"))
+    daily = (o.groupBy("day").agg(F.count("*").alias("c"))
+             .withColumn("di", F.datediff(
+                 F.col("day"), F.lit("1992-01-01").cast("date"))))
+    d38 = "decimal(38,0)"
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("c").alias("s"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).cast("bigint")
+        .alias("ss"))
+    periods = F.array(*[F.lit(p) for p in _SEASON_PERIODS])
+    folds = (daily.withColumn("p", F.explode(periods))
+             .groupBy("p", (F.col("di") % F.col("p")).alias("phase"))
+             .agg(F.count("*").alias("n_ph"), F.sum("c").alias("s_ph")))
+    between = (folds.select(
+        "p", F.expr(f"CAST((CAST(s_ph AS {d38}) * s_ph) DIV n_ph "
+                    "AS BIGINT)").alias("t"))
+        .groupBy("p").agg(F.sum("t").alias("b_int")))
+    g = between.crossJoin(F.broadcast(tot)).withColumn(
+        "grand", F.expr(f"CAST((CAST(s AS {d38}) * s) DIV n AS BIGINT)"))
+    strength = F.round(
+        (F.col("b_int") - F.col("grand")) * 1.0
+        / (F.col("ss") - F.col("grand")), 6)
+    w = Window.orderBy(F.col("strength").desc(), "p")
+    return (g.withColumn("strength", strength)
+            .select(F.col("p").cast("int").alias("period"), "strength",
+                    (F.row_number().over(w).cast("bigint") == 1)
+                    .alias("is_dominant")))

@@ -603,3 +603,33 @@ def test_delta_method_ratio_recompute(spark, sf_dir):
         assert got.ratio == round(rr / 100.0, 4)
         assert abs(got.se_ratio - round(se, 6)) <= 1e-6
         assert got.se_ratio > 0
+
+
+def test_seasonality_fold_recompute(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import (
+        ts_seasonality_strength)
+    rows = sorted(ts_seasonality_strength(spark, sf_dir).collect(),
+                  key=lambda r: r.period)
+    assert [r.period for r in rows] == [5, 6, 7, 8, 9]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate"])
+    daily = o.groupby("o_orderdate").size()
+    di = (pd.to_datetime(daily.index)
+          - pd.Timestamp("1992-01-01")).days.astype(int)
+    c = daily.values.astype(int)
+    n, s, ss = len(c), int(c.sum()), int((c.astype(object) ** 2).sum())
+    grand = s * s // n
+    want = {}
+    for p in (5, 6, 7, 8, 9):
+        b = 0
+        for ph in range(p):
+            m = c[di % p == ph]
+            if len(m):
+                sp = int(m.sum())
+                b += sp * sp // len(m)
+        want[p] = round((b - grand) / (ss - grand), 6)
+    for r in rows:
+        assert r.strength == want[r.period]
+        assert -1.0 <= r.strength <= 1.0
+    dominant = [r.period for r in rows if r.is_dominant]
+    assert dominant == [max(want, key=lambda p: (want[p], -p))]
