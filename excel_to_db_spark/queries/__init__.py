@@ -140,7 +140,7 @@ _PRIORITY: tuple[str, ...] = (
 # plus the round-5 batch-17 keys: attribution_markov_removal
 # plus the round-5 batch-18 keys: stats_ipw_ate stats_aipw_ate
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
-#   ts_seasonality_strength
+#   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
 #   similarity_ndcg_eval stats_conformal_coverage privacy_dp_histogram
 #   shard_rendezvous_stability similarity_filtered_search

@@ -2047,3 +2047,118 @@ def ts_seasonality_strength(spark, sf_dir):
             .select(F.col("p").cast("int").alias("period"), "strength",
                     (F.row_number().over(w).cast("bigint") == 1)
                     .alias("is_dominant")))
+
+
+# ----------------------------------- small-cell complementary suppression
+
+_SUPP_K = 3
+_SUPP_ROUNDS = 3
+
+_SUPP_ROUND_SQL = """
+    s{r} AS MATERIALIZED (
+        SELECT nat, seg, n,
+               CASE WHEN sup = 1 THEN 1
+                    WHEN rpick = 1 OR cpick = 1 THEN 1 ELSE 0 END AS sup,
+               CASE WHEN sup = 0 AND (rpick = 1 OR cpick = 1)
+                    THEN {r} ELSE rsup END AS rsup
+        FROM (
+            SELECT nat, seg, n, sup, rsup,
+                   CASE WHEN sum(sup) OVER (PARTITION BY nat) = 1
+                         AND sup = 0
+                         AND row_number() OVER (
+                             PARTITION BY nat, sup ORDER BY n, seg) = 1
+                        THEN 1 ELSE 0 END AS rpick,
+                   CASE WHEN sum(sup) OVER (PARTITION BY seg) = 1
+                         AND sup = 0
+                         AND row_number() OVER (
+                             PARTITION BY seg, sup ORDER BY n, nat) = 1
+                        THEN 1 ELSE 0 END AS cpick
+            FROM s{p}
+        )
+    ),
+"""
+
+_SUPP_ORACLE = ("""
+    WITH cells AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    s0 AS MATERIALIZED (
+        SELECT nat, seg, n,
+               CASE WHEN n < """ + str(_SUPP_K) + """ THEN 1 ELSE 0 END
+                   AS sup,
+               CASE WHEN n < """ + str(_SUPP_K) + """ THEN 0
+                    ELSE CAST(NULL AS INTEGER) END AS rsup
+        FROM cells
+    ),"""
+    + "".join(_SUPP_ROUND_SQL.format(r=r, p=r - 1)
+              for r in range(1, _SUPP_ROUNDS + 1)).rstrip().rstrip(",")
+    + f"""
+    SELECT nat AS c_nationkey, seg AS c_mktsegment, n AS n_customers,
+           sup = 1 AS suppressed, CAST(rsup AS INTEGER) AS round_suppressed
+    FROM s{_SUPP_ROUNDS}
+""")
+
+
+@query("privacy_cell_suppression", oracle=_SUPP_ORACLE)
+def privacy_cell_suppression(spark, sf_dir):
+    """Small-cell suppression with complementary protection — the
+    statistical-disclosure-control step census bureaus apply before
+    releasing a frequency table: cells under k=3 are primary-suppressed,
+    and then any row or column left with EXACTLY ONE suppressed cell
+    gets its smallest unsuppressed cell suppressed too (otherwise the
+    hidden value is recoverable from the published margin — primary
+    suppression alone is a known disclosure hole). Three synchronous
+    rounds reach the fixpoint on this 25x5 table; marks from the row
+    rule and the column rule apply simultaneously with deterministic
+    (count, name) tie-breaks, so both engines trace the same path.
+
+    All decisions are integer count comparisons — no float anywhere.
+    Distributed shape: ONE count aggregate over the fact table; every
+    suppression round is window work over the released table itself
+    (#cells rows, bounded by the release schema, not the corpus),
+    cut per round with the usual lazy localCheckpoint. Completes the
+    disclosure-control set: k-anonymity (identity), l-diversity
+    (attribute), t-closeness (distribution), DP (noise) — and now
+    safe TABULAR release."""
+    from pyspark.sql import Window
+
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"))
+    s = (c.groupBy("nat", "seg").agg(F.count("*").alias("n"))
+         .withColumn("sup", F.when(F.col("n") < _SUPP_K, 1).otherwise(0))
+         .withColumn("rsup", F.when(F.col("n") < _SUPP_K, 0)
+                     .otherwise(F.lit(None).cast("int")))
+         .localCheckpoint(eager=False))
+    for r in range(1, _SUPP_ROUNDS + 1):
+        wr = Window.partitionBy("nat")
+        wc = Window.partitionBy("seg")
+        wrn = Window.partitionBy("nat", "sup").orderBy("n", "seg")
+        wcn = Window.partitionBy("seg", "sup").orderBy("n", "nat")
+        picked = (s
+                  .withColumn("rpick",
+                              ((F.sum("sup").over(wr) == 1)
+                               & (F.col("sup") == 0)
+                               & (F.row_number().over(wrn) == 1))
+                              .cast("int"))
+                  .withColumn("cpick",
+                              ((F.sum("sup").over(wc) == 1)
+                               & (F.col("sup") == 0)
+                               & (F.row_number().over(wcn) == 1))
+                              .cast("int")))
+        s = (picked.select(
+            "nat", "seg", "n",
+            F.when(F.col("sup") == 1, 1)
+            .when((F.col("rpick") == 1) | (F.col("cpick") == 1), 1)
+            .otherwise(0).alias("sup"),
+            F.when((F.col("sup") == 0)
+                   & ((F.col("rpick") == 1) | (F.col("cpick") == 1)),
+                   F.lit(r)).otherwise(F.col("rsup")).alias("rsup"))
+            .localCheckpoint(eager=False))
+    return s.select(F.col("nat").alias("c_nationkey"),
+                    F.col("seg").alias("c_mktsegment"),
+                    F.col("n").alias("n_customers"),
+                    (F.col("sup") == 1).alias("suppressed"),
+                    F.col("rsup").cast("int").alias("round_suppressed"))

@@ -633,3 +633,80 @@ def test_seasonality_fold_recompute(spark, sf_dir):
         assert -1.0 <= r.strength <= 1.0
     dominant = [r.period for r in rows if r.is_dominant]
     assert dominant == [max(want, key=lambda p: (want[p], -p))]
+
+
+def _suppress_replay(cells, k=3, rounds=3):
+    """Python mirror of privacy_cell_suppression's synchronous rounds."""
+    state = {key: [n, n < k, 0 if n < k else None]
+             for key, n in cells.items()}
+    for r in range(1, rounds + 1):
+        marks = set()
+        for axis in (0, 1):
+            groups = {}
+            for key in state:
+                groups.setdefault(key[axis], []).append(key)
+            for _, keys in groups.items():
+                supped = [key for key in keys if state[key][1]]
+                if len(supped) != 1:
+                    continue
+                free = [key for key in keys if not state[key][1]]
+                if not free:
+                    continue
+                free.sort(key=lambda key: (state[key][0], key[1 - axis]))
+                marks.add(free[0])
+        for key in marks:
+            state[key][1] = True
+            state[key][2] = r
+    return state
+
+
+def test_cell_suppression_replay_real_data(spark, sf_dir):
+    from excel_to_db_spark.queries.estimation import (
+        privacy_cell_suppression)
+    got = {(r.c_nationkey, r.c_mktsegment): r for r in
+           privacy_cell_suppression(spark, sf_dir).collect()}
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_nationkey", "c_mktsegment"])
+    cells = {(int(n), s): int(v) for (n, s), v in
+             c.groupby(["c_nationkey", "c_mktsegment"]).size().items()}
+    want = _suppress_replay(cells)
+    assert set(got) == set(cells)
+    n_sup = 0
+    for key, (n, sup, rsup) in want.items():
+        r = got[key]
+        assert r.n_customers == n
+        assert r.suppressed == sup
+        assert r.round_suppressed == rsup
+        n_sup += bool(sup)
+    # The fixture actually exercises the operator at this SF.
+    assert n_sup > 0
+
+
+def test_cell_suppression_complementary_fires(spark, tmp_path):
+    from excel_to_db_spark.queries.estimation import (
+        privacy_cell_suppression)
+    rows = []
+    grid = {(0, "A"): 1, (0, "B"): 4, (0, "C"): 6,
+            (1, "A"): 5, (1, "B"): 7, (1, "C"): 8,
+            (2, "A"): 9, (2, "B"): 10, (2, "C"): 11}
+    cid = 0
+    for (nat, seg), n in grid.items():
+        for _ in range(n):
+            rows.append((cid, nat, seg))
+            cid += 1
+    df = spark.createDataFrame(
+        rows, "c_custkey bigint, c_nationkey int, c_mktsegment string")
+    df.write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet"))
+    got = {(r.c_nationkey, r.c_mktsegment): r for r in
+           privacy_cell_suppression(spark, str(tmp_path)).collect()}
+    # (0,'A') primary; row 0 and column A each then hold exactly one
+    # suppressed cell -> their smallest free cells go in round 1.
+    assert got[(0, "A")].suppressed and got[(0, "A")].round_suppressed == 0
+    assert got[(0, "B")].suppressed and got[(0, "B")].round_suppressed == 1
+    assert got[(1, "A")].suppressed and got[(1, "A")].round_suppressed == 1
+    # Everything matches the python mirror exactly.
+    want = _suppress_replay(grid)
+    for key, (n, sup, rsup) in want.items():
+        assert (got[key].suppressed, got[key].round_suppressed) \
+            == (sup, rsup)
