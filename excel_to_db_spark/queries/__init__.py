@@ -36,6 +36,7 @@ from . import similarity2  # noqa: E402,F401  Tier C: product-quantization ANN
 from . import curation3    # noqa: E402,F401  Tier C: Gopher rules/DSIR selection/neighbor Jaccard
 from . import estimation   # noqa: E402,F401  Tier C: KMV sketch/salted join/BH-FDR/t-closeness/k-core
 from . import evalml      # noqa: E402,F401  Tier C: kappa/ECE/capture-recapture/EB shrinkage
+from . import mlcls       # noqa: E402,F401  Tier C: naive Bayes/info-gain split/AP/McNemar
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -142,6 +143,8 @@ _PRIORITY: tuple[str, ...] = (
 # plus the round-5 batch-18 keys: stats_ipw_ate stats_aipw_ate
 # plus the round-5 batch-20 keys: eval_cohens_kappa eval_calibration_ece
 #   stats_capture_recapture stats_eb_shrinkage
+# plus the round-5 batch-21 keys: ml_naive_bayes ml_split_info_gain
+#   eval_avg_precision stats_mcnemar
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
