@@ -135,6 +135,9 @@ HEADLINE = [
     "ts_cusum_detection",      # CUSUM recursion as two stacked windows
     "sample_kcenter_seeds",    # maximin sweep, state-carrying rounds
     "attribution_markov_removal",  # absorbing-chain removal effects
+    "stats_eb_shrinkage",      # beta-binomial MoM league-table shrinkage
+    "ml_naive_bayes",          # count-model train + broadcast-score
+    "eval_avg_precision",      # distributed-rank PR-curve integral
 ]
 
 
