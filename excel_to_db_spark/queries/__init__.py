@@ -37,6 +37,7 @@ from . import curation3    # noqa: E402,F401  Tier C: Gopher rules/DSIR selectio
 from . import estimation   # noqa: E402,F401  Tier C: KMV sketch/salted join/BH-FDR/t-closeness/k-core
 from . import evalml      # noqa: E402,F401  Tier C: kappa/ECE/capture-recapture/EB shrinkage
 from . import mlcls       # noqa: E402,F401  Tier C: naive Bayes/info-gain split/AP/McNemar
+from . import stats_assoc  # noqa: E402,F401  Tier C: Cramér's V/moments/randomized response/Friedman
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -145,6 +146,8 @@ _PRIORITY: tuple[str, ...] = (
 #   stats_capture_recapture stats_eb_shrinkage
 # plus the round-5 batch-21 keys: ml_naive_bayes ml_split_info_gain
 #   eval_avg_precision stats_mcnemar
+# plus the round-5 batch-22 keys: stats_cramers_v agg_higher_moments
+#   privacy_randomized_response stats_friedman
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
