@@ -138,6 +138,8 @@ HEADLINE = [
     "stats_eb_shrinkage",      # beta-binomial MoM league-table shrinkage
     "ml_naive_bayes",          # count-model train + broadcast-score
     "eval_avg_precision",      # distributed-rank PR-curve integral
+    "eval_silhouette",         # broadcast-centroid O(n*k) cluster audit
+    "graph_hits",              # 2-round integer-normalized HITS
 ]
 
 

@@ -38,6 +38,7 @@ from . import estimation   # noqa: E402,F401  Tier C: KMV sketch/salted join/BH-
 from . import evalml      # noqa: E402,F401  Tier C: kappa/ECE/capture-recapture/EB shrinkage
 from . import mlcls       # noqa: E402,F401  Tier C: naive Bayes/info-gain split/AP/McNemar
 from . import stats_assoc  # noqa: E402,F401  Tier C: Cramér's V/moments/randomized response/Friedman
+from . import evalml2     # noqa: E402,F401  Tier C: silhouette/HITS/Cohen's d/Brier decomposition
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -148,6 +149,8 @@ _PRIORITY: tuple[str, ...] = (
 #   eval_avg_precision stats_mcnemar
 # plus the round-5 batch-22 keys: stats_cramers_v agg_higher_moments
 #   privacy_randomized_response stats_friedman
+# plus the round-5 batch-23 keys: eval_silhouette graph_hits
+#   stats_cohens_d eval_brier_decomposition
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
