@@ -140,6 +140,7 @@ HEADLINE = [
     "eval_avg_precision",      # distributed-rank PR-curve integral
     "eval_silhouette",         # broadcast-centroid O(n*k) cluster audit
     "graph_hits",              # 2-round integer-normalized HITS
+    "recsys_item_item",        # within-basket i2i covisitation top-k
 ]
 
 

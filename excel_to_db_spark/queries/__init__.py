@@ -39,6 +39,7 @@ from . import evalml      # noqa: E402,F401  Tier C: kappa/ECE/capture-recapture
 from . import mlcls       # noqa: E402,F401  Tier C: naive Bayes/info-gain split/AP/McNemar
 from . import stats_assoc  # noqa: E402,F401  Tier C: Cramér's V/moments/randomized response/Friedman
 from . import evalml2     # noqa: E402,F401  Tier C: silhouette/HITS/Cohen's d/Brier decomposition
+from . import recsys_ts   # noqa: E402,F401  Tier C: i2i covisitation/Krippendorff/PACF/compound index
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -151,6 +152,8 @@ _PRIORITY: tuple[str, ...] = (
 #   privacy_randomized_response stats_friedman
 # plus the round-5 batch-23 keys: eval_silhouette graph_hits
 #   stats_cohens_d eval_brier_decomposition
+# plus the round-5 batch-24 keys: recsys_item_item eval_krippendorff_alpha
+#   ts_pacf ts_compound_index
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
