@@ -141,6 +141,8 @@ HEADLINE = [
     "eval_silhouette",         # broadcast-centroid O(n*k) cluster audit
     "graph_hits",              # 2-round integer-normalized HITS
     "recsys_item_item",        # within-basket i2i covisitation top-k
+    "eval_pass_at_k",          # exact falling-factorial pass@k arms
+    "stats_bradley_terry",     # 3 MM rounds, micro-int strengths
 ]
 
 

@@ -40,6 +40,7 @@ from . import mlcls       # noqa: E402,F401  Tier C: naive Bayes/info-gain split
 from . import stats_assoc  # noqa: E402,F401  Tier C: Cramér's V/moments/randomized response/Friedman
 from . import evalml2     # noqa: E402,F401  Tier C: silhouette/HITS/Cohen's d/Brier decomposition
 from . import recsys_ts   # noqa: E402,F401  Tier C: i2i covisitation/Krippendorff/PACF/compound index
+from . import evalops     # noqa: E402,F401  Tier C: pass@k/overdispersion/SLO burn/Bradley-Terry
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -154,6 +155,8 @@ _PRIORITY: tuple[str, ...] = (
 #   stats_cohens_d eval_brier_decomposition
 # plus the round-5 batch-24 keys: recsys_item_item eval_krippendorff_alpha
 #   ts_pacf ts_compound_index
+# plus the round-5 batch-25 keys: eval_pass_at_k stats_overdispersion
+#   ops_slo_burn stats_bradley_terry
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
