@@ -143,6 +143,8 @@ HEADLINE = [
     "recsys_item_item",        # within-basket i2i covisitation top-k
     "eval_pass_at_k",          # exact falling-factorial pass@k arms
     "stats_bradley_terry",     # 3 MM rounds, micro-int strengths
+    "ts_ohlc_candles",         # order-aware hourly OHLC downsample
+    "ml_cv_stump",             # one-scan 5-fold CV via hist subtraction
 ]
 
 

@@ -41,6 +41,7 @@ from . import stats_assoc  # noqa: E402,F401  Tier C: Cramér's V/moments/random
 from . import evalml2     # noqa: E402,F401  Tier C: silhouette/HITS/Cohen's d/Brier decomposition
 from . import recsys_ts   # noqa: E402,F401  Tier C: i2i covisitation/Krippendorff/PACF/compound index
 from . import evalops     # noqa: E402,F401  Tier C: pass@k/overdispersion/SLO burn/Bradley-Terry
+from . import warehouse6  # noqa: E402,F401  Tier C: OHLC/runs test/modularity/CV stump
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -157,6 +158,8 @@ _PRIORITY: tuple[str, ...] = (
 #   ts_pacf ts_compound_index
 # plus the round-5 batch-25 keys: eval_pass_at_k stats_overdispersion
 #   ops_slo_burn stats_bradley_terry
+# plus the round-5 batch-26 keys: ts_ohlc_candles stats_runs_test
+#   graph_modularity ml_cv_stump
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
