@@ -145,6 +145,8 @@ HEADLINE = [
     "stats_bradley_terry",     # 3 MM rounds, micro-int strengths
     "ts_ohlc_candles",         # order-aware hourly OHLC downsample
     "ml_cv_stump",             # one-scan 5-fold CV via hist subtraction
+    "stats_kruskal_wallis",    # histogram-midrank k-group rank test
+    "stream_ohlc_candles",     # min_by/max_by streaming candle state
 ]
 
 

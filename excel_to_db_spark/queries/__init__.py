@@ -42,6 +42,7 @@ from . import evalml2     # noqa: E402,F401  Tier C: silhouette/HITS/Cohen's d/B
 from . import recsys_ts   # noqa: E402,F401  Tier C: i2i covisitation/Krippendorff/PACF/compound index
 from . import evalops     # noqa: E402,F401  Tier C: pass@k/overdispersion/SLO burn/Bradley-Terry
 from . import warehouse6  # noqa: E402,F401  Tier C: OHLC/runs test/modularity/CV stump
+from . import stats_np    # noqa: E402,F401  Tier C: Kruskal-Wallis/CMH/Youden/stream OHLC
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -160,6 +161,8 @@ _PRIORITY: tuple[str, ...] = (
 #   ops_slo_burn stats_bradley_terry
 # plus the round-5 batch-26 keys: ts_ohlc_candles stats_runs_test
 #   graph_modularity ml_cv_stump
+# plus the round-5 batch-27 keys: stats_kruskal_wallis stats_cmh_test
+#   eval_youden_threshold stream_ohlc_candles
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census

@@ -856,3 +856,48 @@ def run_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
          )
     run_scoped(spark, q)
     return psi_from_counts(spark, spark.table(name))
+
+
+def ohlc_hourly_agg(df: DataFrame) -> DataFrame:
+    """Hourly OHLC candle aggregate, batch or streaming (one
+    definition): open/close via min_by/max_by over the deterministic
+    (ts, event_id) total order — declarative ORDER-AWARE aggregates
+    that the streaming engine can maintain incrementally per group (a
+    row_number window, the batch formulation in ts_ohlc_candles,
+    cannot run under streaming). Values are exact integer cents."""
+    h = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    return (df.select(h.alias("hour_epoch"), cents.alias("cents"),
+                      "ts", "event_id")
+            .groupBy("hour_epoch")
+            .agg(F.count("*").alias("n_trades"),
+                 F.min_by("cents", ord_).alias("open_cents"),
+                 F.max("cents").alias("high_cents"),
+                 F.min("cents").alias("low_cents"),
+                 F.max_by("cents", ord_).alias("close_cents")))
+
+
+def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candles maintained by the Structured Streaming engine over
+    a file-source replay of the events table: every micro-batch folds
+    its rows into the per-hour (open, high, low, close, n) state via
+    min_by/max_by — 5 scalars per hour, never the rows themselves.
+    For a finite replay the complete-mode emission equals the batch
+    candles, so the batch ts_ohlc_candles SQL oracle verifies the
+    streaming state value-for-value. Production shape: add a watermark
+    on the hour column so closed candles finalize and their state is
+    evicted (the events replay here is finite, so complete mode is the
+    verifiable choice)."""
+    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    stream = events_stream_reader(spark, sf_dir)
+    q = (ohlc_hourly_agg(stream)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         )
+    run_scoped(spark, q)
+    return (spark.table(name)
+            .select("hour_epoch", "n_trades", "open_cents",
+                    "high_cents", "low_cents", "close_cents")
+            .orderBy("hour_epoch"))
