@@ -147,6 +147,8 @@ HEADLINE = [
     "ml_cv_stump",             # one-scan 5-fold CV via hist subtraction
     "stats_kruskal_wallis",    # histogram-midrank k-group rank test
     "stream_ohlc_candles",     # min_by/max_by streaming candle state
+    "eval_isotonic_calibration",  # minimax PAV on the bin grid
+    "stats_log_rank",          # survival risk-set O-E accumulation
 ]
 
 

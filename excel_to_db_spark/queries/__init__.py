@@ -43,6 +43,7 @@ from . import recsys_ts   # noqa: E402,F401  Tier C: i2i covisitation/Krippendor
 from . import evalops     # noqa: E402,F401  Tier C: pass@k/overdispersion/SLO burn/Bradley-Terry
 from . import warehouse6  # noqa: E402,F401  Tier C: OHLC/runs test/modularity/CV stump
 from . import stats_np    # noqa: E402,F401  Tier C: Kruskal-Wallis/CMH/Youden/stream OHLC
+from . import evalsurv    # noqa: E402,F401  Tier C: isotonic PAV/log-rank/drawdown/confusion panel
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -163,6 +164,8 @@ _PRIORITY: tuple[str, ...] = (
 #   graph_modularity ml_cv_stump
 # plus the round-5 batch-27 keys: stats_kruskal_wallis stats_cmh_test
 #   eval_youden_threshold stream_ohlc_candles
+# plus the round-5 batch-28 keys: eval_isotonic_calibration stats_log_rank
+#   ts_max_drawdown eval_confusion_panel
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
