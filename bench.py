@@ -149,6 +149,8 @@ HEADLINE = [
     "stream_ohlc_candles",     # min_by/max_by streaming candle state
     "eval_isotonic_calibration",  # minimax PAV on the bin grid
     "stats_log_rank",          # survival risk-set O-E accumulation
+    "eval_rouge_n",            # clipped n-gram recall over doc pairs
+    "ops_littles_law",         # sweep-integral vs duration-sum identity
 ]
 
 

@@ -44,6 +44,7 @@ from . import evalops     # noqa: E402,F401  Tier C: pass@k/overdispersion/SLO b
 from . import warehouse6  # noqa: E402,F401  Tier C: OHLC/runs test/modularity/CV stump
 from . import stats_np    # noqa: E402,F401  Tier C: Kruskal-Wallis/CMH/Youden/stream OHLC
 from . import evalsurv    # noqa: E402,F401  Tier C: isotonic PAV/log-rank/drawdown/confusion panel
+from . import textops2    # noqa: E402,F401  Tier C: ROUGE-N/VaR-CVaR/Little's law/target encoding
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -166,6 +167,8 @@ _PRIORITY: tuple[str, ...] = (
 #   eval_youden_threshold stream_ohlc_candles
 # plus the round-5 batch-28 keys: eval_isotonic_calibration stats_log_rank
 #   ts_max_drawdown eval_confusion_panel
+# plus the round-5 batch-29 keys: eval_rouge_n ts_var_cvar
+#   ops_littles_law ml_target_encoding
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
