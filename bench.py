@@ -151,6 +151,8 @@ HEADLINE = [
     "stats_log_rank",          # survival risk-set O-E accumulation
     "eval_rouge_n",            # clipped n-gram recall over doc pairs
     "ops_littles_law",         # sweep-integral vs duration-sum identity
+    "ml_adaboost",             # weighted-histogram boosting rounds
+    "stats_sprt",              # integer LLR walk + boundary decision
 ]
 
 

@@ -45,6 +45,7 @@ from . import warehouse6  # noqa: E402,F401  Tier C: OHLC/runs test/modularity/C
 from . import stats_np    # noqa: E402,F401  Tier C: Kruskal-Wallis/CMH/Youden/stream OHLC
 from . import evalsurv    # noqa: E402,F401  Tier C: isotonic PAV/log-rank/drawdown/confusion panel
 from . import textops2    # noqa: E402,F401  Tier C: ROUGE-N/VaR-CVaR/Little's law/target encoding
+from . import seqml       # noqa: E402,F401  Tier C: SPRT/AdaBoost/Bollinger/TOST
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -169,6 +170,8 @@ _PRIORITY: tuple[str, ...] = (
 #   ts_max_drawdown eval_confusion_panel
 # plus the round-5 batch-29 keys: eval_rouge_n ts_var_cvar
 #   ops_littles_law ml_target_encoding
+# plus the round-5 batch-30 keys: stats_sprt ml_adaboost
+#   ts_bollinger stats_tost
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
