@@ -153,6 +153,8 @@ HEADLINE = [
     "ops_littles_law",         # sweep-integral vs duration-sum identity
     "ml_adaboost",             # weighted-histogram boosting rounds
     "stats_sprt",              # integer LLR walk + boundary decision
+    "events_entropy_rate",     # Markov predictability from lag pairs
+    "text_kl_matrix",          # smoothed per-source divergence grid
 ]
 
 
