@@ -155,6 +155,8 @@ HEADLINE = [
     "stats_sprt",              # integer LLR walk + boundary decision
     "events_entropy_rate",     # Markov predictability from lag pairs
     "text_kl_matrix",          # smoothed per-source divergence grid
+    "stats_median_ci",         # order-statistic distribution-free CI
+    "eval_fairness_audit",     # per-group parity/odds gap panel
 ]
 
 

@@ -47,6 +47,7 @@ from . import evalsurv    # noqa: E402,F401  Tier C: isotonic PAV/log-rank/drawd
 from . import textops2    # noqa: E402,F401  Tier C: ROUGE-N/VaR-CVaR/Little's law/target encoding
 from . import seqml       # noqa: E402,F401  Tier C: SPRT/AdaBoost/Bollinger/TOST
 from . import infotheory  # noqa: E402,F401  Tier C: entropy rate/KL matrix/RBO/TVD-MI
+from . import audit       # noqa: E402,F401  Tier C: median CI/burstiness/Simpson audit/fairness
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -175,6 +176,8 @@ _PRIORITY: tuple[str, ...] = (
 #   ts_bollinger stats_tost
 # plus the round-5 batch-31 keys: events_entropy_rate text_kl_matrix
 #   eval_rbo stats_tvd_independence
+# plus the round-5 batch-32 keys: stats_median_ci text_burstiness
+#   stats_simpson_audit eval_fairness_audit
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
