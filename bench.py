@@ -157,6 +157,8 @@ HEADLINE = [
     "text_kl_matrix",          # smoothed per-source divergence grid
     "stats_median_ci",         # order-statistic distribution-free CI
     "eval_fairness_audit",     # per-group parity/odds gap panel
+    "stats_jarque_bera",       # integer-pivot moment normality panel
+    "ts_ljung_box",            # 6-lag exact-integer portmanteau Q
 ]
 
 
