@@ -159,6 +159,8 @@ HEADLINE = [
     "eval_fairness_audit",     # per-group parity/odds gap panel
     "stats_jarque_bera",       # integer-pivot moment normality panel
     "ts_ljung_box",            # 6-lag exact-integer portmanteau Q
+    "stats_wilcoxon_signed_rank",  # histogram-midrank paired rank test
+    "eval_fleiss_kappa",       # m-rater chance-corrected agreement
 ]
 
 
