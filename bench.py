@@ -161,6 +161,8 @@ HEADLINE = [
     "ts_ljung_box",            # 6-lag exact-integer portmanteau Q
     "stats_wilcoxon_signed_rank",  # histogram-midrank paired rank test
     "eval_fleiss_kappa",       # m-rater chance-corrected agreement
+    "eval_auc_rank",           # exact rank-sum ROC area
+    "stats_cronbach_alpha",    # internal-consistency variance panel
 ]
 
 

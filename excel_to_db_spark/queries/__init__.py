@@ -50,6 +50,7 @@ from . import infotheory  # noqa: E402,F401  Tier C: entropy rate/KL matrix/RBO/
 from . import audit       # noqa: E402,F401  Tier C: median CI/burstiness/Simpson audit/fairness
 from . import tsdiag      # noqa: E402,F401  Tier C: Jarque-Bera/Durbin-Watson/Ljung-Box/G-test
 from . import pairedstats  # noqa: E402,F401  Tier C: sign test/Wilcoxon signed-rank/Cochran Q/Fleiss kappa
+from . import reliability  # noqa: E402,F401  Tier C: Kendall W/Cronbach alpha/ICC/rank-sum AUC
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
