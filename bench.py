@@ -163,6 +163,8 @@ HEADLINE = [
     "eval_fleiss_kappa",       # m-rater chance-corrected agreement
     "eval_auc_rank",           # exact rank-sum ROC area
     "stats_cronbach_alpha",    # internal-consistency variance panel
+    "stats_theil_index",       # decomposable inequality, snapped ln terms
+    "text_good_turing",        # trigram frequency-of-frequencies smoothing
 ]
 
 
