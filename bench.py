@@ -165,6 +165,8 @@ HEADLINE = [
     "stats_cronbach_alpha",    # internal-consistency variance panel
     "stats_theil_index",       # decomposable inequality, snapped ln terms
     "text_good_turing",        # trigram frequency-of-frequencies smoothing
+    "ts_hurst_exponent",       # two-scale R/S long-memory estimate
+    "ts_page_hinkley",         # running-mean drift walk + exact sigma
 ]
 
 

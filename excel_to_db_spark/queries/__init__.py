@@ -52,6 +52,7 @@ from . import tsdiag      # noqa: E402,F401  Tier C: Jarque-Bera/Durbin-Watson/L
 from . import pairedstats  # noqa: E402,F401  Tier C: sign test/Wilcoxon signed-rank/Cochran Q/Fleiss kappa
 from . import reliability  # noqa: E402,F401  Tier C: Kendall W/Cronbach alpha/ICC/rank-sum AUC
 from . import inequality   # noqa: E402,F401  Tier C: Theil/Atkinson indices, Good-Turing, Chao1
+from . import extremes     # noqa: E402,F401  Tier C: Gumbel maxima/Hurst R-S/Grubbs/Page-Hinkley
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
