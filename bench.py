@@ -167,6 +167,8 @@ HEADLINE = [
     "text_good_turing",        # trigram frequency-of-frequencies smoothing
     "ts_hurst_exponent",       # two-scale R/S long-memory estimate
     "ts_page_hinkley",         # running-mean drift walk + exact sigma
+    "eval_ips_snips",          # arm-collapsed counterfactual value
+    "recsys_catalog_coverage", # aggregate-diversity + novelty audit
 ]
 
 

@@ -53,6 +53,7 @@ from . import pairedstats  # noqa: E402,F401  Tier C: sign test/Wilcoxon signed-
 from . import reliability  # noqa: E402,F401  Tier C: Kendall W/Cronbach alpha/ICC/rank-sum AUC
 from . import inequality   # noqa: E402,F401  Tier C: Theil/Atkinson indices, Good-Turing, Chao1
 from . import extremes     # noqa: E402,F401  Tier C: Gumbel maxima/Hurst R-S/Grubbs/Page-Hinkley
+from . import offpolicy    # noqa: E402,F401  Tier C: IPS-SNIPS/bandit replay/catalog coverage/Apdex
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
