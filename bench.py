@@ -169,6 +169,8 @@ HEADLINE = [
     "ts_page_hinkley",         # running-mean drift walk + exact sigma
     "eval_ips_snips",          # arm-collapsed counterfactual value
     "recsys_catalog_coverage", # aggregate-diversity + novelty audit
+    "text_rank_turbulence",    # rank-based corpus diff, full-join union
+    "text_syllable_complexity",  # regex syllable census in codegen
 ]
 
 

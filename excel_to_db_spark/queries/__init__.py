@@ -54,6 +54,7 @@ from . import reliability  # noqa: E402,F401  Tier C: Kendall W/Cronbach alpha/I
 from . import inequality   # noqa: E402,F401  Tier C: Theil/Atkinson indices, Good-Turing, Chao1
 from . import extremes     # noqa: E402,F401  Tier C: Gumbel maxima/Hurst R-S/Grubbs/Page-Hinkley
 from . import offpolicy    # noqa: E402,F401  Tier C: IPS-SNIPS/bandit replay/catalog coverage/Apdex
+from . import textprofile  # noqa: E402,F401  Tier C: syllable census/Yule K/lexical profile/rank turbulence
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
