@@ -171,6 +171,8 @@ HEADLINE = [
     "recsys_catalog_coverage", # aggregate-diversity + novelty audit
     "text_rank_turbulence",    # rank-based corpus diff, full-join union
     "text_syllable_complexity",  # regex syllable census in codegen
+    "graph_local_clustering",  # per-node triangle density + transitivity
+    "ts_adf_test",             # unit-root gate on the 2400-day series
 ]
 
 

@@ -55,6 +55,7 @@ from . import inequality   # noqa: E402,F401  Tier C: Theil/Atkinson indices, Go
 from . import extremes     # noqa: E402,F401  Tier C: Gumbel maxima/Hurst R-S/Grubbs/Page-Hinkley
 from . import offpolicy    # noqa: E402,F401  Tier C: IPS-SNIPS/bandit replay/catalog coverage/Apdex
 from . import textprofile  # noqa: E402,F401  Tier C: syllable census/Yule K/lexical profile/rank turbulence
+from . import graphdiag    # noqa: E402,F401  Tier C: local clustering/reciprocity/Dickey-Fuller/Erlang C
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
