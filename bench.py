@@ -173,6 +173,8 @@ HEADLINE = [
     "text_syllable_complexity",  # regex syllable census in codegen
     "graph_local_clustering",  # per-node triangle density + transitivity
     "ts_adf_test",             # unit-root gate on the 2400-day series
+    "stats_jackknife_se",      # delete-a-group ratio-estimator SE
+    "stats_two_prop_z",        # user-day conversion z + Wald CI
 ]
 
 

@@ -56,6 +56,7 @@ from . import extremes     # noqa: E402,F401  Tier C: Gumbel maxima/Hurst R-S/Gr
 from . import offpolicy    # noqa: E402,F401  Tier C: IPS-SNIPS/bandit replay/catalog coverage/Apdex
 from . import textprofile  # noqa: E402,F401  Tier C: syllable census/Yule K/lexical profile/rank turbulence
 from . import graphdiag    # noqa: E402,F401  Tier C: local clustering/reciprocity/Dickey-Fuller/Erlang C
+from . import rates        # noqa: E402,F401  Tier C: Poisson rate ratio/two-prop z/jackknife SE/Cohen's h
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
