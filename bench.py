@@ -175,6 +175,8 @@ HEADLINE = [
     "ts_adf_test",             # unit-root gate on the 2400-day series
     "stats_jackknife_se",      # delete-a-group ratio-estimator SE
     "stats_two_prop_z",        # user-day conversion z + Wald CI
+    "stats_dunn_posthoc",      # shared-midrank pairwise follow-up
+    "stats_nelson_aalen",      # additive hazard over the gap histogram
 ]
 
 

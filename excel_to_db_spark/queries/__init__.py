@@ -57,6 +57,7 @@ from . import offpolicy    # noqa: E402,F401  Tier C: IPS-SNIPS/bandit replay/ca
 from . import textprofile  # noqa: E402,F401  Tier C: syllable census/Yule K/lexical profile/rank turbulence
 from . import graphdiag    # noqa: E402,F401  Tier C: local clustering/reciprocity/Dickey-Fuller/Erlang C
 from . import rates        # noqa: E402,F401  Tier C: Poisson rate ratio/two-prop z/jackknife SE/Cohen's h
+from . import posthoc      # noqa: E402,F401  Tier C: Dunn post-hoc/Nelson-Aalen/Granger/sharp RD
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -187,6 +188,18 @@ _PRIORITY: tuple[str, ...] = (
 #   eval_rbo stats_tvd_independence
 # plus the round-5 batch-32 keys: stats_median_ci text_burstiness
 #   stats_simpson_audit eval_fairness_audit
+# plus the round-5 batch-33..41 keys (final session):
+#   stats_jarque_bera ts_durbin_watson ts_ljung_box stats_g_test
+#   stats_sign_test stats_wilcoxon_signed_rank stats_cochran_q
+#   eval_fleiss_kappa stats_kendall_w stats_cronbach_alpha stats_icc
+#   eval_auc_rank stats_theil_index stats_atkinson_index
+#   text_good_turing text_chao1_vocab stats_gumbel_maxima
+#   ts_hurst_exponent stats_grubbs_outlier ts_page_hinkley
+#   eval_ips_snips eval_bandit_replay recsys_catalog_coverage
+#   ops_apdex text_syllable_complexity text_yule_k
+#   text_lexical_profile text_rank_turbulence graph_local_clustering
+#   graph_reciprocity ts_adf_test ops_erlang_c stats_poisson_two_rate
+#   stats_two_prop_z stats_jackknife_se stats_cohens_h
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
