@@ -177,6 +177,8 @@ HEADLINE = [
     "stats_two_prop_z",        # user-day conversion z + Wald CI
     "stats_dunn_posthoc",      # shared-midrank pairwise follow-up
     "stats_nelson_aalen",      # additive hazard over the gap histogram
+    "sketch_kmv_jaccard",      # mergeable resemblance sketch vs exact
+    "ml_logistic_newton",      # two-scan IRLS via sufficient stats
 ]
 
 

@@ -58,6 +58,7 @@ from . import textprofile  # noqa: E402,F401  Tier C: syllable census/Yule K/lex
 from . import graphdiag    # noqa: E402,F401  Tier C: local clustering/reciprocity/Dickey-Fuller/Erlang C
 from . import rates        # noqa: E402,F401  Tier C: Poisson rate ratio/two-prop z/jackknife SE/Cohen's h
 from . import posthoc      # noqa: E402,F401  Tier C: Dunn post-hoc/Nelson-Aalen/Granger/sharp RD
+from . import sketchml     # noqa: E402,F401  Tier C: KMV Jaccard/Bloom FPR/linear counting/logistic Newton
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
