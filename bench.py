@@ -179,6 +179,8 @@ HEADLINE = [
     "stats_nelson_aalen",      # additive hazard over the gap histogram
     "sketch_kmv_jaccard",      # mergeable resemblance sketch vs exact
     "ml_logistic_newton",      # two-scan IRLS via sufficient stats
+    "stats_huber_m_estimate",  # robust location, snapped IRLS stats
+    "ml_ridge_path",           # whole regularization path, one pass
 ]
 
 

@@ -59,6 +59,7 @@ from . import graphdiag    # noqa: E402,F401  Tier C: local clustering/reciproci
 from . import rates        # noqa: E402,F401  Tier C: Poisson rate ratio/two-prop z/jackknife SE/Cohen's h
 from . import posthoc      # noqa: E402,F401  Tier C: Dunn post-hoc/Nelson-Aalen/Granger/sharp RD
 from . import sketchml     # noqa: E402,F401  Tier C: KMV Jaccard/Bloom FPR/linear counting/logistic Newton
+from . import regdiag      # noqa: E402,F401  Tier C: Huber M/Cook's distance/ridge path/Breusch-Pagan
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
