@@ -181,6 +181,8 @@ HEADLINE = [
     "ml_logistic_newton",      # two-scan IRLS via sufficient stats
     "stats_huber_m_estimate",  # robust location, snapped IRLS stats
     "ml_ridge_path",           # whole regularization path, one pass
+    "embedding_isotropy",      # pairless mean-cosine identity
+    "ts_periodogram",          # 4-period spectral share, one aggregate
 ]
 
 
