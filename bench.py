@@ -183,6 +183,8 @@ HEADLINE = [
     "ml_ridge_path",           # whole regularization path, one pass
     "embedding_isotropy",      # pairless mean-cosine identity
     "ts_periodogram",          # 4-period spectral share, one aggregate
+    "stream_apdex",            # streaming SLA counters, 3 scalars/svc
+    "attribution_shapley",     # exact 2^3 coalition-lattice split
 ]
 
 

@@ -901,3 +901,46 @@ def run_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("hour_epoch", "n_trades", "open_cents",
                     "high_cents", "low_cents", "close_cents")
             .orderBy("hour_epoch"))
+
+
+def apdex_service_agg(df: DataFrame) -> DataFrame:
+    """Per-service Apdex ingredient counts (satisfied <= 5000 cents,
+    tolerating <= 20000), batch or streaming (one definition): three
+    conditional counters per service — state the engine maintains
+    incrementally as 3 scalars per group, never rows. The Apdex ratio
+    itself is computed on emission (exact rational (2*sat+tol)/(2n))."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (df.select(F.col("event_type").alias("service"),
+                      cents.alias("c"))
+            .groupBy("service")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("c") <= 5000, 1).otherwise(0))
+                 .alias("satisfied"),
+                 F.sum(F.when((F.col("c") > 5000)
+                              & (F.col("c") <= 20000), 1).otherwise(0))
+                 .alias("tolerating")))
+
+
+def run_stream_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex maintained by the Structured Streaming engine over a
+    file-source replay of the events table: each micro-batch folds its
+    rows into the per-service (n, satisfied, tolerating) counters — 3
+    scalars per service. For a finite replay the complete-mode emission
+    equals the batch key, so ops_apdex's SQL oracle verifies the
+    streaming state value-for-value (the stream_ohlc_candles protocol).
+    Production shape: window the counters per hour + watermark so old
+    windows finalize; the finite replay makes complete mode the
+    verifiable choice here."""
+    name = f"apdex_{uuid.uuid4().hex[:8]}"
+    stream = events_stream_reader(spark, sf_dir)
+    q = (apdex_service_agg(stream)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True)
+         )
+    run_scoped(spark, q)
+    return (spark.table(name)
+            .select("service", "n", "satisfied", "tolerating",
+                    F.round((2 * F.col("satisfied")
+                             + F.col("tolerating")).cast("double")
+                            / (2.0 * F.col("n")), 4).alias("apdex")))
