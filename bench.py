@@ -185,6 +185,8 @@ HEADLINE = [
     "ts_periodogram",          # 4-period spectral share, one aggregate
     "stream_apdex",            # streaming SLA counters, 3 scalars/svc
     "attribution_shapley",     # exact 2^3 coalition-lattice split
+    "text_source_novelty",     # exclusive-trigram acquisition ledger
+    "ts_cross_correlation",    # 7-lag lead/lag profile, one window pass
 ]
 
 
