@@ -187,6 +187,8 @@ HEADLINE = [
     "attribution_shapley",     # exact 2^3 coalition-lattice split
     "text_source_novelty",     # exclusive-trigram acquisition ledger
     "ts_cross_correlation",    # 7-lag lead/lag profile, one window pass
+    "embedding_variance_spectrum",  # snapped diagonal spectrum + PR
+    "ml_tree_depth2",          # recursive histogram argmax partitioning
 ]
 
 

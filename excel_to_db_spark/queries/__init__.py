@@ -63,6 +63,7 @@ from . import regdiag      # noqa: E402,F401  Tier C: Huber M/Cook's distance/ri
 from . import structure    # noqa: E402,F401  Tier C: isotropy/power-law alpha/periodogram/multiclass MCC
 from . import flowdiag     # noqa: E402,F401  Tier C: stream Apdex/heartbeat gaps/rolling beta/Shapley MTA
 from . import curaudit     # noqa: E402,F401  Tier C: source novelty/dedup length bias/CCF/Hodges-Lehmann
+from . import spectra      # noqa: E402,F401  Tier C: variance spectrum/depth-2 CART/AR halflife/rich club
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
