@@ -189,6 +189,8 @@ HEADLINE = [
     "ts_cross_correlation",    # 7-lag lead/lag profile, one window pass
     "embedding_variance_spectrum",  # snapped diagonal spectrum + PR
     "ml_tree_depth2",          # recursive histogram argmax partitioning
+    "dq_functional_dependency",  # nested FD violation census
+    "stats_qq_deciles",        # exact order-statistic QQ table
 ]
 
 
