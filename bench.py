@@ -191,6 +191,8 @@ HEADLINE = [
     "ml_tree_depth2",          # recursive histogram argmax partitioning
     "dq_functional_dependency",  # nested FD violation census
     "stats_qq_deciles",        # exact order-statistic QQ table
+    "stats_e_process",         # anytime-valid betting sign test
+    "stats_yuen_t",            # trimmed/winsorized robust two-sample t
 ]
 
 
