@@ -193,6 +193,8 @@ HEADLINE = [
     "stats_qq_deciles",        # exact order-statistic QQ table
     "stats_e_process",         # anytime-valid betting sign test
     "stats_yuen_t",            # trimmed/winsorized robust two-sample t
+    "ts_block_bootstrap",      # autocorrelation-preserving block SE
+    "ml_woe_iv",               # WoE/IV feature screen, one aggregate
 ]
 
 

@@ -66,6 +66,7 @@ from . import curaudit     # noqa: E402,F401  Tier C: source novelty/dedup lengt
 from . import spectra      # noqa: E402,F401  Tier C: variance spectrum/depth-2 CART/AR halflife/rich club
 from . import qualpanel    # noqa: E402,F401  Tier C: FD census/time-to-convert/QQ deciles/trimmed mean
 from . import finpanel     # noqa: E402,F401  Tier C: e-process/Sharpe-Sortino-Calmar/Fisher index/Yuen t
+from . import resample     # noqa: E402,F401  Tier C: block bootstrap/Fisher z/post-stratify/WoE-IV
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
