@@ -195,6 +195,8 @@ HEADLINE = [
     "stats_yuen_t",            # trimmed/winsorized robust two-sample t
     "ts_block_bootstrap",      # autocorrelation-preserving block SE
     "ml_woe_iv",               # WoE/IV feature screen, one aggregate
+    "stats_circular_rayleigh", # clock-angle stats, snapped trig sums
+    "text_keyness_llr",        # signed per-word G2 attribution top-10
 ]
 
 

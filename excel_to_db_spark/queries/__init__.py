@@ -67,6 +67,7 @@ from . import spectra      # noqa: E402,F401  Tier C: variance spectrum/depth-2 
 from . import qualpanel    # noqa: E402,F401  Tier C: FD census/time-to-convert/QQ deciles/trimmed mean
 from . import finpanel     # noqa: E402,F401  Tier C: e-process/Sharpe-Sortino-Calmar/Fisher index/Yuen t
 from . import resample     # noqa: E402,F401  Tier C: block bootstrap/Fisher z/post-stratify/WoE-IV
+from . import temporal     # noqa: E402,F401  Tier C: circular Rayleigh/LLR keyness/turning points/DOW-hour grid
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -209,6 +210,21 @@ _PRIORITY: tuple[str, ...] = (
 #   text_lexical_profile text_rank_turbulence graph_local_clustering
 #   graph_reciprocity ts_adf_test ops_erlang_c stats_poisson_two_rate
 #   stats_two_prop_z stats_jackknife_se stats_cohens_h
+# plus the round-5 batch-42..51 keys (final session, continued):
+#   stats_dunn_posthoc stats_nelson_aalen ts_granger_causality
+#   stats_reg_discontinuity sketch_kmv_jaccard sketch_bloom_fpr
+#   sketch_linear_counting ml_logistic_newton stats_huber_m_estimate
+#   stats_cooks_distance ml_ridge_path stats_breusch_pagan
+#   embedding_isotropy graph_powerlaw_alpha ts_periodogram
+#   eval_mcc_multiclass stream_apdex events_heartbeat_gaps
+#   window_rolling_beta attribution_shapley text_source_novelty
+#   dedup_length_bias_audit ts_cross_correlation stats_hodges_lehmann
+#   embedding_variance_spectrum ml_tree_depth2 ts_halflife
+#   graph_rich_club dq_functional_dependency events_time_to_convert
+#   stats_qq_deciles agg_trimmed_mean stats_e_process
+#   ts_risk_adjusted_returns price_index_fisher stats_yuen_t
+#   ts_block_bootstrap stats_fisher_z_test sample_poststratify
+#   ml_woe_iv
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
