@@ -197,6 +197,8 @@ HEADLINE = [
     "ml_woe_iv",               # WoE/IV feature screen, one aggregate
     "stats_circular_rayleigh", # clock-angle stats, snapped trig sums
     "text_keyness_llr",        # signed per-word G2 attribution top-10
+    "stats_meta_analysis",     # DL pooled effect + heterogeneity
+    "events_fano_curve",       # multi-scale burstiness fingerprint
 ]
 
 

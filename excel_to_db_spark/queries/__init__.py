@@ -68,6 +68,7 @@ from . import qualpanel    # noqa: E402,F401  Tier C: FD census/time-to-convert/
 from . import finpanel     # noqa: E402,F401  Tier C: e-process/Sharpe-Sortino-Calmar/Fisher index/Yuen t
 from . import resample     # noqa: E402,F401  Tier C: block bootstrap/Fisher z/post-stratify/WoE-IV
 from . import temporal     # noqa: E402,F401  Tier C: circular Rayleigh/LLR keyness/turning points/DOW-hour grid
+from . import metapanel    # noqa: E402,F401  Tier C: DL meta-analysis/Theil decomposition/Fano curve/means panel
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
