@@ -199,6 +199,8 @@ HEADLINE = [
     "text_keyness_llr",        # signed per-word G2 attribution top-10
     "stats_meta_analysis",     # DL pooled effect + heterogeneity
     "events_fano_curve",       # multi-scale burstiness fingerprint
+    "ml_learning_curve",       # nested-subsample budget readout
+    "ops_mtbf_mttr",           # incident sessionization reliability
 ]
 
 

@@ -69,6 +69,7 @@ from . import finpanel     # noqa: E402,F401  Tier C: e-process/Sharpe-Sortino-C
 from . import resample     # noqa: E402,F401  Tier C: block bootstrap/Fisher z/post-stratify/WoE-IV
 from . import temporal     # noqa: E402,F401  Tier C: circular Rayleigh/LLR keyness/turning points/DOW-hour grid
 from . import metapanel    # noqa: E402,F401  Tier C: DL meta-analysis/Theil decomposition/Fano curve/means panel
+from . import opspanel     # noqa: E402,F401  Tier C: learning curve/GB burstiness/top-k coverage/MTBF-MTTR
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
