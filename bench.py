@@ -201,6 +201,8 @@ HEADLINE = [
     "events_fano_curve",       # multi-scale burstiness fingerprint
     "ml_learning_curve",       # nested-subsample budget readout
     "ops_mtbf_mttr",           # incident sessionization reliability
+    "stats_cochran_armitage",  # ordered dose-response trend z
+    "stats_design_effect",     # clustered-sampling honesty correction
 ]
 
 

@@ -70,6 +70,7 @@ from . import resample     # noqa: E402,F401  Tier C: block bootstrap/Fisher z/p
 from . import temporal     # noqa: E402,F401  Tier C: circular Rayleigh/LLR keyness/turning points/DOW-hour grid
 from . import metapanel    # noqa: E402,F401  Tier C: DL meta-analysis/Theil decomposition/Fano curve/means panel
 from . import opspanel     # noqa: E402,F401  Tier C: learning curve/GB burstiness/top-k coverage/MTBF-MTTR
+from . import posthoc2     # noqa: E402,F401  Tier C: Cochran-Armitage/Tukey HSD/cost threshold/design effect
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
