@@ -203,6 +203,8 @@ HEADLINE = [
     "ops_mtbf_mttr",           # incident sessionization reliability
     "stats_cochran_armitage",  # ordered dose-response trend z
     "stats_design_effect",     # clustered-sampling honesty correction
+    "sketch_bbit_minhash",     # 64-bit-total resemblance sketch
+    "stats_lorenz_deciles",    # concentration curve under the gini
 ]
 
 

@@ -71,6 +71,7 @@ from . import temporal     # noqa: E402,F401  Tier C: circular Rayleigh/LLR keyn
 from . import metapanel    # noqa: E402,F401  Tier C: DL meta-analysis/Theil decomposition/Fano curve/means panel
 from . import opspanel     # noqa: E402,F401  Tier C: learning curve/GB burstiness/top-k coverage/MTBF-MTTR
 from . import posthoc2     # noqa: E402,F401  Tier C: Cochran-Armitage/Tukey HSD/cost threshold/design effect
+from . import shapepanel   # noqa: E402,F401  Tier C: Lorenz deciles/b-bit minhash/long tail/Bowley-Moors
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
