@@ -205,6 +205,8 @@ HEADLINE = [
     "stats_design_effect",     # clustered-sampling honesty correction
     "sketch_bbit_minhash",     # 64-bit-total resemblance sketch
     "stats_lorenz_deciles",    # concentration curve under the gini
+    "stats_ancova",            # covariate-adjusted group F
+    "stats_mood_median",       # robustness-floor k-group test
 ]
 
 

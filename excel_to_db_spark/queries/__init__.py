@@ -72,6 +72,7 @@ from . import metapanel    # noqa: E402,F401  Tier C: DL meta-analysis/Theil dec
 from . import opspanel     # noqa: E402,F401  Tier C: learning curve/GB burstiness/top-k coverage/MTBF-MTTR
 from . import posthoc2     # noqa: E402,F401  Tier C: Cochran-Armitage/Tukey HSD/cost threshold/design effect
 from . import shapepanel   # noqa: E402,F401  Tier C: Lorenz deciles/b-bit minhash/long tail/Bowley-Moors
+from . import classic2     # noqa: E402,F401  Tier C: ANCOVA/ARCH LM/split-half reliability/Mood median
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -229,6 +230,14 @@ _PRIORITY: tuple[str, ...] = (
 #   ts_risk_adjusted_returns price_index_fisher stats_yuen_t
 #   ts_block_bootstrap stats_fisher_z_test sample_poststratify
 #   ml_woe_iv
+# plus the round-5 batch-52..56 keys (final session, tail):
+#   stats_circular_rayleigh text_keyness_llr ts_turning_points
+#   events_dow_hour_profile stats_meta_analysis
+#   stats_theil_decomposition events_fano_curve agg_pythagorean_means
+#   ml_learning_curve events_burstiness_gb text_topk_coverage
+#   ops_mtbf_mttr stats_cochran_armitage stats_tukey_hsd
+#   ml_cost_threshold stats_design_effect stats_lorenz_deciles
+#   sketch_bbit_minhash recsys_long_tail_share stats_bowley_moors
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
