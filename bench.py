@@ -207,6 +207,8 @@ HEADLINE = [
     "stats_lorenz_deciles",    # concentration curve under the gini
     "stats_ancova",            # covariate-adjusted group F
     "stats_mood_median",       # robustness-floor k-group test
+    "privacy_unicity",         # re-identification headline census
+    "events_dau_stickiness",   # daily retention heartbeat
 ]
 
 
