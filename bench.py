@@ -209,6 +209,8 @@ HEADLINE = [
     "stats_mood_median",       # robustness-floor k-group test
     "privacy_unicity",         # re-identification headline census
     "events_dau_stickiness",   # daily retention heartbeat
+    "text_heaps_law",          # one-scan vocabulary-growth exponent
+    "stats_weibull_fit",       # closed-form hazard-regime fit
 ]
 
 

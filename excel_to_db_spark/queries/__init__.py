@@ -74,6 +74,7 @@ from . import posthoc2     # noqa: E402,F401  Tier C: Cochran-Armitage/Tukey HSD
 from . import shapepanel   # noqa: E402,F401  Tier C: Lorenz deciles/b-bit minhash/long tail/Bowley-Moors
 from . import classic2     # noqa: E402,F401  Tier C: ANCOVA/ARCH LM/split-half reliability/Mood median
 from . import finalpanel   # noqa: E402,F401  Tier C: unicity/kernel regression/DAU stickiness/entropy curve
+from . import stylo        # noqa: E402,F401  Tier C: Burrows Delta/Page trend/Weibull fit/Heaps law
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -241,7 +242,8 @@ _PRIORITY: tuple[str, ...] = (
 #   sketch_bbit_minhash recsys_long_tail_share stats_bowley_moors
 #   stats_ancova ts_arch_lm stats_split_half_reliability
 #   stats_mood_median privacy_unicity ml_kernel_regression
-#   events_dau_stickiness text_entropy_ngram_curve
+#   events_dau_stickiness text_entropy_ngram_curve text_burrows_delta
+#   stats_page_trend stats_weibull_fit text_heaps_law
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
