@@ -211,6 +211,8 @@ HEADLINE = [
     "events_dau_stickiness",   # daily retention heartbeat
     "text_heaps_law",          # one-scan vocabulary-growth exponent
     "stats_weibull_fit",       # closed-form hazard-regime fit
+    "events_attribution_window_sweep",  # lookback sensitivity audit
+    "text_shingle_size_sweep", # dedup design curve, one scan
 ]
 
 

@@ -75,6 +75,7 @@ from . import shapepanel   # noqa: E402,F401  Tier C: Lorenz deciles/b-bit minha
 from . import classic2     # noqa: E402,F401  Tier C: ANCOVA/ARCH LM/split-half reliability/Mood median
 from . import finalpanel   # noqa: E402,F401  Tier C: unicity/kernel regression/DAU stickiness/entropy curve
 from . import stylo        # noqa: E402,F401  Tier C: Burrows Delta/Page trend/Weibull fit/Heaps law
+from . import sweeps       # noqa: E402,F401  Tier C: attribution windows/vote ensemble/2x2 panel/shingle sweep
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -244,6 +245,8 @@ _PRIORITY: tuple[str, ...] = (
 #   stats_mood_median privacy_unicity ml_kernel_regression
 #   events_dau_stickiness text_entropy_ngram_curve text_burrows_delta
 #   stats_page_trend stats_weibull_fit text_heaps_law
+#   events_attribution_window_sweep ml_majority_vote_ensemble
+#   stats_two_by_two_panel text_shingle_size_sweep
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
