@@ -213,6 +213,8 @@ HEADLINE = [
     "stats_weibull_fit",       # closed-form hazard-regime fit
     "events_attribution_window_sweep",  # lookback sensitivity audit
     "text_shingle_size_sweep", # dedup design curve, one scan
+    "ops_process_capability",  # SPC sigma-margin SLA statement
+    "graph_weight_disparity",  # backbone-extraction Y statistic
 ]
 
 

@@ -76,6 +76,7 @@ from . import classic2     # noqa: E402,F401  Tier C: ANCOVA/ARCH LM/split-half 
 from . import finalpanel   # noqa: E402,F401  Tier C: unicity/kernel regression/DAU stickiness/entropy curve
 from . import stylo        # noqa: E402,F401  Tier C: Burrows Delta/Page trend/Weibull fit/Heaps law
 from . import sweeps       # noqa: E402,F401  Tier C: attribution windows/vote ensemble/2x2 panel/shingle sweep
+from . import lastpanel    # noqa: E402,F401  Tier C: Cp-Cpk/Benford 2nd digit/return gaps/weight disparity
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-5 window
@@ -247,6 +248,8 @@ _PRIORITY: tuple[str, ...] = (
 #   stats_page_trend stats_weibull_fit text_heaps_law
 #   events_attribution_window_sweep ml_majority_vote_ensemble
 #   stats_two_by_two_panel text_shingle_size_sweep
+#   ops_process_capability stats_benford_second
+#   events_return_gap_profile graph_weight_disparity
 # plus the round-5 batch-19 keys: stats_mann_kendall stats_delta_method_ratio
 #   ts_seasonality_strength privacy_cell_suppression
 #   pipeline_curation_funnel stream_quality_census
