@@ -131,8 +131,8 @@ def text_source_lines(spark, sf_dir):
     SELECT event_type,
            count(*) FILTER (WHERE CAST(props ->> 'k' AS BIGINT) IS NOT NULL)
                AS n_with_k,
-           sum(CAST(props ->> 'k' AS BIGINT)) AS sum_k,
-           max(CAST(props ->> 'k' AS BIGINT)) AS max_k
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
     FROM events GROUP BY event_type
 """)
 def variant_json(spark, sf_dir):

@@ -147,6 +147,22 @@ def main(keys: list[str]) -> int:
         try:
             cur = con.execute(oracles[name])
             d_cols = [d[0] for d in cur.description]
+            # HUGEINT guard (ADVICE r5): cursor.fetchall() yields Python
+            # int for HUGEINT, but the DRIVER fetches via pandas where
+            # HUGEINT -> float64 and the type-faithful hash fails (the
+            # variant_json r5 blind spot). Mirror the Spark-side
+            # DecimalType hard-fail: any HUGEINT oracle column is a
+            # gate failure here regardless of values — cast the oracle
+            # aggregate (e.g. sum(BIGINT)) to BIGINT.
+            huge = [d[0] for d in cur.description
+                    if "HUGEINT" in str(d[1]).upper()]
+            if huge:
+                n_fail += 1
+                failures.append(name)
+                print(f"FAIL {name}: oracle column(s) {huge} are HUGEINT "
+                      f"(driver pandas-fetch -> float64 hash-fail class) "
+                      f"— CAST the aggregate to BIGINT in the oracle")
+                continue
             d_rows = cur.fetchall()
         except Exception as exc:
             n_fail += 1
