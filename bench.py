@@ -215,6 +215,8 @@ HEADLINE = [
     "text_shingle_size_sweep", # dedup design curve, one scan
     "ops_process_capability",  # SPC sigma-margin SLA statement
     "graph_weight_disparity",  # backbone-extraction Y statistic
+    "stats_cliffs_delta",      # grid-merge effect size, no pair blowup
+    "stats_somers_d",          # cell-algebra rank association
 ]
 
 
