@@ -217,6 +217,8 @@ HEADLINE = [
     "graph_weight_disparity",  # backbone-extraction Y statistic
     "stats_cliffs_delta",      # grid-merge effect size, no pair blowup
     "stats_somers_d",          # cell-algebra rank association
+    "stats_wasserstein_energy", # drift distances, closed 1D forms
+    "stats_ad_two_sample",     # tail-magnified drift integral
 ]
 
 

@@ -78,6 +78,7 @@ from . import stylo        # noqa: E402,F401  Tier C: Burrows Delta/Page trend/W
 from . import sweeps       # noqa: E402,F401  Tier C: attribution windows/vote ensemble/2x2 panel/shingle sweep
 from . import lastpanel    # noqa: E402,F401  Tier C: Cp-Cpk/Benford 2nd digit/return gaps/weight disparity
 from . import ordassoc     # noqa: E402,F401  Tier C: Cliff's delta/GK gamma/Somers D/uncertainty coeff
+from . import distdist     # noqa: E402,F401  Tier C: Kuiper/CvM/AD two-sample/Wasserstein-energy
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
