@@ -11,23 +11,21 @@ def test_priority_window_is_exactly_the_first_50_keys():
     assert list(REGISTRY)[:50] == list(_PRIORITY)
 
 
-def test_priority_covers_round5_rotation():
-    """Round-5 window: the keys whose oracles/projections changed this
-    round (the r4 type-class hash-fails and the latent instances the
-    type-faithful gate flushed out) must get fresh driver rows, and the
-    rest of the window draws from the never-driver-sampled pool."""
+def test_priority_covers_round6_rotation():
+    """Round-6 window: the one key whose oracle changed this round (the
+    r5 HUGEINT hash-fail) must get a fresh driver row, and the rest of
+    the window draws from the never-driver-sampled pool — streaming
+    family, Spark-4 surface, pipeline flagships, join-strategy keys."""
     head = set(list(REGISTRY)[:50])
     for key in (
-        # r4 driver hash-fails, fixed this round
-        "jsonl_roundtrip", "tpch_q12", "math_funcs",
-        # latent type-class fixes found by the strict local gate
-        "group_mad_outliers", "sql_parameterized", "sql_declared_udf",
-        "agg_decimal_exact", "stats_anova_f",
-        # r4 bench REGRESSION flag
-        "basket_affinity",
+        # r5 driver hash-fail, oracle fixed this round
+        "variant_json",
         # representative never-sampled blocks
-        "stats_welch_t", "agg_gini", "window_rolling_median",
-        "anti_join_nulls", "xml_roundtrip",
+        "stream_dedup_watermark", "stream_stream_full",
+        "stream_checkpoint_resume", "map_in_arrow", "sql_pipe_syntax",
+        "dedup_incremental", "similarity_pq", "embedding_pca_power",
+        "shuffle_epoch", "join_skew_salted", "text_gopher_rules",
+        "bpe_train_merges", "multimodal_binary_ingest",
     ):
         assert key in head, key
 
