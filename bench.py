@@ -219,6 +219,8 @@ HEADLINE = [
     "stats_somers_d",          # cell-algebra rank association
     "stats_wasserstein_energy", # drift distances, closed 1D forms
     "stats_ad_two_sample",     # tail-magnified drift integral
+    "graph_link_prediction_panel",  # six LP scores, one wedge pass
+    "graph_lp_holdout_eval",   # LP precision@k vs base rate
 ]
 
 

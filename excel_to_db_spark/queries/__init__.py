@@ -79,6 +79,7 @@ from . import sweeps       # noqa: E402,F401  Tier C: attribution windows/vote e
 from . import lastpanel    # noqa: E402,F401  Tier C: Cp-Cpk/Benford 2nd digit/return gaps/weight disparity
 from . import ordassoc     # noqa: E402,F401  Tier C: Cliff's delta/GK gamma/Somers D/uncertainty coeff
 from . import distdist     # noqa: E402,F401  Tier C: Kuiper/CvM/AD two-sample/Wasserstein-energy
+from . import graphlp      # noqa: E402,F401  Tier C: LP score panel/harmonic closeness/Katz3/holdout eval
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
