@@ -221,6 +221,8 @@ HEADLINE = [
     "stats_ad_two_sample",     # tail-magnified drift integral
     "graph_link_prediction_panel",  # six LP scores, one wedge pass
     "graph_lp_holdout_eval",   # LP precision@k vs base rate
+    "eval_calibration_slope",  # 2-step Newton recalibration
+    "eval_ks_separation",      # score discrimination KS
 ]
 
 
