@@ -223,6 +223,8 @@ HEADLINE = [
     "graph_lp_holdout_eval",   # LP precision@k vs base rate
     "eval_calibration_slope",  # 2-step Newton recalibration
     "eval_ks_separation",      # score discrimination KS
+    "geo_grid_radius_join",    # grid-blocked spatial self-join
+    "geo_dbscan_census",       # DBSCAN census off one pair materialization
 ]
 
 

@@ -81,6 +81,7 @@ from . import ordassoc     # noqa: E402,F401  Tier C: Cliff's delta/GK gamma/Som
 from . import distdist     # noqa: E402,F401  Tier C: Kuiper/CvM/AD two-sample/Wasserstein-energy
 from . import graphlp      # noqa: E402,F401  Tier C: LP score panel/harmonic closeness/Katz3/holdout eval
 from . import calib        # noqa: E402,F401  Tier C: Hosmer-Lemeshow/Spiegelhalter z/cal slope/KS separation
+from . import geo          # noqa: E402,F401  Tier C: grid radius join/kNN/tile rollup/DBSCAN census
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
