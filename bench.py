@@ -225,6 +225,8 @@ HEADLINE = [
     "eval_ks_separation",      # score discrimination KS
     "geo_grid_radius_join",    # grid-blocked spatial self-join
     "geo_dbscan_census",       # DBSCAN census off one pair materialization
+    "linkage_fellegi_sunter",  # FS scoring over two candidate passes
+    "linkage_transitive_merge",  # match graph -> merge clusters
 ]
 
 

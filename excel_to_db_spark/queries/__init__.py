@@ -82,6 +82,7 @@ from . import distdist     # noqa: E402,F401  Tier C: Kuiper/CvM/AD two-sample/W
 from . import graphlp      # noqa: E402,F401  Tier C: LP score panel/harmonic closeness/Katz3/holdout eval
 from . import calib        # noqa: E402,F401  Tier C: Hosmer-Lemeshow/Spiegelhalter z/cal slope/KS separation
 from . import geo          # noqa: E402,F401  Tier C: grid radius join/kNN/tile rollup/DBSCAN census
+from . import linkage      # noqa: E402,F401  Tier C: blocking/sorted-neighborhood/Fellegi-Sunter/transitive merge
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
