@@ -227,6 +227,8 @@ HEADLINE = [
     "geo_dbscan_census",       # DBSCAN census off one pair materialization
     "linkage_fellegi_sunter",  # FS scoring over two candidate passes
     "linkage_transitive_merge",  # match graph -> merge clusters
+    "ts_croston_sba",          # intermittent-demand panel off one join
+    "ts_pinball_eval",         # order-statistic quantile forecast eval
 ]
 
 

@@ -83,6 +83,7 @@ from . import graphlp      # noqa: E402,F401  Tier C: LP score panel/harmonic cl
 from . import calib        # noqa: E402,F401  Tier C: Hosmer-Lemeshow/Spiegelhalter z/cal slope/KS separation
 from . import geo          # noqa: E402,F401  Tier C: grid radius join/kNN/tile rollup/DBSCAN census
 from . import linkage      # noqa: E402,F401  Tier C: blocking/sorted-neighborhood/Fellegi-Sunter/transitive merge
+from . import forecast     # noqa: E402,F401  Tier C: Croston-SBA/SB quadrants/pinball eval/tracking signal
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
