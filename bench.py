@@ -229,6 +229,8 @@ HEADLINE = [
     "linkage_transitive_merge",  # match graph -> merge clusters
     "ts_croston_sba",          # intermittent-demand panel off one join
     "ts_pinball_eval",         # order-statistic quantile forecast eval
+    "graph_label_propagation",  # 3 LPA rounds, checkpointed
+    "graph_bipartite_projection",  # co-purchase fold + top-20
 ]
 
 

@@ -84,6 +84,7 @@ from . import calib        # noqa: E402,F401  Tier C: Hosmer-Lemeshow/Spiegelhal
 from . import geo          # noqa: E402,F401  Tier C: grid radius join/kNN/tile rollup/DBSCAN census
 from . import linkage      # noqa: E402,F401  Tier C: blocking/sorted-neighborhood/Fellegi-Sunter/transitive merge
 from . import forecast     # noqa: E402,F401  Tier C: Croston-SBA/SB quadrants/pinball eval/tracking signal
+from . import graphcomm    # noqa: E402,F401  Tier C: LPA communities/conductance/bipartite projection/core-periphery
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
