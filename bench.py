@@ -231,6 +231,8 @@ HEADLINE = [
     "ts_pinball_eval",         # order-statistic quantile forecast eval
     "graph_label_propagation",  # 3 LPA rounds, checkpointed
     "graph_bipartite_projection",  # co-purchase fold + top-20
+    "ml_lof_grid",             # grid-blocked LOF, staged integer divisions
+    "ml_isolation_grid",       # 8x12 fixed-threshold isolation forest
 ]
 
 

@@ -85,6 +85,7 @@ from . import geo          # noqa: E402,F401  Tier C: grid radius join/kNN/tile 
 from . import linkage      # noqa: E402,F401  Tier C: blocking/sorted-neighborhood/Fellegi-Sunter/transitive merge
 from . import forecast     # noqa: E402,F401  Tier C: Croston-SBA/SB quadrants/pinball eval/tracking signal
 from . import graphcomm    # noqa: E402,F401  Tier C: LPA communities/conductance/bipartite projection/core-periphery
+from . import mlrobust     # noqa: E402,F401  Tier C: RANSAC line/kNN classify/grid LOF/isolation grid
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window

@@ -1,0 +1,400 @@
+"""Robust-ML pack (round 6, batch 70). The reference engine (294 LoC
+of Rust delegating to SQLite, reference src/main.rs) has none of this;
+these are Tier-C mission operators — the outlier-tolerant estimators
+and neighborhood classifiers a data-quality / anomaly layer runs
+in-engine, each expressed without a single runtime float comparison:
+
+- ml_ransac_line: RANSAC line fit on the daily demand series — 32
+  hash-chosen candidate point-pairs, inlier test in EXACT integer
+  cross-multiplied form |(y-y1)(x2-x1) - (y2-y1)(x-x1)| <= tol*|x2-x1|
+  (no slope division until the report), consensus argmax pinned.
+- ml_knn_classify: k=5 nearest-neighbor majority vote over 1e6-
+  quantized embeddings (integer L2; broadcast-probe shape; vote tie
+  -> smallest label) with ground-truth labels graded inline.
+- ml_lof_grid: Local Outlier Factor (Breunig 2000) on the
+  hash-synthesized customer points (`geo` pack construction), k = 3,
+  squared-distance metric, candidates from the 3x3 grid neighborhood;
+  lrd/LOF as pinned integer fixed-point divisions; points whose
+  neighborhood is incomplete drop out via inner-join + HAVING
+  count = 3 — the same rows on both engines by construction.
+- ml_isolation_grid: isolation-forest-on-a-budget — 8 trees x 12
+  FIXED hash-chosen axis thresholds (no adaptive ranges, so the
+  whole forest is pure arithmetic); a point's isolation level per
+  tree = first prefix depth where its cell count is 1; anomaly
+  score = sum of levels; score census out.
+
+Scale shapes: RANSAC candidates and kNN probes broadcast while the
+corpus streams (one pass each); LOF's pair list is the grid-blocked
+O(n * density) set reused through MATERIALIZED/checkpointed stages;
+the isolation forest is 32 arithmetic columns + one grouped count —
+the cheapest anomaly scorer in the repo at any scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .relational import T
+from ..numerics import h32
+from .forecast import _DAILY_TOTAL_SQL, _daily_total
+from .geo import _pts, _pts_sql
+
+_H32I = ("CAST(('0x' || substr(md5('{p}' || CAST({c} AS VARCHAR)),"
+         " 1, 8))::UBIGINT AS BIGINT)")
+
+_TOL = 50          # RANSAC inlier tolerance, quantity units
+
+
+@query("ml_ransac_line", oracle=f"""
+    WITH {_DAILY_TOTAL_SQL},
+    ranked AS MATERIALIZED (
+        SELECT day, q, row_number() OVER (ORDER BY day) - 1 AS rn,
+               count(*) OVER () AS n
+        FROM dt
+    ),
+    cand AS (
+        SELECT i,
+               {_H32I.format(p='ra:', c='i')} % n AS i1,
+               {_H32I.format(p='rb:', c='i')} % n AS i2
+        FROM (SELECT unnest(range(32)) AS i)
+        CROSS JOIN (SELECT max(n) AS n FROM ranked)
+    ),
+    pts AS MATERIALIZED (
+        SELECT c.i, r1.day AS x1, r1.q AS y1, r2.day AS x2, r2.q AS y2
+        FROM cand c
+        JOIN ranked r1 ON r1.rn = c.i1
+        JOIN ranked r2 ON r2.rn = c.i2
+        WHERE c.i1 <> c.i2
+    ),
+    scored AS (
+        SELECT p.i, p.x1, p.y1, p.x2, p.y2,
+               CAST(sum(CASE WHEN abs((d.q - p.y1) * (p.x2 - p.x1)
+                                      - (p.y2 - p.y1) * (d.day - p.x1))
+                                  <= {_TOL} * abs(p.x2 - p.x1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+        FROM pts p CROSS JOIN dt d
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT i, x1, y1, x2, y2, n_inliers,
+           (y2 - y1) * 1000 // (x2 - x1) AS slope_milli
+    FROM scored ORDER BY n_inliers DESC, i LIMIT 1
+""")
+def ml_ransac_line(spark, sf_dir):
+    """RANSAC consensus line on (day, daily quantity): 32 candidate
+    pairs drawn by h32 over the rank index, inliers counted with the
+    cross-multiplied residual test — exact integers, no division, so
+    the consensus count can never flip cross-engine. The winning model
+    (max inliers, tie -> lowest candidate id) is reported with its
+    milli-slope. Candidates broadcast; the series streams once."""
+    dt = _daily_total(spark, sf_dir).localCheckpoint(eager=False)
+    n = dt.count()
+    w = Window.orderBy("day")
+    ranked = dt.select("day", "q",
+                       (F.row_number().over(w) - 1).alias("rn"))
+    cand = (spark.range(32).select(F.col("id").alias("i"))
+            .select("i",
+                    (h32(F.concat(F.lit("ra:"), F.col("i").cast("string")))
+                     % n).alias("i1"),
+                    (h32(F.concat(F.lit("rb:"), F.col("i").cast("string")))
+                     % n).alias("i2"))
+            .where(F.col("i1") != F.col("i2")))
+    r1 = ranked.select(F.col("rn").alias("rn1"), F.col("day").alias("x1"),
+                       F.col("q").alias("y1"))
+    r2 = ranked.select(F.col("rn").alias("rn2"), F.col("day").alias("x2"),
+                       F.col("q").alias("y2"))
+    pts = (cand.join(r1, cand["i1"] == F.col("rn1"))
+           .join(r2, cand["i2"] == F.col("rn2"))
+           .select("i", "x1", "y1", "x2", "y2"))
+    resid = F.abs((F.col("q") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+                  - (F.col("y2") - F.col("y1"))
+                  * (F.col("day") - F.col("x1")))
+    scored = (dt.crossJoin(F.broadcast(pts))
+              .groupBy("i", "x1", "y1", "x2", "y2")
+              .agg(F.sum(F.when(resid <= _TOL
+                                * F.abs(F.col("x2") - F.col("x1")), 1)
+                         .otherwise(0)).cast("bigint").alias("n_inliers")))
+    return (scored.orderBy(F.col("n_inliers").desc(), F.col("i")).limit(1)
+            .select("i", F.col("x1").cast("bigint").alias("x1"), "y1",
+                    F.col("x2").cast("bigint").alias("x2"), "y2",
+                    "n_inliers",
+                    F.expr("(y2 - y1) * 1000 div (x2 - x1)")
+                    .alias("slope_milli")))
+
+
+@query("ml_knn_classify", oracle="""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000000) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, label AS q_label, qv AS q_qv
+        FROM v WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+        SELECT q_id, q_label, c.vec_id AS n_id, c.label AS n_label,
+               list_sum(list_transform(range(1, 65),
+                        i -> (q_qv[i] - c.qv[i]) * (q_qv[i] - c.qv[i])))
+                   AS d2
+        FROM probes JOIN v c ON c.vec_id <> q_id
+    ),
+    top5 AS (
+        SELECT q_id, q_label, n_label FROM (
+            SELECT q_id, q_label, n_label,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY d2, n_id) AS rk
+            FROM scored
+        ) WHERE rk <= 5
+    ),
+    votes AS (
+        SELECT q_id, q_label, n_label, count(*) AS n_votes
+        FROM top5 GROUP BY 1, 2, 3
+    )
+    SELECT q_id, q_label AS true_label, n_label AS pred_label, n_votes,
+           CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS correct
+    FROM (
+        SELECT q_id, q_label, n_label, n_votes,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY n_votes DESC, n_label) AS rk
+        FROM votes
+    ) WHERE rk = 1
+""")
+def ml_knn_classify(spark, sf_dir):
+    """k=5 nearest-neighbor classification over 1e6-quantized
+    embeddings: integer L2 distances (quantize once, exact arithmetic
+    after — the `embedding_quantize` contract), neighbor order pinned
+    by (d2, id), majority vote pinned by (votes desc, label). Probes
+    broadcast against the streaming corpus — the exact-rerank ANN
+    shape; correctness graded inline against ground-truth labels."""
+    e = T(spark, sf_dir, "embeddings")
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.round(x * 1000000).cast("bigint"))
+    v = e.select("vec_id", "label", qv.alias("qv"))
+    probes = (v.where(F.col("vec_id") % 25 == 0)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("label").alias("q_label"),
+                      F.col("qv").alias("q_qv")))
+    d2 = F.expr("aggregate(zip_with(q_qv, qv, (a, b) -> (a-b)*(a-b)),"
+                " 0L, (s, x) -> s + x)")
+    scored = (v.crossJoin(F.broadcast(probes))
+              .where(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", "q_label", F.col("vec_id").alias("n_id"),
+                      F.col("label").alias("n_label"), d2.alias("d2")))
+    wk = Window.partitionBy("q_id").orderBy("d2", "n_id")
+    top5 = (scored.withColumn("rk", F.row_number().over(wk))
+            .where(F.col("rk") <= 5))
+    votes = (top5.groupBy("q_id", "q_label", "n_label")
+             .agg(F.count("*").alias("n_votes")))
+    wv = Window.partitionBy("q_id").orderBy(F.col("n_votes").desc(),
+                                            F.col("n_label"))
+    return (votes.withColumn("rk", F.row_number().over(wv))
+            .where(F.col("rk") == 1)
+            .select("q_id", F.col("q_label").alias("true_label"),
+                    F.col("n_label").alias("pred_label"), "n_votes",
+                    F.when(F.col("n_label") == F.col("q_label"), 1)
+                    .otherwise(0).alias("correct")))
+
+
+_LCELL = 1_000_000
+_LRD_SCALE = 3_000_000_000_000_000     # 3e15: lrd = 3e15 // sum(reach)
+
+
+@query("ml_lof_grid", oracle=f"""
+    WITH pts AS ({_pts_sql('customer', 'c_custkey', 'c_nationkey', '')}),
+    cells AS (
+        SELECT id, latp, lonp,
+               latp // {_LCELL} AS cy, lonp // {_LCELL} AS cx
+        FROM pts
+    ),
+    probes AS (
+        SELECT id, latp, lonp, cy + dy AS cy, cx + dx AS cx
+        FROM cells
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+    ),
+    rk AS MATERIALIZED (
+        SELECT a, b, d2, row_number() OVER (PARTITION BY a
+                                            ORDER BY d2, b) AS rn
+        FROM (
+            SELECT p.id AS a, q.id AS b,
+                   (p.latp - q.latp) * (p.latp - q.latp)
+                 + (p.lonp - q.lonp) * (p.lonp - q.lonp) AS d2
+            FROM probes p JOIN cells q ON p.cy = q.cy AND p.cx = q.cx
+            WHERE p.id <> q.id
+        )
+    ),
+    kd AS MATERIALIZED (
+        SELECT a, CAST(max(CASE WHEN rn = 3 THEN d2 END) AS BIGINT)
+                   AS kdist
+        FROM rk WHERE rn <= 3 GROUP BY a HAVING count(*) = 3
+    ),
+    nbr AS MATERIALIZED (SELECT a, b, d2 FROM rk WHERE rn <= 3),
+    lrd AS MATERIALIZED (
+        SELECT n.a,
+               {_LRD_SCALE} // CAST(sum(greatest(k.kdist, n.d2))
+                                    AS BIGINT) AS lrd
+        FROM nbr n JOIN kd k ON k.a = n.b
+        GROUP BY n.a HAVING count(*) = 3
+    ),
+    lof AS (
+        SELECT n.a, CAST(sum(lo.lrd) AS BIGINT) * 1000
+                    // (3 * lp.lrd) AS lof_milli
+        FROM nbr n
+        JOIN lrd lo ON lo.a = n.b
+        JOIN lrd lp ON lp.a = n.a
+        GROUP BY n.a, lp.lrd HAVING count(*) = 3
+    )
+    SELECT lof_milli // 250 AS band, count(*) AS n_points,
+           min(lof_milli) AS min_lof_milli,
+           max(lof_milli) AS max_lof_milli
+    FROM lof GROUP BY 1
+""")
+def ml_lof_grid(spark, sf_dir):
+    """Local Outlier Factor, grid-blocked: candidates from the 3x3
+    cell neighborhood (cell = the working radius, the `geo` pack
+    blocking), k = 3 nearest under the pinned (d2, id) order,
+    squared-distance metric; lrd and LOF as fixed-point integer
+    divisions (3e15 / sum-of-reachabilities, x1000 ratio). Points
+    whose own or whose neighbors' neighborhoods are incomplete fall
+    out through inner joins + HAVING count = 3 — identical row-drop
+    logic on both engines. Banded census out (LOF ~ 1000 = inlier).
+    The pair list is materialized once and reused by every stage."""
+    pts = _pts(spark, sf_dir, "customer", "c_custkey", "c_nationkey", "")
+    cells = pts.select(
+        "id", "latp", "lonp",
+        F.expr(f"latp div {_LCELL}").alias("cy"),
+        F.expr(f"lonp div {_LCELL}").alias("cx"))
+    off = F.array([F.lit(x) for x in (-1, 0, 1)])
+    probes = (cells
+              .withColumn("dy", F.explode(off))
+              .withColumn("dx", F.explode(off))
+              .select("id", "latp", "lonp",
+                      (F.col("cy") + F.col("dy")).alias("cy"),
+                      (F.col("cx") + F.col("dx")).alias("cx")))
+    q = cells.select(F.col("id").alias("qid"), F.col("latp").alias("qlat"),
+                     F.col("lonp").alias("qlon"), "cy", "cx")
+    d2 = ((F.col("latp") - F.col("qlat")) * (F.col("latp") - F.col("qlat"))
+          + (F.col("lonp") - F.col("qlon")) * (F.col("lonp") - F.col("qlon")))
+    wr = Window.partitionBy("a").orderBy("d2", "b")
+    rk = (probes.join(q, ["cy", "cx"])
+          .where(F.col("id") != F.col("qid"))
+          .select(F.col("id").alias("a"), F.col("qid").alias("b"),
+                  d2.alias("d2"))
+          .withColumn("rn", F.row_number().over(wr))
+          .localCheckpoint(eager=False))
+    kd = (rk.where(F.col("rn") <= 3).groupBy("a")
+          .agg(F.max(F.when(F.col("rn") == 3, F.col("d2")))
+               .cast("bigint").alias("kdist"),
+               F.count("*").alias("nc"))
+          .where(F.col("nc") == 3).drop("nc"))
+    nbr = rk.where(F.col("rn") <= 3).select("a", "b", "d2")
+    lrd = (nbr.join(kd.select(F.col("a").alias("b2"), "kdist"),
+                    nbr["b"] == F.col("b2"))
+           .groupBy("a")
+           .agg(F.expr(f"{_LRD_SCALE} div"
+                       f" cast(sum(greatest(kdist, d2)) as bigint)")
+                .alias("lrd"),
+                F.count("*").alias("nc"))
+           .where(F.col("nc") == 3).drop("nc")
+           .localCheckpoint(eager=False))
+    lof = (nbr
+           .join(lrd.select(F.col("a").alias("b3"),
+                            F.col("lrd").alias("lrd_o")),
+                 nbr["b"] == F.col("b3"))
+           .join(lrd.select(F.col("a").alias("a2"),
+                            F.col("lrd").alias("lrd_p")),
+                 nbr["a"] == F.col("a2"))
+           .groupBy("a", "lrd_p")
+           .agg(F.expr("cast(sum(lrd_o) as bigint)").alias("s"),
+                F.count("*").alias("nc"))
+           .where(F.col("nc") == 3)
+           .select(F.expr("s * 1000 div (3 * lrd_p)").alias("lof_milli")))
+    return (lof.groupBy(F.expr("lof_milli div 250").alias("band"))
+            .agg(F.count("*").alias("n_points"),
+                 F.min("lof_milli").alias("min_lof_milli"),
+                 F.max("lof_milli").alias("max_lof_milli")))
+
+
+@query("ml_isolation_grid", oracle=f"""
+    WITH pts AS ({_pts_sql('customer', 'c_custkey', 'c_nationkey', '')}),
+    tl AS (
+        SELECT t, l,
+               {_H32I.format(p='d:', c="CAST(t AS VARCHAR) || ':' || CAST(l AS VARCHAR)")} % 2 AS dim,
+               {_H32I.format(p='t:', c="CAST(t AS VARCHAR) || ':' || CAST(l AS VARCHAR)")} AS thr_h
+        FROM (SELECT unnest(range(8)) AS t)
+        CROSS JOIN (SELECT unnest(range(1, 13)) AS l)
+    ),
+    bits AS (
+        SELECT p.id, tl.t, tl.l,
+               CASE WHEN (CASE WHEN tl.dim = 0 THEN p.latp
+                          ELSE p.lonp END)
+                       < (CASE WHEN tl.dim = 0 THEN tl.thr_h % 30000000
+                          ELSE tl.thr_h % 50000000 END)
+                    THEN 1 ELSE 0 END AS bit
+        FROM pts p CROSS JOIN tl
+    ),
+    pfx AS MATERIALIZED (
+        SELECT id, t, l,
+               sum(bit * CAST(power(10, l) AS BIGINT))
+                   OVER (PARTITION BY id, t ORDER BY l) AS pfx
+        FROM bits
+    ),
+    cnt AS MATERIALIZED (
+        SELECT t, l, pfx, count(*) AS c FROM pfx GROUP BY 1, 2, 3
+    ),
+    iso AS (
+        SELECT p.id, p.t,
+               coalesce(min(CASE WHEN c.c = 1 THEN p.l END), 13) AS iso
+        FROM pfx p JOIN cnt c ON c.t = p.t AND c.l = p.l
+                              AND c.pfx = p.pfx
+        GROUP BY 1, 2
+    ),
+    score AS (
+        SELECT id, CAST(sum(iso) AS BIGINT) AS score
+        FROM iso GROUP BY id
+    )
+    SELECT score, count(*) AS n_points FROM score GROUP BY score
+""")
+def ml_isolation_grid(spark, sf_dir):
+    """Isolation forest on a fixed grid: 8 trees x 12 hash-chosen
+    axis-parallel thresholds (dimension and cut point both from h32 —
+    NO adaptive ranges, so every split is pure arithmetic and the
+    forest is embarrassingly parallel). A point's isolation level in
+    a tree is the first prefix depth whose cell holds only that point
+    (13 = never isolated at depth 12); the anomaly score sums levels
+    over trees (low score = isolated early = anomalous). One grouped
+    count per (tree, level, cell) — the cheapest anomaly scorer here
+    at any scale."""
+    pts = _pts(spark, sf_dir, "customer", "c_custkey", "c_nationkey", "")
+    tl = (spark.range(8).select(F.col("id").alias("t"))
+          .crossJoin(spark.range(1, 13).select(F.col("id").alias("l"))))
+    key = F.concat(F.col("t").cast("string"), F.lit(":"),
+                   F.col("l").cast("string"))
+    tl = tl.select(
+        "t", "l",
+        (h32(F.concat(F.lit("d:"), key)) % 2).alias("dim"),
+        h32(F.concat(F.lit("t:"), key)).alias("thr_h"))
+    coord = F.when(F.col("dim") == 0, F.col("latp")).otherwise(F.col("lonp"))
+    thr = (F.when(F.col("dim") == 0, F.col("thr_h") % 30000000)
+           .otherwise(F.col("thr_h") % 50000000))
+    bits = (pts.crossJoin(F.broadcast(tl))
+            .select("id", "t", "l",
+                    F.when(coord < thr, 1).otherwise(0).alias("bit")))
+    wp = (Window.partitionBy("id", "t").orderBy("l")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pfx = (bits.withColumn(
+        "pfx", F.sum(F.col("bit")
+                     * F.pow(F.lit(10), F.col("l")).cast("bigint"))
+        .over(wp)).localCheckpoint(eager=False))
+    cnt = (pfx.groupBy("t", "l", "pfx").agg(F.count("*").alias("c")))
+    iso = (pfx.join(cnt, ["t", "l", "pfx"])
+           .groupBy("id", "t")
+           .agg(F.coalesce(
+               F.min(F.when(F.col("c") == 1, F.col("l"))), F.lit(13))
+               .alias("iso")))
+    score = (iso.groupBy("id")
+             .agg(F.sum("iso").cast("bigint").alias("score")))
+    return score.groupBy("score").agg(F.count("*").alias("n_points"))
