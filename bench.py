@@ -233,6 +233,8 @@ HEADLINE = [
     "graph_bipartite_projection",  # co-purchase fold + top-20
     "ml_lof_grid",             # grid-blocked LOF, staged integer divisions
     "ml_isolation_grid",       # 8x12 fixed-threshold isolation forest
+    "inventory_fill_rate",     # ABC fill-rate panel, P90 stocks
+    "econ_price_elasticity",   # arc elasticity, median-split ranks
 ]
 
 

@@ -86,6 +86,7 @@ from . import linkage      # noqa: E402,F401  Tier C: blocking/sorted-neighborho
 from . import forecast     # noqa: E402,F401  Tier C: Croston-SBA/SB quadrants/pinball eval/tracking signal
 from . import graphcomm    # noqa: E402,F401  Tier C: LPA communities/conductance/bipartite projection/core-periphery
 from . import mlrobust     # noqa: E402,F401  Tier C: RANSAC line/kNN classify/grid LOF/isolation grid
+from . import inventory    # noqa: E402,F401  Tier C: newsvendor/EOQ-safety/arc elasticity/fill rate
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
