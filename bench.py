@@ -235,6 +235,8 @@ HEADLINE = [
     "ml_isolation_grid",       # 8x12 fixed-threshold isolation forest
     "inventory_fill_rate",     # ABC fill-rate panel, P90 stocks
     "econ_price_elasticity",   # arc elasticity, median-split ranks
+    "sketch_hll_manual",       # register-level HLL, one max per bucket
+    "eval_bleu_counts",        # clipped n-gram corpus counts
 ]
 
 

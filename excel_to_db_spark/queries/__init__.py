@@ -87,6 +87,7 @@ from . import forecast     # noqa: E402,F401  Tier C: Croston-SBA/SB quadrants/p
 from . import graphcomm    # noqa: E402,F401  Tier C: LPA communities/conductance/bipartite projection/core-periphery
 from . import mlrobust     # noqa: E402,F401  Tier C: RANSAC line/kNN classify/grid LOF/isolation grid
 from . import inventory    # noqa: E402,F401  Tier C: newsvendor/EOQ-safety/arc elasticity/fill rate
+from . import flagships2   # noqa: E402,F401  Tier C: manual HLL registers/CEM ATT/BLEU counts/ERR cascade
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
