@@ -237,6 +237,8 @@ HEADLINE = [
     "econ_price_elasticity",   # arc elasticity, median-split ranks
     "sketch_hll_manual",       # register-level HLL, one max per bucket
     "eval_bleu_counts",        # clipped n-gram corpus counts
+    "ops_compaction_plan",     # next-fit small-file packing plan
+    "ops_partition_skew",      # skew pre-flight, exact rank stats
 ]
 
 
