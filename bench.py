@@ -239,6 +239,7 @@ HEADLINE = [
     "eval_bleu_counts",        # clipped n-gram corpus counts
     "ops_compaction_plan",     # next-fit small-file packing plan
     "ops_partition_skew",      # skew pre-flight, exact rank stats
+    "stream_hll_registers",    # live sketch union per micro-batch
 ]
 
 

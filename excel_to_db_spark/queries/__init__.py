@@ -89,6 +89,7 @@ from . import mlrobust     # noqa: E402,F401  Tier C: RANSAC line/kNN classify/g
 from . import inventory    # noqa: E402,F401  Tier C: newsvendor/EOQ-safety/arc elasticity/fill rate
 from . import flagships2   # noqa: E402,F401  Tier C: manual HLL registers/CEM ATT/BLEU counts/ERR cascade
 from . import dataops      # noqa: E402,F401  Tier C: compaction plan/partition skew/incremental plan/bloom sizing
+from . import streamops    # noqa: E402,F401  Tier C: streaming HLL registers + skew monitor twins
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window

@@ -92,7 +92,7 @@ def ops_compaction_plan(spark, sf_dir):
             .orderBy("grp"))
 
 
-@query("ops_partition_skew", oracle="""
+_SKEW_ORACLE = """
     WITH parts AS (
         SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mo,
                o_orderpriority AS prio, count(*) AS n
@@ -114,20 +114,22 @@ def ops_compaction_plan(spark, sf_dir):
                 // max(CASE WHEN rn = (np + 1) // 2 THEN n END)
                 AS BIGINT) AS skew_ratio_micro
     FROM ranked
-""")
-def ops_partition_skew(spark, sf_dir):
-    """Shuffle-skew pre-flight for a candidate partitioning (month x
-    order priority): per-key row counts, then max / exact-rank median
-    / exact-rank p99 and the max-to-median skew ratio in micros — the
-    one number that decides whether the downstream join salts its
-    keys (`join_skew_salted`) BEFORE the shuffle runs. Rank window is
-    over the bounded partition-key table."""
-    o = T(spark, sf_dir, "orders")
-    parts = (o.groupBy(F.date_trunc("month",
+"""
+
+
+def skew_parts(df):
+    """orders (batch or stream) -> per-(month, priority) row counts —
+    the census the streaming monitor maintains incrementally."""
+    return (df.groupBy(F.date_trunc("month",
                                     F.col("o_orderdate").cast("date"))
                        .alias("mo"),
                        F.col("o_orderpriority").alias("prio"))
-             .agg(F.count("*").alias("n")))
+            .agg(F.count("*").alias("n")))
+
+
+def skew_report(parts):
+    """Partition census -> one-row skew report (exact-rank median/p99,
+    max/median micro ratio). Runs on the bounded key table."""
     wr = Window.orderBy("n", "mo", "prio")
     np_ = parts.count()
     ranked = parts.select("n", F.row_number().over(wr).alias("rn"))
@@ -144,6 +146,18 @@ def ops_partition_skew(spark, sf_dir):
         F.expr(f"max(n) * 1000000"
                f" div max(CASE WHEN rn = {med_rn} THEN n END)")
         .cast("bigint").alias("skew_ratio_micro"))
+
+
+@query("ops_partition_skew", oracle=_SKEW_ORACLE)
+def ops_partition_skew(spark, sf_dir):
+    """Shuffle-skew pre-flight for a candidate partitioning (month x
+    order priority): per-key row counts, then max / exact-rank median
+    / exact-rank p99 and the max-to-median skew ratio in micros — the
+    one number that decides whether the downstream join salts its
+    keys (`join_skew_salted`) BEFORE the shuffle runs. Rank window is
+    over the bounded partition-key table."""
+    o = T(spark, sf_dir, "orders")
+    return skew_report(skew_parts(o))
 
 
 @query("ops_incremental_plan", oracle=f"""

@@ -50,7 +50,7 @@ _ALPHA_MILLI = 709                 # alpha_64 = 0.709
 _ERR_DENOM = 2520 * 8 ** 10        # lcm(1..10) * 8^10
 
 
-@query("sketch_hll_manual", oracle=f"""
+_HLL_ORACLE = f"""
     WITH h AS (
         SELECT CAST(('0x' || substr(md5('hll:'
                     || CAST(o_custkey AS VARCHAR)), 1, 8))::UBIGINT
@@ -86,7 +86,42 @@ _ERR_DENOM = 2520 * 8 ** 10        # lcm(1..10) * 8^10
            {_ALPHA_MILLI * _HLL_M * _HLL_M * 2 ** (_W_BITS + 1)}
              // znum AS est_milli
     FROM z
-""")
+"""
+
+
+def hll_register_agg(df):
+    """(o_custkey stream or batch) -> per-bucket max-rank registers.
+    The grouped max is exactly the HLL union merge, so the streaming
+    engine maintaining it per micro-batch IS a live sketch union."""
+    hv = h32(F.concat(F.lit("hll:"), F.col("o_custkey").cast("string")))
+    items = (df.select(hv.alias("hv"))
+             .select(F.expr(f"hv div {_POW_W}").alias("bucket"),
+                     (F.col("hv") % _POW_W).alias("w")))
+    rank = (F.when(F.col("w") == 0, _W_BITS + 1)
+            .otherwise(_W_BITS + 1 - F.length(F.bin(F.col("w")))))
+    return items.groupBy("bucket").agg(F.max(rank).alias("m"))
+
+
+def hll_report(spark, regs, n_true):
+    """Registers (bucket, m) + exact truth -> the one-row HLL report
+    (densified over all 64 buckets; exact integer harmonic sum)."""
+    allb = (spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+            .join(regs, "bucket", "left")
+            .select("bucket", F.coalesce(F.col("m"), F.lit(0)).alias("m")))
+    z = allb.agg(
+        F.sum(F.pow(F.lit(2), _W_BITS + 1 - F.col("m")).cast("bigint"))
+        .cast("bigint").alias("znum"),
+        F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_buckets_hit"),
+        F.max("m").alias("max_register"))
+    return z.select(
+        F.lit(n_true).cast("bigint").alias("n_true"),
+        "n_buckets_hit", "max_register", "znum",
+        F.expr(f"{_ALPHA_MILLI * _HLL_M * _HLL_M * 2 ** (_W_BITS + 1)}"
+               f" div znum").alias("est_milli"))
+
+
+@query("sketch_hll_manual", oracle=_HLL_ORACLE)
 def sketch_hll_manual(spark, sf_dir):
     """Register-level HyperLogLog from first principles: h32 split
     into a 6-bit bucket and 26-bit remainder; rank = leading zeros +
@@ -98,29 +133,9 @@ def sketch_hll_manual(spark, sf_dir):
     pinned alpha_64 = 0.709. Cross-engine contract: every register
     identical, not just the estimate (RSE 1.04/sqrt(64) = 13%)."""
     o = T(spark, sf_dir, "orders")
-    hv = h32(F.concat(F.lit("hll:"), F.col("o_custkey").cast("string")))
-    items = (o.select("o_custkey", hv.alias("hv"))
-             .select("o_custkey",
-                     F.expr(f"hv div {_POW_W}").alias("bucket"),
-                     (F.col("hv") % _POW_W).alias("w")))
-    rank = (F.when(F.col("w") == 0, _W_BITS + 1)
-            .otherwise(_W_BITS + 1 - F.length(F.bin(F.col("w")))))
-    regs = items.groupBy("bucket").agg(F.max(rank).alias("m"))
-    allb = (spark.range(_HLL_M).select(F.col("id").alias("bucket"))
-            .join(regs, "bucket", "left")
-            .select("bucket", F.coalesce(F.col("m"), F.lit(0)).alias("m")))
-    z = allb.agg(
-        F.sum(F.pow(F.lit(2), _W_BITS + 1 - F.col("m")).cast("bigint"))
-        .cast("bigint").alias("znum"),
-        F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).cast("bigint")
-        .alias("n_buckets_hit"),
-        F.max("m").alias("max_register"))
+    regs = hll_register_agg(o)
     n_true = o.select("o_custkey").distinct().count()
-    return z.select(
-        F.lit(n_true).cast("bigint").alias("n_true"),
-        "n_buckets_hit", "max_register", "znum",
-        F.expr(f"{_ALPHA_MILLI * _HLL_M * _HLL_M * 2 ** (_W_BITS + 1)}"
-               f" div znum").alias("est_milli"))
+    return hll_report(spark, regs, n_true)
 
 
 @query("causal_cem_att", oracle="""

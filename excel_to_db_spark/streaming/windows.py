@@ -944,3 +944,54 @@ def run_stream_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((2 * F.col("satisfied")
                              + F.col("tolerating")).cast("double")
                             / (2.0 * F.col("n")), 4).alias("apdex")))
+
+
+def run_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers maintained by the Structured Streaming
+    engine over a file-source replay of the orders table: each
+    micro-batch folds its keys into the per-bucket max-rank state via
+    the grouped max in queries/flagships2.py:hll_register_agg — and a
+    grouped MAX is exactly the HLL union merge, so the engine is
+    performing a live sketch union per trigger. State is <= 64
+    registers REGARDLESS of key cardinality (the whole point of the
+    sketch); for a finite replay the complete-mode emission equals the
+    batch registers, so the batch `sketch_hll_manual` oracle verifies
+    the streaming state register-for-register. The estimate/report
+    arithmetic runs batch-side on the final emission."""
+    from ..queries.flagships2 import hll_register_agg, hll_report
+
+    name = f"hllregs_{uuid.uuid4().hex[:8]}"
+    stream = table_stream_reader(spark, sf_dir, "orders",
+                                 max_files_per_trigger=1)
+    q = (hll_register_agg(stream)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True))
+    run_scoped(spark, q)
+    n_true = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_custkey").distinct().count())
+    return hll_report(spark, spark.table(name), n_true)
+
+
+def run_stream_skew_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew counters maintained by the Structured Streaming
+    engine over an orders replay: the (month x priority) census from
+    queries/dataops.py:skew_parts updates incrementally per
+    micro-batch — the shape of a monitor that watches a landing
+    table's key distribution as it grows instead of rescanning it.
+    State = #distinct partition keys (bounded by the calendar x 5
+    priorities). The rank/median/p99 skew arithmetic runs batch-side
+    on the final complete-mode emission, which for a finite replay
+    equals the batch census — the `ops_partition_skew` oracle checks
+    it value-for-value."""
+    from ..queries.dataops import skew_parts, skew_report
+
+    name = f"skewmon_{uuid.uuid4().hex[:8]}"
+    stream = table_stream_reader(spark, sf_dir, "orders",
+                                 max_files_per_trigger=1)
+    q = (skew_parts(stream)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True))
+    run_scoped(spark, q)
+    return skew_report(spark.table(name))
