@@ -240,6 +240,7 @@ HEADLINE = [
     "ops_compaction_plan",     # next-fit small-file packing plan
     "ops_partition_skew",      # skew pre-flight, exact rank stats
     "stream_hll_registers",    # live sketch union per micro-batch
+    "curation_semdedup",       # cluster-blocked semantic dedup
 ]
 
 

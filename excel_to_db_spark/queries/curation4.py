@@ -1,0 +1,243 @@
+"""Semantic-curation pack (round 6, batch 75). The reference engine
+(294 LoC of Rust delegating to SQLite, reference src/main.rs) has none
+of this; three Tier-C mission operators from the embedding-space
+curation playbook of large-corpus training pipelines, all on the
+1e6-quantized integer embedding contract (`ml_knn_classify`):
+
+- curation_semdedup: SemDeDup (Abbas et al. 2023) — cluster-scoped
+  semantic dedup: vectors assign to 8 PINNED centroid vectors (the
+  embeddings at vec_id 0, 17, ..., 119 — deterministic seeds, no
+  iteration; the Lloyd-refined variant is `kmeans_lloyd`), and within
+  each cluster a vector drops when an earlier-id vector sits within
+  the distance threshold (d2 <= 1.45e12 on unit vectors ~ cos >=
+  0.275). Clustering turns the O(n^2) semantic-pair scan into
+  O(sum n_c^2) — the entire point of SemDeDup at corpus scale.
+- curation_cluster_balance: cluster-size rebalancing weights
+  (w_c = (N/k)/n_c in micros) + the effective sample size of the
+  reweighted corpus ((sum w)^2 / sum w^2, exact integer rational) —
+  the diversity-preserving sampler run before mixture tuning.
+- curation_knn_density: per-vector 3-NN mean distance WITHIN its
+  cluster as a density score (low = redundant neighborhood, the
+  SSL-prototypes pruning signal); exact-rank decile census of the
+  scores. Vectors with < 3 cluster-mates drop out identically on
+  both engines (inner rank, HAVING-like filter).
+
+Scale shapes: centroid assignment is a broadcast of 8 vectors; every
+pair/neighbor computation is blocked BY CLUSTER (never corpus-wide);
+the decile rank runs over the bounded score table."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .relational import T
+
+_K = 8
+_SEED_STEP = 17
+_THRESH = 1_450_000_000_000     # d2 on 1e6-quantized unit vectors
+
+_ASSIGN_SQL = f"""
+    v AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000000) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id // {_SEED_STEP} AS cid, qv AS cv
+        FROM v WHERE vec_id % {_SEED_STEP} = 0
+              AND vec_id < {_K * _SEED_STEP}
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, label, qv, cid FROM (
+            SELECT s.vec_id, s.label, s.qv, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY list_sum(list_transform(range(1, 65),
+                           i -> (s.qv[i] - c.cv[i])
+                              * (s.qv[i] - c.cv[i]))), c.cid) AS rk
+            FROM v s CROSS JOIN cent c
+        ) WHERE rk = 1
+    )
+"""
+
+
+def _assigned(spark, sf_dir):
+    """(vec_id, label, qv, cid): every vector assigned to its nearest
+    of the 8 pinned centroid vectors (ties -> smaller cid). Exact
+    Spark twin of `_ASSIGN_SQL`."""
+    e = T(spark, sf_dir, "embeddings")
+    qv = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.round(x * 1000000).cast("bigint"))
+    v = e.select("vec_id", "label", qv.alias("qv"))
+    cent = (v.where((F.col("vec_id") % _SEED_STEP == 0)
+                    & (F.col("vec_id") < _K * _SEED_STEP))
+            .select(F.expr(f"vec_id div {_SEED_STEP}").alias("cid"),
+                    F.col("qv").alias("cv")))
+    d2 = F.expr("aggregate(zip_with(qv, cv, (a, b) -> (a-b)*(a-b)),"
+                " 0L, (s, x) -> s + x)")
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (v.crossJoin(F.broadcast(cent))
+            .select("vec_id", "label", "qv", "cid", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "label", "qv", "cid"))
+
+
+_PAIR_D2 = ("list_sum(list_transform(range(1, 65),"
+            " i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))")
+
+
+@query("curation_semdedup", oracle=f"""
+    WITH {_ASSIGN_SQL},
+    dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND b.vec_id < a.vec_id
+        WHERE {_PAIR_D2} <= {_THRESH}
+    )
+    SELECT a.cid, count(*) AS n_docs,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST((count(*) - sum(CASE WHEN d.vec_id IS NOT NULL
+                                     THEN 1 ELSE 0 END)) * 1000000
+                // count(*) AS BIGINT) AS keep_rate_micro
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    GROUP BY a.cid
+""")
+def curation_semdedup(spark, sf_dir):
+    """SemDeDup: within each centroid cluster, a vector is dropped
+    when an earlier-id vector lies within the semantic radius (keep
+    the lowest id — the paper's 'keep one representative' rule made
+    deterministic). The pair scan is cluster-blocked: cost sum of
+    n_c^2, never n^2 — at corpus scale the clusters come from the
+    same k-means the retrieval index already maintains. Per-cluster
+    keep-rate census out."""
+    a = _assigned(spark, sf_dir).localCheckpoint(eager=False)
+    b = a.select(F.col("vec_id").alias("b_id"), F.col("cid").alias("b_cid"),
+                 F.col("qv").alias("b_qv"))
+    d2 = F.expr("aggregate(zip_with(qv, b_qv, (x, y) -> (x-y)*(x-y)),"
+                " 0L, (s, x) -> s + x)")
+    dropped = (a.join(b, (a["cid"] == F.col("b_cid"))
+                      & (F.col("b_id") < a["vec_id"]))
+               .where(d2 <= _THRESH)
+               .select("vec_id").distinct()
+               .withColumnRenamed("vec_id", "d_id"))
+    return (a.join(dropped, a["vec_id"] == F.col("d_id"), "left")
+            .groupBy("cid")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("d_id").isNotNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_dropped"))
+            .select("cid", "n_docs", "n_dropped",
+                    F.expr("(n_docs - n_dropped) * 1000000 div n_docs")
+                    .alias("keep_rate_micro")))
+
+
+@query("curation_cluster_balance", oracle=f"""
+    WITH {_ASSIGN_SQL},
+    sizes AS (
+        SELECT cid, count(*) AS n FROM assigned GROUP BY cid
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM sizes),
+    weighted AS (
+        SELECT cid, n, nt * 1000000 // ({_K} * n) AS weight_micro,
+               nt * 1000 // ({_K} * n) AS wm
+        FROM sizes CROSS JOIN tot
+    )
+    SELECT cid, CAST(n AS BIGINT) AS n, CAST(weight_micro AS BIGINT)
+               AS weight_micro,
+           CAST((SELECT sum(CAST(n AS BIGINT) * wm)
+                        * sum(CAST(n AS BIGINT) * wm)
+                 // sum(CAST(n AS BIGINT) * wm * wm)
+                 FROM weighted) AS BIGINT) AS ess_corpus
+    FROM weighted
+""")
+def curation_cluster_balance(spark, sf_dir):
+    """Cluster-balanced sampling weights: each cluster reweighted to
+    the uniform share (w_c = (N/k)/n_c in micros — big clusters
+    down-weighted, rare modes preserved), plus the corpus-level
+    effective sample size of the reweighted distribution,
+    (sum n*w)^2 / sum n*w^2 as ONE exact integer rational — the
+    number that says how much diversity the rebalancing actually
+    bought. Aggregates over the k-row cluster table."""
+    a = _assigned(spark, sf_dir)
+    sizes = (a.groupBy("cid").agg(F.count("*").alias("n"))
+             .localCheckpoint(eager=False))
+    nt = sizes.agg(F.sum("n").cast("bigint").alias("nt")) \
+        .collect()[0]["nt"]
+    weighted = sizes.select(
+        "cid", F.col("n").cast("bigint").alias("n"),
+        F.expr(f"{nt} * 1000000 div ({_K} * n)").alias("weight_micro"),
+        # ESS uses MILLI weights: the ratio is scale-invariant and the
+        # milli scale keeps (sum n*w)^2 inside BIGINT at large SFs
+        # (micro overflows at sf >= ~100 under Spark's ANSI mode).
+        F.expr(f"{nt} * 1000 div ({_K} * n)").alias("wm"))
+    ess = (weighted
+           .agg(F.expr("sum(n * wm) * sum(n * wm)"
+                       " div sum(n * wm * wm)")
+                .cast("bigint").alias("ess"))
+           .collect()[0]["ess"])
+    weighted = weighted.drop("wm")
+    return weighted.select("cid", "n", "weight_micro",
+                           F.lit(ess).cast("bigint").alias("ess_corpus"))
+
+
+@query("curation_knn_density", oracle=f"""
+    WITH {_ASSIGN_SQL},
+    nbr AS (
+        SELECT a.vec_id, {_PAIR_D2} AS d2,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY {_PAIR_D2}, b.vec_id) AS rn
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    ),
+    score AS MATERIALIZED (
+        SELECT vec_id, CAST(sum(d2) // 3 AS BIGINT) AS density_d2
+        FROM nbr WHERE rn <= 3 GROUP BY vec_id HAVING count(*) = 3
+    ),
+    ranked AS (
+        SELECT density_d2,
+               row_number() OVER (ORDER BY density_d2, vec_id) AS rk,
+               count(*) OVER () AS n
+        FROM score
+    )
+    SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+           count(*) AS n_vecs,
+           min(density_d2) AS min_d2, max(density_d2) AS max_d2
+    FROM ranked GROUP BY 1
+""")
+def curation_knn_density(spark, sf_dir):
+    """kNN-density pruning signal: each vector's mean distance to its
+    3 nearest CLUSTER-mates (cluster = the blocking structure — the
+    neighbor scan never leaves the cell), low score = redundant
+    neighborhood (the SSL-prototypes prune candidate). Scores are
+    integer d2 means; the report is an exact-rank decile census.
+    Vectors with < 3 cluster-mates fall out via the count = 3 filter
+    on both engines identically."""
+    a = _assigned(spark, sf_dir).localCheckpoint(eager=False)
+    b = a.select(F.col("vec_id").alias("b_id"), F.col("cid").alias("b_cid"),
+                 F.col("qv").alias("b_qv"))
+    d2 = F.expr("aggregate(zip_with(qv, b_qv, (x, y) -> (x-y)*(x-y)),"
+                " 0L, (s, x) -> s + x)")
+    wn = Window.partitionBy("vec_id").orderBy("d2", "b_id")
+    nbr = (a.join(b, (a["cid"] == F.col("b_cid"))
+                  & (a["vec_id"] != F.col("b_id")))
+           .select("vec_id", d2.alias("d2"), F.col("b_id"))
+           .withColumn("rn", F.row_number().over(wn)))
+    score = (nbr.where(F.col("rn") <= 3)
+             .groupBy("vec_id")
+             .agg(F.expr("sum(d2) div 3").cast("bigint")
+                  .alias("density_d2"),
+                  F.count("*").alias("nc"))
+             .where(F.col("nc") == 3).drop("nc"))
+    wr = Window.orderBy("density_d2", "vec_id")
+    n = score.count()
+    ranked = score.select("density_d2",
+                          F.row_number().over(wr).alias("rk"))
+    return (ranked
+            .groupBy(F.expr(f"(rk - 1) * 10 div {n}").alias("decile"))
+            .agg(F.count("*").alias("n_vecs"),
+                 F.min("density_d2").alias("min_d2"),
+                 F.max("density_d2").alias("max_d2")))

@@ -1,0 +1,90 @@
+"""Semantic guards for the semantic-curation batch: numpy brute-force
+recomputation of the pinned-centroid assignment, SemDeDup drops,
+balance weights/ESS, and kNN-density deciles at sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+K, STEP, THRESH = 8, 17, 1_450_000_000_000
+
+
+def _assigned(sf_dir):
+    e = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = e.vec_id.astype(int).tolist()
+    Q = {int(r.vec_id): np.round(np.asarray(r.embedding, dtype="float64")
+                                 * 1e6).astype("int64")
+         for r in e.itertuples()}
+    cents = {i // STEP: Q[i] for i in ids
+             if i % STEP == 0 and i < K * STEP}
+    cid = {}
+    for i in ids:
+        best = min((int(((Q[i] - cv) ** 2).sum()), c)
+                   for c, cv in cents.items())
+        cid[i] = best[1]
+    return Q, cid
+
+
+def test_semdedup(spark, sf_dir):
+    from excel_to_db_spark.queries.curation4 import curation_semdedup
+    rows = {r.cid: r for r in curation_semdedup(spark, sf_dir).collect()}
+    Q, cid = _assigned(sf_dir)
+    drop = set()
+    for i in Q:
+        for j in Q:
+            if j < i and cid[j] == cid[i] \
+                    and int(((Q[i] - Q[j]) ** 2).sum()) <= THRESH:
+                drop.add(i)
+                break
+    exp = {}
+    for i, c in cid.items():
+        n, d = exp.get(c, (0, 0))
+        exp[c] = (n + 1, d + (i in drop))
+    assert {c: (r.n_docs, r.n_dropped) for c, r in rows.items()} == exp
+    for c, r in rows.items():
+        assert r.keep_rate_micro == \
+            (r.n_docs - r.n_dropped) * 1_000_000 // r.n_docs
+
+
+def test_cluster_balance(spark, sf_dir):
+    from excel_to_db_spark.queries.curation4 import curation_cluster_balance
+    rows = {r.cid: r
+            for r in curation_cluster_balance(spark, sf_dir).collect()}
+    _, cid = _assigned(sf_dir)
+    sizes = pd.Series(list(cid.values())).value_counts().to_dict()
+    nt = sum(sizes.values())
+    wms = {}
+    for c, n in sizes.items():
+        r = rows[c]
+        assert r.n == n
+        assert r.weight_micro == nt * 1_000_000 // (K * n)
+        wms[c] = (n, nt * 1000 // (K * n))
+    sw = sum(n * w for n, w in wms.values())
+    sw2 = sum(n * w * w for n, w in wms.values())
+    ess = sw * sw // sw2
+    assert all(r.ess_corpus == ess for r in rows.values())
+    # rebalancing keeps most of the corpus effective on mild imbalance
+    assert nt // 2 < ess <= nt
+
+
+def test_knn_density(spark, sf_dir):
+    from excel_to_db_spark.queries.curation4 import curation_knn_density
+    rows = {r.decile: r
+            for r in curation_knn_density(spark, sf_dir).collect()}
+    Q, cid = _assigned(sf_dir)
+    scores = {}
+    for i in Q:
+        ds = sorted((int(((Q[i] - Q[j]) ** 2).sum()), j)
+                    for j in Q if j != i and cid[j] == cid[i])[:3]
+        if len(ds) == 3:
+            scores[i] = sum(d for d, _ in ds) // 3
+    order = sorted((s, i) for i, s in scores.items())
+    n = len(order)
+    exp = {}
+    for rk0, (s, _) in enumerate(order):
+        d = rk0 * 10 // n
+        cnt, lo, hi = exp.get(d, (0, s, s))
+        exp[d] = (cnt + 1, min(lo, s), max(hi, s))
+    assert {d: (r.n_vecs, r.min_d2, r.max_d2)
+            for d, r in rows.items()} == exp
