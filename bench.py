@@ -241,6 +241,7 @@ HEADLINE = [
     "ops_partition_skew",      # skew pre-flight, exact rank stats
     "stream_hll_registers",    # live sketch union per micro-batch
     "curation_semdedup",       # cluster-blocked semantic dedup
+    "mkt_halo_lift",           # post-click vs post-view range semi-joins
 ]
 
 

@@ -91,6 +91,7 @@ from . import flagships2   # noqa: E402,F401  Tier C: manual HLL registers/CEM A
 from . import dataops      # noqa: E402,F401  Tier C: compaction plan/partition skew/incremental plan/bloom sizing
 from . import streamops    # noqa: E402,F401  Tier C: streaming HLL registers + skew monitor twins
 from . import curation4    # noqa: E402,F401  Tier C: SemDeDup/cluster balance/kNN density
+from . import marketing    # noqa: E402,F401  Tier C: adstock/Hill saturation/reach-frequency/halo lift
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
