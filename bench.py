@@ -242,6 +242,7 @@ HEADLINE = [
     "stream_hll_registers",    # live sketch union per micro-batch
     "curation_semdedup",       # cluster-blocked semantic dedup
     "mkt_halo_lift",           # post-click vs post-view range semi-joins
+    "act_chain_ladder_ultimate",  # censored triangle + ordered fold
 ]
 
 
