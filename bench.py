@@ -243,6 +243,7 @@ HEADLINE = [
     "curation_semdedup",       # cluster-blocked semantic dedup
     "mkt_halo_lift",           # post-click vs post-view range semi-joins
     "act_chain_ladder_ultimate",  # censored triangle + ordered fold
+    "epi_standardized_rates",  # case-mix-adjusted rate panel
 ]
 
 

@@ -93,6 +93,7 @@ from . import streamops    # noqa: E402,F401  Tier C: streaming HLL registers + 
 from . import curation4    # noqa: E402,F401  Tier C: SemDeDup/cluster balance/kNN density
 from . import marketing    # noqa: E402,F401  Tier C: adstock/Hill saturation/reach-frequency/halo lift
 from . import actuarial    # noqa: E402,F401  Tier C: chain ladder/frequency-severity/earned exposure
+from . import epi          # noqa: E402,F401  Tier C: standardized rates/funnel plot/empirical BTYD/Erlang B
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
