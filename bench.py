@@ -244,6 +244,8 @@ HEADLINE = [
     "mkt_halo_lift",           # post-click vs post-view range semi-joins
     "act_chain_ladder_ultimate",  # censored triangle + ordered fold
     "epi_standardized_rates",  # case-mix-adjusted rate panel
+    "fs_point_in_time_join",   # PIT feature join, user-blocked band
+    "fs_leakage_audit",        # PIT vs leaky join inflation
 ]
 
 

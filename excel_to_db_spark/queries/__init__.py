@@ -94,6 +94,7 @@ from . import curation4    # noqa: E402,F401  Tier C: SemDeDup/cluster balance/k
 from . import marketing    # noqa: E402,F401  Tier C: adstock/Hill saturation/reach-frequency/halo lift
 from . import actuarial    # noqa: E402,F401  Tier C: chain ladder/frequency-severity/earned exposure
 from . import epi          # noqa: E402,F401  Tier C: standardized rates/funnel plot/empirical BTYD/Erlang B
+from . import featurestore  # noqa: E402,F401  Tier C: PIT join/leakage audit/freshness/train-serve skew
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
