@@ -246,6 +246,7 @@ HEADLINE = [
     "epi_standardized_rates",  # case-mix-adjusted rate panel
     "fs_point_in_time_join",   # PIT feature join, user-blocked band
     "fs_leakage_audit",        # PIT vs leaky join inflation
+    "exp_sequential_obf",      # 5-look OBF monitoring panel
 ]
 
 
