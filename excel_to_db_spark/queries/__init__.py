@@ -96,6 +96,7 @@ from . import actuarial    # noqa: E402,F401  Tier C: chain ladder/frequency-sev
 from . import epi          # noqa: E402,F401  Tier C: standardized rates/funnel plot/empirical BTYD/Erlang B
 from . import featurestore  # noqa: E402,F401  Tier C: PIT join/leakage audit/freshness/train-serve skew
 from . import experiments  # noqa: E402,F401  Tier C: switchback/cluster-randomized/sequential OBF
+from . import encoding     # noqa: E402,F401  Tier C: RLE runs/dict advisor/delta bitwidth/sort gain
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
