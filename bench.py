@@ -247,7 +247,8 @@ HEADLINE = [
     "fs_point_in_time_join",   # PIT feature join, user-blocked band
     "fs_leakage_audit",        # PIT vs leaky join inflation
     "exp_sequential_obf",      # 5-look OBF monitoring panel
-    "enc_rle_runs",            # RLE ceiling, three lag windows
+    "enc_rle_runs",            # RLE ceiling, distributed run counter
+    "search_phrase_minspan",   # positional min-window proximity
 ]
 
 
