@@ -249,6 +249,7 @@ HEADLINE = [
     "exp_sequential_obf",      # 5-look OBF monitoring panel
     "enc_rle_runs",            # RLE ceiling, distributed run counter
     "search_phrase_minspan",   # positional min-window proximity
+    "fin_price_volume_mix",    # PVM bridge with exact reconciliation
 ]
 
 
