@@ -250,6 +250,8 @@ HEADLINE = [
     "enc_rle_runs",            # RLE ceiling, distributed run counter
     "search_phrase_minspan",   # positional min-window proximity
     "fin_price_volume_mix",    # PVM bridge with exact reconciliation
+    "process_variants",        # session trace signatures top-10
+    "process_bottlenecks",     # DFG waiting-time panel
 ]
 
 
