@@ -252,6 +252,7 @@ HEADLINE = [
     "fin_price_volume_mix",    # PVM bridge with exact reconciliation
     "process_variants",        # session trace signatures top-10
     "process_bottlenecks",     # DFG waiting-time panel
+    "anomaly_mahalanobis2",    # symbolic 2x2 inverse outliers
 ]
 
 

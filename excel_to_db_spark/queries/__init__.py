@@ -100,6 +100,7 @@ from . import encoding     # noqa: E402,F401  Tier C: RLE runs/dict advisor/delt
 from . import search2      # noqa: E402,F401  Tier C: Rocchio PRF/phrase minspan/spell suggest
 from . import finreport    # noqa: E402,F401  Tier C: 4-4-5 rollup/to-date triple/margin waterfall/PVM bridge
 from . import process      # noqa: E402,F401  Tier C: trace variants/conformance/bottlenecks/rework
+from . import multivar     # noqa: E402,F401  Tier C: Mahalanobis2/empirical copula/PCA2 closed form/partial corr
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
