@@ -253,6 +253,7 @@ HEADLINE = [
     "process_variants",        # session trace signatures top-10
     "process_bottlenecks",     # DFG waiting-time panel
     "anomaly_mahalanobis2",    # symbolic 2x2 inverse outliers
+    "sec_impossible_travel",   # cross-multiplied speed test windows
 ]
 
 

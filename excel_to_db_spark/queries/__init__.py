@@ -101,6 +101,7 @@ from . import search2      # noqa: E402,F401  Tier C: Rocchio PRF/phrase minspan
 from . import finreport    # noqa: E402,F401  Tier C: 4-4-5 rollup/to-date triple/margin waterfall/PVM bridge
 from . import process      # noqa: E402,F401  Tier C: trace variants/conformance/bottlenecks/rework
 from . import multivar     # noqa: E402,F401  Tier C: Mahalanobis2/empirical copula/PCA2 closed form/partial corr
+from . import security     # noqa: E402,F401  Tier C: impossible travel/bruteforce windows/rare combos
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
