@@ -254,6 +254,7 @@ HEADLINE = [
     "process_bottlenecks",     # DFG waiting-time panel
     "anomaly_mahalanobis2",    # symbolic 2x2 inverse outliers
     "sec_impossible_travel",   # cross-multiplied speed test windows
+    "ops_token_bucket_replay",  # per-user stateful fold replay
 ]
 
 

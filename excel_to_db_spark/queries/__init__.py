@@ -102,6 +102,7 @@ from . import finreport    # noqa: E402,F401  Tier C: 4-4-5 rollup/to-date tripl
 from . import process      # noqa: E402,F401  Tier C: trace variants/conformance/bottlenecks/rework
 from . import multivar     # noqa: E402,F401  Tier C: Mahalanobis2/empirical copula/PCA2 closed form/partial corr
 from . import security     # noqa: E402,F401  Tier C: impossible travel/bruteforce windows/rare combos
+from . import simreplay    # noqa: E402,F401  Tier C: token-bucket + Lindley discrete-event replays
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
