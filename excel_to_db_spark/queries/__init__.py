@@ -150,13 +150,20 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
-# Round-7+ rotation pool: 313 keys still have no driver CORRECTNESS row
-# after the round-6 window above. Regenerate the exact list with:
+# Round-7+ rotation pool: ~390 keys still have no driver CORRECTNESS
+# row after the round-6 window above (the 313-key r5 backlog plus the
+# ~80 round-6 batch-66-87 keys: geo/linkage/forecast/graphcomm/
+# mlrobust/inventory/flagships2/dataops/streamops/curation4/marketing/
+# actuarial/epi/featurestore/experiments/encoding/search2/finreport/
+# process/multivar/security/simreplay). Regenerate the exact list with:
 #   python -c "import json,__spark_entry__ as E; s=set();
-#     [s.update(json.load(open(f'CORRECTNESS_r0{r}.json'))) for r in (1,2,3,4,5)];
+#     [s.update(json.load(open(f'CORRECTNESS_r0{r}.json'))) for r in (1,2,3,4,5,6)];
 #     print([k for k in E.queries() if k not in s])"
-# minus the round-6 window. Keep rotating ~50/round, risk-ranked
-# (float-heavy stats > graph/TS > eval/ops panels > sketches).
+# minus the next round's window. Keep rotating ~50/round, risk-ranked:
+# the round-6 fold/window keys first (ops_lindley_replay,
+# ops_token_bucket_replay, enc_rle_runs, act_chain_ladder_ultimate —
+# the cross-engine fold/run-counter contracts), then the geo/linkage/
+# curation flagships, then the integer stat panels.
 
 
 def _front_load(priority: tuple[str, ...]) -> None:
