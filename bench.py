@@ -255,6 +255,7 @@ HEADLINE = [
     "anomaly_mahalanobis2",    # symbolic 2x2 inverse outliers
     "sec_impossible_travel",   # cross-multiplied speed test windows
     "ops_token_bucket_replay",  # per-user stateful fold replay
+    "dq_inclusion_census",     # FK discovery containment panel
 ]
 
 
