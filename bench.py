@@ -256,6 +256,7 @@ HEADLINE = [
     "sec_impossible_travel",   # cross-multiplied speed test windows
     "ops_token_bucket_replay",  # per-user stateful fold replay
     "dq_inclusion_census",     # FK discovery containment panel
+    "geo_catchment_share",     # broadcast-argmin Voronoi census
 ]
 
 

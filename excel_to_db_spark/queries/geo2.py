@@ -1,0 +1,215 @@
+"""Geospatial pack II (round 6, batch 89). The reference engine (294
+LoC of Rust delegating to SQLite, reference src/main.rs) has no
+spatial surface; three Tier-C mission operators completing the `geo`
+pack with the facility-location / flow layer (same hash-synthesized
+integer-microdegree coordinates, same no-trig contract):
+
+- geo_od_matrix: the origin-destination flow matrix — distinct
+  customer->supplier trade pairs rolled up to zoom-4 tile pairs,
+  top-15 flows (the transport-planning artifact).
+- geo_catchment_share: Voronoi catchment census — each customer
+  assigned to its NEAREST supplier (exact integer d2, ties pinned),
+  per-supplier customer counts and micro shares; the
+  facility-location coverage table.
+- geo_nearest_deciles: service-distance distribution — exact-rank
+  deciles of each customer's distance to the nearest supplier
+  (integer meters via one correctly-rounded sqrt), the
+  'how far is everyone from a depot' curve.
+
+Scale shapes: the supplier side is facility-sized and broadcasts;
+nearest-assignment is the broadcast-argmin scan (at planetary scale
+the `geo` grid blocking pre-filters candidates); tile rollups are
+bounded aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .relational import T
+from .geo import _TX8, _TY8, _pts, _pts_sql
+
+_CUST_SQL = _pts_sql("customer", "c_custkey", "c_nationkey", "")
+_SUPP_SQL = _pts_sql("supplier", "s_suppkey", "s_nationkey", "s")
+
+_NEAREST_SQL = f"""
+    cust AS MATERIALIZED ({_CUST_SQL}),
+    supp AS MATERIALIZED ({_SUPP_SQL}),
+    scored AS (
+        SELECT c.id AS cust_id, s.id AS supp_id,
+               (c.latp - s.latp) * (c.latp - s.latp)
+             + (c.lonp - s.lonp) * (c.lonp - s.lonp) AS d2
+        FROM cust c CROSS JOIN supp s
+    ),
+    nearest AS MATERIALIZED (
+        SELECT cust_id, supp_id, d2 FROM (
+            SELECT cust_id, supp_id, d2,
+                   row_number() OVER (PARTITION BY cust_id
+                                      ORDER BY d2, supp_id) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    )
+"""
+
+
+def _nearest(spark, sf_dir):
+    """(cust_id, supp_id, d2): every customer's nearest supplier —
+    broadcast-argmin over the facility table, ties pinned."""
+    cust = _pts(spark, sf_dir, "customer", "c_custkey", "c_nationkey", "")
+    supp = (_pts(spark, sf_dir, "supplier", "s_suppkey", "s_nationkey",
+                 "s")
+            .select(F.col("id").alias("supp_id"),
+                    F.col("latp").alias("slat"),
+                    F.col("lonp").alias("slon")))
+    d2 = ((F.col("latp") - F.col("slat")) * (F.col("latp") - F.col("slat"))
+          + (F.col("lonp") - F.col("slon"))
+          * (F.col("lonp") - F.col("slon")))
+    # argmin as TWO codegen'd hash aggregates (min distance, then min
+    # supplier id among the ties) — both the per-customer sort window
+    # and min_by-over-structs formulations fall out of whole-stage
+    # codegen and ran 20-70x slower on the 15M-pair scored set at
+    # sf0.1 (36s vs ~2s); plain min() + an equi-join re-derivation of
+    # the tied rows stays fully code-generated. The oracle states the
+    # same argmin with a rank (values identical, ties pinned).
+    # repartition the probe side BEFORE fanning out against the
+    # broadcast facilities: the single parquet file otherwise feeds
+    # the whole |cust| x |supp| pipeline through ONE task (22s at
+    # sf0.1 vs ~3s across 32).
+    scored = (cust.select(F.col("id").alias("cust_id"), "latp", "lonp")
+              .repartition(32, "cust_id")
+              .crossJoin(F.broadcast(supp))
+              .select("cust_id", "supp_id", d2.alias("d2")))
+    best = scored.groupBy("cust_id").agg(F.min("d2").alias("d2"))
+    # broadcast the per-customer minima: without the hint Catalyst
+    # can't size the post-agg side and falls back to a sort-merge
+    # join that SORTS the 15M scored rows (25s at sf0.1 vs ~3s).
+    return (scored.join(F.broadcast(best), ["cust_id", "d2"])
+            .groupBy("cust_id", "d2")
+            .agg(F.min("supp_id").alias("supp_id"))
+            .select("cust_id", "supp_id", "d2")
+            .localCheckpoint(eager=False))
+
+
+@query("geo_od_matrix", oracle=f"""
+    WITH cust AS MATERIALIZED ({_CUST_SQL}),
+    supp AS MATERIALIZED ({_SUPP_SQL}),
+    edges AS (
+        SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    flows AS (
+        SELECT (c.lonp + 170000000) // {_TX8} // 16 AS o_tx,
+               (60000000 - c.latp) // {_TY8} // 16 AS o_ty,
+               (s.lonp + 170000000) // {_TX8} // 16 AS d_tx,
+               (60000000 - s.latp) // {_TY8} // 16 AS d_ty,
+               CAST(count(*) AS BIGINT) AS flow
+        FROM edges e
+        JOIN cust c ON c.id = e.ck
+        JOIN supp s ON s.id = e.sk
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT o_tx, o_ty, d_tx, d_ty, flow,
+           CAST(row_number() OVER (ORDER BY flow DESC, o_tx, o_ty,
+                                   d_tx, d_ty) AS BIGINT) AS rnk
+    FROM flows
+    QUALIFY row_number() OVER (ORDER BY flow DESC, o_tx, o_ty,
+                               d_tx, d_ty) <= 15
+""")
+def geo_od_matrix(spark, sf_dir):
+    """Origin-destination flow matrix: distinct customer->supplier
+    trade pairs rolled to zoom-4 tile pairs (the `geo_tile_rollup`
+    tiling), top-15 flows pinned — the demand-corridor artifact
+    transport planning starts from. Tile keys fold into broadcast
+    dim joins on the distinct edge list; the flow table is bounded
+    by tiles^2."""
+    cust = (_pts(spark, sf_dir, "customer", "c_custkey", "c_nationkey",
+                 "")
+            .select(F.col("id").alias("ck"),
+                    F.expr(f"(lonp + 170000000) div {_TX8} div 16")
+                    .alias("o_tx"),
+                    F.expr(f"(60000000 - latp) div {_TY8} div 16")
+                    .alias("o_ty")))
+    supp = (_pts(spark, sf_dir, "supplier", "s_suppkey", "s_nationkey",
+                 "s")
+            .select(F.col("id").alias("sk"),
+                    F.expr(f"(lonp + 170000000) div {_TX8} div 16")
+                    .alias("d_tx"),
+                    F.expr(f"(60000000 - latp) div {_TY8} div 16")
+                    .alias("d_ty")))
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("ck"),
+                     F.col("l_suppkey").alias("sk"))
+             .distinct())
+    flows = (edges.join(F.broadcast(cust), "ck")
+             .join(F.broadcast(supp), "sk")
+             .groupBy("o_tx", "o_ty", "d_tx", "d_ty")
+             .agg(F.count("*").alias("flow")))
+    w = Window.orderBy(F.col("flow").desc(), "o_tx", "o_ty",
+                       "d_tx", "d_ty")
+    return (flows.withColumn("rnk", F.row_number().over(w)
+                             .cast("bigint"))
+            .where(F.col("rnk") <= 15)
+            .select("o_tx", "o_ty", "d_tx", "d_ty", "flow", "rnk"))
+
+
+@query("geo_catchment_share", oracle=f"""
+    WITH {_NEAREST_SQL},
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nearest)
+    SELECT n.supp_id, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) * 1000000 // t.n AS BIGINT) AS share_micro,
+           CAST(max(n.d2) AS BIGINT) AS max_d2
+    FROM nearest n CROSS JOIN tot t
+    GROUP BY n.supp_id, t.n
+""")
+def geo_catchment_share(spark, sf_dir):
+    """Voronoi catchment census: each customer assigned to its
+    nearest supplier (broadcast-argmin, ties pinned by supplier id);
+    per-facility customer counts, micro shares, and the farthest
+    customer served — the coverage table a facility planner balances.
+    Suppliers excluded from every catchment simply don't appear
+    (identical on both engines)."""
+    nearest = _nearest(spark, sf_dir)
+    n = nearest.count()
+    return (nearest.groupBy("supp_id")
+            .agg(F.count("*").alias("n_customers"),
+                 F.expr(f"count(*) * 1000000 div {n}")
+                 .alias("share_micro"),
+                 F.max("d2").cast("bigint").alias("max_d2")))
+
+
+@query("geo_nearest_deciles", oracle=f"""
+    WITH {_NEAREST_SQL},
+    meters AS (
+        SELECT CAST(round(sqrt(d2) * 0.111195) AS BIGINT) AS d_m
+        FROM nearest
+    ),
+    ranked AS (
+        SELECT d_m, row_number() OVER (ORDER BY d_m) AS rk,
+               count(*) OVER () AS n
+        FROM meters
+    )
+    SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+           count(*) AS n_customers,
+           min(d_m) AS min_m, max(d_m) AS max_m
+    FROM ranked GROUP BY 1
+""")
+def geo_nearest_deciles(spark, sf_dir):
+    """Service-distance distribution: integer meters to the nearest
+    supplier (exact d2, one correctly-rounded sqrt, the 0.111195
+    m/microdeg constant), exact-rank deciles with min/max — the
+    'population within X km of a depot' curve read off directly.
+    The rank runs over the bounded customer table."""
+    nearest = _nearest(spark, sf_dir)
+    meters = nearest.select(
+        F.round(F.sqrt("d2") * 0.111195).cast("bigint").alias("d_m"))
+    w = Window.orderBy("d_m")
+    n = meters.count()
+    ranked = meters.select("d_m", F.row_number().over(w).alias("rk"))
+    return (ranked.groupBy(F.expr(f"(rk - 1) * 10 div {n}")
+                           .alias("decile"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.min("d_m").alias("min_m"),
+                 F.max("d_m").alias("max_m")))
