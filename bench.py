@@ -257,6 +257,7 @@ HEADLINE = [
     "ops_token_bucket_replay",  # per-user stateful fold replay
     "dq_inclusion_census",     # FK discovery containment panel
     "geo_catchment_share",     # broadcast-argmin Voronoi census
+    "spc_p_chart",             # binomial-limit attribute chart
 ]
 
 
