@@ -258,6 +258,7 @@ HEADLINE = [
     "dq_inclusion_census",     # FK discovery containment panel
     "geo_catchment_share",     # broadcast-argmin Voronoi census
     "spc_p_chart",             # binomial-limit attribute chart
+    "customer_segment_migration",  # per-period rank migration matrix
 ]
 
 

@@ -106,6 +106,7 @@ from . import simreplay    # noqa: E402,F401  Tier C: token-bucket + Lindley dis
 from . import profiling2   # noqa: E402,F401  Tier C: inclusion deps/key discovery/format masks/orphan audit
 from . import geo2         # noqa: E402,F401  Tier C: OD matrix/Voronoi catchments/nearest-facility deciles
 from . import spc          # noqa: E402,F401  Tier C: p-chart/X-bar-R/Western-Electric run rules
+from . import custdyn      # noqa: E402,F401  Tier C: segment migration/month streaks/interpurchase gaps
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
