@@ -259,6 +259,7 @@ HEADLINE = [
     "geo_catchment_share",     # broadcast-argmin Voronoi census
     "spc_p_chart",             # binomial-limit attribute chart
     "customer_segment_migration",  # per-period rank migration matrix
+    "uplift_qini_points",      # distributed-rank Qini curve
 ]
 
 

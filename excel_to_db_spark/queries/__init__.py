@@ -107,6 +107,7 @@ from . import profiling2   # noqa: E402,F401  Tier C: inclusion deps/key discove
 from . import geo2         # noqa: E402,F401  Tier C: OD matrix/Voronoi catchments/nearest-facility deciles
 from . import spc          # noqa: E402,F401  Tier C: p-chart/X-bar-R/Western-Electric run rules
 from . import custdyn      # noqa: E402,F401  Tier C: segment migration/month streaks/interpurchase gaps
+from . import uplift       # noqa: E402,F401  Tier C: uplift-by-decile + Qini curve points
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
