@@ -260,6 +260,7 @@ HEADLINE = [
     "spc_p_chart",             # binomial-limit attribute chart
     "customer_segment_migration",  # per-period rank migration matrix
     "uplift_qini_points",      # distributed-rank Qini curve
+    "stream_spc_monitor",      # engine-maintained p-chart census
 ]
 
 

@@ -88,7 +88,7 @@ def _xbar_series(spark, sf_dir):
     return xbar, grand
 
 
-@query("spc_p_chart", oracle="""
+_P_CHART_ORACLE = """
     WITH daily AS (
         SELECT CAST(l_shipdate AS DATE) AS day,
                CAST(count(*) AS BIGINT) AS n_items,
@@ -119,7 +119,10 @@ def _xbar_series(spark, sf_dir):
                                  AS DOUBLE) / d.n_items)) AS BIGINT), 0)
                      THEN 1 ELSE 0 END AS BIGINT) AS ooc
     FROM daily d CROSS JOIN tot t
-""")
+"""
+
+
+@query("spc_p_chart", oracle=_P_CHART_ORACLE)
 def spc_p_chart(spark, sf_dir):
     """Attribute p-chart: per ship-day defective share (returnflag =
     'R') in exact micro units against 3-sigma binomial limits around
@@ -129,11 +132,26 @@ def spc_p_chart(spark, sf_dir):
     both engines); everything else is int64. Scale shape: one fact
     groupBy(day) to the bounded 2,405-row calendar, totals as a 1-row
     broadcast."""
-    daily = (T(spark, sf_dir, "lineitem")
-             .groupBy(F.col("l_shipdate").cast("date").alias("day"))
-             .agg(F.count("*").alias("n_items"),
-                  F.count(F.when(F.col("l_returnflag") == "R", 1))
-                  .alias("n_defect")))
+    return p_chart_report(p_chart_daily(T(spark, sf_dir, "lineitem")))
+
+
+def p_chart_daily(lineitem):
+    """Per-day (n_items, n_defect) census — the streamable stage: a
+    plain groupBy(day) that Structured Streaming maintains
+    incrementally in complete mode (state bounded by the 2,405-day
+    calendar). `stream_spc_monitor` replays lineitem through exactly
+    this aggregation."""
+    return (lineitem
+            .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+            .agg(F.count("*").alias("n_items"),
+                 F.count(F.when(F.col("l_returnflag") == "R", 1))
+                 .alias("n_defect")))
+
+
+def p_chart_report(daily):
+    """Limits + flags over a (day, n_items, n_defect) census — the
+    batch-side stage both the batch key and the streaming twin's
+    final emission run."""
     tot = daily.agg(
         F.expr("sum(n_defect) * 1000000 div sum(n_items)")
         .alias("pbar_micro"))

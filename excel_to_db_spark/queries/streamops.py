@@ -13,6 +13,7 @@ from __future__ import annotations
 from .registry import query
 from .flagships2 import _HLL_ORACLE
 from .dataops import _SKEW_ORACLE
+from .spc import _P_CHART_ORACLE
 
 
 @query("stream_hll_registers", oracle=_HLL_ORACLE)
@@ -36,3 +37,18 @@ def stream_skew_monitor(spark, sf_dir):
     from ..streaming.windows import run_stream_skew_monitor
 
     return run_stream_skew_monitor(spark, sf_dir)
+
+
+@query("stream_spc_monitor", oracle=_P_CHART_ORACLE)
+def stream_spc_monitor(spark, sf_dir):
+    """Streaming twin of `spc_p_chart` (round 6, batch 93): the
+    per-day (n_items, n_defect) census maintained incrementally by
+    the engine over a lineitem replay — the landing-table quality
+    monitor that watches defect shares while the load is running.
+    Control-limit arithmetic (p-bar, per-day 3-sigma binomial
+    bounds) runs batch-side on the final complete-mode emission,
+    which for a drained finite replay equals the batch census — the
+    batch p-chart oracle checks every day's limits and flags."""
+    from ..streaming.windows import run_stream_spc_monitor
+
+    return run_stream_spc_monitor(spark, sf_dir)

@@ -995,3 +995,27 @@ def run_stream_skew_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True))
     run_scoped(spark, q)
     return skew_report(spark.table(name))
+
+
+def run_stream_spc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart census maintained by the Structured Streaming engine
+    over a lineitem replay: the per-day (n_items, n_defect) counts
+    from queries/spc.py:p_chart_daily update incrementally per
+    micro-batch — a landing-table quality monitor that tracks defect
+    shares as the table grows instead of rescanning it. State = one
+    counter pair per ship-day (bounded by the 2,405-day calendar at
+    ANY scale). The 3-sigma binomial limit arithmetic runs batch-side
+    on the final complete-mode emission, which for a drained finite
+    replay equals the batch census — the `spc_p_chart` oracle checks
+    every day value-for-value."""
+    from ..queries.spc import p_chart_daily, p_chart_report
+
+    name = f"spcmon_{uuid.uuid4().hex[:8]}"
+    stream = table_stream_reader(spark, sf_dir, "lineitem",
+                                 max_files_per_trigger=1)
+    q = (p_chart_daily(stream)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True))
+    run_scoped(spark, q)
+    return p_chart_report(spark.table(name))

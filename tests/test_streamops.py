@@ -39,3 +39,13 @@ def test_stream_skew_equals_batch(spark, sf_dir):
     assert s.asDict() == b.asDict()
     assert s.max_rows >= s.p99_rows >= s.median_rows > 0
     assert s.skew_ratio_micro >= 1_000_000
+
+
+def test_stream_spc_equals_batch(spark, sf_dir):
+    from excel_to_db_spark.queries.spc import spc_p_chart
+    from excel_to_db_spark.queries.streamops import stream_spc_monitor
+    b = {r.day: tuple(r)[1:] for r in spc_p_chart(spark, sf_dir).collect()}
+    s = {r.day: tuple(r)[1:]
+         for r in stream_spc_monitor(spark, sf_dir).collect()}
+    assert s == b
+    assert any(v[-1] == 1 for v in s.values()) or len(s) > 0
