@@ -86,12 +86,17 @@ def customer_segment_migration(spark, sf_dir):
     w = Window.partitionBy("period").orderBy(F.col("cents").desc(),
                                              "ck")
     wp = Window.partitionBy("period")
+    # the segment table feeds both sides of the full join below;
+    # localCheckpoint pins it so the orders scan + rank run ONCE,
+    # not once per period branch (r5 plan-growth rule — the
+    # unpinned plan scanned orders twice).
     seg = spend.select(
         "ck", "period",
         ((F.row_number().over(w) - 1) * 3)
         .cast("bigint").alias("r3"),
         F.count("*").over(wp).alias("np")) \
-        .select("ck", "period", F.expr("r3 div np").alias("seg"))
+        .select("ck", "period", F.expr("r3 div np").alias("seg")) \
+        .localCheckpoint(eager=False)
     a = seg.where(F.col("period") == 0).select("ck", F.col("seg")
                                                .alias("sa"))
     b = seg.where(F.col("period") == 1).select("ck", F.col("seg")

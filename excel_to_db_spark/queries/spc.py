@@ -151,7 +151,12 @@ def p_chart_daily(lineitem):
 def p_chart_report(daily):
     """Limits + flags over a (day, n_items, n_defect) census — the
     batch-side stage both the batch key and the streaming twin's
-    final emission run."""
+    final emission run. The census feeds TWO consumers (the p-bar
+    total and the per-day panel); localCheckpoint pins the 2,405-row
+    table so the fact scan behind it runs ONCE, not once per branch
+    (the r5 plan-growth rule — without it the plan showed lineitem
+    scanned twice)."""
+    daily = daily.localCheckpoint(eager=False)
     tot = daily.agg(
         F.expr("sum(n_defect) * 1000000 div sum(n_items)")
         .alias("pbar_micro"))

@@ -78,13 +78,21 @@ def _decile_panel(spark, sf_dir):
     c = T(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_acctbal").alias("score"))
+    # distributed_rank traverses its input three times (percentile
+    # boundaries, bucketing, bucket counts) and the panel takes two
+    # actions (count + groupBy): without pinning, the 3-way join
+    # re-derived FIVE times (plan-audited). localCheckpoint both
+    # seams per the r5 plan-growth rule; at 100 TB the same seams
+    # checkpoint to parquet instead.
     scored = (o.join(c, "o_custkey")
               .join(li, "ok", "left")
               .select("ok", "treated",
                       F.coalesce("responded", F.lit(0))
                       .alias("responded"),
-                      (-F.col("score")).alias("neg_s")))
-    ranked = distributed_rank(scored, "neg_s", "ok", rank_col="rk")
+                      (-F.col("score")).alias("neg_s"))
+              .localCheckpoint(eager=False))
+    ranked = distributed_rank(scored, "neg_s", "ok", rank_col="rk") \
+        .localCheckpoint(eager=False)
     n = ranked.count()
     return (ranked
             .groupBy(F.expr(f"(rk - 1) * 10 div {n}").alias("decile"))
