@@ -261,6 +261,8 @@ HEADLINE = [
     "customer_segment_migration",  # per-period rank migration matrix
     "uplift_qini_points",      # distributed-rank Qini curve
     "stream_spc_monitor",      # engine-maintained p-chart census
+    "survey_raking_ipf",       # 3-round IPF over margin table
+    "graph_ktruss_peel",       # wedge-join truss peeling rounds
 ]
 
 

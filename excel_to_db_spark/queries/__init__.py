@@ -108,6 +108,7 @@ from . import geo2         # noqa: E402,F401  Tier C: OD matrix/Voronoi catchmen
 from . import spc          # noqa: E402,F401  Tier C: p-chart/X-bar-R/Western-Electric run rules
 from . import custdyn      # noqa: E402,F401  Tier C: segment migration/month streaks/interpurchase gaps
 from . import uplift       # noqa: E402,F401  Tier C: uplift-by-decile + Qini curve points
+from . import iterpanel    # noqa: E402,F401  Tier C: IPF raking/GESD rounds/k-truss peeling
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
@@ -160,7 +161,8 @@ _PRIORITY: tuple[str, ...] = (
 # ~80 round-6 batch-66-87 keys: geo/linkage/forecast/graphcomm/
 # mlrobust/inventory/flagships2/dataops/streamops/curation4/marketing/
 # actuarial/epi/featurestore/experiments/encoding/search2/finreport/
-# process/multivar/security/simreplay). Regenerate the exact list with:
+# process/multivar/security/simreplay/profiling2/geo2/spc/custdyn/
+# uplift/iterpanel). Regenerate the exact list with:
 #   python -c "import json,__spark_entry__ as E; s=set();
 #     [s.update(json.load(open(f'CORRECTNESS_r0{r}.json'))) for r in (1,2,3,4,5,6)];
 #     print([k for k in E.queries() if k not in s])"
