@@ -109,6 +109,7 @@ from . import spc          # noqa: E402,F401  Tier C: p-chart/X-bar-R/Western-El
 from . import custdyn      # noqa: E402,F401  Tier C: segment migration/month streaks/interpurchase gaps
 from . import uplift       # noqa: E402,F401  Tier C: uplift-by-decile + Qini curve points
 from . import iterpanel    # noqa: E402,F401  Tier C: IPF raking/GESD rounds/k-truss peeling
+from . import forecastfold  # noqa: E402,F401  Tier C: SES grid/Holt replay/segmented SES folds
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
 # everything else only gets the local tools/check.py run. Round-6 window
