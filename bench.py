@@ -2,10 +2,20 @@
 
 Runs the headline queries from the registry at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], times each
-end-to-end (plan + execute + count), and prints
+end-to-end (plan + execute + count).
 
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+Output contract (VERDICT r6 #1): the driver captures only a ~2,000-char
+TAIL of stdout and parses the last JSON line it finds. With 230+
+headline queries the old single line ({... "queries": {...230 entries},
+"sf"}) exceeded that window, so BENCH_r05/r06 recorded "parsed": null
+and the 2x-of-BASELINE gate went unmeasured. Therefore:
+
+  * the LAST stdout line is a COMPACT summary that always fits:
+      {"metric": "headline_suite_seconds", "value": <total>,
+       "unit": "sec", "sf": <sf>, "n_queries": <n>}
+  * the full per-query map goes to BENCH_DETAIL.json next to this
+    file (committed per round), which the regression check below also
+    reads for round-over-round comparisons.
 
 Each query is forced with a count() action rather than collect() so the
 measurement is the distributed execution, not driver materialization —
@@ -267,10 +277,22 @@ HEADLINE = [
 
 
 def _previous_times(repo_dir: str) -> tuple[str, dict[str, float]]:
-    """Per-query times from the newest parseable BENCH_r{N}.json, for
-    round-over-round regression flagging. Returns ("", {}) if none."""
+    """Per-query times from the newest recorded run, for round-over-round
+    regression flagging. Prefers BENCH_DETAIL.json (written by this
+    script since round 7); falls back to the newest parseable
+    BENCH_r{N}.json. Returns ("", {}) if none."""
     import glob
     import re
+
+    detail = os.path.join(repo_dir, "BENCH_DETAIL.json")
+    try:
+        doc = json.load(open(detail))
+        queries = doc.get("queries") or {}
+        if queries:
+            return ("BENCH_DETAIL.json",
+                    {k: float(v) for k, v in queries.items()})
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        pass
 
     best: tuple[int, str, dict[str, float]] | None = None
     for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
@@ -384,12 +406,34 @@ def main() -> int:
             print(f"bench: REGRESSION {name}: {dt:.3f}s vs {p:.3f}s "
                   f"in {prev_name}", file=sys.stderr)
 
+    # Full per-query map to a committed file (not stdout — the driver
+    # keeps only a ~2,000-char stdout tail, see module docstring).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "queries": times,
+    }
+    try:
+        with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write BENCH_DETAIL.json: {exc!r}",
+              file=sys.stderr)
+
+    # LAST stdout line: compact, always inside the driver's tail window.
+    # Shape per VERDICT r6 #1: {"metric","value","unit","sf","n_queries"}
+    # (no per-query map — that lives in BENCH_DETAIL.json).
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": times,
         "sf": sf,
+        "n_queries": len(times),
     }))
     return 0
 
