@@ -30,11 +30,15 @@ Function-call translations (paren-aware, nested args supported):
   ``+ INTERVAL``, ``'start of day/month/year'`` -> ``date_trunc``;
   ``'now'`` -> ``current_timestamp()``; ``'weekday N'`` -> forward
   day-shift to the next matching weekday (no-op when already matching,
-  exactly SQLite's rule). ``'localtime'``/``'utc'`` raise
-  :class:`SqliteCompatError` — the engine pins the session to UTC, so
-  "host local time" has no defined value here; a silent no-op would
-  diverge from a reference run on a non-UTC host (use
-  from_utc_timestamp()/to_utc_timestamp() explicitly instead). Other
+  exactly SQLite's rule). ``'localtime'`` -> ``from_utc_timestamp(ts,
+  <host zone>)`` and ``'utc'`` -> ``to_utc_timestamp(ts, <host zone>)``
+  — the SQLite value-level UTC<->local shift with the session still
+  pinned to UTC; the host zone resolves via :func:`host_local_zone`
+  ($EXCEL_TO_DB_LOCAL_TZ override, then $TZ / /etc/timezone /
+  /etc/localtime) and the call raises :class:`SqliteCompatError` only
+  when no unambiguous IANA zone exists (a silent no-op would diverge
+  from a reference run on a non-UTC host). sqlite3-verified in
+  tests/test_sqlite_compat_funcs.py across DST boundaries. Other
   unknown modifiers leave the whole call untouched so Spark fails
   loudly rather than silently shifting values.
   Documented divergence: month-end overflow — SQLite *normalizes*
@@ -179,6 +183,42 @@ _MOD_STEP = re.compile(
 _MOD_START = re.compile(r"(?i)^start\s+of\s+(day|month|year)$")
 _MOD_WEEKDAY = re.compile(r"(?i)^weekday\s+([0-6])$")
 
+# IANA zone names look like Area/City (or the fixed UTC/GMT aliases);
+# POSIX TZ strings like "EST5EDT" are rejected — Spark's zone parser and
+# C localtime() disagree on them, which is exactly the silent-divergence
+# class this layer refuses to create.
+_ZONE_RE = re.compile(r"^[A-Za-z_]+(?:/[A-Za-z0-9_+-]+)+$|^(?:UTC|GMT)$")
+
+
+def host_local_zone() -> str | None:
+    """The host's IANA timezone, resolved the way the reference's SQLite
+    ``'localtime'`` modifier would see it (reference src/main.rs:220
+    passthrough -> SQLite localtime_r): $EXCEL_TO_DB_LOCAL_TZ override
+    first (lets a UTC-pinned deployment pin the *data* zone explicitly),
+    then $TZ, then /etc/timezone, then the /etc/localtime symlink.
+    Returns None when no unambiguous IANA name can be determined."""
+    import os
+
+    for env in ("EXCEL_TO_DB_LOCAL_TZ", "TZ"):
+        v = os.environ.get(env, "").strip().lstrip(":")
+        if v and _ZONE_RE.match(v):
+            return v
+    try:
+        v = open("/etc/timezone").read().strip()
+        if v and _ZONE_RE.match(v):
+            return v
+    except OSError:
+        pass
+    try:
+        p = os.path.realpath("/etc/localtime")
+        if "/zoneinfo/" in p:
+            v = p.split("/zoneinfo/", 1)[1]
+            if _ZONE_RE.match(v):
+                return v
+    except OSError:
+        pass
+    return None
+
 
 class SqliteCompatError(ValueError):
     """A SQLite construct this dialect refuses to translate (rather than
@@ -225,11 +265,25 @@ def _apply_modifiers(expr: str, mods: list[str]) -> str | None:
             expr = (f"({expr} + make_dt_interval("
                     f"pmod({n} - (dayofweek({expr}) - 1), 7)))")
         elif lit.lower() in ("localtime", "utc"):
-            raise SqliteCompatError(
-                f"SQLite date modifier '{lit}' is not supported: this "
-                f"engine pins the session timezone to UTC, so host-local "
-                f"time has no defined value here. Convert explicitly with "
-                f"from_utc_timestamp(ts, '<zone>') / to_utc_timestamp().")
+            # SQLite semantics (datefunc docs): time values are UTC by
+            # default; 'localtime' re-expresses the value in host local
+            # time (UTC -> local), 'utc' assumes the value IS local time
+            # and converts back (local -> UTC). The session stays pinned
+            # to UTC — the zone shift happens in the VALUE, exactly like
+            # SQLite's localtime_r round-trip.
+            zone = host_local_zone()
+            if zone is None:
+                raise SqliteCompatError(
+                    f"SQLite date modifier '{lit}' needs the host "
+                    f"timezone, and no unambiguous IANA zone could be "
+                    f"determined (checked $EXCEL_TO_DB_LOCAL_TZ, $TZ, "
+                    f"/etc/timezone, /etc/localtime). Set "
+                    f"EXCEL_TO_DB_LOCAL_TZ=Area/City, or convert "
+                    f"explicitly with from_utc_timestamp()/"
+                    f"to_utc_timestamp().")
+            fn = ("from_utc_timestamp" if lit.lower() == "localtime"
+                  else "to_utc_timestamp")
+            expr = f"{fn}(CAST({expr} AS TIMESTAMP), '{zone}')"
         else:
             return None                    # unknown modifier: leave call
     return expr

@@ -118,16 +118,64 @@ def test_month_end_overflow_documented_divergence(spark):
     assert _spark_rows(spark, sql) == [("2024-02-29",)]
 
 
-def test_localtime_raises_targeted_error():
-    # 'localtime' depends on the host tz, which the UTC-pinned session
-    # deliberately has no access to — a loud, specific error beats both
-    # a silent no-op and Spark's generic undefined-function failure.
-    from excel_to_db_spark.compat.sqlite_dialect import SqliteCompatError
+@pytest.mark.parametrize("expr", [
+    # winter (EST, UTC-5) and summer (EDT, UTC-4) wall times
+    "datetime('2024-01-15 12:00:00', 'localtime')",
+    "datetime('2024-07-15 12:00:00', 'localtime')",
+    "datetime('2024-01-15 03:30:00', 'utc')",
+    "datetime('2024-07-15 03:30:00', 'utc')",
+    # either side of the 2024-03-10 spring-forward boundary (07:00 UTC)
+    "datetime('2024-03-10 06:59:59', 'localtime')",
+    "datetime('2024-03-10 07:00:00', 'localtime')",
+    # composes with other modifiers, and through epoch extraction
+    "datetime('2024-01-15 12:00:00', '+1 day', 'localtime')",
+    "unixepoch('2024-01-15 12:00:00', 'utc')",
+    "date('2024-01-15 23:30:00', 'localtime')",
+])
+def test_localtime_utc_match_sqlite(spark, expr):
+    """'localtime'/'utc' verified against REAL SQLite with the host tz
+    pinned: the in-process sqlite3 reads $TZ through localtime_r, the
+    rewrite reads the same $TZ through host_local_zone(), so both
+    engines answer for America/New_York (incl. the DST split)."""
+    import os
+    import time
 
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        sql = f"SELECT {expr} AS v"
+        assert _spark_rows(spark, sql) == _sqlite_scalar(sql)
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+
+
+def test_localtime_env_override_beats_tz(monkeypatch):
+    from excel_to_db_spark.compat import sqlite_dialect as d
+
+    monkeypatch.setenv("TZ", "Asia/Tokyo")
+    monkeypatch.setenv("EXCEL_TO_DB_LOCAL_TZ", "Europe/Paris")
+    assert d.host_local_zone() == "Europe/Paris"
+    out = rewrite("SELECT datetime(ts, 'localtime') FROM t")
+    assert "from_utc_timestamp" in out and "Europe/Paris" in out
+
+
+def test_localtime_raises_when_zone_indeterminate(monkeypatch):
+    # With no resolvable IANA zone the rewrite still refuses loudly —
+    # a silent no-op would diverge from a reference run on a non-UTC
+    # host. POSIX TZ strings (EST5EDT) are deliberately rejected: Spark
+    # and C localtime() disagree on them.
+    from excel_to_db_spark.compat import sqlite_dialect as d
+
+    monkeypatch.setattr(d, "host_local_zone", lambda: None)
     for sql in ("SELECT datetime(ts, 'localtime') FROM t",
                 "SELECT unixepoch(ts, 'utc') FROM t"):
-        with pytest.raises(SqliteCompatError, match="UTC"):
-            rewrite(sql)
+        with pytest.raises(d.SqliteCompatError, match="IANA"):
+            d.rewrite(sql)
 
 
 @pytest.mark.parametrize("expr", [
@@ -216,3 +264,43 @@ def test_glob_without_class_keeps_like_path():
     out = rewrite("SELECT * FROM t WHERE name GLOB 'ent_*'")
     assert "LIKE" in out and "RLIKE" not in out
     assert r"'ent\_%' ESCAPE '\\'" in out
+
+
+# ---------------------------------------------------------------------------
+# GROUPS-frame emulation vs SQLite's NATIVE GROUPS frames
+
+
+def test_groups_frame_emulation_matches_native_sqlite(spark):
+    """The dense_rank + RANGE emulation used by `window_groups_frame`
+    (queries/relational3.py) vs SQLite's native `GROUPS BETWEEN 1
+    PRECEDING AND 1 FOLLOWING` (sqlite >= 3.28 — the one engine at hand
+    with real GROUPS frames; DuckDB 1.0 lacks them). Data includes peer
+    ties, a single-group partition, and uneven group sizes, so the
+    peer-group semantics (not row or value distance) are what's
+    checked."""
+    rows = [  # (part, ord_key, val) — ord_key has ties => peer groups
+        ("a", 1, 10), ("a", 1, 20), ("a", 3, 30), ("a", 7, 40),
+        ("a", 7, 50), ("a", 9, 60),
+        ("b", 5, 70),                       # single peer group
+        ("c", 2, 80), ("c", 2, 90), ("c", 2, 100), ("c", 4, 110),
+    ]
+    native = _sqlite_scalar(
+        """SELECT p, k, v,
+                  sum(v) OVER (PARTITION BY p ORDER BY k
+                               GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                    AS s
+           FROM t ORDER BY p, k, v""",
+        ["CREATE TABLE t(p TEXT, k INT, v INT)",
+         "INSERT INTO t VALUES " + ",".join(f"('{p}',{k},{v})"
+                                            for p, k, v in rows)])
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, ["p", "k", "v"])
+    dr = F.dense_rank().over(Window.partitionBy("p").orderBy("k"))
+    emu = (df.withColumn("dr", dr)
+             .withColumn("s", F.sum("v").over(
+                 Window.partitionBy("p").orderBy("dr").rangeBetween(-1, 1)))
+             .select("p", "k", "v", "s")
+             .orderBy("p", "k", "v"))
+    assert [tuple(r) for r in emu.collect()] == native
