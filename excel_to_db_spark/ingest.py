@@ -20,6 +20,7 @@ Reference behavior being reproduced (SURVEY.md §1):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Any, Iterable
 
@@ -137,11 +138,140 @@ def load_excel_table(spark: SparkSession, path: str, sheet: str | None = None,
                      view_name: str = "excel_rows",
                      opts: IngestOptions | None = None) -> DataFrame:
     """Full ingest pipeline: parse -> coerce -> DataFrame -> uniqueness
-    check -> temp view (+cache, mirroring the in-memory SQLite db)."""
+    check -> temp view (+cache, mirroring the in-memory SQLite db).
+
+    This is the reference-semantics path (fixed positional 5-column
+    schema, header names ignored). For arbitrary sheets, the optional
+    inference path is :func:`load_excel_table_inferred` — kept separate
+    and OFF by default so reference parity stays byte-exact."""
     opts = opts or IngestOptions()
     df = rows_to_dataframe(spark, iter_xlsx_rows(path, sheet), opts)
     df = df.cache()
     if opts.enforce_unique:
         check_unique_key(df)
+    df.createOrReplaceTempView(view_name)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Optional schema inference (round 7; OFF by default — the reference's
+# loader, src/main.rs:67-75, ignores header names and fixes the schema,
+# so inference is a new capability, not a parity behavior).
+
+_IDENT_RE = re.compile(r"[^0-9A-Za-z_]+")
+
+
+def _sanitize_names(header: list[Any] | None, width: int) -> list[str]:
+    """Header cells -> unique Spark-safe column names; positional
+    col_N fallbacks for missing/blank/non-string headers."""
+    names: list[str] = []
+    seen: dict[str, int] = {}
+    for i in range(width):
+        raw = header[i] if header and i < len(header) else None
+        name = _IDENT_RE.sub("_", str(raw).strip()) if raw is not None else ""
+        name = name.strip("_") or f"col_{i}"
+        if name[0].isdigit():
+            name = f"c_{name}"
+        n = seen.get(name, 0)
+        seen[name] = n + 1
+        names.append(name if n == 0 else f"{name}_{n + 1}")
+    return names
+
+
+def _unify_type(acc: str | None, v: Any) -> str | None:
+    """Fold one cell into a column's type accumulator. Lattice:
+    (none) -> bool | long -> double -> string; any incompatible mix ->
+    string. Mirrors spark.read.csv inferSchema's promotion idea, typed
+    from the already-decoded Python cells instead of text."""
+    if v is None:
+        return acc
+    if isinstance(v, bool):
+        t = "bool"
+    elif isinstance(v, int):
+        t = "long"
+    elif isinstance(v, float):
+        t = "double"
+    else:
+        t = "string"
+    if acc is None or acc == t:
+        return t
+    if {acc, t} == {"long", "double"}:
+        return "double"
+    return "string"
+
+
+_SPARK_TYPES = {"bool": "boolean", "long": "bigint",
+                "double": "double", "string": "string"}
+
+
+def infer_excel_schema(rows: list[list[Any]], header: list[Any] | None,
+                       sample: int | None = None) -> StructType:
+    """Infer a StructType from decoded sheet rows. ``sample`` limits how
+    many rows vote (None = all rows — like Spark's CSV inference
+    default, so a late type change can't be silently mis-coerced).
+    All columns come out nullable: xlsx omits empty cells, so
+    non-nullability is never provable from data."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    width = max((len(r) for r in rows), default=len(header or []))
+    accs: list[str | None] = [None] * width
+    voting = rows if sample is None else rows[:sample]
+    for r in voting:
+        for i, v in enumerate(r):
+            accs[i] = _unify_type(accs[i], v)
+    names = _sanitize_names(header, width)
+    fields = ", ".join(
+        f"`{n}` {_SPARK_TYPES[a or 'string']}"
+        for n, a in zip(names, accs))
+    return _parse_datatype_string(fields)
+
+
+def _coerce_inferred(v: Any, kind: str, mode: str) -> Any:
+    """Cell -> inferred column type. PERMISSIVE nulls out stragglers
+    beyond the sampled rows (same contract as Spark's CSV PERMISSIVE
+    mode); FAILFAST raises."""
+    if v is None:
+        return None
+    ok: Any
+    if kind == "boolean":
+        ok = v if isinstance(v, bool) else None
+    elif kind == "bigint":
+        ok = v if isinstance(v, int) and not isinstance(v, bool) else None
+    elif kind == "double":
+        ok = float(v) if isinstance(v, (int, float)) \
+            and not isinstance(v, bool) else None
+    else:  # string: everything prints; bools in SQLite's lowercase
+        ok = str(v).lower() if isinstance(v, bool) else str(v)
+    if ok is None and mode == "FAILFAST":
+        raise ValueError(f"cell {v!r} does not fit inferred type {kind}")
+    return ok
+
+
+def load_excel_table_inferred(spark: SparkSession, path: str,
+                              sheet: str | None = None,
+                              view_name: str = "excel_rows",
+                              header: bool = True,
+                              sample: int | None = None,
+                              mode: str = "PERMISSIVE") -> DataFrame:
+    """Schema-INFERRED xlsx ingest (optional path): header row becomes
+    column names (sanitized, deduped; positional col_N fallback),
+    per-column types unify over ``sample`` rows (None = all) through a
+    none->bool|long->double->string lattice, and every row is coerced to
+    the result — PERMISSIVE nulls non-conforming stragglers, FAILFAST
+    raises. The reference-parity path (fixed 5-column positional
+    schema) stays :func:`load_excel_table`; this is for arbitrary
+    sheets."""
+    rows = list(iter_xlsx_rows(path, sheet))
+    head = rows[0] if header and rows else None
+    body = rows[1:] if header and rows else rows
+    schema = infer_excel_schema(body, head, sample)
+    kinds = [f.dataType.simpleString() for f in schema.fields]
+    width = len(kinds)
+    data = [
+        tuple(_coerce_inferred(r[i] if i < len(r) else None, kinds[i], mode)
+              for i in range(width))
+        for r in body
+    ]
+    df = spark.createDataFrame(data, schema)
     df.createOrReplaceTempView(view_name)
     return df

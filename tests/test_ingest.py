@@ -95,3 +95,76 @@ def test_rows_to_dataframe_schema(spark):
                            IngestOptions())
     assert [f.dataType.simpleString() for f in df.schema.fields] == \
         ["string", "double", "bigint", "double", "double"]
+
+
+# ---------------------------------------------------------------------------
+# Optional schema inference (round 7; OFF by default — reference parity
+# keeps the fixed positional 5-column schema)
+
+
+def test_infer_schema_types_and_names(spark, tmp_path):
+    from excel_to_db_spark.ingest import load_excel_table_inferred
+
+    p = str(tmp_path / "inf.xlsx")
+    write_xlsx(p, [
+        ["Region Name", "count", "count", "ratio", "2flag", "", "blob"],
+        ["east", 1, 10, 1.5, True, None, "x"],
+        ["west", 2, 20, 2, False, None, 7],
+    ])
+    df = load_excel_table_inferred(spark, p, view_name="inf_rows")
+    # names: sanitized, deduped, digit-led prefixed, blank -> col_N
+    assert df.columns == ["Region_Name", "count", "count_2", "ratio",
+                          "c_2flag", "col_5", "blob"]
+    kinds = dict(df.dtypes)
+    assert kinds["Region_Name"] == "string"
+    assert kinds["count"] == "bigint"        # all ints
+    assert kinds["ratio"] == "double"        # int+float promote
+    assert kinds["c_2flag"] == "boolean"
+    assert kinds["col_5"] == "string"        # all-NULL column
+    assert kinds["blob"] == "string"         # str+int mix -> string
+    rows = {tuple(r) for r in df.collect()}
+    assert ("west", 2, 20, 2.0, False, None, "7") in rows
+    assert spark.sql("SELECT sum(count) FROM inf_rows").first()[0] == 3
+    spark.catalog.dropTempView("inf_rows")
+
+
+def test_infer_schema_permissive_vs_failfast(spark, tmp_path):
+    import pytest
+
+    from excel_to_db_spark.ingest import load_excel_table_inferred
+
+    p = str(tmp_path / "strag.xlsx")
+    # sample=2 votes bigint for v; row 3's float is a straggler
+    write_xlsx(p, [["k", "v"], ["a", 1], ["b", 2], ["c", 3.5]])
+    df = load_excel_table_inferred(spark, p, sample=2)
+    assert dict(df.dtypes)["v"] == "bigint"
+    assert [r.v for r in df.orderBy("k").collect()] == [1, 2, None]
+    with pytest.raises(ValueError, match="inferred type"):
+        load_excel_table_inferred(spark, p, sample=2, mode="FAILFAST")
+    # full-scan inference (default) widens instead: no data loss
+    assert dict(load_excel_table_inferred(spark, p).dtypes)["v"] == "double"
+
+
+def test_ingest_100k_rows_under_baseline_target(spark, tmp_path):
+    """BASELINE.md self-set target: 100k-row sheet ingest < 60 s through
+    the pure-Python parser -> Arrow createDataFrame path. Timed on the
+    reference-semantics loader (parse + coerce + uniqueness check +
+    count), writer time excluded."""
+    import time
+
+    from excel_to_db_spark.ingest import load_excel_table
+
+    p = str(tmp_path / "big100k.xlsx")
+    header = ["service_name", "avg", "count", "max", "min"]
+    rows = ([header]
+            + [[f"svc_{i:06d}", i / 7.0, i, i + 0.5, i - 0.5]
+               for i in range(100_000)])
+    write_xlsx(p, rows)
+
+    t0 = time.perf_counter()
+    df = load_excel_table(spark, p, view_name="big_rows")
+    n = df.count()
+    dt = time.perf_counter() - t0
+    assert n == 100_000
+    assert dt < 60.0, f"100k-row ingest took {dt:.1f}s (target < 60s)"
+    spark.catalog.dropTempView("big_rows")
