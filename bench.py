@@ -408,7 +408,12 @@ def main() -> int:
 
     # Full per-query map to a committed file (not stdout — the driver
     # keeps only a ~2,000-char stdout tail, see module docstring).
+    # SPARK_GRAFT_BENCH_DETAIL overrides the path so side runs (sf1
+    # scale proofs, bisects) don't clobber the round's sf0.1 record.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(repo_dir, "BENCH_DETAIL.json"))
     detail = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
@@ -418,11 +423,11 @@ def main() -> int:
         "queries": times,
     }
     try:
-        with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
+        with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError as exc:
-        print(f"bench: could not write BENCH_DETAIL.json: {exc!r}",
+        print(f"bench: could not write {detail_path}: {exc!r}",
               file=sys.stderr)
 
     # LAST stdout line: compact, always inside the driver's tail window.
