@@ -11,21 +11,22 @@ def test_priority_window_is_exactly_the_first_50_keys():
     assert list(REGISTRY)[:50] == list(_PRIORITY)
 
 
-def test_priority_covers_round6_rotation():
-    """Round-6 window: the one key whose oracle changed this round (the
-    r5 HUGEINT hash-fail) must get a fresh driver row, and the rest of
-    the window draws from the never-driver-sampled pool — streaming
-    family, Spark-4 surface, pipeline flagships, join-strategy keys."""
+def test_priority_covers_round7_rotation():
+    """Round-7 window (VERDICT r6 #2): rotate over the families with
+    zero driver coverage through round 6 — privacy, sketches, geo, and
+    ops close completely; the riskiest graph/ml/eval keys fill the
+    rest."""
     head = set(list(REGISTRY)[:50])
     for key in (
-        # r5 driver hash-fail, oracle fixed this round
-        "variant_json",
-        # representative never-sampled blocks
-        "stream_dedup_watermark", "stream_stream_full",
-        "stream_checkpoint_resume", "map_in_arrow", "sql_pipe_syntax",
-        "dedup_incremental", "similarity_pq", "embedding_pca_power",
-        "shuffle_epoch", "join_skew_salted", "text_gopher_rules",
-        "bpe_train_merges", "multimodal_binary_ingest",
+        # whole-family closures
+        "privacy_k_anonymity", "privacy_unicity",
+        "sketch_count_min", "sketch_hll_manual",
+        "geo_grid_radius_join", "geo_nearest_deciles",
+        "ops_slo_burn", "ops_lindley_replay",
+        # risk-ranked picks
+        "graph_ktruss_peel", "graph_components",
+        "ml_logistic_newton", "ml_ransac_line",
+        "eval_isotonic_calibration", "eval_krippendorff_alpha",
     ):
         assert key in head, key
 
