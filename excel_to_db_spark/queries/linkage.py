@@ -291,6 +291,29 @@ _FS_SCORE_SQL = f"""
 
 
 def _fs_scored(spark, sf_dir):
+    """Candidate union -> distinct id pairs -> FS score per pair.
+
+    This is the measured-fastest of three shapes tried on the x10
+    replica fixture (benchdata/sf1: ~94M candidate rows, 936k distinct
+    string signatures; clean solo runs, local[32]):
+
+    1. THIS shape — distinct on (cid, did, cs, ds), checkpoint, then
+       score: sf0.1 4.1s, sf1 357s.
+    2. Score once per DISTINCT signature via groupBy(cs, ds) +
+       collect_set(id pairs) + explode — cuts levenshtein calls 100x
+       on the duplicate-heavy fixture but forces ObjectHashAggregate
+       (no codegen, sort fallback under pressure): sf0.1 12.3s,
+       sf1 423s. LOST.
+    3. Score map-side BEFORE the distinct so the shuffle moves four
+       fixed-width columns instead of two ~45-char strings: sf0.1
+       13.3s, sf1 868s. LOST — the string comparisons are cheap
+       inside codegen, and fusing them into the join/exchange stage
+       starves the shuffle writers; scoring over the materialized
+       checkpoint blocks is the cheaper place.
+
+    Time scales sublinearly in candidate pairs (x100 pairs -> x87
+    time); the pair count itself is the blocking design's knob, see
+    PLANS.md round-7 scale audit."""
     clean, dirty = _clean_dirty(spark, sf_dir)
     cand = (_block_pairs(clean, dirty)
             .unionByName(_snm_pairs(clean, dirty))
