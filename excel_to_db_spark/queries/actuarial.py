@@ -118,8 +118,20 @@ def _dev_triangle(spark, sf_dir):
                .groupBy("dev")
                .agg(F.sum("prev_cum").cast("bigint").alias("sum_prev"),
                     F.sum("cum").cast("bigint").alias("sum_next"))
+               # floor(a*1e6/b) in two exact x1000 stages: a*1e6 =
+               # (a*1e3 div b)*b*1e3 + (a*1e3 mod b)*1e3, so
+               # f = q1*1e3 + (r1*1e3) div b with q1/r1 the first-stage
+               # quotient/remainder. Identical value, but the largest
+               # intermediate is max(a, b)*1e3 instead of a*1e6 — the
+               # naive form overflows int64 once portfolio column sums
+               # pass $92B in cents (found by the sf1 scale audit,
+               # ARITHMETIC_OVERFLOW under ANSI); this form is exact to
+               # $92T. The DuckDB oracle needs no change: its sum()
+               # returns HUGEINT, so the naive text is already exact.
                .select("dev", "sum_prev", "sum_next",
-                       F.expr("sum_next * 1000000 div sum_prev")
+                       F.expr("((sum_next * 1000) div sum_prev) * 1000"
+                              " + (((sum_next * 1000) % sum_prev)"
+                              "    * 1000) div sum_prev")
                        .alias("f_micro"))
                .localCheckpoint(eager=False))
     return cumt, factors, m
@@ -191,13 +203,18 @@ def act_chain_ladder_ultimate(spark, sf_dir):
                    F.coalesce(F.col("fs"),
                               F.expr("CAST(array() AS ARRAY<BIGINT>)"))
                    .alias("fs")))
+    # Fold step acc*f div 1e6 decomposed the same way as f_micro above
+    # ((acc div 1e6)*f + ((acc mod 1e6)*f) div 1e6 — exact identity):
+    # the naive product overflows int64 once a single origin's running
+    # ultimate passes ~$46B in cents at f~2e6; decomposed, the bound is
+    # the final ultimate itself fitting in int64.
+    _FOLD = ("(acc, x) -> (acc div 1000000) * x"
+             " + ((acc % 1000000) * x) div 1000000")
     return rem.select(
         "om", "latest_cents",
-        F.expr("aggregate(fs, latest_cents,"
-               " (acc, x) -> acc * x div 1000000)")
+        F.expr(f"aggregate(fs, latest_cents, {_FOLD})")
         .alias("ultimate_cents"),
-        F.expr("aggregate(fs, latest_cents,"
-               " (acc, x) -> acc * x div 1000000) - latest_cents")
+        F.expr(f"aggregate(fs, latest_cents, {_FOLD}) - latest_cents")
         .alias("reserve_cents"))
 
 
