@@ -692,16 +692,24 @@ def cogroup_asof_pandas(spark, sf_dir):
     errors = (e.filter(F.col("event_type") == "error")
               .select("user_id", "event_id", "ts"))
 
-    def per_user(clicks_pdf: pd.DataFrame, errors_pdf: pd.DataFrame
-                 ) -> pd.DataFrame:
-        if errors_pdf.empty:
+    def per_user(key: tuple, clicks_pdf: pd.DataFrame,
+                 errors_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(errors_pdf) == 0:
             return pd.DataFrame(columns=["user_id", "n_errors",
                                          "n_click_preceded"])
-        uid = int(errors_pdf["user_id"].iloc[0])
-        err = errors_pdf.sort_values("ts")
-        if clicks_pdf.empty:
-            n_prec = 0
-        else:
+        # The 3-arg signature takes user_id from the GROUP KEY, and the
+        # value columns are accessed defensively: when the downstream
+        # plan needs only row counts (df.count()), Catalyst prunes the
+        # worker's INPUT columns — the frames arrive with the right row
+        # cardinality but no 'ts' (found by the round-7 sf1 execution
+        # sweep; it fails at every SF, check.py's collect() never
+        # triggers pruning). Output row-count depends only on the
+        # errors side being non-empty, which survives pruning, so the
+        # pruned plan still counts correctly.
+        n_prec = 0
+        if ("ts" in errors_pdf.columns and "ts" in clicks_pdf.columns
+                and len(clicks_pdf) > 0):
+            err = errors_pdf.sort_values("ts")
             ck = (clicks_pdf.sort_values("ts")
                   .rename(columns={"ts": "click_ts"}))
             m = pd.merge_asof(err, ck[["click_ts"]],
@@ -709,8 +717,8 @@ def cogroup_asof_pandas(spark, sf_dir):
                               direction="backward",
                               tolerance=pd.Timedelta(minutes=5))
             n_prec = int(m["click_ts"].notna().sum())
-        return pd.DataFrame([{"user_id": uid,
-                              "n_errors": len(err),
+        return pd.DataFrame([{"user_id": int(key[0]),
+                              "n_errors": len(errors_pdf),
                               "n_click_preceded": n_prec}])
 
     return (clicks.groupBy("user_id")
