@@ -118,20 +118,35 @@ def topk_srp_lsh(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
 
 
 def cosine_near_dup_pairs(vectors: DataFrame, threshold: float, dim: int,
-                          id_col: str = "vec_id", vec_col: str = "embedding"
-                          ) -> DataFrame:
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          salt: int = 16) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cos >= threshold)
     via SRP blocking: a pair this similar almost surely lands in the same
     bucket (and the oracle uses the same blocking, so the contract is the
-    algorithm, not an all-pairs scan)."""
+    algorithm, not an all-pairs scan).
+
+    The within-bucket self-join is SALTED: the left side keys on
+    (bucket, vid mod salt), the right side replicates each row across
+    all salt values — every pair still produced exactly once, but a hot
+    bucket's pair mass spreads over `salt` tasks instead of one.
+    Without it the round-7 sf1 sweep measured a single straggler task
+    computing the hottest bucket's 5.2M cosines for 645s while 31 cores
+    idled — AQE's skew split never fires here because its thresholds
+    are shuffle BYTES, and a compute-heavy byte-light stage (tiny
+    vectors in, quadratic pair work after) looks balanced to it."""
     v = vectors.select(F.col(id_col).alias("vid"),
                        as_double(F.col(vec_col)).alias("vec"))
     v = v.withColumn("bucket", srp_bucket(F.col("vec"), dim))
-    a, b = v.alias("a"), v.alias("b")
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.vid") < F.col("b.vid")))
-            .select(F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2"),
-                    cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"))
+    a = v.select(F.col("vid").alias("id1"), F.col("vec").alias("va"),
+                 "bucket", F.pmod(F.col("vid"), F.lit(salt)).alias("sk"))
+    b = (v.select(F.col("vid").alias("id2"), F.col("vec").alias("vb"),
+                  "bucket")
+         .withColumn("sk", F.explode(F.sequence(F.lit(0),
+                                                F.lit(salt - 1)))))
+    return (a.join(b, ["bucket", "sk"])
+            .where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2",
+                    cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold)
             .select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim")))
 
