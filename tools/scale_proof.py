@@ -91,8 +91,12 @@ def main() -> int:
         rec: dict = {"key": k}
         for tag, sf_dir in (("small", a.small), ("big", a.big)):
             try:
-                df = fn(spark, sf_dir)
+                # time fn() + count(), same contract as bench.py —
+                # iterative keys do eager work (localCheckpoint rounds)
+                # INSIDE fn(), so starting the clock after it would
+                # drop most of their cost.
                 t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
                 df.count()
                 dt = round(time.perf_counter() - t0, 3)
                 plan = df._jdf.queryExecution().executedPlan().toString()
