@@ -276,23 +276,50 @@ HEADLINE = [
 ]
 
 
-def _previous_times(repo_dir: str) -> tuple[str, dict[str, float]]:
-    """Per-query times from the newest recorded run, for round-over-round
-    regression flagging. Prefers BENCH_DETAIL.json (written by this
-    script since round 7); falls back to the newest parseable
-    BENCH_r{N}.json. Returns ("", {}) if none."""
+def _current_round(repo_dir: str) -> int:
+    """Infer the in-progress round number: 1 + the highest N among
+    committed BENCH_r{N}.json files (the driver writes round N's file
+    AFTER the round's last commit, so during round N only rounds < N
+    exist)."""
     import glob
     import re
 
-    detail = os.path.join(repo_dir, "BENCH_DETAIL.json")
-    try:
-        doc = json.load(open(detail))
-        queries = doc.get("queries") or {}
-        if queries:
-            return ("BENCH_DETAIL.json",
-                    {k: float(v) for k, v in queries.items()})
-    except (OSError, json.JSONDecodeError, TypeError, ValueError):
-        pass
+    rounds = [0]
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def _previous_times(repo_dir: str,
+                    sf: float) -> tuple[str, dict[str, float], float | None]:
+    """Per-query times from the newest recorded run AT THE SAME SF, for
+    round-over-round regression flagging. Prefers the newest
+    BENCH_DETAIL*.json whose recorded "sf" matches (ADVICE r7: a detail
+    file written at a different SF must never seed the baseline); falls
+    back to the newest parseable BENCH_r{N}.json. Returns
+    (name, {query: sec}, probe_sec-or-None); ("", {}, None) if none."""
+    import glob
+    import re
+
+    candidates: list[tuple[float, str, dict[str, float], float | None]] = []
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_DETAIL*.json")):
+        try:
+            doc = json.load(open(path))
+            queries = doc.get("queries") or {}
+            rec_sf = float(doc.get("sf", -1))
+            if queries and abs(rec_sf - sf) < 1e-9:
+                probe = doc.get("probe_sec")
+                candidates.append(
+                    (os.path.getmtime(path), os.path.basename(path),
+                     {k: float(v) for k, v in queries.items()},
+                     float(probe) if probe is not None else None))
+        except (OSError, json.JSONDecodeError, TypeError, ValueError):
+            continue
+    if candidates:
+        _, name, queries, probe = max(candidates)
+        return (name, queries, probe)
 
     best: tuple[int, str, dict[str, float]] | None = None
     for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
@@ -308,7 +335,25 @@ def _previous_times(repo_dir: str) -> tuple[str, dict[str, float]]:
         if queries and (best is None or int(m.group(1)) > best[0]):
             best = (int(m.group(1)), os.path.basename(path),
                     {k: float(v) for k, v in queries.items()})
-    return (best[1], best[2]) if best else ("", {})
+    return (best[1], best[2], None) if best else ("", {}, None)
+
+
+def _contention_probe(spark) -> float:
+    """A fixed CPU-bound micro-workload (best of 3) whose runtime scales
+    with machine contention: when the driver runs bench concurrently
+    with its correctness checker, this probe slows by roughly the same
+    factor as the real queries. The regression check scales its
+    threshold by probe_now / probe_then, so a contended run compared
+    against a solo baseline does not emit false REGRESSION lines
+    (VERDICT r7 #3: r7's driver run flagged two untouched keys at
+    1.5x purely from contention)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + (id % 7)) AS s").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def main() -> int:
@@ -373,6 +418,8 @@ def main() -> int:
     selected = [k.strip() for k in only.split(",") if k.strip()] \
         if only else HEADLINE
 
+    probe_sec = _contention_probe(spark)
+
     times: dict[str, float] = {}
     total = 0.0
     for name in selected:
@@ -395,40 +442,66 @@ def main() -> int:
         # clearCache is O(cached blocks), ~0 when nothing is cached.
         spark.catalog.clearCache()
 
-    # Round-over-round comparability: flag queries >1.5x their time in
-    # the newest recorded BENCH_r{N}.json (stderr only — stdout stays
-    # the one-line JSON contract). Sub-second timings are skipped: at
-    # that scale local[32] scheduling noise swamps real regressions.
-    prev_name, prev = _previous_times(os.path.dirname(os.path.abspath(__file__)))
+    # Round-over-round comparability: flag queries >1.5x their
+    # contention-normalized time in the newest recorded detail at the
+    # SAME sf (stderr only — stdout stays the one-line JSON contract).
+    # The threshold is scaled by probe_now / probe_then so a contended
+    # driver run compared against a solo baseline stays quiet.
+    # Sub-second timings are skipped: at that scale local[32]
+    # scheduling noise swamps real regressions.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_name, prev, prev_probe = _previous_times(repo_dir, sf)
+    contention = 1.0
+    if prev_probe and prev_probe > 0:
+        contention = max(1.0, probe_sec / prev_probe)
     for name, dt in times.items():
         p = prev.get(name)
-        if p and p >= 1.0 and dt > 1.5 * p:
+        if p and p >= 1.0 and dt > 1.5 * p * contention:
             print(f"bench: REGRESSION {name}: {dt:.3f}s vs {p:.3f}s "
-                  f"in {prev_name}", file=sys.stderr)
+                  f"in {prev_name} (contention x{contention:.2f})",
+                  file=sys.stderr)
 
     # Full per-query map to a committed file (not stdout — the driver
     # keeps only a ~2,000-char stdout tail, see module docstring).
-    # SPARK_GRAFT_BENCH_DETAIL overrides the path so side runs (sf1
-    # scale proofs, bisects) don't clobber the round's sf0.1 record.
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    detail_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(repo_dir, "BENCH_DETAIL.json"))
+    # The default path is ROUND-STAMPED (BENCH_DETAIL_r{N}.json) so the
+    # driver's contended per-round run never clobbers a committed solo
+    # record (VERDICT r7 #3); SPARK_GRAFT_BENCH_DETAIL overrides. A
+    # bisect/subset run (SPARK_GRAFT_BENCH_KEYS set) writes no detail
+    # at all unless an explicit override path is given — a partial map
+    # must never seed the regression baseline (ADVICE r7).
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if detail_path is None and not only:
+        detail_path = os.path.join(
+            repo_dir, f"BENCH_DETAIL_r{_current_round(repo_dir):02d}.json")
     detail = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "sf": sf,
         "n_queries": len(times),
+        "probe_sec": probe_sec,
         "queries": times,
     }
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError as exc:
-        print(f"bench: could not write {detail_path}: {exc!r}",
-              file=sys.stderr)
+    # Refuse to clobber an existing solo record with a contended run:
+    # if the target file already holds a run with a meaningfully faster
+    # probe, this run is the slower-conditions one — divert it.
+    if detail_path is not None and os.path.exists(detail_path):
+        try:
+            old = json.load(open(detail_path))
+            old_probe = float(old.get("probe_sec") or 0)
+            if old_probe > 0 and probe_sec > 1.3 * old_probe:
+                detail_path = detail_path.replace(
+                    ".json", ".contended.json")
+        except (OSError, json.JSONDecodeError, TypeError, ValueError):
+            pass
+    if detail_path is not None:
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as exc:
+            print(f"bench: could not write {detail_path}: {exc!r}",
+                  file=sys.stderr)
 
     # LAST stdout line: compact, always inside the driver's tail window.
     # Shape per VERDICT r6 #1: {"metric","value","unit","sf","n_queries"}

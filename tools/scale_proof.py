@@ -91,16 +91,34 @@ def main() -> int:
         rec: dict = {"key": k}
         for tag, sf_dir in (("small", a.small), ("big", a.big)):
             try:
-                # time fn() + count(), same contract as bench.py —
-                # iterative keys do eager work (localCheckpoint rounds)
-                # INSIDE fn(), so starting the clock after it would
-                # drop most of their cost.
+                # Time fn() + one full execution, same spirit as
+                # bench.py — iterative keys do eager work
+                # (localCheckpoint rounds) INSIDE fn(), so starting the
+                # clock after it would drop most of their cost.
+                #
+                # Execution MUST go through df's OWN QueryExecution:
+                # df.count() builds a separate groupBy().count() QE, so
+                # df's executedPlan would be planned but never executed
+                # and AdaptiveSparkPlan would print isFinalPlan=false —
+                # AQEShuffleRead, runtime skew splits, and AQE
+                # broadcast<->SMJ flips (the very things this tool
+                # audits) could never appear (ADVICE r7). Running
+                # executedPlan().execute().count() materializes that
+                # same plan, after which toString() shows the FINAL
+                # adaptively-replanned tree.
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
-                df.count()
+                jplan = df._jdf.queryExecution().executedPlan()
+                jplan.execute().count()
                 dt = round(time.perf_counter() - t0, 3)
-                plan = df._jdf.queryExecution().executedPlan().toString()
-                rec[tag] = {"sec": dt, "ops": _summarize(plan)}
+                plan = jplan.toString()
+                final = ("AdaptiveSparkPlan" not in plan
+                         or "isFinalPlan=true" in plan)
+                rec[tag] = {"sec": dt, "ops": _summarize(plan),
+                            "final_plan": final}
+                if not final:
+                    print(f"!! {k} [{tag}]: captured plan is not final "
+                          f"(isFinalPlan=false)", file=sys.stderr)
             except Exception as exc:
                 rec[tag] = {"error": repr(exc)[:200]}
             spark.catalog.clearCache()
