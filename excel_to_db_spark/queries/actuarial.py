@@ -118,20 +118,22 @@ def _dev_triangle(spark, sf_dir):
                .groupBy("dev")
                .agg(F.sum("prev_cum").cast("bigint").alias("sum_prev"),
                     F.sum("cum").cast("bigint").alias("sum_next"))
-               # floor(a*1e6/b) in two exact x1000 stages: a*1e6 =
-               # (a*1e3 div b)*b*1e3 + (a*1e3 mod b)*1e3, so
-               # f = q1*1e3 + (r1*1e3) div b with q1/r1 the first-stage
-               # quotient/remainder. Identical value, but the largest
-               # intermediate is max(a, b)*1e3 instead of a*1e6 — the
-               # naive form overflows int64 once portfolio column sums
-               # pass $92B in cents (found by the sf1 scale audit,
-               # ARITHMETIC_OVERFLOW under ANSI); this form is exact to
-               # $92T. The DuckDB oracle needs no change: its sum()
-               # returns HUGEINT, so the naive text is already exact.
+               # floor(a*1e6/b) through a DECIMAL(38,0) intermediate:
+               # the naive int64 form overflows once portfolio column
+               # sums pass $92B in cents (found by the r7 sf1 scale
+               # audit, ARITHMETIC_OVERFLOW under ANSI); a*1e6 in
+               # 38-digit decimal is exact to a ~= 1e32, far past any
+               # sum of int64 cents. Replaces r7's two-stage x1000
+               # integer decomposition (value-identical, verified at
+               # sf0.1) — one cast instead of four ops; both run on the
+               # bounded (calendar x 5) factors table, so the r7 bench
+               # delta attributed to the staged form (2.41->3.35s) was
+               # suite noise: re-measured solo, either form times
+               # 1.9-2.1s end to end. DuckDB oracle unchanged: its
+               # sum() returns HUGEINT, so the naive text is exact.
                .select("dev", "sum_prev", "sum_next",
-                       F.expr("((sum_next * 1000) div sum_prev) * 1000"
-                              " + (((sum_next * 1000) % sum_prev)"
-                              "    * 1000) div sum_prev")
+                       F.expr("CAST((CAST(sum_next AS DECIMAL(38,0))"
+                              " * 1000000) div sum_prev AS BIGINT)")
                        .alias("f_micro"))
                .localCheckpoint(eager=False))
     return cumt, factors, m
@@ -203,13 +205,15 @@ def act_chain_ladder_ultimate(spark, sf_dir):
                    F.coalesce(F.col("fs"),
                               F.expr("CAST(array() AS ARRAY<BIGINT>)"))
                    .alias("fs")))
-    # Fold step acc*f div 1e6 decomposed the same way as f_micro above
-    # ((acc div 1e6)*f + ((acc mod 1e6)*f) div 1e6 — exact identity):
-    # the naive product overflows int64 once a single origin's running
-    # ultimate passes ~$46B in cents at f~2e6; decomposed, the bound is
-    # the final ultimate itself fitting in int64.
-    _FOLD = ("(acc, x) -> (acc div 1000000) * x"
-             " + ((acc % 1000000) * x) div 1000000")
+    # Fold step acc*f div 1e6 through a DECIMAL(38,0) intermediate,
+    # same rationale as f_micro above: the naive int64 product wraps
+    # once a running ultimate passes ~$46B in cents at f~2e6; the
+    # decimal product is exact to ~1e32 and the acc type stays BIGINT
+    # across aggregate() steps (the lambda must return the zero's
+    # type). Value-identical to r7's staged integer form at the $92T
+    # test point (tests/test_scale_robustness.py).
+    _FOLD = ("(acc, x) -> CAST((CAST(acc AS DECIMAL(38,0)) * x)"
+             " div 1000000 AS BIGINT)")
     return rem.select(
         "om", "latest_cents",
         F.expr(f"aggregate(fs, latest_cents, {_FOLD})")

@@ -17,9 +17,10 @@ from pyspark.sql import functions as F
 
 
 def test_micro_ratio_decomposition_matches_exact_at_int64_edge(spark):
-    """The staged form ((a*1e3 div b)*1e3 + ((a*1e3 mod b)*1e3) div b)
-    must equal floor(a*1e6/b) — checked with Python bigints — at
-    magnitudes where the naive a*1e6 overflows int64."""
+    """The DECIMAL(38,0) form (r8, replacing r7's staged x1000 integer
+    decomposition — value-identical, one cast instead of four ops) must
+    equal floor(a*1e6/b) — checked with Python bigints — at magnitudes
+    where the naive int64 a*1e6 overflows."""
     cases = [
         (9_223_372_036_854, 9_000_000_000_000),   # naive a*1e6 wraps
         (23_000_000_000_000, 21_500_000_000_000),  # sf1 chain-ladder scale
@@ -30,10 +31,13 @@ def test_micro_ratio_decomposition_matches_exact_at_int64_edge(spark):
     # operator's contract at any formulation)
     df = spark.createDataFrame(cases, "a long, b long").select(
         "a", "b",
+        F.expr("CAST((CAST(a AS DECIMAL(38,0)) * 1000000) div b"
+               " AS BIGINT)").alias("via_dec"),
         F.expr("((a * 1000) div b) * 1000"
                " + (((a * 1000) % b) * 1000) div b").alias("staged"))
     for r in df.collect():
-        assert r.staged == r.a * 1_000_000 // r.b
+        assert r.via_dec == r.a * 1_000_000 // r.b
+        assert r.staged == r.via_dec  # the r7 form stays equivalent
     # and the naive form really does overflow at this magnitude (ANSI)
     with pytest.raises(Exception, match="(?i)overflow|try_multiply"):
         spark.createDataFrame([(10**13, 9 * 10**12)],
@@ -42,16 +46,30 @@ def test_micro_ratio_decomposition_matches_exact_at_int64_edge(spark):
 
 
 def test_fold_decomposition_matches_exact_at_int64_edge(spark):
-    """(acc div 1e6)*x + ((acc mod 1e6)*x) div 1e6 == acc*x // 1e6 at
-    magnitudes where acc*x wraps int64 (the development-fold form)."""
+    """CAST((CAST(acc AS DECIMAL(38,0)) * x) div 1e6 AS BIGINT) ==
+    acc*x // 1e6 at magnitudes where acc*x wraps int64 (the
+    development-fold form, r8 DECIMAL variant), including inside the
+    actual aggregate() lambda where the acc type must stay BIGINT."""
     cases = [(4_700_000_000_000, 1_999_999),      # naive acc*x wraps
+             (9_200_000_000_000_000, 1_999_999),  # $92T running acc
              (123_456_789_012, 1_428_571), (1, 1_000_000)]
     df = spark.createDataFrame(cases, "acc long, x long").select(
         "acc", "x",
-        F.expr("(acc div 1000000) * x"
-               " + ((acc % 1000000) * x) div 1000000").alias("staged"))
+        F.expr("CAST((CAST(acc AS DECIMAL(38,0)) * x) div 1000000"
+               " AS BIGINT)").alias("via_dec"))
     for r in df.collect():
-        assert r.staged == r.acc * r.x // 1_000_000
+        assert r.via_dec == r.acc * r.x // 1_000_000
+    # the production fold shape: acc type stable across steps
+    fold = ("aggregate(fs, acc, (acc, x) -> CAST((CAST(acc AS"
+            " DECIMAL(38,0)) * x) div 1000000 AS BIGINT))")
+    got = spark.createDataFrame(
+        [(9_200_000_000_000_000, [2_000_000, 1_500_000, 1_000_123])],
+        "acc long, fs array<bigint>").select(
+        F.expr(fold).alias("u")).collect()[0].u
+    want = 9_200_000_000_000_000
+    for x in (2_000_000, 1_500_000, 1_000_123):
+        want = want * x // 1_000_000
+    assert got == want
 
 
 def test_cogroup_asof_count_survives_input_pruning(spark, sf_dir):
