@@ -102,8 +102,11 @@ def stateful_user_max(events: DataFrame) -> DataFrame:
 def transform_with_state_available() -> bool:
     """transformWithState's state-server protocol needs a working
     protobuf runtime (google.protobuf.descriptor); absent/broken
-    protobuf crashes the Python driver worker at query start. Gate
-    callers behind this check (no pip installs in this environment)."""
+    protobuf crashes the Python driver worker at query start. The dep
+    is pinned in pyproject.toml (`protobuf>=4`), but an environment
+    installed without it (or with a broken runtime) falls back to the
+    applyInPandasWithState twin below — same per-key contract, older
+    state API."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -112,11 +115,56 @@ def transform_with_state_available() -> bool:
         return False
 
 
-def run_stateful_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay events through the transformWithState operator. RocksDB is
-    the required state store provider for this API; the conf is set for
-    the query start and restored after (other queries keep the default
-    provider). Requires `transform_with_state_available()`."""
+def _update_user_max(key: tuple, pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterable[pd.DataFrame]:
+    """applyInPandasWithState twin of UserMaxProcessor: per-user event
+    count + running max, state = (n, mx). Byte-identical output contract
+    to the transformWithState path (same schema, same rounding), so
+    `run_stateful_max` can serve either engine path."""
+    (user_id,) = key
+    n, mx = state.get if state.exists else (0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        mx = max(mx, float(pdf["value"].max()))
+    state.update((n, mx))
+    yield pd.DataFrame({"user_id": [user_id],
+                        "n_events": [n],
+                        "max_value": [round(mx, 2)]})
+
+
+def stateful_user_max_fallback(events: DataFrame) -> DataFrame:
+    """The protobuf-free fallback transform: identical per-user
+    count+max semantics through the GroupState API (which speaks Arrow
+    directly to the JVM — no state-server protocol, no protobuf)."""
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(_update_user_max,
+                                    outputStructType=TWS_OUT_SCHEMA,
+                                    stateStructType="n bigint, mx double",
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_stateful_max(spark: SparkSession, sf_dir: str,
+                     force_fallback: bool = False) -> DataFrame:
+    """Replay events through the per-user count+max stateful operator:
+    the transformWithState path where the protobuf runtime its state
+    server needs is importable, else the applyInPandasWithState twin
+    (`stateful_user_max_fallback`) with the identical output contract —
+    so the operator works (and stays tested) in protobuf-less
+    environments instead of skipping. RocksDB is the required state
+    store provider for the TWS path; the conf is set for the query
+    start and restored after (other queries keep the default
+    provider)."""
+    if force_fallback or not transform_with_state_available():
+        name = f"twsfb_{uuid.uuid4().hex[:8]}"
+        from .windows import run_scoped
+
+        q = (stateful_user_max_fallback(events_stream_reader(spark, sf_dir))
+             .writeStream.outputMode("update")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True))
+        run_scoped(spark, q)
+        return spark.table(name)
     name = f"tws_{uuid.uuid4().hex[:8]}"
     key = "spark.sql.streaming.stateStore.providerClass"
     rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
