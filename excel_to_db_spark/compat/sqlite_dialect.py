@@ -196,13 +196,27 @@ def host_local_zone() -> str | None:
     passthrough -> SQLite localtime_r): $EXCEL_TO_DB_LOCAL_TZ override
     first (lets a UTC-pinned deployment pin the *data* zone explicitly),
     then $TZ, then /etc/timezone, then the /etc/localtime symlink.
-    Returns None when no unambiguous IANA name can be determined."""
+    Returns None when no unambiguous IANA name can be determined.
+
+    A SET-but-non-IANA env value (e.g. the POSIX string ``TZ=EST5EDT``)
+    raises instead of falling through to the system files: libc
+    localtime_r would honor that $TZ while the fallthrough could name a
+    DIFFERENT zone — exactly the silent divergence from a reference
+    SQLite run this layer exists to refuse (ADVICE r7)."""
     import os
 
     for env in ("EXCEL_TO_DB_LOCAL_TZ", "TZ"):
         v = os.environ.get(env, "").strip().lstrip(":")
-        if v and _ZONE_RE.match(v):
-            return v
+        if v:
+            if _ZONE_RE.match(v):
+                return v
+            raise SqliteCompatError(
+                f"${env}={v!r} is not an IANA zone name (Area/City). "
+                f"POSIX TZ strings are rejected: Spark's zone parser "
+                f"and C localtime() disagree on them, and ignoring a "
+                f"set ${env} in favor of /etc/timezone could silently "
+                f"diverge from a reference SQLite run. Set "
+                f"EXCEL_TO_DB_LOCAL_TZ=Area/City explicitly.")
     try:
         v = open("/etc/timezone").read().strip()
         if v and _ZONE_RE.match(v):

@@ -213,7 +213,18 @@ def infer_excel_schema(rows: list[list[Any]], header: list[Any] | None,
     non-nullability is never provable from data."""
     from pyspark.sql.types import _parse_datatype_string
 
-    width = max((len(r) for r in rows), default=len(header or []))
+    # Width is the max of the widest DATA row and the header: a header
+    # wider than every body row (trailing all-empty columns — xlsx omits
+    # empty cells) must still contribute its named columns, as
+    # all-null strings (ADVICE r7: the old widest-row-only width
+    # silently dropped them).
+    width = max(max((len(r) for r in rows), default=0),
+                len(header or []))
+    if width == 0:
+        raise ValueError(
+            "cannot infer a schema from a sheet with no data rows and "
+            "no header row — pass an explicit schema or a sheet with "
+            "at least a header")
     accs: list[str | None] = [None] * width
     voting = rows if sample is None else rows[:sample]
     for r in voting:

@@ -698,25 +698,45 @@ def cogroup_asof_pandas(spark, sf_dir):
             return pd.DataFrame(columns=["user_id", "n_errors",
                                          "n_click_preceded"])
         # The 3-arg signature takes user_id from the GROUP KEY, and the
-        # value columns are accessed defensively: when the downstream
+        # value columns are accessed shape-aware: when the downstream
         # plan needs only row counts (df.count()), Catalyst prunes the
         # worker's INPUT columns — the frames arrive with the right row
-        # cardinality but no 'ts' (found by the round-7 sf1 execution
-        # sweep; it fails at every SF, check.py's collect() never
-        # triggers pruning). Output row-count depends only on the
-        # errors side being non-empty, which survives pruning, so the
-        # pruned plan still counts correctly.
-        n_prec = 0
-        if ("ts" in errors_pdf.columns and "ts" in clicks_pdf.columns
-                and len(clicks_pdf) > 0):
-            err = errors_pdf.sort_values("ts")
-            ck = (clicks_pdf.sort_values("ts")
-                  .rename(columns={"ts": "click_ts"}))
-            m = pd.merge_asof(err, ck[["click_ts"]],
-                              left_on="ts", right_on="click_ts",
-                              direction="backward",
-                              tolerance=pd.Timedelta(minutes=5))
-            n_prec = int(m["click_ts"].notna().sum())
+        # cardinality but WITHOUT errors.ts (found by the round-7 sf1
+        # execution sweep; it fails at every SF, check.py's collect()
+        # never triggers pruning; the observed pruned shape keeps
+        # clicks.ts and errors.event_id, so pruning is per-side
+        # minimal, not symmetric). Output row-count depends only on
+        # the errors side being non-empty, which survives pruning.
+        #
+        # Under any pruned shape n_click_preceded is emitted as NULL,
+        # never 0 (ADVICE r7): a count-only plan ignores the value, and
+        # a plan that DOES consume values despite pruned inputs (a
+        # future Catalyst change, or a refactor renaming 'ts') surfaces
+        # visible nulls — which the oracle gate hash-mismatches loudly —
+        # instead of plausible wrong zeros. The one shape no Spark
+        # version produces (errors.ts present, clicks.ts absent: clicks
+        # has no other value column to keep) still raises.
+        err_has_ts = "ts" in errors_pdf.columns
+        ck_has_ts = "ts" in clicks_pdf.columns
+        if err_has_ts and not ck_has_ts:
+            raise RuntimeError(
+                f"cogroup_asof_pandas: unexpected input shape — "
+                f"errors has 'ts' but clicks does not (errors cols="
+                f"{list(errors_pdf.columns)}, clicks cols="
+                f"{list(clicks_pdf.columns)}); no known pruning "
+                f"produces this — values would be silently wrong.")
+        n_prec = None
+        if err_has_ts and ck_has_ts:
+            n_prec = 0
+            if len(clicks_pdf) > 0:
+                err = errors_pdf.sort_values("ts")
+                ck = (clicks_pdf.sort_values("ts")
+                      .rename(columns={"ts": "click_ts"}))
+                m = pd.merge_asof(err, ck[["click_ts"]],
+                                  left_on="ts", right_on="click_ts",
+                                  direction="backward",
+                                  tolerance=pd.Timedelta(minutes=5))
+                n_prec = int(m["click_ts"].notna().sum())
         return pd.DataFrame([{"user_id": int(key[0]),
                               "n_errors": len(errors_pdf),
                               "n_click_preceded": n_prec}])

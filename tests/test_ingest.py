@@ -128,6 +128,39 @@ def test_infer_schema_types_and_names(spark, tmp_path):
     spark.catalog.dropTempView("inf_rows")
 
 
+def test_infer_schema_header_wider_than_body(spark, tmp_path):
+    """Header columns beyond the widest data row must survive as
+    all-null string columns (xlsx omits trailing empty cells, so a
+    sheet whose last columns are sparse hits this constantly); a
+    header-only sheet infers an all-string schema with zero rows; a
+    sheet with neither raises explicitly (ADVICE r7)."""
+    import pytest
+
+    from excel_to_db_spark.ingest import (infer_excel_schema,
+                                          load_excel_table_inferred)
+
+    p = str(tmp_path / "wide_head.xlsx")
+    write_xlsx(p, [["k", "v", "note", "extra"], ["a", 1], ["b", 2]])
+    df = load_excel_table_inferred(spark, p, view_name="wh_rows")
+    assert df.columns == ["k", "v", "note", "extra"]
+    kinds = dict(df.dtypes)
+    assert kinds["note"] == "string" and kinds["extra"] == "string"
+    assert [tuple(r) for r in df.orderBy("k").collect()] == [
+        ("a", 1, None, None), ("b", 2, None, None)]
+    spark.catalog.dropTempView("wh_rows")
+
+    ph = str(tmp_path / "head_only.xlsx")
+    write_xlsx(ph, [["k", "v"]])
+    df2 = load_excel_table_inferred(spark, ph, view_name="ho_rows")
+    assert df2.columns == ["k", "v"]
+    assert dict(df2.dtypes) == {"k": "string", "v": "string"}
+    assert df2.count() == 0
+    spark.catalog.dropTempView("ho_rows")
+
+    with pytest.raises(ValueError, match="no data rows and no header"):
+        infer_excel_schema([], None)
+
+
 def test_infer_schema_permissive_vs_failfast(spark, tmp_path):
     import pytest
 

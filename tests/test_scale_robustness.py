@@ -83,6 +83,11 @@ def test_cogroup_asof_count_survives_input_pruning(spark, sf_dir):
     n = df.count()                      # crashed before the fix
     rows = df.collect()                 # unpruned path: full values
     assert n == len(rows) > 0
+    # unpruned values are real (NOT NULL): the pruned path emits NULL
+    # for n_click_preceded, so any plan that consumed values under
+    # pruning would fail this (and the oracle hash) loudly instead of
+    # flowing silent zeros (ADVICE r7).
+    assert all(r.n_click_preceded is not None for r in rows)
     assert all(r.n_errors >= r.n_click_preceded >= 0 for r in rows)
     assert all(r.user_id is not None for r in rows)
 

@@ -164,6 +164,22 @@ def test_localtime_env_override_beats_tz(monkeypatch):
     assert "from_utc_timestamp" in out and "Europe/Paris" in out
 
 
+def test_posix_tz_string_raises_instead_of_fallthrough(monkeypatch):
+    # TZ=EST5EDT is honored by libc localtime_r but unparseable as an
+    # IANA name; consulting /etc/timezone instead could name a
+    # DIFFERENT zone. The resolver must refuse loudly, not fall through.
+    from excel_to_db_spark.compat import sqlite_dialect as d
+
+    monkeypatch.delenv("EXCEL_TO_DB_LOCAL_TZ", raising=False)
+    monkeypatch.setenv("TZ", "EST5EDT")
+    with pytest.raises(d.SqliteCompatError, match="IANA"):
+        d.host_local_zone()
+    # ... and the explicit override path rejects a bad value the same way
+    monkeypatch.setenv("EXCEL_TO_DB_LOCAL_TZ", "EST5EDT")
+    with pytest.raises(d.SqliteCompatError, match="IANA"):
+        d.host_local_zone()
+
+
 def test_localtime_raises_when_zone_indeterminate(monkeypatch):
     # With no resolvable IANA zone the rewrite still refuses loudly —
     # a silent no-op would diverge from a reference run on a non-UTC
