@@ -133,16 +133,30 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float, dim: int,
     computing the hottest bucket's 5.2M cosines for 645s while 31 cores
     idled — AQE's skew split never fires here because its thresholds
     are shuffle BYTES, and a compute-heavy byte-light stage (tiny
-    vectors in, quadratic pair work after) looks balanced to it."""
+    vectors in, quadratic pair work after) looks balanced to it.
+
+    The join inputs use EXPLICIT-N repartition on (bucket, sk), not the
+    planner's ensure-requirements exchange: AQE's partition COALESCING
+    is the mirror image of the skew blind spot — it merges post-shuffle
+    partitions by BYTES, and a few hundred MB of vectors carrying tens
+    of millions of pair-cosines coalesces to 2-3 tasks, silently
+    un-doing the salting (measured in the r8 skew audit: the salted
+    join ran as a <=3-task stage, 322 s wall, ~1.5/32 cores busy). AQE
+    never coalesces a user-specified numbered repartition, so the
+    cosine stage keeps its full task fan-out."""
+    n_parts = int(vectors.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
     v = vectors.select(F.col(id_col).alias("vid"),
                        as_double(F.col(vec_col)).alias("vec"))
     v = v.withColumn("bucket", srp_bucket(F.col("vec"), dim))
     a = v.select(F.col("vid").alias("id1"), F.col("vec").alias("va"),
                  "bucket", F.pmod(F.col("vid"), F.lit(salt)).alias("sk"))
+    a = a.repartition(n_parts, "bucket", "sk")
     b = (v.select(F.col("vid").alias("id2"), F.col("vec").alias("vb"),
                   "bucket")
          .withColumn("sk", F.explode(F.sequence(F.lit(0),
                                                 F.lit(salt - 1)))))
+    b = b.repartition(n_parts, "bucket", "sk")
     return (a.join(b, ["bucket", "sk"])
             .where(F.col("id1") < F.col("id2"))
             .select("id1", "id2",
