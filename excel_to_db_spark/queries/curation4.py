@@ -217,13 +217,32 @@ def curation_knn_density(spark, sf_dir):
     Vectors with < 3 cluster-mates fall out via the count = 3 filter
     on both engines identically."""
     a = _assigned(spark, sf_dir).localCheckpoint(eager=False)
-    b = a.select(F.col("vec_id").alias("b_id"), F.col("cid").alias("b_cid"),
-                 F.col("qv").alias("b_qv"))
+    # The within-cluster self-join's equi-key is cid with only _K=8
+    # values, so a plain join runs on <= 8 reducers no matter how many
+    # cores exist (the r8 skew audit measured the d2 stage at 7 tasks
+    # carrying 55% of a 306 s wall at 10x data). Salt the key to
+    # (cid, vid mod salt) — probe side replicated across salts, every
+    # pair produced exactly once — and feed the join from EXPLICIT-N
+    # repartitions, which AQE's byte-based coalescing never merges
+    # (same two-part lesson as operators/similarity.py
+    # cosine_near_dup_pairs). The replication is of the small vector
+    # table, trivial bytes against the quadratic pair compute.
+    salt = 16
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    aslt = (a.withColumn("sk", F.pmod(F.col("vec_id"), F.lit(salt)))
+            .repartition(n_parts, "cid", "sk"))
+    b = (a.select(F.col("vec_id").alias("b_id"),
+                  F.col("cid").alias("b_cid"),
+                  F.col("qv").alias("b_qv"))
+         .withColumn("b_sk", F.explode(F.sequence(F.lit(0),
+                                                  F.lit(salt - 1))))
+         .repartition(n_parts, "b_cid", "b_sk"))
     d2 = F.expr("aggregate(zip_with(qv, b_qv, (x, y) -> (x-y)*(x-y)),"
                 " 0L, (s, x) -> s + x)")
     wn = Window.partitionBy("vec_id").orderBy("d2", "b_id")
-    nbr = (a.join(b, (a["cid"] == F.col("b_cid"))
-                  & (a["vec_id"] != F.col("b_id")))
+    nbr = (aslt.join(b, (F.col("cid") == F.col("b_cid"))
+                     & (F.col("sk") == F.col("b_sk"))
+                     & (F.col("vec_id") != F.col("b_id")))
            .select("vec_id", d2.alias("d2"), F.col("b_id"))
            .withColumn("rn", F.row_number().over(wn)))
     score = (nbr.where(F.col("rn") <= 3)

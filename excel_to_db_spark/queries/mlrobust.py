@@ -179,7 +179,17 @@ def ml_knn_classify(spark, sf_dir):
                       F.col("qv").alias("q_qv")))
     d2 = F.expr("aggregate(zip_with(q_qv, qv, (a, b) -> (a-b)*(a-b)),"
                 " 0L, (s, x) -> s + x)")
-    scored = (v.crossJoin(F.broadcast(probes))
+    # The corpus side of the broadcast cross join inherits the SCAN's
+    # parallelism — one parquet file at bench scale = 1-2 input splits,
+    # so ~1e9 integer d2 ops ran in <= 2 tasks (r8 skew audit: 156 s
+    # wall, no stage with >= 4 tasks). Fan the corpus out with an
+    # explicit-N repartition before the compute: the shuffled bytes
+    # are just the quantized vectors (trivial next to the quadratic
+    # probe scoring), and AQE never coalesces an explicit-N
+    # repartition. At real scale a many-split corpus makes this a
+    # near-no-op rebalance of the same rows.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = (v.repartition(n_parts).crossJoin(F.broadcast(probes))
               .where(F.col("vec_id") != F.col("q_id"))
               .select("q_id", "q_label", F.col("vec_id").alias("n_id"),
                       F.col("label").alias("n_label"), d2.alias("d2")))
