@@ -11,22 +11,24 @@ def test_priority_window_is_exactly_the_first_50_keys():
     assert list(REGISTRY)[:50] == list(_PRIORITY)
 
 
-def test_priority_covers_round7_rotation():
-    """Round-7 window (VERDICT r6 #2): rotate over the families with
-    zero driver coverage through round 6 — privacy, sketches, geo, and
-    ops close completely; the riskiest graph/ml/eval keys fill the
-    rest."""
+def test_priority_covers_round8_rotation():
+    """Round-8 window (VERDICT r7 #1): rotate over the families with
+    zero/low driver coverage through round 7 — dq plus the nine 0/4
+    families (act/enc/fin/fs/inventory/linkage/mkt/process/search)
+    close completely; risk-ranked picks from the big stats/text/ts/
+    eval/events/ml pools fill the rest."""
     head = set(list(REGISTRY)[:50])
     for key in (
         # whole-family closures
-        "privacy_k_anonymity", "privacy_unicity",
-        "sketch_count_min", "sketch_hll_manual",
-        "geo_grid_radius_join", "geo_nearest_deciles",
-        "ops_slo_burn", "ops_lindley_replay",
+        "dq_expectations", "dq_orphan_audit",
+        "act_chain_ladder_ultimate", "enc_rle_runs",
+        "fin_445_rollup", "fs_point_in_time_join",
+        "inventory_newsvendor", "linkage_transitive_merge",
+        "mkt_adstock_decay", "process_variants",
+        "search_hybrid_rrf",
         # risk-ranked picks
-        "graph_ktruss_peel", "graph_components",
-        "ml_logistic_newton", "ml_ransac_line",
-        "eval_isotonic_calibration", "eval_krippendorff_alpha",
+        "eval_auc_rank", "ml_woe_iv", "ts_ljung_box",
+        "events_funnel", "text_good_turing", "stats_theil_sen",
     ):
         assert key in head, key
 
