@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .registry import query
 from .relational import T
-from .geo import _TX8, _TY8, _pts, _pts_sql
+from .geo import _LAT_SPAN, _LON_SPAN, _TX8, _TY8, _pts, _pts_sql
 
 _CUST_SQL = _pts_sql("customer", "c_custkey", "c_nationkey", "")
 _SUPP_SQL = _pts_sql("supplier", "s_suppkey", "s_nationkey", "s")
@@ -53,41 +53,95 @@ _NEAREST_SQL = f"""
 """
 
 
-def _nearest(spark, sf_dir):
+def _nearest(spark, sf_dir, _g_override=None):
     """(cust_id, supp_id, d2): every customer's nearest supplier —
-    broadcast-argmin over the facility table, ties pinned."""
+    EXACT grid-pruned argmin, ties pinned by min supplier id.
+    ``_g_override`` pins the cell size for tests (a tiny g forces the
+    escalation path; the result must be identical for ANY g >= 1).
+
+    Through round 7 this was the brute-force broadcast-argmin over
+    all |cust| x |supp| pairs (the r8 skew audit measured it as the
+    two heaviest healthy-shaped geo keys: 118/104 s at sf1 on 32
+    level tasks — all genuine pair work). The grid prune removes the
+    work instead of spreading it:
+
+    1. cell size g from the facility count M so the expected facility
+       mass within radius g is ~5 (pi*g^2*M/AREA = 5): the one knob,
+       derived not tuned.
+    2. phase A: suppliers exploded to their 3x3 neighbor cells (9M
+       rows, facility-sized, broadcast) equi-joined to customers on
+       the single home cell -> ~9*5/pi ~ 14 candidates/customer
+       instead of M.
+    3. certification: |a-b| <= g implies the cell indices differ by
+       at most 1 (non-negative ints), so every supplier with
+       d2 <= g^2 is inside the 3x3 neighborhood. A phase-A minimum
+       with min_d2 <= g^2 is therefore the TRUE minimum, and all its
+       ties are in the candidate set too (any tie also has d2 <= g^2)
+       — min(supp_id) over the tied candidates pins identically to
+       the brute-force rank.
+    4. escalation: customers with no candidate or min_d2 > g^2 (the
+       nearest facility is farther than g; expected fraction
+       exp(-5) ~ 0.7% under the uniform synthesis) fall back to the
+       exact brute-force scan — on that subset only.
+
+    Expected pair mass drops from N*M to ~14*N + 0.007*N*M. The
+    DuckDB oracle stays the full brute-force rank, so the gate checks
+    the prune's exactness externally. Argmin stays the TWO codegen'd
+    hash aggregates (min d2, then min supp_id among ties re-derived
+    by equi-join) — the window/min_by forms fell out of whole-stage
+    codegen and ran 20-70x slower (r6 note). The probe side keeps its
+    explicit-N repartition (single parquet split otherwise feeds the
+    pipeline through one task), and the per-customer minima keep the
+    broadcast hint at bench scale (on a real cluster with fact-sized
+    customers, both re-derivation joins shuffle on cust_id instead —
+    they carry ~14 rows/customer, not M)."""
+    import math
+
     cust = _pts(spark, sf_dir, "customer", "c_custkey", "c_nationkey", "")
     supp = (_pts(spark, sf_dir, "supplier", "s_suppkey", "s_nationkey",
                  "s")
             .select(F.col("id").alias("supp_id"),
                     F.col("latp").alias("slat"),
                     F.col("lonp").alias("slon")))
+    if _g_override is not None:
+        g = int(_g_override)
+    else:
+        m = max(supp.count(), 1)
+        area = _LAT_SPAN * _LON_SPAN
+        g = max(1, math.isqrt(int(5 * area / (math.pi * m))))
     d2 = ((F.col("latp") - F.col("slat")) * (F.col("latp") - F.col("slat"))
           + (F.col("lonp") - F.col("slon"))
           * (F.col("lonp") - F.col("slon")))
-    # argmin as TWO codegen'd hash aggregates (min distance, then min
-    # supplier id among the ties) — both the per-customer sort window
-    # and min_by-over-structs formulations fall out of whole-stage
-    # codegen and ran 20-70x slower on the 15M-pair scored set at
-    # sf0.1 (36s vs ~2s); plain min() + an equi-join re-derivation of
-    # the tied rows stays fully code-generated. The oracle states the
-    # same argmin with a rank (values identical, ties pinned).
-    # repartition the probe side BEFORE fanning out against the
-    # broadcast facilities: the single parquet file otherwise feeds
-    # the whole |cust| x |supp| pipeline through ONE task (22s at
-    # sf0.1 vs ~3s across 32).
-    scored = (cust.select(F.col("id").alias("cust_id"), "latp", "lonp")
-              .repartition(32, "cust_id")
-              .crossJoin(F.broadcast(supp))
-              .select("cust_id", "supp_id", d2.alias("d2")))
-    best = scored.groupBy("cust_id").agg(F.min("d2").alias("d2"))
-    # broadcast the per-customer minima: without the hint Catalyst
-    # can't size the post-agg side and falls back to a sort-merge
-    # join that SORTS the 15M scored rows (25s at sf0.1 vs ~3s).
-    return (scored.join(F.broadcast(best), ["cust_id", "d2"])
-            .groupBy("cust_id", "d2")
-            .agg(F.min("supp_id").alias("supp_id"))
-            .select("cust_id", "supp_id", "d2")
+    supp9 = (supp.select(
+        "supp_id", "slat", "slon",
+        F.explode(F.array(*[
+            F.struct(
+                (F.expr(f"slat div {g}") + F.lit(dx)).alias("cx"),
+                (F.expr(f"slon div {g}") + F.lit(dy)).alias("cy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("cell"))
+        .select("supp_id", "slat", "slon", "cell.cx", "cell.cy"))
+    custc = (cust.select(F.col("id").alias("cust_id"), "latp", "lonp")
+             .repartition(32, "cust_id")
+             .withColumn("cx", F.expr(f"latp div {g}"))
+             .withColumn("cy", F.expr(f"lonp div {g}")))
+    cand = (custc.join(F.broadcast(supp9), ["cx", "cy"])
+            .select("cust_id", "supp_id", d2.alias("d2")))
+    best_a = cand.groupBy("cust_id").agg(F.min("d2").alias("d2"))
+    certified = best_a.where(F.col("d2") <= g * g)
+    nearest_a = (cand.join(F.broadcast(certified), ["cust_id", "d2"])
+                 .groupBy("cust_id", "d2")
+                 .agg(F.min("supp_id").alias("supp_id")))
+    esc = (custc
+           .join(F.broadcast(certified.select("cust_id")), "cust_id",
+                 "left_anti")
+           .crossJoin(F.broadcast(supp))
+           .select("cust_id", "supp_id", d2.alias("d2")))
+    best_b = esc.groupBy("cust_id").agg(F.min("d2").alias("d2"))
+    nearest_b = (esc.join(F.broadcast(best_b), ["cust_id", "d2"])
+                 .groupBy("cust_id", "d2")
+                 .agg(F.min("supp_id").alias("supp_id")))
+    return (nearest_a.select("cust_id", "supp_id", "d2")
+            .unionByName(nearest_b.select("cust_id", "supp_id", "d2"))
             .localCheckpoint(eager=False))
 
 

@@ -90,6 +90,20 @@ def test_catchment_share_vs_bruteforce(spark, sf_dir):
     assert sum(r.n_customers for r in rows) == n
 
 
+def test_nearest_grid_prune_exact_for_any_cell_size(spark, sf_dir):
+    """The r8 grid prune must be exact for ANY cell size g: a tiny g
+    starves the 3x3 candidate pass and routes (nearly) every customer
+    through the escalation path; a huge g degenerates to the old
+    brute-force scan. Both must reproduce the numpy argmin with ties
+    pinned to min supplier id."""
+    from excel_to_db_spark.queries.geo2 import _nearest
+    exp = _nearest_brute(sf_dir)
+    for g in (10_000, 40_000_000):
+        got = {r.cust_id: (r.supp_id, r.d2)
+               for r in _nearest(spark, sf_dir, _g_override=g).collect()}
+        assert got == exp, f"g={g}"
+
+
 def test_nearest_deciles_vs_bruteforce(spark, sf_dir):
     from excel_to_db_spark.queries.geo2 import geo_nearest_deciles
     rows = geo_nearest_deciles(spark, sf_dir).collect()
