@@ -280,22 +280,39 @@ def str_fuzzy_match(spark, sf_dir):
     O(len^2) levenshtein runs — the block-then-verify shape every
     record-linkage pipeline uses. The distinct name list is small
     relative to the fact table, so Spark broadcasts it and the pair
-    generation never shuffles; at 100 TB the same plan holds as long as
-    the blocking key (here length) bounds candidates per name."""
-    names = T(spark, sf_dir, "part").select(F.col("p_name").alias("v")).distinct()
+    generation never shuffles.
+
+    Two scale lessons from the r8 jittered-sf1 run (176,739 distinct
+    names where the plain replica fixture has 64): (1) the probe side
+    of a BroadcastNestedLoopJoin inherits the scan's 1-2 parquet
+    splits, so the whole quadratic compute collapsed onto 2 cores —
+    the explicit-N repartition is the same fix as ml_knn_classify
+    (AQE never coalesces a user-numbered repartition, and its skew
+    splitter can't see compute-per-byte); (2) the verify metric is
+    threshold-bounded — levenshtein(a, b, 3) abandons a row's DP as
+    soon as the band k=3 is exceeded (O(k*len) not O(len^2)) and
+    returns the exact distance for every pair that is kept, so the
+    result set is unchanged. Length remains a CANDIDATE-UNBOUNDED
+    blocker (name lengths span 7 values here); the bounded-candidate
+    sibling for fact-sized inputs is linkage_sorted_neighborhood's
+    windowed blocking."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    names = (T(spark, sf_dir, "part").select(F.col("p_name").alias("v"))
+             .distinct().repartition(n_parts))
     a, b = names.alias("a"), names.alias("b")
     # All three predicates in ONE join condition, cheapest first: codegen
     # short-circuits conjunctions left-to-right, so levenshtein only runs
     # on pairs that pass the length band. (A separate .filter would be
     # pushed into the join ahead of the cheap predicates by Catalyst's
     # filter-into-join merge — measured, tests/test_plans_r3.py.)
+    lev3 = F.levenshtein(F.col("a.v"), F.col("b.v"), 3)
     cond = ((F.col("a.v") < F.col("b.v"))
             & (F.abs(F.length("a.v") - F.length("b.v")) <= 2)
-            & (F.levenshtein(F.col("a.v"), F.col("b.v")) <= 3))
+            & (lev3 >= 0))
     return (a.join(F.broadcast(b), cond, "inner")
             .select(F.col("a.v").alias("name_a"),
                     F.col("b.v").alias("name_b"),
-                    F.levenshtein(F.col("a.v"), F.col("b.v")).alias("dist")))
+                    lev3.alias("dist")))
 
 
 # -------------------------------------------------------------- skyline
