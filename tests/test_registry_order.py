@@ -11,24 +11,21 @@ def test_priority_window_is_exactly_the_first_50_keys():
     assert list(REGISTRY)[:50] == list(_PRIORITY)
 
 
-def test_priority_covers_round8_rotation():
-    """Round-8 window (VERDICT r7 #1): rotate over the families with
-    zero/low driver coverage through round 7 — dq plus the nine 0/4
-    families (act/enc/fin/fs/inventory/linkage/mkt/process/search)
-    close completely; risk-ranked picks from the big stats/text/ts/
-    eval/events/ml pools fill the rest."""
+def test_priority_covers_round9_rotation():
+    """Round-9 window (VERDICT r8 #1): rotate onto the never-sampled
+    pools — eval agreement/rank contracts and graph fixpoints first,
+    then events sequences, ts lag-window panels, the r8
+    repartition-touched ml keys, rolling-hash text, and iterative
+    stats closed forms. Zero overlap with the r2–r8 windows."""
     head = set(list(REGISTRY)[:50])
     for key in (
-        # whole-family closures
-        "dq_expectations", "dq_orphan_audit",
-        "act_chain_ladder_ultimate", "enc_rle_runs",
-        "fin_445_rollup", "fs_point_in_time_join",
-        "inventory_newsvendor", "linkage_transitive_merge",
-        "mkt_adstock_decay", "process_variants",
-        "search_hybrid_rrf",
-        # risk-ranked picks
-        "eval_auc_rank", "ml_woe_iv", "ts_ljung_box",
-        "events_funnel", "text_good_turing", "stats_theil_sen",
+        "eval_cohens_kappa", "eval_rbo", "eval_bleu_counts",
+        "graph_pagerank3", "graph_sssp_bellman", "graph_conductance",
+        "events_session_dynamic", "events_changepoint",
+        "ts_pacf", "ts_granger_causality",
+        "ml_knn_classify", "ml_lof_grid",
+        "text_winnowing", "text_bm25_search",
+        "stats_huber_m_estimate", "stats_pca2_exact",
     ):
         assert key in head, key
 
