@@ -24,6 +24,7 @@ the same discipline a 100 TB run needs (never collect the fact table).
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -303,7 +304,13 @@ def _previous_times(repo_dir: str,
     import glob
     import re
 
-    candidates: list[tuple[float, str, dict[str, float], float | None]] = []
+    # (is_solo, mtime) ordering: a solo-tagged record always beats a
+    # contended one as the baseline, newest-first within each class —
+    # like-for-like comparison (VERDICT r8 #3). Legacy files without a
+    # run_condition tag rank as solo (every pre-r9 committed detail was
+    # a solo run).
+    candidates: list[
+        tuple[bool, float, str, dict[str, float], float | None]] = []
     for path in glob.glob(os.path.join(repo_dir, "BENCH_DETAIL*.json")):
         try:
             doc = json.load(open(path))
@@ -311,14 +318,15 @@ def _previous_times(repo_dir: str,
             rec_sf = float(doc.get("sf", -1))
             if queries and abs(rec_sf - sf) < 1e-9:
                 probe = doc.get("probe_sec")
+                is_solo = doc.get("run_condition", "solo") == "solo"
                 candidates.append(
-                    (os.path.getmtime(path), os.path.basename(path),
+                    (is_solo, os.path.getmtime(path), os.path.basename(path),
                      {k: float(v) for k, v in queries.items()},
                      float(probe) if probe is not None else None))
         except (OSError, json.JSONDecodeError, TypeError, ValueError):
             continue
     if candidates:
-        _, name, queries, probe = max(candidates)
+        _, _, name, queries, probe = max(candidates)
         return (name, queries, probe)
 
     best: tuple[int, str, dict[str, float]] | None = None
@@ -356,7 +364,41 @@ def _contention_probe(spark) -> float:
     return round(best, 4)
 
 
+def _best_known_probe(repo_dir: str, sf: float) -> float | None:
+    """Fastest probe_sec recorded in any same-SF detail file — the best
+    observed proxy for this host running SOLO. A run whose own probe is
+    within 10% of it gets tagged run_condition=solo; anything slower is
+    tagged contended (VERDICT r8 #3: records must carry their run
+    condition so comparisons stay like-for-like)."""
+    import glob
+
+    best: float | None = None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_DETAIL*.json")):
+        try:
+            doc = json.load(open(path))
+            if abs(float(doc.get("sf", -1)) - sf) > 1e-9:
+                continue
+            probe = float(doc.get("probe_sec") or 0)
+            if probe > 0 and (best is None or probe < best):
+                best = probe
+        except (OSError, json.JSONDecodeError, TypeError, ValueError):
+            continue
+    return best
+
+
 def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--repeat", type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")),
+        help="full suite passes; per-key time recorded is the MIN across "
+             "passes (VERDICT r8 #3: single-run records on this host "
+             "carry 2-5x scheduling jitter — group_quantile_normalize "
+             "measured 10.12s in one committed run and 2.45s in another "
+             "the same round with zero code diff)")
+    args, _ = ap.parse_known_args()
+    repeat = max(1, args.repeat)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     # sf from the dir name (sf0.1 -> 0.1); fall back to 0.1
@@ -420,27 +462,33 @@ def main() -> int:
 
     probe_sec = _contention_probe(spark)
 
-    times: dict[str, float] = {}
-    total = 0.0
-    for name in selected:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).count()
-        except Exception as exc:  # keep benching; a failed query reads as missing
-            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
-            continue
-        dt = round(time.perf_counter() - t0, 3)
-        times[name] = dt
-        total += dt
-        # Session hygiene between queries: a key that persists an
-        # intermediate (and any leaked temp cache) must not hold
-        # executor memory against every query after it — cross-query
-        # cache pressure was the root of the r4 phantom regression.
-        # clearCache is O(cached blocks), ~0 when nothing is cached.
-        spark.catalog.clearCache()
+    # N full suite passes; the canonical per-key number is the MIN
+    # across passes (min, not median: scheduling noise on this host is
+    # strictly additive — a task never finishes faster than the work —
+    # so the min is the best estimator of the code's true cost and the
+    # one a like-for-like comparison should use).
+    all_runs: dict[str, list[float]] = {}
+    for _pass in range(repeat):
+        for name in selected:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as exc:  # keep benching; reads as missing
+                print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+                continue
+            dt = round(time.perf_counter() - t0, 3)
+            all_runs.setdefault(name, []).append(dt)
+            # Session hygiene between queries: a key that persists an
+            # intermediate (and any leaked temp cache) must not hold
+            # executor memory against every query after it — cross-query
+            # cache pressure was the root of the r4 phantom regression.
+            # clearCache is O(cached blocks), ~0 when nothing is cached.
+            spark.catalog.clearCache()
+    times = {name: min(runs) for name, runs in all_runs.items()}
+    total = round(sum(times.values()), 3)
 
     # Round-over-round comparability: flag queries >1.5x their
     # contention-normalized time in the newest recorded detail at the
@@ -473,6 +521,10 @@ def main() -> int:
     if detail_path is None and not only:
         detail_path = os.path.join(
             repo_dir, f"BENCH_DETAIL_r{_current_round(repo_dir):02d}.json")
+    best_probe = _best_known_probe(repo_dir, sf)
+    run_condition = "solo"
+    if best_probe is not None and probe_sec > 1.10 * best_probe:
+        run_condition = "contended"
     detail = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
@@ -480,18 +532,27 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(times),
         "probe_sec": probe_sec,
+        "runs": repeat,
+        "run_condition": run_condition,
         "queries": times,
+        "queries_all_runs": all_runs,
     }
-    # Refuse to clobber an existing solo record with a contended run:
-    # if the target file already holds a run with a meaningfully faster
-    # probe, this run is the slower-conditions one — divert it.
+    # Refuse to clobber an existing record from materially different
+    # run conditions (VERDICT r8 #4: the driver's contended run
+    # overwrote the committed solo r8 record at probe ratio 1.14, under
+    # the old 1.3 threshold): if the target file's probe differs >10%
+    # in EITHER direction, divert this run to a suffixed file —
+    # slower-probe runs are contended, faster-probe runs would make
+    # the committed baseline incomparable the other way.
     if detail_path is not None and os.path.exists(detail_path):
         try:
             old = json.load(open(detail_path))
             old_probe = float(old.get("probe_sec") or 0)
-            if old_probe > 0 and probe_sec > 1.3 * old_probe:
-                detail_path = detail_path.replace(
-                    ".json", ".contended.json")
+            if old_probe > 0 and (probe_sec > 1.10 * old_probe
+                                  or probe_sec < old_probe / 1.10):
+                suffix = (".contended.json"
+                          if probe_sec > old_probe else ".fastprobe.json")
+                detail_path = detail_path.replace(".json", suffix)
         except (OSError, json.JSONDecodeError, TypeError, ValueError):
             pass
     if detail_path is not None:
