@@ -17,9 +17,11 @@ integer-microdegree coordinates, same no-trig contract):
   'how far is everyone from a depot' curve.
 
 Scale shapes: the supplier side is facility-sized and broadcasts;
-nearest-assignment is the broadcast-argmin scan (at planetary scale
-the `geo` grid blocking pre-filters candidates); tile rollups are
-bounded aggregates."""
+nearest-assignment is an EXACT grid prune (3x3 neighbor-cell
+candidate join with an in-plan certificate, brute-force escalation
+only for the ~exp(-5) of customers whose nearest facility is farther
+than one cell — see ``_nearest``); tile rollups are bounded
+aggregates."""
 
 from __future__ import annotations
 
@@ -32,6 +34,22 @@ from .geo import _LAT_SPAN, _LON_SPAN, _TX8, _TY8, _pts, _pts_sql
 
 _CUST_SQL = _pts_sql("customer", "c_custkey", "c_nationkey", "")
 _SUPP_SQL = _pts_sql("supplier", "s_suppkey", "s_nationkey", "s")
+
+# Cell size g and the customer row count, derived once per
+# (application, sf_dir): supp.count()/cust.count() are eager Spark jobs
+# and _nearest is called by two registered keys in the same session
+# (ADVICE r8: don't re-run them per call). Keyed by applicationId so a
+# stopped/recreated session can't serve stale counts.
+_NEAREST_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
+
+# Above this row count the per-customer intermediates (certified,
+# best_b) stop being broadcast-safe (driver memory) and the
+# re-derivation joins fall back to shuffle joins on cust_id — they
+# carry ~14 rows/customer either way, so the shuffle is proportional
+# to the candidate mass, not to N*M (ADVICE r8: the hints must not be
+# unconditional).
+_BCAST_ROW_CAP = 8_000_000
+
 
 _NEAREST_SQL = f"""
     cust AS MATERIALIZED ({_CUST_SQL}),
@@ -91,10 +109,13 @@ def _nearest(spark, sf_dir, _g_override=None):
     by equi-join) — the window/min_by forms fell out of whole-stage
     codegen and ran 20-70x slower (r6 note). The probe side keeps its
     explicit-N repartition (single parquet split otherwise feeds the
-    pipeline through one task), and the per-customer minima keep the
-    broadcast hint at bench scale (on a real cluster with fact-sized
-    customers, both re-derivation joins shuffle on cust_id instead —
-    they carry ~14 rows/customer, not M)."""
+    pipeline through one task), and the per-customer minima carry the
+    broadcast hint only below ``_BCAST_ROW_CAP`` customers — past
+    that the re-derivation joins shuffle on cust_id instead (they
+    carry ~14 rows/customer, not M, so the shuffle is candidate-mass
+    proportional). g and the customer count are derived once per
+    (application, sf_dir) via ``_NEAREST_CACHE``, not re-counted on
+    every call."""
     import math
 
     cust = _pts(spark, sf_dir, "customer", "c_custkey", "c_nationkey", "")
@@ -103,12 +124,21 @@ def _nearest(spark, sf_dir, _g_override=None):
             .select(F.col("id").alias("supp_id"),
                     F.col("latp").alias("slat"),
                     F.col("lonp").alias("slon")))
-    if _g_override is not None:
-        g = int(_g_override)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    if cache_key in _NEAREST_CACHE:
+        g_cached, n_cust = _NEAREST_CACHE[cache_key]
     else:
         m = max(supp.count(), 1)
         area = _LAT_SPAN * _LON_SPAN
-        g = max(1, math.isqrt(int(5 * area / (math.pi * m))))
+        g_cached = max(1, math.isqrt(int(5 * area / (math.pi * m))))
+        n_cust = cust.count()
+        _NEAREST_CACHE[cache_key] = (g_cached, n_cust)
+    g = int(_g_override) if _g_override is not None else g_cached
+    # Size-gated hint: hint_small marks frames bounded by the CUSTOMER
+    # count (one row per certified/escalated customer) — broadcast only
+    # while that bound fits in driver memory, else let the planner
+    # shuffle-join on cust_id.
+    hint_small = F.broadcast if n_cust <= _BCAST_ROW_CAP else (lambda df: df)
     d2 = ((F.col("latp") - F.col("slat")) * (F.col("latp") - F.col("slat"))
           + (F.col("lonp") - F.col("slon"))
           * (F.col("lonp") - F.col("slon")))
@@ -128,16 +158,16 @@ def _nearest(spark, sf_dir, _g_override=None):
             .select("cust_id", "supp_id", d2.alias("d2")))
     best_a = cand.groupBy("cust_id").agg(F.min("d2").alias("d2"))
     certified = best_a.where(F.col("d2") <= g * g)
-    nearest_a = (cand.join(F.broadcast(certified), ["cust_id", "d2"])
+    nearest_a = (cand.join(hint_small(certified), ["cust_id", "d2"])
                  .groupBy("cust_id", "d2")
                  .agg(F.min("supp_id").alias("supp_id")))
     esc = (custc
-           .join(F.broadcast(certified.select("cust_id")), "cust_id",
+           .join(hint_small(certified.select("cust_id")), "cust_id",
                  "left_anti")
            .crossJoin(F.broadcast(supp))
            .select("cust_id", "supp_id", d2.alias("d2")))
     best_b = esc.groupBy("cust_id").agg(F.min("d2").alias("d2"))
-    nearest_b = (esc.join(F.broadcast(best_b), ["cust_id", "d2"])
+    nearest_b = (esc.join(hint_small(best_b), ["cust_id", "d2"])
                  .groupBy("cust_id", "d2")
                  .agg(F.min("supp_id").alias("supp_id")))
     return (nearest_a.select("cust_id", "supp_id", "d2")
