@@ -308,47 +308,87 @@ _MINPTS = 4                 # core: >= 4 points within eps, self included
     FROM ncnt n LEFT JOIN border b ON b.id = n.id
 """)
 def geo_dbscan_census(spark, sf_dir):
-    """DBSCAN point classification (core / border / noise) from ONE
-    grid-blocked neighbor-pair materialization: the directed pair list
-    (both orders arise naturally — each endpoint explodes its own 3x3
-    probe set) feeds BOTH the per-point neighbor count (core test,
-    self included) and the border test (non-core with a core neighbor).
-    Every point matches itself, so the inner join loses nobody. At
-    100 TB the pair list checkpoints to parquet and both consumers
-    read it (the oracle's AS MATERIALIZED is the same statement —
-    DuckDB re-runs a CTE per downstream reference otherwise)."""
+    """DBSCAN point classification (core / border / noise).
+
+    Round-9 rewrite (the PLANS.md 100-TB cost note, implemented): the
+    census needs only the core BOOLEAN (count >= minPts), never the
+    exact neighbor count, so the quadratic within-eps pair
+    materialization short-circuits on a sub-grid of side eps/2:
+
+    1. sub-cell diagonal = eps/sqrt(2) < eps, so all points sharing a
+       sub-cell are MUTUAL eps-neighbors — any point whose own
+       sub-cell holds >= minPts points (self included) is core with
+       ZERO pair work. In the dense regions that drive the quadratic
+       pair mass, this covers almost everyone.
+    2. only the SPARSE points (own sub-cell < minPts) enumerate their
+       eps-ball, over the +-2 sub-cell ring (eps = 2 sub-sides, and a
+       point sits anywhere inside its sub-cell, so index offsets span
+       exactly [-2, 2]; ring candidate area 25*(eps/2)^2 = 6.25 eps^2,
+       LESS than the old 3x3 eps-cell ring's 9 eps^2). Their count is
+       exact; non-core points are a subset of these by construction.
+    3. border = non-core with a core eps-neighbor: the sparse pair
+       list already holds every eps-neighbor of every non-core point,
+       so one semi-join against the (dense-shortcut UNION sparse)
+       core set finishes the census.
+
+    Work drops from Theta(rho*N) pairs ~ N^2 to linear in N plus pair
+    work on the sparse population only. Exactness: the (core, border,
+    noise) partition is a pure function of the fixed eps-neighbor
+    graph; branch 1 is implied by the sub-cell diagonal bound, branch
+    2 computes the same count the old plan did, and the DuckDB oracle
+    stays the full 3x3 pair materialization, so the gate checks the
+    shortcut externally. Coordinates are non-negative by synthesis
+    (latp in [0, 30e6), lonp in [0, 50e6) — module header), so `div`
+    is floor division and the sub-cell geometry argument holds. At
+    100 TB the sparse pair list checkpoints to parquet and both
+    consumers read it."""
+    sub_side = _EPS // 2
     pts = _pts(spark, sf_dir, "customer", "c_custkey", "c_nationkey", "")
-    cells = pts.select(
+    w_sub = Window.partitionBy("sy", "sx")
+    sub = (pts.select(
         "id", "latp", "lonp",
-        F.expr(f"latp div {_EPS}").alias("cy"),
-        F.expr(f"lonp div {_EPS}").alias("cx"))
-    off = F.array([F.lit(v) for v in (-1, 0, 1)])
-    probes = (cells
+        F.expr(f"latp div {sub_side}").alias("sy"),
+        F.expr(f"lonp div {sub_side}").alias("sx"))
+        .withColumn("sc", F.count("*").over(w_sub))
+        .localCheckpoint(eager=False))
+    sparse = sub.where(F.col("sc") < _MINPTS)
+    off = F.array([F.lit(v) for v in (-2, -1, 0, 1, 2)])
+    probes = (sparse
               .withColumn("dy", F.explode(off))
               .withColumn("dx", F.explode(off))
               .select("id", "latp", "lonp",
-                      (F.col("cy") + F.col("dy")).alias("cy"),
-                      (F.col("cx") + F.col("dx")).alias("cx")))
-    q = cells.select(F.col("id").alias("qid"), F.col("latp").alias("qlat"),
-                     F.col("lonp").alias("qlon"), "cy", "cx")
+                      (F.col("sy") + F.col("dy")).alias("sy"),
+                      (F.col("sx") + F.col("dx")).alias("sx")))
+    q = sub.select(F.col("id").alias("qid"), F.col("latp").alias("qlat"),
+                   F.col("lonp").alias("qlon"), "sy", "sx")
     d2 = ((F.col("latp") - F.col("qlat")) * (F.col("latp") - F.col("qlat"))
           + (F.col("lonp") - F.col("qlon")) * (F.col("lonp") - F.col("qlon")))
-    pairs = (probes.join(q, ["cy", "cx"])
+    pairs = (probes.join(q, ["sy", "sx"])
              .where(d2 <= F.lit(_EPS * _EPS))
              .select(F.col("id").alias("a"), F.col("qid").alias("b"))
              .localCheckpoint(eager=False))
-    ncnt = (pairs.groupBy(F.col("a").alias("id"))
+    # Exact eps-neighbor count for every sparse point (self-pair always
+    # present, exactly as in the oracle's pair list).
+    ncnt = (pairs.groupBy(F.col("a").alias("nid"))
             .agg(F.count("*").alias("n_nbr"))
-            .withColumn("core", F.col("n_nbr") >= _MINPTS)
+            .withColumn("ncore", F.col("n_nbr") >= _MINPTS)
             .localCheckpoint(eager=False))
-    core_ids = ncnt.where("core").select(F.col("id").alias("cid"))
-    border = (ncnt.where(~F.col("core"))
-              .join(pairs, ncnt["id"] == pairs["a"])
-              .where(F.col("b") != F.col("id"))
+    core_ids = (sub.where(F.col("sc") >= _MINPTS).select(F.col("id"))
+                .unionByName(ncnt.where("ncore").select(
+                    F.col("nid").alias("id")))
+                .select(F.col("id").alias("cid")))
+    noncore = ncnt.where(~F.col("ncore")).select("nid")
+    border = (noncore
+              .join(pairs, noncore["nid"] == pairs["a"])
+              .where(F.col("b") != F.col("nid"))
               .join(core_ids, F.col("b") == F.col("cid"))
-              .select("id").distinct())
-    cls = (ncnt.join(border.withColumnRenamed("id", "bid"),
-                     ncnt["id"] == F.col("bid"), "left"))
+              .select("nid").distinct())
+    cls = (sub.select("id", (F.col("sc") >= _MINPTS).alias("dense_core"))
+           .join(ncnt, sub["id"] == ncnt["nid"], "left")
+           .withColumn("core", F.col("dense_core")
+                       | F.coalesce(F.col("ncore"), F.lit(False)))
+           .join(border.withColumnRenamed("nid", "bid"),
+                 F.col("id") == F.col("bid"), "left"))
     return cls.agg(
         F.count("*").alias("n_points"),
         F.sum(F.when(F.col("core"), 1).otherwise(0)).alias("n_core"),
