@@ -70,11 +70,18 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
 
     The corpus side never shuffles until the final per-query rank, whose
     input is already reduced to |Q|·|C| scored pairs; at scale, pre-reduce
-    with a per-partition top-k (see `topk_bruteforce_partitioned`)."""
+    with a per-partition top-k (see `topk_bruteforce_partitioned`).
+
+    The corpus probe side is fan_out-gated (r9 skew audit: on a narrow
+    local scan the whole |Q|x|C| cosine compute inherited 1-2 parquet
+    splits — similarity_topk ran 81 s with no stage over 3 tasks; a
+    wide cluster scan leaves the gate a no-op)."""
+    from .skew import fan_out
+
     q = queries.select(F.col(id_col).alias("q_id"),
                        as_double(F.col(vec_col)).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("n_id"),
-                      as_double(F.col(vec_col)).alias("n_vec"))
+    c = fan_out(corpus).select(F.col(id_col).alias("n_id"),
+                               as_double(F.col(vec_col)).alias("n_vec"))
     scored = (c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
               .select("q_id", "n_id",
                       cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim")))

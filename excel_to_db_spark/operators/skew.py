@@ -38,3 +38,59 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
     out = b.join(s, (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]),
                  how)
     return out.drop("_salt")
+
+
+def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Explicit-N repartition, GATED on the input scan actually being
+    narrow — the round-9 generalization of the round-8 parallelism-
+    collapse fixes (ml_knn_classify, dedup_embedding, str_fuzzy_match).
+
+    The failure class: a compute-heavy, byte-light pipeline fed
+    directly by a scan inherits the scan's split count. On a local
+    bench fixture a whole table is 1-2 parquet splits, so a broadcast-
+    join probe side or a per-row HOF projection runs its entire
+    quadratic/linear compute on 1-2 cores while 30 idle (measured:
+    linkage_fellegi_sunter 65.8 s in ONE task generating 27.9M block
+    pairs from a 200k-row single-split scan, stage 6 of the r9 audit).
+    AQE cannot help — it only ever COALESCES byte-light partitions,
+    and its skew splitter looks at shuffle bytes, not compute-per-row.
+
+    The gate: estimate the scan's split count from its input files'
+    sizes (`spark.sql.files.maxPartitionBytes` per split). Repartition
+    ONLY when the estimate is below half the session's shuffle
+    parallelism. On a real cluster a fact-table scan has thousands of
+    splits, so this is a structural no-op there — the unconditional
+    repartition the r8 fixes used would instead round-robin the whole
+    table through one extra exchange for nothing. Non-local storage
+    schemes (s3/hdfs/...) skip the repartition for the same reason:
+    unknown split counts at that scale mean wide scans.
+
+    ``factor`` multiplies the target partition count for pipelines
+    whose per-row compute is extreme (quadratic probe sides may want
+    factor=2 for scheduler headroom); the default matches the
+    session's shuffle parallelism."""
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        n_parts = 32
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes",
+                             "134217728")
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        max_pb = int(digits) if digits else 134217728
+        total = 0
+        for uri in df.inputFiles():
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("", "file"):
+                return df          # cluster-scale storage: wide scan
+            total += os.path.getsize(parsed.path)
+        est_splits = max(1, -(-total // max_pb))
+    except Exception:
+        return df                  # can't estimate -> don't reshuffle
+    if est_splits >= max(2, n_parts // 2):
+        return df
+    return df.repartition(n_parts * max(1, factor))

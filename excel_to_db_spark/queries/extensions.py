@@ -449,8 +449,13 @@ _LANGID_ORACLE = f"""
 def text_langid(spark, sf_dir):
     """Stopword-vote language ID: argmax of per-language stopword hits,
     ties broken by language code ascending — the same strictly-greater
-    fold rule the CASE ladder expresses, so both engines agree exactly."""
-    return X.langid(T(spark, sf_dir, "documents"))
+    fold rule the CASE ladder expresses, so both engines agree exactly.
+    The scan is fan_out-gated: five per-language stopword scans per row
+    serialize on a narrow local scan (r9 skew audit flagged the
+    downstream text_langid_eval with no stage over 3 tasks)."""
+    from ..operators.skew import fan_out
+
+    return X.langid(fan_out(T(spark, sf_dir, "documents")))
 
 
 @query("text_fingerprint", oracle="""

@@ -373,7 +373,11 @@ def eval_err_rank(spark, sf_dir):
                       F.col("qv").alias("q_qv")))
     d2 = F.expr("aggregate(zip_with(q_qv, qv, (a, b) -> (a-b)*(a-b)),"
                 " 0L, (s, x) -> s + x)")
-    scored = (v.crossJoin(F.broadcast(probes))
+    # broadcast-kNN probe side: fan_out-gated explicit repartition (r9
+    # skew audit — 51 s with no stage over 3 tasks on the narrow scan).
+    from ..operators.skew import fan_out
+
+    scored = (fan_out(v).crossJoin(F.broadcast(probes))
               .where(F.col("vec_id") != F.col("q_id"))
               .select("q_id",
                       (F.col("label") == F.col("q_label")).alias("rel"),

@@ -165,8 +165,15 @@ def _block_key(col):
 
 
 def _block_pairs(clean, dirty):
-    c = clean.select(F.col("id").alias("cid"), F.col("s").alias("cs"),
-                     _block_key(F.col("s")).alias("bk"))
+    # The probe side of the (broadcast) block join otherwise inherits
+    # the scan's 1-2 parquet splits: the r9 skew audit measured the
+    # WHOLE 27.9M-pair generation in one 65.8 s task (9-task stage,
+    # max/median 76x) on sf1j. fan_out is a no-op on wide scans.
+    from ..operators.skew import fan_out
+
+    c = fan_out(clean).select(
+        F.col("id").alias("cid"), F.col("s").alias("cs"),
+        _block_key(F.col("s")).alias("bk"))
     d = dirty.select(F.col("id").alias("did"), F.col("s").alias("ds"),
                      _block_key(F.col("s")).alias("bk"))
     return c.join(d, "bk").select("cid", "did", "cs", "ds")
