@@ -151,12 +151,11 @@ def text_winnowing(spark, sf_dir):
     corpus bytes and embarrassingly parallel. The window minimum is
     O(w) per position here (w=4); the production O(1) monotone-deque
     form is a mapInPandas drop-in with the same output contract."""
-    from ..operators.skew import fan_out
-
-    # md5-per-shingle over every word position is compute-heavy on a
-    # narrow local scan (r9 skew audit: whole wall on <=3 tasks);
-    # fan_out is a structural no-op on a wide cluster scan.
-    d = fan_out(T(spark, sf_dir, "documents"))
+    # (r9 note: the skew audit flagged this key's narrow-scan shape,
+    # but a measured fan_out A/B was FLAT — 14.4 vs 15.0 s on sf1j —
+    # so the zero-shuffle contract stays; the wall is not in the
+    # per-row HOF stage.)
+    d = T(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     base = d.select("doc_id", words.alias("words")).filter(
         F.size("words") >= 5)

@@ -61,12 +61,17 @@ def test_window_groups_frame_single_shuffle(spark, registry):
 
 
 def test_fuzzy_match_blocks_before_metric(spark, registry):
+    """r9 cascade: the join condition must evaluate the precomputed
+    length band and the 2-level char-count signature (two XOR +
+    bit_count long ops) BEFORE the bounded levenshtein — codegen
+    short-circuits conjunctions left-to-right, so the order IS the
+    filter cascade."""
     plan = _plan(registry["str_fuzzy_match"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan  # theta join by design
     cond = plan.split("BroadcastNestedLoopJoin")[1].split("\n")[0]
-    assert "levenshtein" in cond and "length" in cond
-    assert cond.index("length") < cond.index("levenshtein"), \
-        "short-circuit order: cheap length band must precede levenshtein"
+    assert "levenshtein" in cond and "bit_count" in cond
+    assert cond.index("bit_count") < cond.index("levenshtein"), \
+        "short-circuit order: signature rejector must precede levenshtein"
 
 
 def test_agg_mode_broadcasts_max_counts(spark, registry):
