@@ -320,13 +320,21 @@ def _fs_scored(spark, sf_dir):
 
     Time scales sublinearly in candidate pairs (x100 pairs -> x87
     time); the pair count itself is the blocking design's knob, see
-    PLANS.md round-7 scale audit."""
+    PLANS.md round-7 scale audit.
+
+    r9: the FS edit-distance field only distinguishes lev in
+    {0, 1, >=2}, so the metric is the threshold-bounded
+    levenshtein(cs, ds, 1) — the DP abandons a row after the k=1 band
+    (O(k*len) per pair, not O(len^2)) and its -1 'exceeded' return
+    maps to the same _W_LEV2 bucket the unbounded >= 2 did. Exact
+    classification, ~len/2 x less DP work per pair; the oracle keeps
+    the unbounded form, so the gate checks the equivalence."""
     clean, dirty = _clean_dirty(spark, sf_dir)
     cand = (_block_pairs(clean, dirty)
             .unionByName(_snm_pairs(clean, dirty))
             .distinct()
             .localCheckpoint(eager=False))
-    lev = F.levenshtein("cs", "ds")
+    lev = F.levenshtein("cs", "ds", 1)
     tok = (F.element_at(F.split("cs", " "), -1)
            == F.element_at(F.split("ds", " "), -1))
     pfx = F.substring("cs", 1, 2) == F.substring("ds", 1, 2)
