@@ -1585,7 +1585,8 @@ def dedup_cluster_eval(spark, sf_dir):
     cb = (d.select("doc_id",
                    D.content_fingerprint(F.col("text")).alias("fp"))
           .select("doc_id", F.min("doc_id").over(wfp).alias("cb")))
-    j = ca.join(cb, "doc_id").select("ca", "cb")
+    # Three consumers (cell/sa/sb) read j; materialize it once.
+    j = ca.join(cb, "doc_id").select("ca", "cb").localCheckpoint(eager=False)
     cell = j.groupBy("ca", "cb").agg(F.count("*").alias("nij"))
     s = cell.agg(F.sum("nij").alias("n"),
                  F.sum(F.expr("(nij * (nij - 1)) DIV 2")).alias("tp"))
