@@ -213,7 +213,9 @@ def pipeline_dsir_weights(spark, sf_dir):
     token stream, and the per-doc reduce is the only corpus-wide
     shuffle. This is the production DSIR shape: the model is tiny and
     broadcastable no matter how large the corpus."""
-    d = T(spark, sf_dir, "documents")
+    from ..operators.skew import fan_out
+
+    d = fan_out(T(spark, sf_dir, "documents"))
     ht = (d.select("doc_id", "lang",
                    F.explode(X.tokens(F.col("text"))).alias("tok"))
           .select("doc_id", "lang",

@@ -687,10 +687,22 @@ def cogroup_asof_pandas(spark, sf_dir):
     import pandas as pd
 
     e = T(spark, sf_dir, "events")
+    # Explicit-N repartition on the group key: the cogroup exchange is
+    # byte-light (two filtered narrow columns) but the per-key pandas
+    # stage is compute-heavy, so AQE's coalescer merged it onto 4
+    # tasks at sf1j (r9 audit: 81% of a 31 s wall). A user-numbered
+    # hash repartition satisfies the cogroup's required distribution
+    # (no second exchange) and AQE never coalesces it.
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        n_parts = 32
     clicks = (e.filter(F.col("event_type") == "click")
-              .select("user_id", "ts"))
+              .select("user_id", "ts")
+              .repartition(n_parts, "user_id"))
     errors = (e.filter(F.col("event_type") == "error")
-              .select("user_id", "event_id", "ts"))
+              .select("user_id", "event_id", "ts")
+              .repartition(n_parts, "user_id"))
 
     def per_user(key: tuple, clicks_pdf: pd.DataFrame,
                  errors_pdf: pd.DataFrame) -> pd.DataFrame:

@@ -625,8 +625,13 @@ def text_bigram_lm(spark, sf_dir):
     stream — at 100 TB the only big shuffle is the bigram groupBy, and
     scoring is broadcast-join + one doc-keyed reduce. Normalizing by the
     LEFT-unigram count (sum over w2 of c2 = c1) keeps p(.|w1) a proper
-    distribution with no end-of-doc off-by-one."""
-    d = T(spark, sf_dir, "documents")
+    distribution with no end-of-doc off-by-one. The scan is
+    fan_out-gated: the bigram explode is the compute-heavy map side
+    and otherwise inherits the narrow local scan's 1-2 splits (r9
+    skew audit class)."""
+    from ..operators.skew import fan_out
+
+    d = fan_out(T(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     bg = (toks.select("doc_id", F.explode(F.expr(
               "transform(slice(t, 1, size(t)-1),"
@@ -1200,8 +1205,9 @@ def text_perplexity_buckets(spark, sf_dir):
     shuffle is the bigram groupBy the LM already pays; the count
     tables broadcast back onto the stream."""
     from ..operators.ranking import distributed_rank
+    from ..operators.skew import fan_out
 
-    d = T(spark, sf_dir, "documents")
+    d = fan_out(T(spark, sf_dir, "documents"))
     toks = d.select("doc_id", "lang", F.split("text", " ").alias("t"))
     bg = (toks.select("doc_id", "lang", F.explode(F.expr(
               "transform(slice(t, 1, size(t)-1),"

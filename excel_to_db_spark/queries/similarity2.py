@@ -349,7 +349,12 @@ def similarity_ivfpq(spark, sf_dir):
     the property that lets a billion-vector index live in memory."""
     from pyspark.sql.window import Window
 
-    e = T(spark, sf_dir, "embeddings").select(
+    from ..operators.skew import fan_out
+
+    # fan_out: assignment/encoding are broadcast joins whose per-row
+    # distance arithmetic is the heavy part; a narrow local scan would
+    # serialize them (r9 skew audit class; no-op on wide scans).
+    e = fan_out(T(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr("transform(CAST(embedding AS array<double>), "
                "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
