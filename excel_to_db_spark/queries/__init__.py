@@ -112,75 +112,72 @@ from . import iterpanel    # noqa: E402,F401  Tier C: IPF raking/GESD rounds/k-t
 from . import forecastfold  # noqa: E402,F401  Tier C: SES grid/Holt replay/segmented SES folds
 
 # The round driver verifies the FIRST 50 registry keys (iteration order);
-# everything else only gets the local tools/check.py run. Round-9 window
-# (VERDICT r8 #1: 331 keys still had no driver CORRECTNESS row after r8
-# — stats 88, text 32, ts 28, eval 20, events 18, graph 18, ml 11 named
-# as the pools to drain, risk-ranked "eval rank/agreement contracts and
-# graph fixpoints first, then ts lag-window panels"). This window is
-# zero-overlap with r2–r8 and spends its 50 slots on the riskiest
-# cross-engine contracts left: eval agreement/rank fusion (kappa tie
-# handling, AP/RBO/ERR rank semantics, n-gram BLEU/ROUGE integer
-# counts, IPS/SNIPS propensity ratios), graph iterative fixpoints
-# (pagerank/HITS/Katz convergence, BFS frontier, Bellman-Ford
-# relaxation, triangle/conductance cut contracts), events ordered-
-# sequence ops (sessionization, path trigrams, changepoint, PMI),
-# ts lag-window panels (PACF Durbin-Levinson, ADF/Granger lag
-# regressions, cross-correlation alignment, CUSUM, block bootstrap),
-# the two r8 repartition-touched ml keys (knn/lof — driver evidence on
-# the exact code the skew fixes changed) plus ml split/encoding folds,
-# rolling-hash text contracts (winnowing, CDC, BM25, feature hashing),
-# and iterative/matrix stats (Huber IRLS, empirical copula, exact 2-D
-# PCA, log-rank). Every key here passed the three committed full
-# sweeps (CHECK_r08.log sf0.01, CHECK_r08_sf01.log sf0.1,
-# RUN_SF1J_r08.log jittered sf1). Rounds 2–8 drove the relational
-# surface, TPC-H, function packs, streaming, privacy/sketch/geo/ops,
-# dq/act/enc/fin/fs/inventory/linkage/mkt/process/search, and the
-# LLM-pipeline flagship keys green; they follow in registration order
-# and stay covered by the local gate.
+# everything else only gets the local tools/check.py run. Round-10 window
+# (VERDICT r9 #1: 281 keys still had no driver CORRECTNESS row after r9
+# — stats 84, text 28, ts 20 named as the pools to drain, with an
+# explicit "stats supermajority: target >=30 stats keys plus text and
+# ts for the rest"). This window is zero-overlap with r1–r9 and gives
+# stats 30 slots, text 12, ts 8, risk-ranked within each family:
+# stats leads with the rank/concordance contracts (Kendall/Spearman
+# tie handling, Kruskal-Wallis/Friedman/Dunn midranks, Wilcoxon
+# signed-rank zero handling, Cliff's delta / Somers' D / GK gamma
+# concordance counts), then the two-sample EDF family (KS/Kuiper/
+# CvM/AD/energy — step-function sup/integral semantics differ
+# per test), then matrix/iterative closed forms (partial corr,
+# ANCOVA, Cook's distance, Breusch-Pagan, Tukey HSD, meta-analysis
+# random effects, Bradley-Terry MM fixpoint, SPRT/e-process
+# sequential products, Weibull/Gumbel/Nelson-Aalen survival fits,
+# circular Rayleigh). text spends its 12 on the cross-corpus
+# distributional contracts (bigram LM backoff, KL matrix, Burrows
+# delta z-scores, Zipf/Heaps/Yule/Chao1 fits, rank turbulence,
+# keyness LLR, n-gram entropy curve, tokenizer fertility, PII scrub
+# masking). ts takes the spectral/variance-process panel (Hurst R/S,
+# periodogram, ARCH-LM, Page-Hinkley, Croston SBA, Holt replay,
+# pinball loss, VaR/CVaR). Every key here passed the three committed
+# full sweeps (CHECK_r09.log sf0.01, CHECK_r09_sf01.log sf0.1,
+# RUN_SF1J_r09.log jittered sf1). Rounds 2–9 drove the relational
+# surface, TPC-H, functions, streaming, eval/graph/events/ml
+# contracts, and the LLM-pipeline flagships green; they follow in
+# registration order and stay covered by the local gate.
 _PRIORITY: tuple[str, ...] = (
-    # ---- eval (10): agreement & rank-fusion contracts
-    "eval_cohens_kappa", "eval_fleiss_kappa", "eval_mcc_multiclass",
-    "eval_avg_precision", "eval_rbo", "eval_err_rank",
-    "eval_brier_decomposition", "eval_rouge_n", "eval_bleu_counts",
-    "eval_ips_snips",
-    # ---- graph (10): iterative fixpoints & cut contracts
-    "graph_pagerank3", "graph_hits", "graph_katz3",
-    "graph_bfs_levels", "graph_sssp_bellman", "graph_triangles",
-    "graph_modularity", "graph_local_clustering",
-    "graph_jaccard_neighbors", "graph_conductance",
-    # ---- events (8): ordered-sequence / sessionization contracts
-    "events_session_dynamic", "events_path3", "events_pattern",
-    "events_changepoint", "events_inter_arrival",
-    "events_time_to_convert", "events_session_pmi",
-    "events_entropy_rate",
-    # ---- ts (8): lag-window panels
-    "ts_pacf", "ts_durbin_watson", "ts_adf_test",
-    "ts_granger_causality", "ts_cross_correlation", "ts_max_drawdown",
-    "ts_cusum_detection", "ts_block_bootstrap",
-    # ---- ml (6): incl. the two r8 repartition-touched keys
-    "ml_knn_classify", "ml_lof_grid", "ml_split_info_gain",
-    "ml_cv_stump", "ml_target_encoding", "ml_ridge_path",
-    # ---- text (4): rolling-hash / sparse-vector contracts
-    "text_winnowing", "text_cdc_chunks", "text_bm25_search",
-    "text_feature_hashing",
-    # ---- stats (4): iterative / matrix closed forms
-    "stats_huber_m_estimate", "stats_empirical_copula",
-    "stats_pca2_exact", "stats_log_rank",
+    # ---- stats (30): rank/concordance, two-sample EDF, matrix/iterative
+    "stats_kendall", "stats_spearman", "stats_kruskal_wallis",
+    "stats_wilcoxon_signed_rank", "stats_friedman", "stats_dunn_posthoc",
+    "stats_mood_median", "stats_page_trend", "stats_hodges_lehmann",
+    "stats_cliffs_delta", "stats_somers_d", "stats_gk_gamma",
+    "stats_ks_two_sample", "stats_kuiper_two_sample",
+    "stats_cvm_two_sample", "stats_ad_two_sample",
+    "stats_wasserstein_energy", "stats_partial_corr",
+    "stats_meta_analysis", "stats_ancova", "stats_cooks_distance",
+    "stats_breusch_pagan", "stats_tukey_hsd", "stats_weibull_fit",
+    "stats_nelson_aalen", "stats_e_process", "stats_sprt",
+    "stats_bradley_terry", "stats_circular_rayleigh",
+    "stats_gumbel_maxima",
+    # ---- text (12): cross-corpus distributional contracts
+    "text_bigram_lm", "text_kl_matrix", "text_burrows_delta",
+    "text_zipf_fit", "text_heaps_law", "text_chao1_vocab",
+    "text_yule_k", "text_rank_turbulence", "text_keyness_llr",
+    "text_entropy_ngram_curve", "text_tokenizer_fertility",
+    "text_pii_scrub",
+    # ---- ts (8): spectral / variance-process panel
+    "ts_hurst_exponent", "ts_periodogram", "ts_arch_lm",
+    "ts_page_hinkley", "ts_croston_sba", "ts_holt_replay",
+    "ts_pinball_eval", "ts_var_cvar",
 )
 
 
-# Round-10+ rotation pool: ~281 keys still have no driver CORRECTNESS
-# row after the round-9 window above. Largest remaining pools:
-# stats (84 unsampled), text (28), ts (20), eval (10), events (10),
-# graph (8), sample (9), embedding (8), stream (7), plus
-# dedup/similarity (5 each) and the 1-3-key long tail.
+# Round-11+ rotation pool: ~231 keys still have no driver CORRECTNESS
+# row after the round-10 window above. Largest remaining pools:
+# stats (54 unsampled), text (16), ts (12), eval (10), events (10),
+# sample (9), embedding (8), graph (8), stream (7), plus
+# dedup/similarity/ml/pipeline (5 each) and the 1-4-key long tail.
 # Regenerate the exact list with:
 #   python -c "import json,glob,__spark_entry__ as E; s=set();
 #     [s.update(json.load(open(p))) for p in glob.glob('CORRECTNESS_r*.json')];
 #     print([k for k in E.queries() if k not in s])"
 # minus the next round's window. Keep rotating ~50/round, risk-ranked:
-# the remaining eval/graph/events/ts picks first, then the integer
-# stat panels (lowest risk — pure closed-form aggregates).
+# the remaining stats panels first (largest pool), then the
+# eval/events/sample/embedding/graph/stream tails.
 
 
 def _front_load(priority: tuple[str, ...]) -> None:
