@@ -293,14 +293,20 @@ def _current_round(repo_dir: str) -> int:
     return max(rounds) + 1
 
 
-def _previous_times(repo_dir: str,
-                    sf: float) -> tuple[str, dict[str, float], float | None]:
+def _previous_times(
+        repo_dir: str, sf: float
+) -> tuple[str, dict[str, float], float | None, int]:
     """Per-query times from the newest recorded run AT THE SAME SF, for
     round-over-round regression flagging. Prefers the newest
     BENCH_DETAIL*.json whose recorded "sf" matches (ADVICE r7: a detail
     file written at a different SF must never seed the baseline); falls
     back to the newest parseable BENCH_r{N}.json. Returns
-    (name, {query: sec}, probe_sec-or-None); ("", {}, None) if none."""
+    (name, {query: sec}, probe_sec-or-None, baseline_runs);
+    ("", {}, None, 1) if none. baseline_runs is the record's "runs"
+    count (1 for legacy single-pass records and the BENCH_r fallback) —
+    the caller widens the regression test when comparing a min-of-N
+    current run against a single-run baseline (ADVICE r9: that pairing
+    is not like-for-like; the min side is biased low)."""
     import glob
     import re
 
@@ -310,7 +316,7 @@ def _previous_times(repo_dir: str,
     # run_condition tag rank as solo (every pre-r9 committed detail was
     # a solo run).
     candidates: list[
-        tuple[bool, float, str, dict[str, float], float | None]] = []
+        tuple[bool, float, str, dict[str, float], float | None, int]] = []
     for path in glob.glob(os.path.join(repo_dir, "BENCH_DETAIL*.json")):
         try:
             doc = json.load(open(path))
@@ -322,12 +328,13 @@ def _previous_times(repo_dir: str,
                 candidates.append(
                     (is_solo, os.path.getmtime(path), os.path.basename(path),
                      {k: float(v) for k, v in queries.items()},
-                     float(probe) if probe is not None else None))
+                     float(probe) if probe is not None else None,
+                     int(doc.get("runs", 1))))
         except (OSError, json.JSONDecodeError, TypeError, ValueError):
             continue
     if candidates:
-        _, _, name, queries, probe = max(candidates)
-        return (name, queries, probe)
+        _, _, name, queries, probe, runs = max(candidates)
+        return (name, queries, probe, runs)
 
     best: tuple[int, str, dict[str, float]] | None = None
     for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
@@ -343,7 +350,7 @@ def _previous_times(repo_dir: str,
         if queries and (best is None or int(m.group(1)) > best[0]):
             best = (int(m.group(1)), os.path.basename(path),
                     {k: float(v) for k, v in queries.items()})
-    return (best[1], best[2], None) if best else ("", {}, None)
+    return (best[1], best[2], None, 1) if best else ("", {}, None, 1)
 
 
 def _contention_probe(spark) -> float:
@@ -498,15 +505,26 @@ def main() -> int:
     # Sub-second timings are skipped: at that scale local[32]
     # scheduling noise swamps real regressions.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    prev_name, prev, prev_probe = _previous_times(repo_dir, sf)
+    prev_name, prev, prev_probe, prev_runs = _previous_times(repo_dir, sf)
     contention = 1.0
     if prev_probe and prev_probe > 0:
         contention = max(1.0, probe_sec / prev_probe)
+    # Min-of-N vs single-run asymmetry (ADVICE r9): this run's canonical
+    # time is min across `repeat` passes, which strips additive
+    # scheduling noise; a single-run baseline still carries it, so a
+    # like-for-like 1.5x test systematically under-flags regressions
+    # against legacy baselines. Tighten the threshold for that pairing
+    # (noise on this host measured <=15% at the >=1s keys the check
+    # covers) and tag the line so the reader knows the comparison class.
+    threshold = 1.5 if (prev_runs > 1 or repeat == 1) else 1.3
+    pairing = ("min-of-%d vs min-of-%d" % (repeat, prev_runs)
+               if prev_runs > 1 else f"min-of-{repeat} vs single-run")
     for name, dt in times.items():
         p = prev.get(name)
-        if p and p >= 1.0 and dt > 1.5 * p * contention:
+        if p and p >= 1.0 and dt > threshold * p * contention:
             print(f"bench: REGRESSION {name}: {dt:.3f}s vs {p:.3f}s "
-                  f"in {prev_name} (contention x{contention:.2f})",
+                  f"in {prev_name} (contention x{contention:.2f}, "
+                  f"{pairing}, threshold x{threshold})",
                   file=sys.stderr)
 
     # Full per-query map to a committed file (not stdout — the driver

@@ -80,10 +80,15 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     try:
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes",
                              "134217728")
-        digits = "".join(ch for ch in raw if ch.isdigit())
-        max_pb = int(digits) if digits else 134217728
+        max_pb = _parse_bytes(raw)
+        files = df.inputFiles()
+        if not files:
+            # In-memory / cached / non-file leaf: width unknown.
+            # Mirror the other "can't estimate" bailouts (ADVICE r9):
+            # never add an exchange on guesswork.
+            return df
         total = 0
-        for uri in df.inputFiles():
+        for uri in files:
             parsed = urlparse(uri)
             if parsed.scheme not in ("", "file"):
                 return df          # cluster-scale storage: wide scan
@@ -94,3 +99,29 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     if est_splits >= max(2, n_parts // 2):
         return df
     return df.repartition(n_parts * max(1, factor))
+
+
+_BYTE_SUFFIX = {"": 1, "b": 1,
+                "k": 1024, "kb": 1024,
+                "m": 1024 ** 2, "mb": 1024 ** 2,
+                "g": 1024 ** 3, "gb": 1024 ** 3,
+                "t": 1024 ** 4, "tb": 1024 ** 4,
+                "p": 1024 ** 5, "pb": 1024 ** 5}
+
+
+def _parse_bytes(raw: str, default: int = 134217728) -> int:
+    """Spark byte-size conf parser (``128m``, ``134217728b``, plain int).
+
+    The r9 version stripped non-digits, turning '128m' into 128 BYTES —
+    inflating est_splits ~1e6x and silently disabling the repartition on
+    exactly the narrow scans the gate exists to fix (ADVICE r9). Spark's
+    own parser (JavaUtils.byteStringAs) is case-insensitive with
+    k/m/g/t/p (+optional 'b') suffixes; anything unparseable falls back
+    to Spark's documented 128 MiB default rather than a garbage value."""
+    s = str(raw).strip().lower()
+    num = s.rstrip("kmgtpb")
+    suffix = s[len(num):]
+    try:
+        return max(1, int(num)) * _BYTE_SUFFIX[suffix]
+    except (ValueError, KeyError):
+        return default

@@ -342,6 +342,14 @@ def geo_dbscan_census(spark, sf_dir):
     is floor division and the sub-cell geometry argument holds. At
     100 TB the sparse pair list checkpoints to parquet and both
     consumers read it."""
+    # Load-bearing evenness (VERDICT r9 #4): the +-2 ring covers the
+    # eps ball ONLY because eps == 2 * sub_side exactly. With an odd
+    # eps, sub_side = eps // 2 would give eps > 2 * sub_side, a point
+    # at a sub-cell edge could have eps-neighbors 3 sub-cells away,
+    # and sparse points would be silently under-counted. The general
+    # ring radius is ceil(eps / sub_side); this guard keeps the
+    # hard-coded [-2, 2] offsets honest.
+    assert _EPS % 2 == 0, "DBSCAN sub-cell ring assumes an even eps"
     sub_side = _EPS // 2
     pts = _pts(spark, sf_dir, "customer", "c_custkey", "c_nationkey", "")
     w_sub = Window.partitionBy("sy", "sx")

@@ -36,11 +36,39 @@ _CUST_SQL = _pts_sql("customer", "c_custkey", "c_nationkey", "")
 _SUPP_SQL = _pts_sql("supplier", "s_suppkey", "s_nationkey", "s")
 
 # Cell size g and the customer row count, derived once per
-# (application, sf_dir): supp.count()/cust.count() are eager Spark jobs
-# and _nearest is called by two registered keys in the same session
-# (ADVICE r8: don't re-run them per call). Keyed by applicationId so a
-# stopped/recreated session can't serve stale counts.
-_NEAREST_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
+# (application, sf_dir, fixture fingerprint): supp.count()/cust.count()
+# are eager Spark jobs and _nearest is called by two registered keys in
+# the same session (ADVICE r8: don't re-run them per call). Keyed by
+# applicationId so a stopped/recreated session can't serve stale counts,
+# AND by a size/mtime fingerprint of the two parquet tables so a fixture
+# rebuilt in place at a different scale (tools/make_scale.py) while the
+# application stays alive can't serve a stale g / n_cust — a stale
+# n_cust below _BCAST_ROW_CAP would keep the broadcast hint on a
+# now-fact-sized frame (ADVICE r9).
+_NEAREST_CACHE: dict[tuple[str, str, tuple], tuple[int, int]] = {}
+
+
+def _fixture_fingerprint(sf_dir: str, *tables: str) -> tuple:
+    """Cheap driver-side change detector: (name, size, mtime_ns) of every
+    file under each table's parquet path. No Spark job, no file reads."""
+    import os
+
+    sig = []
+    for t in tables:
+        root = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            if os.path.isdir(root):
+                names = sorted(os.listdir(root))
+                paths = [os.path.join(root, n) for n in names]
+            else:
+                paths = [root]
+            for p in paths:
+                st = os.stat(p)
+                sig.append((os.path.basename(p), st.st_size,
+                            st.st_mtime_ns))
+        except OSError:
+            sig.append((t, -1, -1))
+    return tuple(sig)
 
 # Above this row count the per-customer intermediates (certified,
 # best_b) stop being broadcast-safe (driver memory) and the
@@ -124,7 +152,8 @@ def _nearest(spark, sf_dir, _g_override=None):
             .select(F.col("id").alias("supp_id"),
                     F.col("latp").alias("slat"),
                     F.col("lonp").alias("slon")))
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = (spark.sparkContext.applicationId, sf_dir,
+                 _fixture_fingerprint(sf_dir, "customer", "supplier"))
     if cache_key in _NEAREST_CACHE:
         g_cached, n_cust = _NEAREST_CACHE[cache_key]
     else:

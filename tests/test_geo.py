@@ -110,3 +110,16 @@ def test_dbscan_census_vs_bruteforce(spark, sf_dir):
     noise = ~core & ~border
     assert (row.n_points, row.n_core, row.n_border, row.n_noise) == \
         (len(ids), int(core.sum()), int(border.sum()), int(noise.sum()))
+
+
+def test_dbscan_odd_eps_trips_evenness_guard(spark, sf_dir, monkeypatch):
+    """VERDICT r9 #4: the sub-cell shortcut's [-2, 2] ring is exact only
+    when eps == 2 * (eps // 2). An odd eps must fail LOUDLY (assert), not
+    silently under-count sparse points' neighbors."""
+    import pytest
+
+    from excel_to_db_spark.queries import geo
+
+    monkeypatch.setattr(geo, "_EPS", 1_000_001)
+    with pytest.raises(AssertionError, match="even eps"):
+        geo.geo_dbscan_census(spark, sf_dir)
