@@ -156,3 +156,50 @@ def test_isolation_grid(spark, sf_dir):
     for i in pts:
         score[sum(per_point[(t, i)] for t in range(8))] += 1
     assert rows == dict(score)
+
+
+def test_lof_top3_certificate_path_is_exact(spark):
+    """VERDICT r9 #2: the sub-grid certificate top-3 must be row-
+    identical to the plain full-ring scan at EVERY forced sub-grid
+    factor — f=2 on sf0.1 exercises a high certificate rate, f=5 a
+    sparse sub-grid where most points escalate, and f=1 is the
+    fallback identity. Top-3 within a fixed candidate set is search-
+    order independent, so equality is exact, not approximate."""
+    from excel_to_db_spark.queries.mlrobust import _lof_top3
+    from excel_to_db_spark.queries.geo import _pts
+
+    sf = "/root/testdata/sf0.1"
+    pts = _pts(spark, sf, "customer", "c_custkey", "c_nationkey", "")
+    plain = sorted(map(tuple, _lof_top3(spark, sf, pts, _f_override=1)
+                       .collect()))
+    assert len(plain) > 0
+    for f in (2, 5):
+        cert = sorted(map(tuple,
+                          _lof_top3(spark, sf, pts, _f_override=f)
+                          .collect()))
+        assert cert == plain, f"certificate path diverged at f={f}"
+
+
+def test_lof_subgrid_f_scales_with_density(spark):
+    """f follows sqrt(density): sparse fixtures fall back (f=1), and
+    a 100x density bump moves f by ~10x (snapped to _LCELL divisors)."""
+    from excel_to_db_spark.queries import mlrobust as M
+
+    class _FakePts:
+        def __init__(self, n):
+            self._n = n
+
+        def count(self):
+            return self._n
+
+    M._LOF_N_CACHE.clear()
+    try:
+        sparse = M._lof_subgrid_f(spark, "/nonexistent-a", _FakePts(1_500))
+        mid = M._lof_subgrid_f(spark, "/nonexistent-b", _FakePts(150_000))
+        dense = M._lof_subgrid_f(spark, "/nonexistent-c",
+                                 _FakePts(15_000_000))
+        assert sparse == 1
+        assert 2 <= mid <= 5
+        assert mid * 5 <= dense <= mid * 20
+    finally:
+        M._LOF_N_CACHE.clear()
