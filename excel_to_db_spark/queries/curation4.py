@@ -35,6 +35,11 @@ from .registry import query
 from .relational import T
 
 _K = 8
+# Probe blocks per cluster for the knn-density GEMM kernel: bounds each
+# Arrow block to (n_c / _KNN_BLOCKS) x n_c distances and gives
+# _K * _KNN_BLOCKS independent tasks. 16 -> 128 tasks on 32 cores and
+# ~3 MB blocks at sf1; scale with cluster size at real deployments.
+_KNN_BLOCKS = 16
 _SEED_STEP = 17
 _THRESH = 1_450_000_000_000     # d2 on 1e6-quantized unit vectors
 
@@ -215,42 +220,82 @@ def curation_knn_density(spark, sf_dir):
     neighborhood (the SSL-prototypes prune candidate). Scores are
     integer d2 means; the report is an exact-rank decile census.
     Vectors with < 3 cluster-mates fall out via the count = 3 filter
-    on both engines identically."""
+    on both engines identically.
+
+    Round-10 kernel (VERDICT r9 #3, amended): the r9 cost note
+    proposed a sub-grid distance certificate here, but measurement
+    killed it — the fixture's embeddings are isotropic 64-d (within-
+    cluster 3NN d2 ~ 1.38e12 EXCEEDS the maximum possible squared
+    single-axis span ~ 5.9e11), so an axis-gap certificate can
+    mathematically never fire and the grid would be pure overhead;
+    that is distance concentration, not an implementation gap, and no
+    exact sub-quadratic method exists for isotropic high-d kNN. What
+    scale actually buys here is the KERNEL: the per-pair HOF d2 is
+    replaced by a cogrouped-applyInPandas blocked GEMM —
+    d2 = |p|^2 + |c|^2 - 2 p.c via float64 matmul, BIT-EXACT because
+    every intermediate is an integer below 2^53 (|qv_i| <= ~6e5 so
+    |dot| <= 64 * 3.6e11 ~ 2.3e13), and the sum of the 3 SMALLEST d2
+    values is tie-independent (any rn<=3 id tie-break picks the same
+    d2 multiset), so np.partition needs no id ordering at all. Blocks
+    of probes vs their whole cluster are the standard distributed
+    exact-kNN shape: 8 clusters x _KNN_BLOCKS probe blocks fan out as
+    independent Arrow batches; replication cost is _KNN_BLOCKS copies
+    of the vector table (bytes), against the quadratic compute now
+    running at BLAS speed instead of per-row codegen. At 100 TB,
+    _KNN_BLOCKS scales with cluster size to bound the (n_c /
+    _KNN_BLOCKS) x n_c block to memory."""
+    import numpy as np
+    import pandas as pd
+
     a = _assigned(spark, sf_dir).localCheckpoint(eager=False)
-    # The within-cluster self-join's equi-key is cid with only _K=8
-    # values, so a plain join runs on <= 8 reducers no matter how many
-    # cores exist (the r8 skew audit measured the d2 stage at 7 tasks
-    # carrying 55% of a 306 s wall at 10x data). Salt the key to
-    # (cid, vid mod salt) — probe side replicated across salts, every
-    # pair produced exactly once — and feed the join from EXPLICIT-N
-    # repartitions, which AQE's byte-based coalescing never merges
-    # (same two-part lesson as operators/similarity.py
-    # cosine_near_dup_pairs). The replication is of the small vector
-    # table, trivial bytes against the quadratic pair compute.
-    salt = 16
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    aslt = (a.withColumn("sk", F.pmod(F.col("vec_id"), F.lit(salt)))
-            .repartition(n_parts, "cid", "sk"))
-    b = (a.select(F.col("vec_id").alias("b_id"),
-                  F.col("cid").alias("b_cid"),
-                  F.col("qv").alias("b_qv"))
-         .withColumn("b_sk", F.explode(F.sequence(F.lit(0),
-                                                  F.lit(salt - 1))))
-         .repartition(n_parts, "b_cid", "b_sk"))
-    d2 = F.expr("aggregate(zip_with(qv, b_qv, (x, y) -> (x-y)*(x-y)),"
-                " 0L, (s, x) -> s + x)")
-    wn = Window.partitionBy("vec_id").orderBy("d2", "b_id")
-    nbr = (aslt.join(b, (F.col("cid") == F.col("b_cid"))
-                     & (F.col("sk") == F.col("b_sk"))
-                     & (F.col("vec_id") != F.col("b_id")))
-           .select("vec_id", d2.alias("d2"), F.col("b_id"))
-           .withColumn("rn", F.row_number().over(wn)))
-    score = (nbr.where(F.col("rn") <= 3)
-             .groupBy("vec_id")
-             .agg(F.expr("sum(d2) div 3").cast("bigint")
-                  .alias("density_d2"),
-                  F.count("*").alias("nc"))
-             .where(F.col("nc") == 3).drop("nc"))
+    nb = _KNN_BLOCKS
+    probes = a.select("vec_id", "qv", "cid").withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(nb)))
+    # Every candidate-side column is RENAMED before the self-cogroup:
+    # both sides share `a`'s lineage, and a grouping key that resolves
+    # to the same attribute on both sides is ambiguous (observed as a
+    # silently mis-grouped result at sf0.1, not an error).
+    cands = (a.select(F.col("vec_id").alias("c_id"),
+                      F.col("qv").alias("c_qv"),
+                      F.col("cid").alias("c_cid"))
+             .withColumn("c_blk", F.explode(
+                 F.sequence(F.lit(0).cast("bigint"),
+                            F.lit(nb - 1).cast("bigint")))))
+
+    def _knn_block(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                              "density_d2": pd.Series([], dtype="int64")})
+        if len(left) == 0:
+            return empty
+        # Every probe is its own cluster's candidate, so a non-empty
+        # probe block with an EMPTY candidate side means the cogroup
+        # keys stopped aligning (e.g. an int-vs-bigint key type drift,
+        # which silently splits each group in two) — fail loudly
+        # instead of dropping probes.
+        if len(right) == 0:
+            raise ValueError("knn_density cogroup keys misaligned: "
+                             "probe block has no candidate side")
+        # right is the probe's whole cluster (self included): fewer
+        # than 4 members means < 3 neighbors -> the HAVING count = 3
+        # row-drop, for every probe in the cluster at once.
+        if len(right) < 4:
+            return empty
+        p = np.stack(left["qv"].to_numpy()).astype(np.float64)
+        c = np.stack(right["c_qv"].to_numpy()).astype(np.float64)
+        pid = left["vec_id"].to_numpy()
+        cid_ = right["c_id"].to_numpy()
+        d2 = ((p * p).sum(axis=1)[:, None]
+              + (c * c).sum(axis=1)[None, :]
+              - 2.0 * (p @ c.T))
+        d2[pid[:, None] == cid_[None, :]] = np.inf
+        top3 = np.partition(d2, 2, axis=1)[:, :3]
+        dens = top3.sum(axis=1).astype(np.int64) // 3
+        return pd.DataFrame({"vec_id": pid, "density_d2": dens})
+
+    score = (probes.groupBy("cid", "blk")
+             .cogroup(cands.groupBy("c_cid", "c_blk"))
+             .applyInPandas(_knn_block, "vec_id long, density_d2 long")
+             .localCheckpoint(eager=False))
     wr = Window.orderBy("density_d2", "vec_id")
     n = score.count()
     ranked = score.select("density_d2",
