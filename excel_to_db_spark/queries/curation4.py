@@ -73,7 +73,13 @@ def _assigned(spark, sf_dir):
     """(vec_id, label, qv, cid): every vector assigned to its nearest
     of the 8 pinned centroid vectors (ties -> smaller cid). Exact
     Spark twin of `_ASSIGN_SQL`."""
-    e = T(spark, sf_dir, "embeddings")
+    from ..operators.skew import fan_out
+
+    # fan_out (r10 broadcast-probe sweep): the centroid crossJoin's
+    # probe side otherwise inherits the 1-2 local parquet splits and
+    # runs the 8x 64-dim HOF d2 per vector on as many cores; gated, so
+    # a wide cluster scan is untouched.
+    e = fan_out(T(spark, sf_dir, "embeddings"))
     qv = F.transform(F.col("embedding").cast("array<double>"),
                      lambda x: F.round(x * 1000000).cast("bigint"))
     v = e.select("vec_id", "label", qv.alias("qv"))

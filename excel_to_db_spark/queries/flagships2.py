@@ -279,11 +279,19 @@ def eval_bleu_counts(spark, sf_dir):
     docs = (T(spark, sf_dir, "documents")
             .where(F.col("lang") == "en").select("doc_id", "text"))
     w = Window.orderBy("doc_id")
+    # The lead() pairing runs in the (inherent, oracle-pinned) global
+    # window's single partition; without an explicit repartition the
+    # checkpointed result KEEPS that 1-partition layout and the whole
+    # n-gram explosion + map-side count below runs on one core (r10
+    # broadcast-probe sweep; 6.0 s of sf1j wall). Data-sized rows, so
+    # the exchange is trivial next to the gram explode.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pairs = (docs.select(
         F.col("doc_id").alias("pid"),
         F.split("text", " ").alias("ct"),
         F.split(F.lead("text", 1).over(w), " ").alias("rt"))
         .where(F.col("rt").isNotNull())
+        .repartition(n_parts)
         .localCheckpoint(eager=False))
     ns = spark.range(1, 5).select(F.col("id").cast("int").alias("n"))
 

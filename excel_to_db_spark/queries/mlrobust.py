@@ -523,7 +523,15 @@ def ml_isolation_grid(spark, sf_dir):
     over trees (low score = isolated early = anomalous). One grouped
     count per (tree, level, cell) — the cheapest anomaly scorer here
     at any scale."""
-    pts = _pts(spark, sf_dir, "customer", "c_custkey", "c_nationkey", "")
+    from ..operators.skew import fan_out
+
+    # fan_out (r10 broadcast-probe sweep): the 96-row (tree, level)
+    # crossJoin's probe side otherwise inherits the narrow local scan
+    # (1-2 splits) and generates all 96N bit rows + their shuffle
+    # write on as many cores (19.5 s of the sf1j wall); gated no-op
+    # on wide scans.
+    pts = fan_out(_pts(spark, sf_dir, "customer", "c_custkey",
+                       "c_nationkey", ""))
     tl = (spark.range(8).select(F.col("id").alias("t"))
           .crossJoin(spark.range(1, 13).select(F.col("id").alias("l"))))
     key = F.concat(F.col("t").cast("string"), F.lit(":"),

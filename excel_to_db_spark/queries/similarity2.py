@@ -84,7 +84,13 @@ def similarity_pq(spark, sf_dir):
     FAISS uses. All arithmetic integer-exact (see module docstring);
     at production scale only the codebook (k-means over a sample,
     kmeans_lloyd's plan) and the code columns persist."""
-    e = T(spark, sf_dir, "embeddings").select(
+    from ..operators.skew import fan_out
+
+    # fan_out (r10 broadcast-probe sweep): the 128-row codebook join's
+    # probe side (vectors x 8 subspaces) otherwise inherits the 1-2
+    # local parquet splits for the 16x 8-dim HOF argmin; gated no-op
+    # on wide scans.
+    e = fan_out(T(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr("transform(CAST(embedding AS array<double>), "
                "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
@@ -221,7 +227,13 @@ def embedding_hard_negatives(spark, sf_dir):
     is label-partitioned ANN per similarity_ann/similarity_ivf, not
     this exact join), distances are exact BIGINTs on quantized
     vectors, and only 20 keys leave the aggregation."""
-    e = T(spark, sf_dir, "embeddings").select(
+    from ..operators.skew import fan_out
+
+    # fan_out (r10 broadcast-probe sweep): the 20-anchor broadcast
+    # NLJ's probe side otherwise inherits the 1-2 local parquet splits
+    # for 20x 64-dim HOF distances per vector; gated no-op on wide
+    # scans.
+    e = fan_out(T(spark, sf_dir, "embeddings")).select(
         "vec_id", "label",
         F.expr("transform(CAST(embedding AS array<double>), "
                "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))").alias("v"))
