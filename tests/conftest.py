@@ -25,9 +25,35 @@ def spark():
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
          .config("spark.ui.enabled", "false")
+         # The full suite shares this one JVM for 650+ tests; the
+         # default 1g heap OOMs once enough localCheckpoint blocks
+         # accumulate (r10: java.lang.OutOfMemoryError in
+         # test_graphlp mid-suite, same failure class run_at_sf's
+         # _release_blocks docstring records for the sf1 sweeps).
+         .config("spark.driver.memory", "6g")
          .getOrCreate())
     s.sparkContext.setLogLevel("ERROR")
     yield s
+
+
+@pytest.fixture(autouse=True)
+def _release_spark_blocks(request):
+    """Deterministically free cached tables and localCheckpoint RDD
+    blocks after every test that touched the shared session — the
+    ContextCleaner's async sweep falls behind a 650-test run and the
+    heap fills with unreachable-but-unreleased blocks (the exact
+    failure mode tools/run_at_sf.py:_release_blocks documents for the
+    single-JVM sf1 sweeps)."""
+    yield
+    if "spark" in request.fixturenames:
+        s = request.getfixturevalue("spark")
+        try:
+            s.catalog.clearCache()
+            jmap = s.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values():
+                jrdd.unpersist(False)
+        except Exception:
+            pass
 
 
 @pytest.fixture(scope="session")

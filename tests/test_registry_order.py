@@ -11,21 +11,20 @@ def test_priority_window_is_exactly_the_first_50_keys():
     assert list(REGISTRY)[:50] == list(_PRIORITY)
 
 
-def test_priority_covers_round9_rotation():
-    """Round-9 window (VERDICT r8 #1): rotate onto the never-sampled
-    pools — eval agreement/rank contracts and graph fixpoints first,
-    then events sequences, ts lag-window panels, the r8
-    repartition-touched ml keys, rolling-hash text, and iterative
-    stats closed forms. Zero overlap with the r2–r8 windows."""
+def test_priority_covers_round10_rotation():
+    """Round-10 window (VERDICT r9 #1): stats supermajority (30 slots)
+    over the rank/concordance, two-sample-EDF, and matrix/iterative
+    pools, plus 12 text distributional contracts and the 8-key ts
+    spectral/variance panel. Zero overlap with the r1–r9 windows."""
     head = set(list(REGISTRY)[:50])
     for key in (
-        "eval_cohens_kappa", "eval_rbo", "eval_bleu_counts",
-        "graph_pagerank3", "graph_sssp_bellman", "graph_conductance",
-        "events_session_dynamic", "events_changepoint",
-        "ts_pacf", "ts_granger_causality",
-        "ml_knn_classify", "ml_lof_grid",
-        "text_winnowing", "text_bm25_search",
-        "stats_huber_m_estimate", "stats_pca2_exact",
+        "stats_kendall", "stats_spearman", "stats_kruskal_wallis",
+        "stats_ks_two_sample", "stats_ad_two_sample",
+        "stats_partial_corr", "stats_bradley_terry", "stats_sprt",
+        "stats_weibull_fit", "stats_tukey_hsd",
+        "text_bigram_lm", "text_kl_matrix", "text_zipf_fit",
+        "text_pii_scrub",
+        "ts_hurst_exponent", "ts_periodogram", "ts_var_cvar",
     ):
         assert key in head, key
 
