@@ -302,10 +302,16 @@ def curation_knn_density(spark, sf_dir):
              .cogroup(cands.groupBy("c_cid", "c_blk"))
              .applyInPandas(_knn_block, "vec_id long, density_d2 long")
              .localCheckpoint(eager=False))
-    wr = Window.orderBy("density_d2", "vec_id")
+    # Exact-rank decile census via distributed_rank (r10): the direct
+    # Window.orderBy here was the last DATA-SIZED single-partition
+    # window in the key — one row per scored vector, i.e. N rows
+    # through one task at 100 TB. The bucket-parallel rank is
+    # property-tested identical to row_number over (value, tiebreak).
+    from ..operators.ranking import distributed_rank
+
     n = score.count()
-    ranked = score.select("density_d2",
-                          F.row_number().over(wr).alias("rk"))
+    ranked = distributed_rank(score, "density_d2", "vec_id",
+                              rank_col="rk").select("density_d2", "rk")
     return (ranked
             .groupBy(F.expr(f"(rk - 1) * 10 div {n}").alias("decile"))
             .agg(F.count("*").alias("n_vecs"),
