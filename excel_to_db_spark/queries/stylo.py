@@ -411,13 +411,17 @@ def text_heaps_law(spark, sf_dir):
 
     Scale shape: one gram aggregate (min rank) + one per-doc token
     count + a 10-point constant spine; the corpus is scanned ONCE
-    for all ten prefixes."""
-    d = (T(spark, sf_dir, "documents")
-         .select("doc_id", F.split(F.col("text"), " ").alias("t"))
-         .filter(F.size("t") >= 3)
-         .select("doc_id", "t",
-                 F.row_number().over(Window.orderBy("doc_id"))
-                 .cast("bigint").alias("drk")))
+    for all ten prefixes. Doc ranks come from the bucket-parallel
+    distributed_rank (r10 global-window sweep: the direct
+    row_number over doc_id was a FULL-OUTPUT single-partition window
+    over the corpus — every doc row through one task at 100 TB;
+    doc_ids are unique, so rank over (doc_id, doc_id) is identical)."""
+    from ..operators.ranking import distributed_rank
+
+    d0 = (T(spark, sf_dir, "documents")
+          .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+          .filter(F.size("t") >= 3))
+    d = distributed_rank(d0, "doc_id", "doc_id", rank_col="drk")
     nd = d.agg(F.max("drk").alias("nd"))
     grams = d.select(
         "drk", (F.size("t") - 2).cast("bigint").alias("n_grams"),
