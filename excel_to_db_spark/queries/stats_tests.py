@@ -1296,14 +1296,23 @@ def stats_conformal_coverage(spark, sf_dir):
     from ..numerics import h32
     from ..operators.ranking import distributed_rank
 
-    li = T(spark, sf_dir, "lineitem").select(
+    from ..operators.skew import fan_out
+
+    # Materialized once (r10): the split projection costs one md5 per
+    # row and feeds SIX downstream actions (train moments, calibration
+    # residuals, distributed_rank's percentile + bucket passes, the
+    # rank-count scalar, and the coverage scan) — without the
+    # checkpoint each re-ran the 6M-row hash scan. fan_out first so
+    # the one md5 pass runs at full width instead of the scan's 1-2
+    # local splits (gated: a wide cluster scan is untouched).
+    li = fan_out(T(spark, sf_dir, "lineitem")).select(
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
         F.col("l_quantity").cast("bigint").alias("x"),
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
         F.pmod(h32(F.concat(F.lit("conf:"),
                             (F.col("l_orderkey") * 8
                              + F.col("l_linenumber")).cast("string"))),
-               F.lit(10)).alias("sp"))
+               F.lit(10)).alias("sp")).localCheckpoint(eager=False)
     m = (li.filter(F.col("sp") <= 5)
          .agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
               F.sum("y").alias("sy"),
