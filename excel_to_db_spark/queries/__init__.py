@@ -117,52 +117,59 @@ from . import forecastfold  # noqa: E402,F401  Tier C: SES grid/Holt replay/segm
 # — stats 84, text 28, ts 20 named as the pools to drain, with an
 # explicit "stats supermajority: target >=30 stats keys plus text and
 # ts for the rest"). This window is zero-overlap with r1–r9 and gives
-# stats 30 slots, text 12, ts 8, risk-ranked within each family:
-# stats leads with the rank/concordance contracts (Kendall/Spearman
-# tie handling, Kruskal-Wallis/Friedman/Dunn midranks, Wilcoxon
-# signed-rank zero handling, Cliff's delta / Somers' D / GK gamma
-# concordance counts), then the two-sample EDF family (KS/Kuiper/
-# CvM/AD/energy — step-function sup/integral semantics differ
-# per test), then matrix/iterative closed forms (partial corr,
-# ANCOVA, Cook's distance, Breusch-Pagan, Tukey HSD, meta-analysis
-# random effects, Bradley-Terry MM fixpoint, SPRT/e-process
-# sequential products, Weibull/Gumbel/Nelson-Aalen survival fits,
-# circular Rayleigh). text spends its 12 on the cross-corpus
-# distributional contracts (bigram LM backoff, KL matrix, Burrows
-# delta z-scores, Zipf/Heaps/Yule/Chao1 fits, rank turbulence,
-# keyness LLR, n-gram entropy curve, tokenizer fertility, PII scrub
-# masking). ts takes the spectral/variance-process panel (Hurst R/S,
-# periodogram, ARCH-LM, Page-Hinkley, Croston SBA, Holt replay,
-# pinball loss, VaR/CVaR). Every key here passed the three committed
-# full sweeps (CHECK_r09.log sf0.01, CHECK_r09_sf01.log sf0.1,
-# RUN_SF1J_r09.log jittered sf1). Rounds 2–9 drove the relational
-# surface, TPC-H, functions, streaming, eval/graph/events/ml
-# contracts, and the LLM-pipeline flagships green; they follow in
-# registration order and stay covered by the local gate.
+# Round-11 window — stats 27 slots (majority, per the rotation
+# directive: stats is 54 of the 231 never-sampled keys), text 11,
+# ts 6, events 3, eval 3; zero overlap with every r1–r10 window
+# (verified by set intersection against CORRECTNESS_r*.json before
+# commit). Risk-ranked within each family: stats leads with the
+# resampling/CI machinery (BH-FDR step-up, permutation nulls,
+# bootstrap percentile vs jackknife SE, Wilson vs order-statistic
+# median CIs, delta-method ratio variance), then the causal panel
+# (IPW/AIPW ATE weighting, diff-in-diff interaction, sharp RD fits,
+# TOST equivalence bounds, Yuen trimmed t, Fisher z), then the
+# categorical-association block (McNemar discordant pairs, CMH
+# strata pooling, Cochran Q/Armitage trend, G-test, Cramér's V,
+# TVD independence, uncertainty coefficient) and the reliability
+# suite (Kendall W, Cronbach alpha, ICC, split-half, EB shrinkage).
+# text spends its 11 on the corpus-census contracts (langid
+# confusion, n-gram overlap, IDF, repetition/entropy, keyword
+# extraction + search, perplexity buckets, burstiness, lexical
+# profile, top-k coverage). ts takes the indicator/replay panel
+# (baseline forecast eval, seasonality strength, OHLC, Bollinger,
+# intermittency classes, tracking signal); events and eval fill
+# with state compaction, bot heuristics, DAU stickiness,
+# calibration slope, KS separation, fairness audit. Every key here
+# passed the three committed full sweeps (CHECK_r10.log sf0.01,
+# CHECK_r10_sf01.log sf0.1, RUN_SF1J_r10.log jittered sf1).
+# Rounds 2–10 drove the relational surface, TPC-H, functions,
+# streaming, eval/graph/events/ml contracts, and the LLM-pipeline
+# flagships green; they follow in registration order and stay
+# covered by the local gate.
 _PRIORITY: tuple[str, ...] = (
-    # ---- stats (30): rank/concordance, two-sample EDF, matrix/iterative
-    "stats_kendall", "stats_spearman", "stats_kruskal_wallis",
-    "stats_wilcoxon_signed_rank", "stats_friedman", "stats_dunn_posthoc",
-    "stats_mood_median", "stats_page_trend", "stats_hodges_lehmann",
-    "stats_cliffs_delta", "stats_somers_d", "stats_gk_gamma",
-    "stats_ks_two_sample", "stats_kuiper_two_sample",
-    "stats_cvm_two_sample", "stats_ad_two_sample",
-    "stats_wasserstein_energy", "stats_partial_corr",
-    "stats_meta_analysis", "stats_ancova", "stats_cooks_distance",
-    "stats_breusch_pagan", "stats_tukey_hsd", "stats_weibull_fit",
-    "stats_nelson_aalen", "stats_e_process", "stats_sprt",
-    "stats_bradley_terry", "stats_circular_rayleigh",
-    "stats_gumbel_maxima",
-    # ---- text (12): cross-corpus distributional contracts
-    "text_bigram_lm", "text_kl_matrix", "text_burrows_delta",
-    "text_zipf_fit", "text_heaps_law", "text_chao1_vocab",
-    "text_yule_k", "text_rank_turbulence", "text_keyness_llr",
-    "text_entropy_ngram_curve", "text_tokenizer_fertility",
-    "text_pii_scrub",
-    # ---- ts (8): spectral / variance-process panel
-    "ts_hurst_exponent", "ts_periodogram", "ts_arch_lm",
-    "ts_page_hinkley", "ts_croston_sba", "ts_holt_replay",
-    "ts_pinball_eval", "ts_var_cvar",
+    # ---- stats (27): resampling/CI, causal, association, reliability
+    "stats_fdr_bh", "stats_permutation_test", "stats_bootstrap_ci",
+    "stats_jackknife_se", "stats_wilson_ci", "stats_median_ci",
+    "stats_delta_method_ratio", "stats_ipw_ate", "stats_aipw_ate",
+    "stats_diff_in_diff", "stats_reg_discontinuity", "stats_tost",
+    "stats_yuen_t", "stats_fisher_z_test", "stats_mcnemar",
+    "stats_cmh_test", "stats_cochran_q", "stats_cochran_armitage",
+    "stats_g_test", "stats_cramers_v", "stats_tvd_independence",
+    "stats_uncertainty_coeff", "stats_kendall_w",
+    "stats_cronbach_alpha", "stats_icc",
+    "stats_split_half_reliability", "stats_eb_shrinkage",
+    # ---- text (11): corpus-census contracts
+    "text_langid_eval", "text_ngram_overlap", "text_idf",
+    "text_repetition", "text_keywords", "text_entropy",
+    "text_keyword_search", "text_perplexity_buckets",
+    "text_burstiness", "text_lexical_profile", "text_topk_coverage",
+    # ---- ts (6): indicator / replay panel
+    "ts_forecast_baseline_eval", "ts_seasonality_strength",
+    "ts_ohlc_candles", "ts_bollinger", "ts_intermittency_classes",
+    "ts_tracking_signal",
+    # ---- events (3) + eval (3)
+    "events_latest_state", "events_bot_heuristics",
+    "events_dau_stickiness", "eval_calibration_slope",
+    "eval_ks_separation", "eval_fairness_audit",
 )
 
 
