@@ -24,8 +24,10 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .skew import fan_out
 
 
 def norm_tokens(text: Column) -> Column:
@@ -83,20 +85,102 @@ def _token_index(df: DataFrame, text_col: str, id_col: str,
 
 def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
                   id_col: str = "doc_id", max_df: int | None = None,
-                  keyset=norm_tokens) -> DataFrame:
-    """Exact key-set Jaccard near-dup pairs via the inverted index:
+                  keyset=norm_tokens, prefix_filter: bool = True) -> DataFrame:
+    """Exact key-set Jaccard near-dup pairs, positional-prefix filtered
+    (AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): under a global canonical key order (ascending document
+    frequency, ties by key), any pair with J >= t must share a key in
+    BOTH docs' prefixes of length |x| - ceil(t*|x|) + 1. Proof sketch:
+    J(x,y) >= t implies overlap O >= t/(1+t)*(|x|+|y|) >= t*|x|, so
+    O >= ceil(t*|x|) (integer O); if no shared key sits in x's prefix,
+    all shared keys are among x's last ceil(t*|x|) - 1 keys — fewer
+    than O. Candidates therefore come from a prefix-prefix equijoin
+    (plus the t*|x| <= |y| <= |x|/t length band), and each candidate is
+    verified EXACTLY on the full per-doc key arrays with
+    size(array_intersect) — the same integer n_inter the full
+    inverted-index join counts, so the output is bit-identical
+    (tests/test_dedup.py::test_prefix_filter_equals_full_join).
 
-        |A ∩ B| from a key-equijoin + count, |A ∪ B| = |A|+|B|-|A∩B|.
+    Why it matters at scale: prefix keys are the RAREST ~(1-t) fraction
+    of each doc's keys, so the hot-key quadratic blowup sum(df^2) that
+    dominates the full join collapses (measured at jittered sf1,
+    t=0.8: 2.6M index rows -> 552k prefix rows, 16.8M join candidates
+    -> 96k, wall 60.8s -> ~4s with identical 919 output pairs). The
+    ceil is computed with a 1e-9 downward guard so float noise can only
+    LENGTHEN a prefix (more candidates, never a missed pair). No cross
+    join anywhere; joins are hash joins on the key plus candidate-sized
+    joins to fetch the two key arrays. Returns (d1, d2, jaccard) with
+    d1 < d2, jaccard >= threshold.
 
-    No cross join anywhere — the only joins are hash joins on `tok` and
-    broadcast joins of the (small) per-doc size table. Returns
-    (d1, d2, jaccard) with d1 < d2, jaccard >= threshold."""
-    inter = _intersection_counts(df, text_col, id_col, max_df, keyset)
-    return (inter.select("d1", "d2",
-                         (F.col("n_inter")
-                          / (F.col("n1") + F.col("n2") - F.col("n_inter")))
-                         .alias("jaccard"))
+    ``max_df`` (optional) keeps the legacy DF-pruned contract — Jaccard
+    over the sets MINUS hot keys — which is a different metric, so it
+    routes through the unpruned inverted-index path unchanged."""
+    if max_df is not None or not prefix_filter:
+        inter = _intersection_counts(df, text_col, id_col, max_df, keyset)
+        return (inter.select("d1", "d2",
+                             (F.col("n_inter")
+                              / (F.col("n1") + F.col("n2") - F.col("n_inter")))
+                             .alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    # fan_out the RAW scan, not the projection: the keyset HOF compute
+    # is the expensive part and must sit downstream of the widening
+    # exchange, or it runs at the local fixture's 1-2 split width
+    # (measured: 18.7s vs 1.5s per occurrence at jittered sf1). The
+    # projected frame is then materialized ONCE (lazy local checkpoint)
+    # because five plan branches read it (prefix a/b via toks and both
+    # verify-side array fetches) — without it each action re-derives
+    # the shingle arrays per branch. No size(ks)>=1 filter here, and
+    # deliberately: Catalyst pushes such a filter (whose predicate
+    # embeds the ENTIRE keyset expression) below the widening exchange
+    # onto the narrow scan — measured 19.3s vs 1.1s for the identical
+    # result — and empty-key docs are harmless anyway, since explode()
+    # emits no index rows for them and candidates alone reach the
+    # verify join.
+    docs = (fan_out(df).select(F.col(id_col).alias("did"),
+                               keyset(F.col(text_col)).alias("ks"))
+            .localCheckpoint(eager=False))
+    cand = _prefix_candidates(docs, threshold)
+    k1 = docs.select(F.col("did").alias("d1"), F.col("ks").alias("ks1"))
+    k2 = docs.select(F.col("did").alias("d2"), F.col("ks").alias("ks2"))
+    n_inter = F.size(F.array_intersect("ks1", "ks2"))
+    union = F.size("ks1") + F.size("ks2") - n_inter
+    return (cand.join(k1, "d1").join(k2, "d2")
+            .select("d1", "d2", (n_inter / union).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def _prefix_candidates(docs: DataFrame, threshold: float) -> DataFrame:
+    """Distinct (d1, d2) candidate pairs from the positional-prefix
+    equijoin over ``docs`` = (did, ks): explode the key arrays once to
+    count global document frequency, rank each doc's keys ascending by
+    (df, key) — rarest first, a deterministic total order — keep the
+    length-(n - ceil(t*n) + 1) prefix, and self-join prefixes on the
+    key under the d1 < d2 ordering and the Jaccard length band
+    t*n1 <= n2 <= n1/t (both inequalities with the same 1e-9
+    conservative slack as the prefix length). The df table joins back
+    by hash join, not broadcast: at corpus scale the key vocabulary is
+    data-sized even though it is small here."""
+    toks = docs.select("did", F.size("ks").alias("n"),
+                       F.explode("ks").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df_"))
+    w = Window.partitionBy("did").orderBy("df_", "tok")
+    p = (F.col("n")
+         - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1)
+    # Materialize the (small) prefix index once: the a/b self-join
+    # otherwise re-runs the dfreq join + ranking window on both sides.
+    pref = (toks.join(dfreq, "tok")
+            .select("did", "n", "tok", F.row_number().over(w).alias("pos"))
+            .filter(F.col("pos") <= p)
+            .select("did", "n", "tok")
+            .localCheckpoint(eager=False))
+    a, b = pref.alias("a"), pref.alias("b")
+    eps = F.lit(1e-9)
+    return (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                   & (F.col("a.did") < F.col("b.did"))
+                   & (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - eps)
+                   & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - eps))
+            .select(F.col("a.did").alias("d1"), F.col("b.did").alias("d2"))
+            .distinct())
 
 
 def _intersection_counts(df: DataFrame, text_col: str, id_col: str,
@@ -104,8 +188,19 @@ def _intersection_counts(df: DataFrame, text_col: str, id_col: str,
     """The shared inverted-index set-intersection machinery under
     jaccard_pairs and containment_pairs: one (d1, d2, n_inter, n1, n2)
     row per document pair sharing at least one key. Hash joins on the
-    key only; the per-doc size table broadcasts onto the pair list."""
-    toks = _token_index(df, text_col, id_col, max_df, keyset)
+    key only; the per-doc size table broadcasts onto the pair list.
+
+    The scan is fanned out before the explode: this pipeline is
+    compute-heavy and byte-light (the join fans each hot key into
+    df^2 pair rows inside the stage), so on a narrow local fixture it
+    otherwise inherits the scan's 1-2 parquet splits and runs the
+    entire candidate generation on 2 cores (measured 56s -> ~6s at
+    jittered sf1 for dedup_containment; fan_out is a structural no-op
+    on wide cluster scans)."""
+    toks = _token_index(fan_out(df), text_col, id_col, max_df, keyset)
+    # Three consumers (sizes, join side a, join side b) read the index;
+    # materialize it once instead of re-exploding the corpus per branch.
+    toks = toks.localCheckpoint(eager=False)
     sizes = toks.groupBy("did").agg(F.count("*").alias("n_tok"))
     a = toks.alias("a")
     b = toks.alias("b")

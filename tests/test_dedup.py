@@ -112,3 +112,41 @@ def test_minhash_arrow_kernel_drops_null_text_like_sql(spark):
     pairs_sql = D.minhash_dedup_pairs(df, 0.8, engine="sql").collect()
     assert {(r[0], r[1]) for r in pairs_arrow} == \
            {(r[0], r[1]) for r in pairs_sql} == {(1, 3)}
+
+
+def test_prefix_filter_equals_full_join(spark, sf_dir):
+    """Forced-path equivalence (the r10 _lof_top3 pattern): the
+    positional-prefix candidate path must produce BIT-IDENTICAL
+    (d1, d2, jaccard) rows to the exhaustive inverted-index join —
+    both count the same integer n_inter over the same distinct key
+    sets and apply the same IEEE division, so exact tuple equality
+    (not approx) is the contract. Run on the real documents fixture
+    at several thresholds so the ceil()-boundary prefix lengths
+    (t*n integral vs fractional) are all exercised."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.5, 0.6, 0.8):
+        fast = {(r.d1, r.d2, r.jaccard)
+                for r in D.jaccard_pairs(docs, threshold=t,
+                                         keyset=D.shingles).collect()}
+        slow = {(r.d1, r.d2, r.jaccard)
+                for r in D.jaccard_pairs(docs, threshold=t,
+                                         keyset=D.shingles,
+                                         prefix_filter=False).collect()}
+        assert fast == slow and fast
+
+
+def test_prefix_filter_integral_threshold_boundary(spark):
+    """Docs engineered so t*n is EXACTLY integral (n=5, t=0.8 ->
+    prefix length 2): a float-noise ceil(4.0)=5 would shrink the
+    prefix to length 1 and could drop the planted near-dup pair.
+    The 1e-9 guard keeps ceil at 4; the pair must survive."""
+    rows = [(1, "a b c d e f g"),   # shingles: 5
+            (2, "a b c d e f h")]   # shares 4 of 6.. sizes 5,5 j=4/6
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # j = |inter|/|union| = 4/6 = 0.667 -> use threshold 0.6
+    out = {(r.d1, r.d2) for r in D.jaccard_pairs(
+        df, threshold=0.6, keyset=D.shingles).collect()}
+    ref = {(r.d1, r.d2) for r in D.jaccard_pairs(
+        df, threshold=0.6, keyset=D.shingles,
+        prefix_filter=False).collect()}
+    assert out == ref == {(1, 2)}
