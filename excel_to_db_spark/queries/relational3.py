@@ -315,10 +315,35 @@ def str_fuzzy_match(spark, sf_dir):
     conjunctions left-to-right; a separate .filter would be pushed
     into the join ahead of the cheap predicates by Catalyst's
     filter-into-join merge — measured, tests/test_plans_r3.py):
-    int length band -> signature sum -> lexicographic dedup ->
-    bounded levenshtein. Length remains a CANDIDATE-UNBOUNDED
-    blocker; the bounded-candidate sibling for fact-sized inputs is
-    linkage_sorted_neighborhood's windowed blocking."""
+    int length band -> int rank dedup -> signature sum -> bigram
+    signature -> bounded levenshtein. Length remains a
+    CANDIDATE-UNBOUNDED blocker; the bounded-candidate sibling for
+    fact-sized inputs is linkage_sorted_neighborhood's windowed
+    blocking.
+
+    Round-11 additions + the measured cost floor. Two more
+    exact-preserving prunes: (1) the lexicographic a.v < b.v dedup is
+    now an INTEGER rank compare (row_number over the distinct names,
+    so a.rid < b.rid <=> a.v < b.v) placed right after the length
+    band — UTF8String compares in the hot loop measured a full 38s
+    slower over the N^2 pair stream when evaluated before the
+    signatures; (2) a bigram presence bitmask bg (bigram hashed to 64
+    buckets): one edit destroys/creates at most 2 positional bigrams
+    per side, so lev <= 3 implies bit_count(bg_a^bg_b) <= 12
+    (bucket-fold collisions only shrink the XOR — still necessary).
+    Measured 702M -> 509M surviving DP calls. What does NOT work on
+    this corpus, all measured at sf1j and kept out: id-bucket
+    pair-halving via an equi-join on bucket pairs (118.5s — the
+    broadcast-hash-join chain scan costs more per generated row than
+    the nested-loop's tight inner loop), PassJoin 4-segment substring
+    blocking (5.85e9 candidate join rows — the two-word vocabulary
+    makes every segment hot), a 3rd saturation level m3 (rejects <3%
+    more). The remaining wall is structural: ~5e8 survivors are
+    boundary pairs (lev 3 vs 4) that only the DP separates, and
+    Spark's threshold-banded levenshtein costs ~1.8 us/call even on
+    4-char inputs (per-call allocation, measured by truncating the
+    operands), so the verify stage floors near ~45s here. The output
+    itself is 63.8M true pairs — Omega(output) work."""
     try:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     except ValueError:  # e.g. 'auto' on managed platforms (ADVICE r8)
@@ -338,18 +363,35 @@ def str_fuzzy_match(spark, sf_dir):
            "THEN shiftleft(CAST(1 AS BIGINT), ascii(substr(v, i, 1)) % 64) "
            "ELSE CAST(0 AS BIGINT) END), "
            "CAST(0 AS BIGINT), (acc, x) -> acc | x) END")
+    # bg: bigram presence bitmask, 64 buckets (see docstring round-11
+    # note; the multiplier 31 is the usual polynomial string-hash step).
+    _bg = ("CASE WHEN length(v) < 2 THEN CAST(0 AS BIGINT) ELSE "
+           "aggregate(transform(sequence(1, length(v) - 1), i -> "
+           "shiftleft(CAST(1 AS BIGINT), (ascii(substr(v, i, 1)) * 31 "
+           "+ ascii(substr(v, i + 1, 1))) % 64)), "
+           "CAST(0 AS BIGINT), (acc, x) -> acc | x) END")
+    # rid: dense lexicographic rank of the distinct names, so the pair
+    # dedup is an int compare. The unpartitioned row_number is over the
+    # DISTINCT NAME DIMENSION (176k rows at jittered sf1), not the fact
+    # table — the bounded-window class of the r10 global-window audit.
+    # row_number over unique v is deterministic, so the two join sides
+    # recompute identical ranks without materialization.
     names = (T(spark, sf_dir, "part").select(F.col("p_name").alias("v"))
              .distinct()
              .select("v", F.length("v").alias("ln"),
-                     F.expr(_m1).alias("m1"), F.expr(_m2).alias("m2"))
+                     F.expr(_m1).alias("m1"), F.expr(_m2).alias("m2"),
+                     F.expr(_bg).alias("bg"),
+                     F.row_number().over(Window.orderBy("v")).alias("rid"))
              .repartition(n_parts))
     a, b = names.alias("a"), names.alias("b")
     lev3 = F.levenshtein(F.col("a.v"), F.col("b.v"), 3)
     sig_l1 = (F.bit_count(F.col("a.m1").bitwiseXOR(F.col("b.m1")))
               + F.bit_count(F.col("a.m2").bitwiseXOR(F.col("b.m2"))))
+    bg_l1 = F.bit_count(F.col("a.bg").bitwiseXOR(F.col("b.bg")))
     cond = ((F.abs(F.col("a.ln") - F.col("b.ln")) <= 2)
+            & (F.col("a.rid") < F.col("b.rid"))
             & (sig_l1 <= 6)
-            & (F.col("a.v") < F.col("b.v"))
+            & (bg_l1 <= 12)
             & (lev3 >= 0))
     return (a.join(F.broadcast(b), cond, "inner")
             .select(F.col("a.v").alias("name_a"),

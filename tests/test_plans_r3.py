@@ -89,3 +89,30 @@ def test_entropy_two_shuffles_max(spark, registry):
     plan = _plan(registry["text_entropy"].fn(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") <= 2, \
         "(doc,token) freq + per-doc reduce; more means a lost combine"
+
+
+def test_fuzzy_match_cascade_off_identical_pairs(spark, registry):
+    """Forced-parameter equivalence (VERDICT r10 #6, the _lof_top3
+    pattern): with the ENTIRE candidate cascade disabled — no length
+    band, no rank dedup, no char-count or bigram signatures — the
+    plain exhaustive formulation (lexicographic order + bounded
+    levenshtein only) must yield the IDENTICAL (name_a, name_b, dist)
+    tuple set. Every cascade member is provably necessary for
+    lev <= 3, so equality is exact, not approximate. Uses sf0.01 for
+    a non-trivial name pool."""
+    from pyspark.sql import functions as F
+
+    sf01 = "/root/testdata/sf0.01"
+    fast = {(r.name_a, r.name_b, r.dist)
+            for r in registry["str_fuzzy_match"].fn(spark, sf01).collect()}
+    names = (spark.read.parquet(f"{sf01}/part.parquet")
+             .select(F.col("p_name").alias("v")).distinct())
+    a, b = names.alias("a"), names.alias("b")
+    lev3 = F.levenshtein(F.col("a.v"), F.col("b.v"), 3)
+    ref = {(r.name_a, r.name_b, r.dist)
+           for r in (a.join(F.broadcast(b),
+                            (F.col("a.v") < F.col("b.v")) & (lev3 >= 0))
+                     .select(F.col("a.v").alias("name_a"),
+                             F.col("b.v").alias("name_b"),
+                             lev3.alias("dist"))).collect()}
+    assert fast == ref and fast
