@@ -509,14 +509,24 @@ def main() -> int:
     contention = 1.0
     if prev_probe and prev_probe > 0:
         contention = max(1.0, probe_sec / prev_probe)
-    # Min-of-N vs single-run asymmetry (ADVICE r9): this run's canonical
-    # time is min across `repeat` passes, which strips additive
-    # scheduling noise; a single-run baseline still carries it, so a
-    # like-for-like 1.5x test systematically under-flags regressions
-    # against legacy baselines. Tighten the threshold for that pairing
-    # (noise on this host measured <=15% at the >=1s keys the check
-    # covers) and tag the line so the reader knows the comparison class.
-    threshold = 1.5 if (prev_runs > 1 or repeat == 1) else 1.3
+    # Min-of-N vs single-run asymmetry (ADVICE r9 + r10): this run's
+    # canonical time is min across `repeat` passes, which strips
+    # additive scheduling noise; a single-run measurement still
+    # carries it. Threshold per comparison class (host noise measured
+    # <=15% at the >=1s keys the check covers):
+    #   min-of-N vs min-of-N . 1.5  (like-for-like)
+    #   single  vs single .... 1.5  (like-for-like, both noisy)
+    #   min-of-N vs single ... 1.3  (clean current vs noisy baseline:
+    #                                tighten, else under-flags)
+    #   single vs min-of-N ... 1.65 (noisy current vs noise-stripped
+    #                                baseline: widen, else the noise
+    #                                band alone can false-flag)
+    if repeat == 1 and prev_runs > 1:
+        threshold = 1.65
+    elif repeat > 1 and prev_runs == 1:
+        threshold = 1.3
+    else:
+        threshold = 1.5
     pairing = ("min-of-%d vs min-of-%d" % (repeat, prev_runs)
                if prev_runs > 1 else f"min-of-{repeat} vs single-run")
     for name, dt in times.items():

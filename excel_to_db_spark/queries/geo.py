@@ -349,7 +349,11 @@ def geo_dbscan_census(spark, sf_dir):
     # and sparse points would be silently under-counted. The general
     # ring radius is ceil(eps / sub_side); this guard keeps the
     # hard-coded [-2, 2] offsets honest.
-    assert _EPS % 2 == 0, "DBSCAN sub-cell ring assumes an even eps"
+    # Explicit raise, not `assert` (ADVICE r10): asserts vanish under
+    # `python -O`, and this guard exists precisely to stop a silent
+    # sparse-point under-count in optimized runs.
+    if _EPS % 2 != 0:
+        raise ValueError("DBSCAN sub-cell ring assumes an even eps")
     sub_side = _EPS // 2
     pts = _pts(spark, sf_dir, "customer", "c_custkey", "c_nationkey", "")
     w_sub = Window.partitionBy("sy", "sx")

@@ -58,13 +58,19 @@ def _fixture_fingerprint(sf_dir: str, *tables: str) -> tuple:
         root = os.path.join(sf_dir, f"{t}.parquet")
         try:
             if os.path.isdir(root):
-                names = sorted(os.listdir(root))
-                paths = [os.path.join(root, n) for n in names]
+                # Walk RECURSIVELY (ADVICE r10): a partitioned layout
+                # nests data files under key=... subdirectories, and a
+                # top-level listing would fingerprint the directory
+                # entries instead of the files the staleness check
+                # exists to watch.
+                paths = []
+                for d, _dirs, files in sorted(os.walk(root)):
+                    paths.extend(os.path.join(d, n) for n in sorted(files))
             else:
                 paths = [root]
             for p in paths:
                 st = os.stat(p)
-                sig.append((os.path.basename(p), st.st_size,
+                sig.append((os.path.relpath(p, sf_dir), st.st_size,
                             st.st_mtime_ns))
         except OSError:
             sig.append((t, -1, -1))

@@ -43,7 +43,16 @@ def _release_spark_blocks(request):
     ContextCleaner's async sweep falls behind a 650-test run and the
     heap fills with unreachable-but-unreleased blocks (the exact
     failure mode tools/run_at_sf.py:_release_blocks documents for the
-    single-JVM sf1 sweeps)."""
+    single-JVM sf1 sweeps).
+
+    INVARIANT this sweep imposes (ADVICE r10): no module- or
+    session-scoped cache may hold a DataFrame across tests. The
+    unpersist covers localCheckpoint blocks, whose LINEAGE IS
+    TRUNCATED — a checkpointed frame retained by one test and reused
+    by a later one would fail unrecoverably once its blocks are
+    freed here. Today's per-query caches (_LOF_N_CACHE,
+    geo2._NEAREST_CACHE, ...) hold only ints; keep it that way, or
+    scope any future DataFrame cache to a single test."""
     yield
     if "spark" in request.fixturenames:
         s = request.getfixturevalue("spark")

@@ -114,12 +114,14 @@ def test_dbscan_census_vs_bruteforce(spark, sf_dir):
 
 def test_dbscan_odd_eps_trips_evenness_guard(spark, sf_dir, monkeypatch):
     """VERDICT r9 #4: the sub-cell shortcut's [-2, 2] ring is exact only
-    when eps == 2 * (eps // 2). An odd eps must fail LOUDLY (assert), not
-    silently under-count sparse points' neighbors."""
+    when eps == 2 * (eps // 2). An odd eps must fail LOUDLY — as a
+    ValueError, not a bare assert, so the guard survives `python -O`
+    (ADVICE r10) — instead of silently under-counting sparse points'
+    neighbors."""
     import pytest
 
     from excel_to_db_spark.queries import geo
 
     monkeypatch.setattr(geo, "_EPS", 1_000_001)
-    with pytest.raises(AssertionError, match="even eps"):
+    with pytest.raises(ValueError, match="even eps"):
         geo.geo_dbscan_census(spark, sf_dir)

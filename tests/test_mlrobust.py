@@ -165,10 +165,19 @@ def test_lof_top3_certificate_path_is_exact(spark):
     sparse sub-grid where most points escalate, and f=1 is the
     fallback identity. Top-3 within a fixed candidate set is search-
     order independent, so equality is exact, not approximate."""
+    import os
+
+    import pytest
+
     from excel_to_db_spark.queries.mlrobust import _lof_top3
     from excel_to_db_spark.queries.geo import _pts
+    from tests.conftest import SF_DIR
 
-    sf = "/root/testdata/sf0.1"
+    # sf0.1 sibling of the conftest fixture root, not a hard-coded
+    # absolute path (ADVICE r10); skip when the host lacks it.
+    sf = os.path.join(os.path.dirname(SF_DIR), "sf0.1")
+    if not os.path.isdir(sf):
+        pytest.skip(f"sf0.1 fixture not present at {sf}")
     pts = _pts(spark, sf, "customer", "c_custkey", "c_nationkey", "")
     plain = sorted(map(tuple, _lof_top3(spark, sf, pts, _f_override=1)
                        .collect()))
