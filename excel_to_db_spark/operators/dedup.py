@@ -246,9 +246,12 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 64,
     form stays. The explode form computes the keyset once per row; the
     per-key hash columns are cheap JVM calls, and partial (map-side) min
     aggregation means the shuffle carries one n_hashes-wide row per doc
-    per partition — the standard distributed MinHash shape at 100 TB."""
-    toks = df.select(F.col(id_col).alias("did"),
-                     F.explode(keyset(F.col(text_col))).alias("tok"))
+    per partition — the standard distributed MinHash shape at 100 TB.
+    The scan is fanned out first: the keyset HOF + explode otherwise
+    run at the local fixture's 1-2 split width (r11, same fix as
+    jaccard_pairs; structural no-op on wide cluster scans)."""
+    toks = fan_out(df).select(F.col(id_col).alias("did"),
+                              F.explode(keyset(F.col(text_col))).alias("tok"))
     # Universal-hash family over ONE base hash per key: h_i = (a_i*b + c_i)
     # mod 2^32, with b < 2^32 and odd a_i < 2^20, so every product stays
     # under 2^52 — exact in long arithmetic, no ANSI overflow. 128 integer
@@ -363,7 +366,12 @@ def minhash_signatures_arrow(df: DataFrame, n_hashes: int = 128,
             yield pd.DataFrame({"did": pd.array(dids, dtype="Int64"),
                                 "sig": pd.Series(sigs, dtype="object")})
 
-    return (df.select(id_col, text_col)
+    # fan_out before the kernel (r11): mapInPandas inherits its input's
+    # partitioning, so on a narrow local scan the ENTIRE Python
+    # signature pass ran in 1-2 Arrow tasks. "Zero shuffle" above
+    # refers to the cluster-scale plan, where the gated fan_out is a
+    # structural no-op.
+    return (fan_out(df.select(id_col, text_col))
             .mapInPandas(kernel, "did bigint, sig array<bigint>"))
 
 
@@ -419,8 +427,12 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float, n_hashes: int = 64,
     else:
         sigs = minhash_signatures(df, n_hashes, text_col, id_col, keyset)
         cands = minhash_lsh_candidates(sigs, bands, rows)
-    docs = df.select(F.col(id_col).alias("did"),
-                     keyset(F.col(text_col)).alias("toks"))
+    # fan_out (r11): the broadcast build below collects this whole
+    # projection, and without the widening exchange the keyset HOF for
+    # every doc runs at the local scan's 1-2 split width inside the
+    # broadcast job (measured ~10s of dedup_minhash's 17s at sf1j).
+    docs = fan_out(df).select(F.col(id_col).alias("did"),
+                              keyset(F.col(text_col)).alias("toks"))
     d1 = docs.select(F.col("did").alias("d1"), F.col("toks").alias("t1"))
     d2 = docs.select(F.col("did").alias("d2"), F.col("toks").alias("t2"))
     inter = F.size(F.array_intersect("t1", "t2"))
@@ -494,9 +506,11 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8,
     # array-aggregates cost ~15s of analysis/codegen alone — the explode
     # form plans in well under a second and map-side combines at scale.
     # explode_outer keeps empty-shingle docs (fingerprint 0), matching
-    # the HOF form and both oracles.
-    toks = df.select(F.col(id_col).alias("did"),
-                     F.explode_outer(keyset(F.col(text_col))).alias("tok"))
+    # the HOF form and both oracles. fan_out first (r11): the keyset
+    # HOF + md5 explode otherwise run at the local fixture's 1-2 split
+    # width — measured 15.1s for a 1-2s stage at jittered sf1.
+    toks = fan_out(df).select(F.col(id_col).alias("did"),
+                              F.explode_outer(keyset(F.col(text_col))).alias("tok"))
     # Two 32-bit halves of the md5-derived hash as bigints: integer
     # shiftright/AND per vote beats per-bit string substring ~2x.
     base = toks.select(
