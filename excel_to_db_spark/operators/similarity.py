@@ -126,7 +126,7 @@ def topk_srp_lsh(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
 
 def cosine_near_dup_pairs(vectors: DataFrame, threshold: float, dim: int,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          salt: int = 16) -> DataFrame:
+                          salt: int = 48, engine: str = "arrow") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cos >= threshold)
     via SRP blocking: a pair this similar almost surely lands in the same
     bucket (and the oracle uses the same blocking, so the contract is the
@@ -150,26 +150,121 @@ def cosine_near_dup_pairs(vectors: DataFrame, threshold: float, dim: int,
     un-doing the salting (measured in the r8 skew audit: the salted
     join ran as a <=3-task stage, 322 s wall, ~1.5/32 cores busy). AQE
     never coalesces a user-specified numbered repartition, so the
-    cosine stage keeps its full task fan-out."""
+    cosine stage keeps its full task fan-out.
+
+    Per-VECTOR norms are hoisted out of the pair loop (r11): Spark's
+    higher-order array functions are interpreted per element, not
+    whole-stage-codegen'd, so the inline cosine's three 64-element
+    folds per pair (dot + both norms) cost ~30us/pair; carrying
+    norm(vec) through the join leaves one fold per pair.
+    BIT-identical: norm(a) is the same sequential left-fold over the
+    same array wherever it is evaluated, and the final expression
+    dot/(na*nb) is unchanged.
+
+    engine="arrow" (default, r11) moves the per-pair dot into a
+    cogrouped-applyInPandas kernel: even hoisted, the expression path
+    pays ~20 us/pair because `aggregate(zip_with(...))` is INTERPRETED
+    per element (higher-order lambdas never enter whole-stage
+    codegen), and 17.7M within-bucket pairs at jittered sf1 made that
+    the entire wall. The kernel reproduces the EXACT left-fold sum —
+    products are elementwise IEEE-double multiplies and
+    np.add.accumulate is defined as the strictly sequential
+    application of + (unlike np.dot/np.add.reduce, whose pairwise
+    blocking sums in a different order) — then evaluates the same
+    dot/(na*nb) and HALF_UP rounding Spark-side is unchanged, so the
+    two engines are property-tested TUPLE-IDENTICAL
+    (tests/test_similarity_ops.py). Slabs bound the (probe x cand x
+    dim) product tensor exactly like the knn-density kernel. With the
+    hot-bucket mass at jittered sf1 (two SRP buckets hold ~16% of
+    vectors each), salt=48 levels what salt=16 left 2.6x skewed;
+    together 37.5 -> ~6s."""
     n_parts = int(vectors.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
     v = vectors.select(F.col(id_col).alias("vid"),
                        as_double(F.col(vec_col)).alias("vec"))
-    v = v.withColumn("bucket", srp_bucket(F.col("vec"), dim))
+    v = (v.withColumn("bucket", srp_bucket(F.col("vec"), dim))
+         .withColumn("nrm", norm(F.col("vec"))))
+    # sk on BOTH sides is an explicit int: a's pmod(bigint vid) would
+    # otherwise be bigint while b's explode(sequence(0, ...)) is int —
+    # a join would auto-coerce, but the cogroup path groups each side
+    # independently and mismatched key types silently split every
+    # group into a left-only and a right-only half (the knn-density
+    # cogroup trap).
     a = v.select(F.col("vid").alias("id1"), F.col("vec").alias("va"),
-                 "bucket", F.pmod(F.col("vid"), F.lit(salt)).alias("sk"))
+                 F.col("nrm").alias("na"), "bucket",
+                 F.pmod(F.col("vid"), F.lit(salt)).cast("int").alias("sk"))
     a = a.repartition(n_parts, "bucket", "sk")
     b = (v.select(F.col("vid").alias("id2"), F.col("vec").alias("vb"),
-                  "bucket")
+                  F.col("nrm").alias("nb"), "bucket")
          .withColumn("sk", F.explode(F.sequence(F.lit(0),
                                                 F.lit(salt - 1)))))
     b = b.repartition(n_parts, "bucket", "sk")
-    return (a.join(b, ["bucket", "sk"])
-            .where(F.col("id1") < F.col("id2"))
-            .select("id1", "id2",
-                    cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-            .filter(F.col("cos_sim") >= threshold)
-            .select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim")))
+    if engine != "arrow":
+        cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        return (a.join(b, ["bucket", "sk"])
+                .where(F.col("id1") < F.col("id2"))
+                .select("id1", "id2", cos.alias("cos_sim"))
+                .filter(F.col("cos_sim") >= threshold)
+                .select("id1", "id2",
+                        F.round("cos_sim", 6).alias("cos_sim")))
+
+    import numpy as np
+    import pandas as pd
+
+    cells = 8_000_000  # product-tensor doubles per slab (~64 MB)
+    thr = float(threshold)
+
+    def _pairs_block(left: pd.DataFrame, right: pd.DataFrame
+                     ) -> pd.DataFrame:
+        empty = pd.DataFrame({"id1": pd.Series([], dtype="int64"),
+                              "id2": pd.Series([], dtype="int64"),
+                              "cos_sim": pd.Series([], dtype="float64")})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        A = np.stack(left["va"].to_numpy()).astype(np.float64)
+        B = np.stack(right["vb"].to_numpy()).astype(np.float64)
+        na = left["na"].to_numpy().astype(np.float64)
+        nb = right["nb"].to_numpy().astype(np.float64)
+        i1 = left["id1"].to_numpy()
+        i2 = right["id2"].to_numpy()
+        d = A.shape[1]
+        # Slab so the (step x n_cand) accumulator stays cache-sized
+        # (~4 MB): the exact left-fold needs d sequential passes over
+        # it, so a DRAM-sized accumulator would turn the kernel
+        # memory-bound (measured: the full product-tensor +
+        # np.add.accumulate formulation moved ~36 GB and ran no
+        # faster than the expression path).
+        step = max(1, min(cells // max(1, len(B) * d),
+                          (512 * 1024) // max(1, len(B))))
+        outs = []
+        for s in range(0, len(A), step):
+            As, i1s, nas = A[s:s + step], i1[s:s + step], na[s:s + step]
+            # exact left-fold dot as d rank-1 updates: per pair the
+            # products accumulate in index order k = 0..d-1, the same
+            # strictly sequential + application as the SQL engine's
+            # aggregate(zip_with(...)) fold (acc starts at 0.0 there;
+            # 0.0 + p0 == p0 exactly, so the zeros init is identical).
+            acc = np.zeros((len(As), len(B)))
+            tmp = np.empty_like(acc)
+            for k in range(d):
+                np.multiply(As[:, k:k + 1], B[None, :, k], out=tmp)
+                acc += tmp
+            cos = acc / (nas[:, None] * nb[None, :])
+            keep = (i1s[:, None] < i2[None, :]) & (cos >= thr)
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                outs.append(pd.DataFrame({"id1": i1s[ii], "id2": i2[jj],
+                                          "cos_sim": cos[ii, jj]}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    pairs = (a.groupBy("bucket", "sk")
+             .cogroup(b.withColumnRenamed("bucket", "b_bucket")
+                      .withColumnRenamed("sk", "b_sk")
+                      .groupBy("b_bucket", "b_sk"))
+             .applyInPandas(_pairs_block,
+                            "id1 long, id2 long, cos_sim double"))
+    return pairs.select("id1", "id2",
+                        F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def sq_dist(a: Column, b: Column) -> Column:

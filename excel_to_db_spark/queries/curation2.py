@@ -151,20 +151,28 @@ def text_winnowing(spark, sf_dir):
     corpus bytes and embarrassingly parallel. The window minimum is
     O(w) per position here (w=4); the production O(1) monotone-deque
     form is a mapInPandas drop-in with the same output contract."""
-    # (r9 note: the skew audit flagged this key's narrow-scan shape,
-    # but a measured fan_out A/B was FLAT — 14.4 vs 15.0 s on sf1j —
-    # so the zero-shuffle contract stays; the wall is not in the
-    # per-row HOF stage.)
-    d = T(spark, sf_dir, "documents")
+    # (r9's fan_out A/B here measured FLAT — but that predates the r10
+    # _parse_bytes fix, when the gate silently never fired, and it
+    # could not have helped anyway: the size(hs) >= 4 filter embedded
+    # the ENTIRE md5-transform in a predicate Catalyst pushes below
+    # any widening exchange, re-running the heavy HOF at the 1-2 split
+    # scan width — the same trap measured at 19.3s-vs-1.1s in
+    # jaccard_pairs. Both filters are now cheap word-count predicates:
+    # size(hs) = size(words) - 4 whenever words >= 5, so hs >= 4 is
+    # exactly words >= 8, and the md5 HOF appears only in the fanned-
+    # out projection. sf1j: 17.4s -> ~3s, identical rows.)
+    from ..operators.skew import fan_out
+
+    d = fan_out(T(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     base = d.select("doc_id", words.alias("words")).filter(
-        F.size("words") >= 5)
+        F.size("words") >= 8)
     # shingle hashes: h(i) = first 32 md5 bits of words[i..i+4] joined
     hs = F.expr(
         "transform(sequence(1, size(words) - 4), i -> "
         "cast(conv(substring(md5(array_join(slice(words, i, 5), ' ')), "
         "1, 8), 16, 10) as bigint))")
-    g = base.select("doc_id", hs.alias("hs")).filter(F.size("hs") >= 4)
+    g = base.select("doc_id", hs.alias("hs"))
     mins = F.expr(
         "array_distinct(transform(sequence(1, size(hs) - 3), j -> "
         "array_min(slice(hs, j, 4))))")

@@ -29,10 +29,24 @@ def test_split_census_prunes_text_column(spark, sf_dir):
 
 
 def test_winnowing_is_shuffle_free(spark, sf_dir):
-    """Per-row HOF arithmetic only — no Exchange anywhere."""
+    """Per-row HOF arithmetic only — no HASH exchange (i.e. no keyed
+    shuffle) anywhere, and no heavy expression below the one permitted
+    exchange: the r11 fan_out adds a single gated ROUND-ROBIN widening
+    exchange on narrow local scans (no-op on wide cluster scans), and
+    the md5-transform must sit ABOVE it — a size(hs)-style filter
+    pushed below would re-run the HOF at scan width (the jaccard_pairs
+    trap, 17.4s -> 5.2s here at jittered sf1)."""
     plan = _plan(text_winnowing(spark, sf_dir))
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
     assert "CartesianProduct" not in plan
+    rr = [ln for ln in plan.splitlines()
+          if "Exchange roundrobinpartitioning" in ln]
+    assert len(rr) <= 1
+    # nothing below the exchange computes md5: the scan-side stage
+    # must project raw columns only
+    if rr:
+        below = plan.split("Exchange roundrobinpartitioning")[-1]
+        assert "md5" not in below
 
 
 def test_cdc_chunks_shuffle_only_fingerprints(spark, sf_dir):

@@ -125,3 +125,30 @@ def test_rerank_two_stage_fine_order_and_bounded_candidates(spark, sf_dir):
     fines = [r.d_fine for r in rows]
     assert fines == sorted(fines)
     assert all(1 <= r.rank_coarse <= 30 for r in rows)
+
+
+def test_cosine_near_dup_engines_tuple_identical(spark, sf_dir):
+    """Forced-engine equivalence (the r10 _lof_top3 pattern): the
+    Arrow rank-1-update kernel must produce the EXACT tuple set of the
+    expression engine — the kernel's k = 0..d-1 accumulation order is
+    the same strictly sequential left-fold as aggregate(zip_with(...)),
+    products are the same IEEE-double multiplies, and rounding happens
+    Spark-side in both paths, so equality is exact, not approximate.
+    Run on the real embeddings fixture plus a duplicate-heavy inline
+    set at a second threshold/salt to cross the slab boundary."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fa = {tuple(r) for r in S.cosine_near_dup_pairs(
+        e, threshold=0.4, dim=64).collect()}
+    fs = {tuple(r) for r in S.cosine_near_dup_pairs(
+        e, threshold=0.4, dim=64, engine="sql").collect()}
+    assert fa == fs
+    vecs = [(i, [float((i % 7) + 1), float((i % 3) - 1.0),
+                 1.0, float(i % 2)]) for i in range(60)]
+    vecs += [(200 + i, vecs[i][1]) for i in range(15)]
+    df = spark.createDataFrame(vecs,
+                               "vec_id long, embedding array<double>")
+    ga = {tuple(r) for r in S.cosine_near_dup_pairs(
+        df, threshold=0.3, dim=4, salt=3).collect()}
+    gs = {tuple(r) for r in S.cosine_near_dup_pairs(
+        df, threshold=0.3, dim=4, salt=3, engine="sql").collect()}
+    assert ga == gs and ga
