@@ -11,20 +11,22 @@ def test_priority_window_is_exactly_the_first_50_keys():
     assert list(REGISTRY)[:50] == list(_PRIORITY)
 
 
-def test_priority_covers_round10_rotation():
-    """Round-10 window (VERDICT r9 #1): stats supermajority (30 slots)
-    over the rank/concordance, two-sample-EDF, and matrix/iterative
-    pools, plus 12 text distributional contracts and the 8-key ts
-    spectral/variance panel. Zero overlap with the r1–r9 windows."""
+def test_priority_covers_round11_rotation():
+    """Round-11 window (VERDICT r10 #1): stats majority (27 slots)
+    over the resampling/CI, causal, categorical-association, and
+    reliability pools, plus 11 text corpus-census contracts, the
+    6-key ts indicator/replay panel, and events/eval fill. Zero
+    overlap with the r1–r10 windows."""
     head = set(list(REGISTRY)[:50])
     for key in (
-        "stats_kendall", "stats_spearman", "stats_kruskal_wallis",
-        "stats_ks_two_sample", "stats_ad_two_sample",
-        "stats_partial_corr", "stats_bradley_terry", "stats_sprt",
-        "stats_weibull_fit", "stats_tukey_hsd",
-        "text_bigram_lm", "text_kl_matrix", "text_zipf_fit",
-        "text_pii_scrub",
-        "ts_hurst_exponent", "ts_periodogram", "ts_var_cvar",
+        "stats_fdr_bh", "stats_permutation_test", "stats_bootstrap_ci",
+        "stats_ipw_ate", "stats_aipw_ate", "stats_diff_in_diff",
+        "stats_mcnemar", "stats_cmh_test", "stats_cramers_v",
+        "stats_cronbach_alpha", "stats_eb_shrinkage",
+        "text_langid_eval", "text_idf", "text_entropy",
+        "text_topk_coverage",
+        "ts_ohlc_candles", "ts_bollinger",
+        "events_latest_state", "eval_fairness_audit",
     ):
         assert key in head, key
 
