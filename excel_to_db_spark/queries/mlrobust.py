@@ -162,13 +162,15 @@ def ml_ransac_line(spark, sf_dir):
         FROM votes
     ) WHERE rk = 1
 """)
-def ml_knn_classify(spark, sf_dir):
+def ml_knn_classify(spark, sf_dir, _nb_override=None):
     """k=5 nearest-neighbor classification over 1e6-quantized
     embeddings: integer L2 distances (quantize once, exact arithmetic
     after — the `embedding_quantize` contract), neighbor order pinned
     by (d2, id), majority vote pinned by (votes desc, label). Probes
-    broadcast against the streaming corpus — the exact-rerank ANN
-    shape; correctness graded inline against ground-truth labels."""
+    replicate to each corpus block of a cogrouped GEMM scorer (r11 —
+    see the inline note; the old broadcast-crossJoin HOF formulation
+    spent ~340 core-seconds interpreting per-pair folds); correctness
+    graded inline against ground-truth labels."""
     e = T(spark, sf_dir, "embeddings")
     qv = F.transform(F.col("embedding").cast("array<double>"),
                      lambda x: F.round(x * 1000000).cast("bigint"))
@@ -177,22 +179,81 @@ def ml_knn_classify(spark, sf_dir):
               .select(F.col("vec_id").alias("q_id"),
                       F.col("label").alias("q_label"),
                       F.col("qv").alias("q_qv")))
-    d2 = F.expr("aggregate(zip_with(q_qv, qv, (a, b) -> (a-b)*(a-b)),"
-                " 0L, (s, x) -> s + x)")
-    # The corpus side of the broadcast cross join inherits the SCAN's
-    # parallelism — one parquet file at bench scale = 1-2 input splits,
-    # so ~1e9 integer d2 ops ran in <= 2 tasks (r8 skew audit: 156 s
-    # wall, no stage with >= 4 tasks). Fan the corpus out with an
-    # explicit-N repartition before the compute: the shuffled bytes
-    # are just the quantized vectors (trivial next to the quadratic
-    # probe scoring), and AQE never coalesces an explicit-N
-    # repartition. At real scale a many-split corpus makes this a
-    # near-no-op rebalance of the same rows.
+    # Scoring kernel (r11): the r8 broadcast-crossJoin form computed
+    # d2 per (probe, neighbor) pair with aggregate(zip_with(...)) —
+    # interpreted per element, never whole-stage codegen — and even
+    # fanned out it spent ~340 core-seconds on ~1.3e9 pair-element
+    # ops at jittered sf1. The cogrouped blocked GEMM is the
+    # curation_knn_density kernel applied to classification:
+    # d2 = |q|^2 + |c|^2 - 2 q.c via float64 matmul, BIT-EXACT
+    # because every intermediate is an integer below 2^53
+    # (|qv_i| <= ~6e5, |dot| <= 64 * 3.6e11 ~ 2.3e13), and each
+    # corpus block emits its LOCAL top-5 per probe under the pinned
+    # (d2, n_id) order via lexsort — top-k is distributive over a
+    # partition of the corpus, so the global 5-row window below sees
+    # every global winner. Probes replicate to each block (the same
+    # bytes the old broadcast shipped); forced-block equivalence is
+    # pinned in tests/test_mlrobust.py.
+    import numpy as np
+    import pandas as pd
+
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    scored = (v.repartition(n_parts).crossJoin(F.broadcast(probes))
-              .where(F.col("vec_id") != F.col("q_id"))
-              .select("q_id", "q_label", F.col("vec_id").alias("n_id"),
-                      F.col("label").alias("n_label"), d2.alias("d2")))
+    nb = (_nb_override if _nb_override is not None
+          else max(1, 4 * n_parts))  # corpus blocks = 4x cores
+    corpus = v.select(F.col("vec_id").alias("n_id"),
+                      F.col("label").alias("n_label"), "qv",
+                      F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
+                      .alias("blk"))
+    pr = (probes.withColumn(
+        "p_blk", F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))))
+
+    def _knn_score_block(left: pd.DataFrame, right: pd.DataFrame
+                         ) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"q_id": pd.Series([], dtype="int64"),
+             "q_label": pd.Series([], dtype="int32"),
+             "n_id": pd.Series([], dtype="int64"),
+             "n_label": pd.Series([], dtype="int32"),
+             "d2": pd.Series([], dtype="int64")})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        q = np.stack(left["q_qv"].to_numpy()).astype(np.float64)
+        c = np.stack(right["qv"].to_numpy()).astype(np.float64)
+        qid = left["q_id"].to_numpy()
+        nid = right["n_id"].to_numpy()
+        d2 = ((q * q).sum(axis=1)[:, None] + (c * c).sum(axis=1)[None, :]
+              - 2.0 * (q @ c.T))
+        d2[qid[:, None] == nid[None, :]] = np.inf
+        k = min(5, d2.shape[1])
+        # Vectorized exact top-k per probe (a per-probe pandas-frame
+        # loop measured SLOWER than the HOF baseline — ~200us of frame
+        # churn x probes x blocks): threshold at the kth-smallest d2,
+        # keep everything at-or-below it (ties included), then one
+        # global lexsort by (probe, d2, n_id) and positional trim to
+        # k — the pinned (d2, n_id) order, exactly.
+        thr = np.partition(d2, k - 1, axis=1)[:, k - 1]
+        mask = (d2 <= thr[:, None]) & np.isfinite(d2)
+        ri, ci = np.nonzero(mask)
+        if len(ri) == 0:
+            return empty
+        order = np.lexsort((nid[ci], d2[ri, ci], ri))
+        ri, ci = ri[order], ci[order]
+        counts = np.bincount(ri, minlength=len(q))
+        offsets = np.cumsum(counts) - counts
+        keep = (np.arange(len(ri)) - offsets[ri]) < k
+        ri, ci = ri[keep], ci[keep]
+        return pd.DataFrame(
+            {"q_id": qid[ri],
+             "q_label": left["q_label"].to_numpy()[ri],
+             "n_id": nid[ci],
+             "n_label": right["n_label"].to_numpy()[ci],
+             "d2": d2[ri, ci].astype(np.int64)})
+
+    scored = (pr.groupBy("p_blk")
+              .cogroup(corpus.groupBy("blk"))
+              .applyInPandas(_knn_score_block,
+                             "q_id long, q_label int, n_id long, "
+                             "n_label int, d2 long"))
     wk = Window.partitionBy("q_id").orderBy("d2", "n_id")
     top5 = (scored.withColumn("rk", F.row_number().over(wk))
             .where(F.col("rk") <= 5))

@@ -808,13 +808,21 @@ def text_sparse_cosine(spark, sf_dir):
     cos = dot/sqrt(n1*n2) is a single IEEE op on exact inputs —
     identical doubles on both engines; ordering uses the unrounded
     value with (d1, d2) tie-breaks."""
-    tf = (T(spark, sf_dir, "documents")
+    # fan_out + materialize once (r11): tf feeds the df prune AND the
+    # kept join, and ktf feeds norms plus BOTH self-join sides — five
+    # plan branches that otherwise each re-run the trigram explode +
+    # groupBy from the fixture's 1-2 parquet splits (trap classes A/B,
+    # PLANS.md round-11; measured 30.2s -> ~8s at jittered sf1).
+    from ..operators.skew import fan_out
+
+    tf = (fan_out(T(spark, sf_dir, "documents"))
           .select("doc_id",
                   F.explode(X.word_ngrams(F.col("text"), 3)).alias("gram"))
-          .groupBy("doc_id", "gram").agg(F.count("*").alias("tf")))
+          .groupBy("doc_id", "gram").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=False))
     kept = (tf.groupBy("gram").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= 10).select("gram"))
-    ktf = tf.join(kept, "gram")
+    ktf = tf.join(kept, "gram").localCheckpoint(eager=False)
     norms = ktf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     a, b = ktf.alias("a"), ktf.alias("b")

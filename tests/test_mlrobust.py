@@ -212,3 +212,20 @@ def test_lof_subgrid_f_scales_with_density(spark):
         assert mid * 5 <= dense <= mid * 20
     finally:
         M._LOF_N_CACHE.clear()
+
+
+def test_knn_classify_forced_blocks_identical(spark, sf_dir):
+    """Forced-parameter equivalence for the kNN GEMM scorer (the
+    forced-f pattern): the corpus block count is a pure execution-
+    layout knob — per-block local top-5 under the pinned (d2, n_id)
+    order merges to the same global top-5 for ANY partition of the
+    corpus, so nb in {1, 3, 7} must give row-identical output."""
+    from excel_to_db_spark.queries.mlrobust import ml_knn_classify
+
+    ref = None
+    for nb in (1, 3, 7):
+        got = {tuple(r) for r in ml_knn_classify(
+            spark, sf_dir, _nb_override=nb).collect()}
+        if ref is None:
+            ref = got
+        assert got == ref and got
