@@ -655,25 +655,43 @@ def pipeline_curation_funnel(spark, sf_dir):
           .agg(F.round(F.sum("wt") * 1.0 / F.count("*"))
                .cast("bigint").alias("llr_micro")))
     f = rules.join(ds, "doc_id")
-    s2 = f.filter((F.col("ok_quality") == 1) & (F.col("llr_micro") > 0))
-    s3 = (s2.groupBy("fp")
-          .agg(F.min(F.col("doc_id") * 1000000000 + F.col("n_tok"))
-               .alias("k")))
-
-    def row(stage, frame, tok_col):
-        return frame.agg(
-            F.lit(stage).alias("stage"),
-            F.count("*").alias("n_docs"),
-            F.sum(tok_col).cast("bigint").alias("n_tokens")).select(
-            "stage", "n_docs", "n_tokens")
-
-    return (row("0_raw", f, F.col("n_tok"))
-            .unionAll(row("1_quality",
-                          f.filter(F.col("ok_quality") == 1),
-                          F.col("n_tok")))
-            .unionAll(row("2_target", s2, F.col("n_tok")))
-            .unionAll(row("3_dedup", s3,
-                          F.col("k") % 1000000000)))
+    # r11 (guide §2): the four funnel rows previously UNIONed four
+    # aggregate branches over the joined feature frame — exchange
+    # reuse deduped the shuffles but each branch re-ran the
+    # post-shuffle join. ONE pass now: a per-fingerprint partial
+    # aggregate carries every stage's conditional sums (integer sums
+    # regroup exactly) plus the dedup representative (min packed key
+    # over the stage-2 members only), and a 1-row reduce over the fp
+    # groups yields all eight totals, reshaped into the four funnel
+    # rows with a literal stack — no data touched twice, no join
+    # re-execution.
+    in_s2 = (F.col("ok_quality") == 1) & (F.col("llr_micro") > 0)
+    per_fp = (f.groupBy("fp")
+              .agg(F.count("*").alias("g_docs"),
+                   F.sum("n_tok").alias("g_tok"),
+                   F.sum(F.when(F.col("ok_quality") == 1, 1)
+                         .otherwise(0)).alias("g_q_docs"),
+                   # token sums deliberately carry NO .otherwise(0):
+                   # an empty stage must aggregate to NULL (sum over
+                   # zero rows), matching the oracle's per-stage sums
+                   F.sum(F.when(F.col("ok_quality") == 1,
+                                F.col("n_tok"))).alias("g_q_tok"),
+                   F.sum(F.when(in_s2, 1).otherwise(0)).alias("g_t_docs"),
+                   F.sum(F.when(in_s2, F.col("n_tok"))).alias("g_t_tok"),
+                   F.min(F.when(in_s2, F.col("doc_id") * 1000000000
+                                + F.col("n_tok"))).alias("k")))
+    tot = per_fp.agg(
+        F.sum("g_docs").alias("d0"), F.sum("g_tok").cast("bigint").alias("t0"),
+        F.sum("g_q_docs").alias("d1"),
+        F.sum("g_q_tok").cast("bigint").alias("t1"),
+        F.sum("g_t_docs").alias("d2"),
+        F.sum("g_t_tok").cast("bigint").alias("t2"),
+        F.count("k").alias("d3"),
+        F.sum(F.col("k") % 1000000000).cast("bigint").alias("t3"))
+    return tot.select(F.expr(
+        "stack(4, '0_raw', d0, t0, '1_quality', d1, t1,"
+        " '2_target', d2, t2, '3_dedup', d3, t3)"
+        " AS (stage, n_docs, n_tokens)"))
 
 
 @query("stream_quality_census", oracle=f"""

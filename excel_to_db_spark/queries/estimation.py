@@ -532,9 +532,17 @@ def graph_kcore(spark, sf_dir):
         keep = (dcur.crossJoin(F.broadcast(scal.select("k")))
                 .filter(F.col("d") >= F.col("k"))
                 .select("node").localCheckpoint(eager=False))
+        # r11: `keep` is NODE-sized (bounded by the part dimension) but
+        # as a checkpointed RDD its stats are unknown, so the two semi
+        # joins sort-merged — shuffling + sorting the edge list twice
+        # per round. Broadcasting the survivor set turns each round
+        # into two BroadcastHashJoin(LeftSemi) map passes over the
+        # checkpointed edges: zero edge shuffles per round (guide §3).
         nxt = (cur
-               .join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
-               .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+               .join(F.broadcast(keep.withColumnRenamed("node", "a")),
+                     "a", "left_semi")
+               .join(F.broadcast(keep.withColumnRenamed("node", "b")),
+                     "b", "left_semi")
                .select("a", "b").localCheckpoint(eager=False))
         stats.append(
             keep.agg(F.count("*").alias("n_nodes"))

@@ -217,17 +217,23 @@ def graph_hits(spark, sf_dir):
                         .alias("v"))
                 .localCheckpoint(eager=False))
 
+    # r11: every score frame is DIMENSION-sized (suppliers / customers
+    # — the same bound that broadcasts those dim tables elsewhere) but
+    # checkpointed, so its stats are unknown and each half-round
+    # sort-merged, shuffling the full edge list. Broadcasting the
+    # score side makes each half-round one map pass over the
+    # checkpointed edges + its groupBy shuffle (guide §3).
     a1 = edges.groupBy("s").agg(
         (F.count("*") * 1000000).alias("a_raw"))
     a1n = norm(a1, "s", "a_raw").withColumnRenamed("v", "a")
-    h1 = (edges.join(a1n, "s").groupBy("c")
+    h1 = (edges.join(F.broadcast(a1n), "s").groupBy("c")
           .agg(F.sum("a").alias("h_raw")))
     h1n = norm(h1, "c", "h_raw").withColumnRenamed("v", "h")
-    a2 = (edges.join(h1n, "c").groupBy("s")
+    a2 = (edges.join(F.broadcast(h1n), "c").groupBy("s")
           .agg(F.sum("h").alias("a_raw")))
     a2n = norm(a2, "s", "a_raw").withColumnRenamed("v", "a")
     deg = edges.groupBy("s").agg(F.count("*").alias("in_deg"))
-    return (a2n.join(deg, "s")
+    return (a2n.join(F.broadcast(deg), "s")
             .select(F.col("s").alias("s_suppkey"),
                     F.col("a").alias("authority_micro"), "in_deg")
             .orderBy(F.col("authority_micro").desc(), "s_suppkey")

@@ -562,20 +562,25 @@ def graph_components(spark, sf_dir):
                                     F.col("src").alias("dst")))
              .distinct().persist())
 
-    labels = nation.select(F.col("n_nationkey").alias("node"),
-                           F.col("n_nationkey").alias("lbl")).persist()
-    for _ in range(25):                     # hard cap >= graph diameter
-        nmin = (edges.join(labels, edges["src"] == labels["node"])
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("lbl").alias("nmin")))
-        nxt = (labels.join(nmin, "node", "left")
-               .select("node", F.least("lbl", "nmin").alias("lbl"))
-               .persist())
-        changed = (nxt.join(labels.withColumnRenamed("lbl", "old"), "node")
-                   .filter(F.col("lbl") < F.col("old")).count())
-        labels.unpersist()
-        labels = nxt
-        if changed == 0:                    # scalar per round
-            break
+    # r11 (guide §5): the propagation state is NATION-sized (25 nodes,
+    # <=600 directed edges after the one fact aggregate) — a MODEL, not
+    # data. The former loop ran up to 25 rounds of join+agg+count Spark
+    # jobs with a driver scalar per round; collecting the bounded edge
+    # list (the gramian_int .collect() precedent) and running the same
+    # hash-min fixpoint in Python is value-identical: min-label
+    # propagation converges to the canonical min-id component labeling
+    # whatever the iteration schedule. At 100 TB only the fact
+    # aggregate's width changes; the label model stays 25 rows.
+    erows = [(r[0], r[1]) for r in edges.collect()]
+    nodes = [r[0] for r in nation.select("n_nationkey").collect()]
+    lbl = {n: n for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for src, dst in erows:
+            if lbl[src] < lbl[dst]:
+                lbl[dst] = lbl[src]
+                changed = True
     edges.unpersist()
-    return labels.select("node", F.col("lbl").cast("int").alias("component"))
+    out = [(int(n), int(lbl[n])) for n in nodes]
+    return spark.createDataFrame(out, "node int, component int")

@@ -94,19 +94,33 @@ def graph_label_propagation(spark, sf_dir):
     relabeling (count per (node, neighbor label), argmax by count with
     smallest-label tie-break — the pinned deterministic variant of
     Raghavan's LPA) from singleton labels, then a community-size
-    census. Each round is one edge-join + one grouped count + one
-    bounded per-node top-1 window; Spark checkpoints between rounds,
-    the oracle MATERIALIZEs each level."""
+    census. Spark checkpoints between rounds, the oracle MATERIALIZEs
+    each level.
+
+    Round shape (r11 optimization, guide §2/§3): the per-round label
+    frame is NODE-sized (the customer+supplier dimension, the same
+    bound that lets `_nation_edges` broadcast both dim tables), so it
+    is explicitly broadcast — as a checkpointed RDD its stats are
+    unknown and AQE would otherwise sort-merge, shuffling the full
+    edge list every round (measured 3 Exchanges/round at sf0.1). The
+    per-node top-1 is `max(struct(cnt, -lbl))` — an argmax the window
+    cannot express without a sort: struct ordering compares cnt first,
+    then -lbl, so the max is the highest count with the SMALLEST label
+    on ties, exactly the row_number()=1 row (unique, hence
+    order-independent), and both aggregations partial-aggregate
+    map-side where the window forced a full sort per round."""
     bi = _bi(_edges(spark, sf_dir))
     lbl = bi.select("u").distinct().select("u", F.col("u").alias("lbl"))
-    w = Window.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("lbl"))
     for _ in range(3):
-        lbl = (bi.join(lbl.select(F.col("u").alias("v2"), "lbl"),
+        lbl = (bi.join(F.broadcast(lbl.select(F.col("u").alias("v2"),
+                                              "lbl")),
                        bi["v"] == F.col("v2"))
                .groupBy("u", "lbl").agg(F.count("*").alias("cnt"))
-               .withColumn("rn", F.row_number().over(w))
-               .where(F.col("rn") == 1)
-               .select("u", "lbl")
+               .groupBy("u")
+               .agg(F.max(F.struct(F.col("cnt"),
+                                   (-F.col("lbl")).alias("neg")))
+                    .alias("top"))
+               .select("u", (-F.col("top.neg")).alias("lbl"))
                .localCheckpoint(eager=False))
     return (lbl.groupBy("lbl").agg(F.count("*").alias("csize"))
             .groupBy("csize").agg(F.count("*").alias("n_communities")))

@@ -391,23 +391,32 @@ def graph_lp_holdout_eval(spark, sf_dir):
     full graph and applied to both sides, so train/full wedge counts
     are comparable); the top-50 cut is (score DESC, s1, s2) — a
     total order. Integer counts end to end; rates in micro-units via
-    integer division."""
+    integer division.
+
+    r11 (guide §2): ONE wedge pass computes both counts. train is a
+    deterministic row-filter of capped, so a train wedge is exactly a
+    full wedge whose two edges both satisfy the split predicate:
+    cn_train(s1,s2) = sum(t_a * t_b) over the full wedge set, with t
+    the per-edge 0/1 train flag. That folds the former second wedge
+    self-join + aggregation + pair-pair shuffle join into one extra
+    SUM in the full-wedge aggregate; the former INNER join to
+    cn_train kept exactly the pairs with cn_train >= 1 (train wedges
+    are a subset of full wedges), which is the score >= 1 filter."""
     sp, pc, _deg = _bipartite(spark, sf_dir)
     capped = (sp.join(pc.filter((F.col("c") >= 2) & (F.col("c") <= 64))
                       .select("p"), "p").select("s", "p"))
-    train = capped.filter((F.col("s") * 31 + F.col("p") * 17) % 5 != 0)
-
-    def _cn(df):
-        a, b = df.alias("a"), df.alias("b")
-        return (a.join(b, (F.col("a.p") == F.col("b.p"))
-                       & (F.col("a.s") < F.col("b.s")))
-                .groupBy(F.col("a.s").alias("s1"),
-                         F.col("b.s").alias("s2"))
-                .agg(F.count("*").alias("cn")))
-
-    t = _cn(train).withColumnRenamed("cn", "score")
-    f = _cn(capped).withColumnRenamed("cn", "cn_full")
-    scored = (t.join(f, ["s1", "s2"])
+    cf = capped.select(
+        "s", "p",
+        ((F.col("s") * 31 + F.col("p") * 17) % 5 != 0)
+        .cast("bigint").alias("t"))
+    a, b = cf.alias("a"), cf.alias("b")
+    scored = (a.join(b, (F.col("a.p") == F.col("b.p"))
+                     & (F.col("a.s") < F.col("b.s")))
+              .groupBy(F.col("a.s").alias("s1"),
+                       F.col("b.s").alias("s2"))
+              .agg(F.count("*").alias("cn_full"),
+                   F.sum(F.col("a.t") * F.col("b.t")).alias("score"))
+              .where(F.col("score") >= 1)
               .select("s1", "s2", "score",
                       F.when(F.col("cn_full") > F.col("score"), 1)
                       .otherwise(0).alias("pos")))

@@ -434,8 +434,14 @@ def linkage_transitive_merge(spark, sf_dir):
                                          F.col("u").alias("v")))
           .localCheckpoint(eager=False))
     lbl = bi.select("u").distinct().select("u", F.col("u").alias("lbl"))
+    # r11: the label frame is bounded by the MATCHED-id set (sparse by
+    # construction) but checkpointed each round, so unknown stats made
+    # every round sort-merge both sides; broadcasting the labels makes
+    # each round one map pass over the checkpointed edge list plus the
+    # min-label groupBy shuffle (guide §3).
     for _ in range(3):
-        nbr = (bi.join(lbl.select(F.col("u").alias("v2"), "lbl"),
+        nbr = (bi.join(F.broadcast(lbl.select(F.col("u").alias("v2"),
+                                              "lbl")),
                        bi["v"] == F.col("v2"))
                .select("u", "lbl"))
         lbl = (lbl.select("u", "lbl").unionByName(nbr)

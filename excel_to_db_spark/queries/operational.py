@@ -404,43 +404,52 @@ def attribution_markov_removal(spark, sf_dir):
     base_edges = (cnt.join(F.broadcast(tots), "from_s")
                   .select("from_s", "to_s",
                           F.expr("(c * 1000000) DIV tot").alias("w")))
-    chans = (froms.filter(F.col("from_s") != "START")
-             .select(F.col("from_s").alias("chan")))
-    edges = (base_edges.select(F.lit("base").alias("scen"), "from_s",
-                               "to_s", "w")
-             .unionByName(
-                 base_edges.crossJoin(F.broadcast(chans))
-                 .filter(F.col("from_s") != F.col("chan"))
-                 .select(F.col("chan").alias("scen"), "from_s",
-                         F.when(F.col("to_s") == F.col("chan"), "END")
-                         .otherwise(F.col("to_s")).alias("to_s"), "w"))
-             .localCheckpoint(eager=False))
-    scens = (chans.select(F.col("chan").alias("scen"))
-             .unionByName(chans.sparkSession.range(1).select(
-                 F.lit("base").alias("scen"))))
-    v = scens.select("scen", F.lit("START").alias("state"),
-                     F.lit(1000000).cast("bigint").alias("p")) \
-        .localCheckpoint(eager=False)
-    for _ in range(_MARKOV_ROUNDS):
-        absorbed = v.filter(F.col("state").isin("CONV", "END"))
-        flow = (v.join(edges, (edges.scen == v.scen)
-                       & (edges.from_s == v.state))
-                .select(edges.scen.alias("scen"),
-                        F.col("to_s").alias("state"),
-                        F.expr("(p * w) DIV 1000000").alias("p")))
-        v = (absorbed.select("scen", "state", "p").unionByName(flow)
-             .groupBy("scen", "state").agg(F.sum("p").alias("p"))
-             .localCheckpoint(eager=False))
-    pc = (v.groupBy("scen")
-          .agg(F.coalesce(F.max(F.when(F.col("state") == "CONV",
-                                       F.col("p"))), F.lit(0))
-               .cast("bigint").alias("p_conv_micro")))
-    base = (pc.filter(F.col("scen") == "base")
-            .select(F.col("p_conv_micro").alias("pb")))
-    return (pc.crossJoin(F.broadcast(base))
-            .select(F.col("scen").alias("channel"), "p_conv_micro",
-                    F.when(F.col("scen") == "base",
-                           F.lit(None).cast("bigint"))
-                    .otherwise(F.expr(
-                        "((pb - p_conv_micro) * 1000000) DIV pb"))
-                    .alias("removal_effect_micro")))
+    # r11 (guide §2/§5): the transition model is bounded by the
+    # EVENT-TYPE VOCABULARY (<= 7 states incl. START/CONV/END), not
+    # the corpus — O(states^2) edges whatever the scale. The former
+    # distributed value iteration ran 6 rounds x 5 scenarios of
+    # <=900-row joins as full shuffle jobs (12+ tiny stages measured
+    # dominating the sf0.1 wall). Collecting the MODEL-sized edge
+    # table (the `gramian_int(...).collect()` precedent: bounded by
+    # dimension, never by data) and iterating in arbitrary-precision
+    # Python integers is hash-identical: same per-edge
+    # (p * w) DIV 1e6 snap-then-sum, same inner-join drop of dangling
+    # states, and _idiv replicates BIGINT DIV's truncation toward
+    # zero (operands here are non-negative except the final removal
+    # numerator, where // would floor instead).
+    def _idiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    erows = [(r[0], r[1], int(r[2])) for r in base_edges.collect()]
+    chans = sorted({f for f, _, _ in erows if f != "START"})
+
+    def _p_conv(removed: str | None) -> int:
+        emap: dict[str, list[tuple[str, int]]] = {}
+        for f, t, wt in erows:
+            if removed is not None:
+                if f == removed:
+                    continue
+                if t == removed:
+                    t = "END"
+            emap.setdefault(f, []).append((t, wt))
+        v = {"START": 1_000_000}
+        for _ in range(_MARKOV_ROUNDS):
+            nv: dict[str, int] = {}
+            for st, p in v.items():
+                if st in ("CONV", "END"):
+                    nv[st] = nv.get(st, 0) + p
+                else:
+                    for t, wt in emap.get(st, ()):
+                        nv[t] = nv.get(t, 0) + (p * wt) // 1_000_000
+            v = nv
+        return v.get("CONV", 0)
+
+    pb = _p_conv(None)
+    out = [("base", pb, None)]
+    out += [(c, pc,
+             _idiv((pb - pc) * 1_000_000, pb) if pb else None)
+            for c in chans for pc in (_p_conv(c),)]
+    return spark.createDataFrame(
+        out, "channel string, p_conv_micro bigint, "
+             "removal_effect_micro bigint")

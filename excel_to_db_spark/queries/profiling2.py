@@ -73,19 +73,33 @@ def dq_inclusion_census(spark, sf_dir):
     deliberate negative control (custkey vs suppkey). Each check is
     one distinct-aggregate + semi-join; the pair lattice is the
     pinned panel (full-lattice SPIDER prunes by min/max and type
-    first — same per-pair shape)."""
-    rows = []
+    first — same per-pair shape).
+
+    r11 (guide §5): the former 10 SEQUENTIAL driver-blocking counts
+    (two eager .count()s per pair) are now five 1-row aggregate
+    subtrees UNIONed into the one returned plan — both counts per
+    pair come from a single distinct-left-join pass (count(*) over
+    the distinct A side, count(m) the matched subset; B is distinct,
+    so the left join is 1:1 and count(*) equals the old a.count()),
+    and the five branches schedule concurrently inside one job
+    instead of serializing through the driver."""
+    branches = []
     for frm, to in _INCLUSIONS:
         ft, fc = frm.split(".")
         tt, tc = to.split(".")
         a = T(spark, sf_dir, ft).select(F.col(fc).alias("k")).distinct()
-        b = T(spark, sf_dir, tt).select(F.col(tc).alias("k")).distinct()
-        n_from = a.count()
-        n_cont = a.join(b, "k", "left_semi").count()
-        rows.append((frm, to, n_from, n_cont))
-    df = spark.createDataFrame(
-        rows, "from_col string, to_col string,"
-        " n_distinct_from long, n_contained long")
+        b = (T(spark, sf_dir, tt).select(F.col(tc).alias("k")).distinct()
+             .withColumn("m", F.lit(1)))
+        branches.append(
+            a.join(b, "k", "left")
+            .agg(F.count("*").alias("n_distinct_from"),
+                 F.count("m").alias("n_contained"))
+            .select(F.lit(frm).alias("from_col"),
+                    F.lit(to).alias("to_col"),
+                    "n_distinct_from", "n_contained"))
+    df = branches[0]
+    for br in branches[1:]:
+        df = df.unionByName(br)
     return df.select(
         "from_col", "to_col", "n_distinct_from", "n_contained",
         F.expr("n_contained * 1000000 div n_distinct_from")
@@ -220,17 +234,30 @@ def dq_orphan_audit(spark, sf_dir):
     count and micro rate of fact rows whose key has no match in the
     dimension (anti-join). Zero everywhere = the join graph is safe
     to inner-join; anything else quantifies the rows an inner join
-    silently drops. Anti-joins with broadcastable dimension sides."""
-    rows = []
+    silently drops. Anti-joins with broadcastable dimension sides.
+
+    r11 (guide §5): formerly 8 SEQUENTIAL driver-blocking counts (an
+    eager fact .count() + anti-join .count() per FK); now four 1-row
+    aggregate subtrees UNIONed into the one returned plan, each a
+    single left join against the DISTINCT dim keys (distinct keeps
+    the join 1:1 — dq_key_discovery documents that the generator
+    violates some nominal keys, and a duplicated dim key would
+    inflate both counts) with n_orphans = count(*) - count(match),
+    exactly the anti-join count."""
+    branches = []
     for ft, fc, tt, tc in _FKS:
-        fact = T(spark, sf_dir, ft)
-        dim = T(spark, sf_dir, tt).select(F.col(tc).alias("k"))
-        n = fact.count()
-        orphans = (fact.select(F.col(fc).alias("k"))
-                   .join(F.broadcast(dim), "k", "left_anti").count())
-        rows.append((f"{ft}.{fc} -> {tt}.{tc}", n, orphans))
-    out = spark.createDataFrame(
-        rows, "fk string, n_rows long, n_orphans long")
+        fact = T(spark, sf_dir, ft).select(F.col(fc).alias("k"))
+        dim = (T(spark, sf_dir, tt).select(F.col(tc).alias("k"))
+               .distinct().withColumn("m", F.lit(1)))
+        branches.append(
+            fact.join(F.broadcast(dim), "k", "left")
+            .agg(F.count("*").alias("n_rows"),
+                 (F.count("*") - F.count("m")).alias("n_orphans"))
+            .select(F.lit(f"{ft}.{fc} -> {tt}.{tc}").alias("fk"),
+                    "n_rows", "n_orphans"))
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionByName(br)
     return out.select(
         "fk", "n_rows", "n_orphans",
         F.expr("n_orphans * 1000000 div n_rows")

@@ -370,7 +370,18 @@ def _slice_events_for_replay(spark: SparkSession, sf_dir: str) -> str:
     order) for multi-micro-batch replays. Fixed calendar slice points
     (the corpus spans January): slices are time-ordered, so no
     cross-batch late data is dropped and the final emitted set depends
-    only on the data, not the slicing."""
+    only on the data, not the slicing.
+
+    r11 (guide §6): ONE scan writes all four slices — a slice-id
+    column from the cut points, hash-repartitioned so each slice lands
+    in exactly one task, written with partitionBy and renamed into the
+    flat ascending replay names. The previous shape ran four separate
+    filtered scans + coalesce(1) writes (4 jobs over the full log per
+    staging, x3 streaming keys). Slice membership is unchanged: the
+    when-chain reproduces the [lo, hi) filters, and the explicit
+    isNotNull guard reproduces their null-dropping. A slice with no
+    rows (never on this corpus's January span, but contractually four
+    files) falls back to an empty single-file write."""
     import os
     import tempfile
 
@@ -379,20 +390,28 @@ def _slice_events_for_replay(spark: SparkSession, sf_dir: str) -> str:
     out = tempfile.mkdtemp(prefix="e2db_mbatch_")
     batch = load_table(spark, sf_dir, "events")
     cuts = ["2024-01-09", "2024-01-17", "2024-01-25"]
-    lo = None
-    for i, hi in enumerate(cuts + [None]):
-        part = batch
-        if lo is not None:
-            part = part.filter(F.col("ts") >= F.lit(lo))
-        if hi is not None:
-            part = part.filter(F.col("ts") < F.lit(hi))
-        pdir = os.path.join(out, f"slice_{i}.dir")
-        part.coalesce(1).write.mode("overwrite").parquet(pdir)
-        fname = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+    ts = F.col("ts")
+    sl = (F.when(ts < F.lit(cuts[0]), 0)
+          .when(ts < F.lit(cuts[1]), 1)
+          .when(ts < F.lit(cuts[2]), 2).otherwise(3))
+    stage = os.path.join(out, "stage")
+    (batch.where(ts.isNotNull()).withColumn("sl", sl)
+     .repartition(4, F.col("sl"))
+     .write.partitionBy("sl").mode("overwrite").parquet(stage))
+    for i in range(4):
+        pdir = os.path.join(stage, f"sl={i}")
         dest = os.path.join(out, f"slice_{i}.parquet")
-        os.rename(os.path.join(pdir, fname), dest)
+        if os.path.isdir(pdir):
+            fname = [f for f in os.listdir(pdir)
+                     if f.endswith(".parquet")][0]
+            os.rename(os.path.join(pdir, fname), dest)
+        else:  # empty slice: keep the 4-file replay contract
+            pd0 = os.path.join(out, f"empty_{i}.dir")
+            batch.limit(0).coalesce(1).write.mode("overwrite").parquet(pd0)
+            fname = [f for f in os.listdir(pd0)
+                     if f.endswith(".parquet")][0]
+            os.rename(os.path.join(pd0, fname), dest)
         os.utime(dest, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
-        lo = hi
     return out
 
 

@@ -17,6 +17,23 @@ def main(keys: list[str]) -> int:
 
     import __spark_entry__ as E
 
+    if os.environ.get("EXPLAIN_NO_CHECKPOINT"):
+        # Iterative keys cut lineage with localCheckpoint per round, so
+        # their final explain shows only Scan ExistingRDD leaves — the
+        # per-round join strategy is invisible. This measurement-only
+        # switch makes checkpoint a no-op so the UNROLLED plan (every
+        # round's joins/exchanges) is dumpable. Never affects query
+        # execution — tools/ only.
+        from pyspark.sql import DataFrame
+
+        DataFrame.localCheckpoint = lambda self, eager=True: self
+        try:  # Spark 4: the runtime class overrides the base method
+            from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+            CDF.localCheckpoint = lambda self, eager=True: self
+        except ImportError:
+            pass
+
     sf_dir = os.environ.get("EXPLAIN_SF_DIR", "/root/testdata/sf0.01")
     spark = (SparkSession.builder.master("local[4]")
              .appName("explain")
