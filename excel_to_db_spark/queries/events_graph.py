@@ -395,22 +395,33 @@ def graph_bfs_levels(spark, sf_dir):
     edges = (w.withColumn("rn", rn).filter(F.col("rn") <= 2)
              .select("src", "dst").persist())
 
-    seed = (nation.filter(F.col("n_nationkey") == 0)
-            .select(F.col("n_nationkey").alias("node"),
-                    F.lit(0).alias("level")))
-    visited, frontier = seed, seed
-    for depth in range(1, 13):
-        nxt = (frontier.join(edges, frontier["node"] == edges["src"])
-               .select(F.col("dst").alias("node")).distinct()
-               .join(visited.select("node"), "node", "left_anti")
-               .select("node", F.lit(depth).alias("level"))
-               .persist())
-        if nxt.count() == 0:            # scalar per hop; also materializes
-            break
-        visited = visited.union(nxt)
-        frontier = nxt
+    # r11 (guide §5, the markov/components precedent): the sparsified
+    # digraph is MODEL-sized by construction — 25 nations x top-2
+    # outbound edges, bounded by the nation schema at any corpus
+    # scale — so after the ONE fact aggregate the BFS state is <=50
+    # rows. The former loop ran up to 12 hops of join+anti-join+count
+    # Spark jobs; the same frontier BFS over the collected edge list
+    # is level-identical (hop order is the BFS order on both sides).
+    # At a genuinely data-sized graph the distributed frontier loop
+    # (graph_components pre-r11 shape) remains the right budget; here
+    # the model bound makes the collect exact and O(1).
+    erows = [(r[0], r[1]) for r in edges.collect()]
     edges.unpersist()
-    return visited
+    adj: dict[int, list[int]] = {}
+    for src, dst in erows:
+        adj.setdefault(src, []).append(dst)
+    level = {0: 0}
+    frontier = [0]
+    for depth in range(1, 13):
+        nxt = sorted({d for n in frontier for d in adj.get(n, ())
+                      if d not in level})
+        if not nxt:
+            break
+        for d in nxt:
+            level[d] = depth
+        frontier = nxt
+    out = sorted((int(n), int(lv)) for n, lv in level.items())
+    return spark.createDataFrame(out, "node int, level int")
 
 
 # -------------------------------------------- position-based attribution

@@ -224,30 +224,36 @@ def graph_harmonic_closeness(spark, sf_dir):
     ONCE into the edge list; the loop shuffles node-pair state only
     — the budget that survives a 100 TB fact table feeding a
     million-node graph. Per-distance terms are exact 1e6 // d."""
-    edges = _nation_edges(spark, sf_dir).persist()
-    nation = T(spark, sf_dir, "nation")
-    seed = nation.select(F.col("n_nationkey").alias("src"),
-                         F.col("n_nationkey").alias("node"),
-                         F.lit(0).alias("level"))
-    visited, frontier = seed, seed
-    for depth in range(1, 13):
-        nxt = (frontier.join(edges, frontier["node"] == edges["src"])
-               .select(frontier["src"].alias("src"),
-                       F.col("dst").alias("node")).distinct()
-               .join(visited.select("src", "node"), ["src", "node"],
-                     "left_anti")
-               .select("src", "node", F.lit(depth).alias("level"))
-               .persist())
-        if nxt.count() == 0:
-            break
-        visited = visited.union(nxt)
-        frontier = nxt
-    edges.unpersist()
-    return (visited.groupBy(F.col("src").alias("nation"))
-            .agg((F.count("*") - 1).alias("reached"),
-                 F.sum(F.when(F.col("level") > 0,
-                              F.expr("1000000 DIV level"))
-                       .otherwise(0)).alias("harmonic_micro")))
+    # r11 (guide §5, the markov/components precedent): the sparsified
+    # digraph is MODEL-sized (25 nations x top-2 out-edges, bounded by
+    # the nation schema), so all-sources BFS state is <=625 pairs. The
+    # former loop ran up to 12 hops of join+anti-join+count Spark jobs
+    # per replay; the same BFS over the collected edge list computes
+    # identical levels (depth cap 12 kept), and the per-distance
+    # 1e6 // d terms are the same exact integers.
+    erows = [(r[0], r[1]) for r in _nation_edges(spark, sf_dir).collect()]
+    nodes = [r[0] for r in T(spark, sf_dir, "nation")
+             .select("n_nationkey").collect()]
+    adj: dict[int, list[int]] = {}
+    for src, dst in erows:
+        adj.setdefault(src, []).append(dst)
+    out = []
+    for s in nodes:
+        level = {s: 0}
+        frontier = [s]
+        for depth in range(1, 13):
+            nxt = [d for n in frontier for d in adj.get(n, ())
+                   if d not in level]
+            if not nxt:
+                break
+            for d in nxt:
+                level[d] = depth
+            frontier = sorted(set(nxt))
+        out.append((int(s), len(level) - 1,
+                    sum(1_000_000 // lv for lv in level.values()
+                        if lv > 0)))
+    return spark.createDataFrame(
+        out, "nation int, reached bigint, harmonic_micro bigint")
 
 
 # ---------------------------------------------- truncated Katz
@@ -305,34 +311,39 @@ def graph_katz3(spark, sf_dir):
     the edge list, A^3 one more join of A^2 with A — on the 25-node
     aggregate, after the fact table collapsed ONCE. Top-20 by
     (katz DESC, u, v) — fully deterministic."""
-    edges = _nation_edges(spark, sf_dir).persist()
-    p1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"),
-                      F.lit(1).cast("bigint").alias("n1"))
-    a, b = edges.alias("a"), edges.alias("b")
-    p2 = (a.join(b, F.col("a.dst") == F.col("b.src"))
-          .groupBy(F.col("a.src").alias("u"), F.col("b.dst").alias("v"))
-          .agg(F.count("*").alias("n2")))
-    e = edges.alias("e")
-    p3 = (p2.alias("p2").join(e, F.col("p2.v") == F.col("e.src"))
-          .groupBy(F.col("p2.u").alias("u"), F.col("e.dst").alias("v"))
-          .agg(F.sum("p2.n2").alias("n3")))
-    uni = (p1.select("u", "v").union(p2.select("u", "v"))
-           .union(p3.select("u", "v")).distinct())
-    katz = (uni.join(p1, ["u", "v"], "left")
-            .join(p2, ["u", "v"], "left")
-            .join(p3, ["u", "v"], "left")
-            .filter(F.col("u") != F.col("v"))
-            .select("u", "v",
-                    F.coalesce("n1", F.lit(0)).alias("w1"),
-                    F.coalesce("n2", F.lit(0)).alias("w2"),
-                    F.coalesce("n3", F.lit(0)).alias("w3")))
-    out = katz.select(
-        "u", "v", "w1", "w2", "w3",
-        (100000 * F.col("w1") + 10000 * F.col("w2")
-         + 1000 * F.col("w3")).cast("bigint").alias("katz_micro"))
-    res = out.orderBy(F.col("katz_micro").desc(), "u", "v").limit(20)
-    edges.unpersist()
-    return res
+    # r11 (guide §5, the markov/components precedent): the sparsified
+    # digraph is MODEL-sized (25 nations x top-2 out-edges), so the
+    # A^2/A^3 walk algebra runs over <=50 edges. The former plan ran
+    # two self-joins, three aggregations and a 3-way left join as
+    # Spark jobs; the identical integer walk counts come from the
+    # collected edge list in Python (exact ints, same top-20 under
+    # the same (katz DESC, u, v) total order).
+    erows = [(r[0], r[1]) for r in _nation_edges(spark, sf_dir).collect()]
+    from collections import Counter
+
+    w1 = Counter((u, v) for u, v in erows)          # 0/1 by construction
+    adj: dict[int, list[int]] = {}
+    for u, v in erows:
+        adj.setdefault(u, []).append(v)
+    w2: Counter = Counter()
+    for (u, v), _ in w1.items():
+        for x in adj.get(v, ()):
+            w2[(u, x)] += 1
+    w3: Counter = Counter()
+    for (u, v), n in w2.items():
+        for x in adj.get(v, ()):
+            w3[(u, x)] += n
+    uni = (set(w1) | set(w2) | set(w3))
+    rows = [(int(u), int(v), w1.get((u, v), 0), w2.get((u, v), 0),
+             w3.get((u, v), 0))
+            for u, v in uni if u != v]
+    rows = [(u, v, a, b2, c, 100000 * a + 10000 * b2 + 1000 * c)
+            for u, v, a, b2, c in rows]
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return spark.createDataFrame(
+        rows[:20],
+        "u int, v int, w1 bigint, w2 bigint, w3 bigint, "
+        "katz_micro bigint")
 
 
 # ------------------------------------------- holdout evaluation
