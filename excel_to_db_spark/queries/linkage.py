@@ -234,16 +234,22 @@ def linkage_blocking_census(spark, sf_dir):
     the shape that hash-partitions at any scale."""
     clean, dirty = _clean_dirty(spark, sf_dir)
     pairs = _block_pairs(clean, dirty)
-    n_clean = clean.count()
-    n_dirty = dirty.count()
-    return pairs.agg(
+    # r11 (guide §5): the two record counts were sequential eager jobs
+    # injected as literals; now 1-row aggregate subtrees cross-joined
+    # into the returned plan — identical integer divisions on columns.
+    scal = (clean.agg(F.count("*").alias("n_clean"))
+            .crossJoin(dirty.agg(F.count("*").alias("n_dirty"))))
+    return (pairs.agg(
         F.count("*").alias("n_cand"),
         F.sum(F.when(F.col("cid") == F.col("did"), 1).otherwise(0))
-        .alias("n_true"),
-        F.expr(f"sum(CASE WHEN cid = did THEN 1 ELSE 0 END) * 1000000"
-               f" div {n_dirty}").alias("completeness_micro"),
-        F.expr(f"1000000 - count(*) * 1000000"
-               f" div ({n_clean} * {n_dirty})").alias("reduction_micro"))
+        .alias("n_true"))
+        .crossJoin(F.broadcast(scal))
+        .select("n_cand", "n_true",
+                F.expr("n_true * 1000000 div n_dirty")
+                .alias("completeness_micro"),
+                F.expr("1000000 - n_cand * 1000000"
+                       " div (n_clean * n_dirty)")
+                .alias("reduction_micro")))
 
 
 @query("linkage_sorted_neighborhood", oracle=f"""
@@ -267,13 +273,17 @@ def linkage_sorted_neighborhood(spark, sf_dir):
     lead(col, j) over a per-j window — identical pairs."""
     clean, dirty = _clean_dirty(spark, sf_dir)
     pairs = _snm_pairs(clean, dirty)
-    n_dirty = dirty.count()
-    return pairs.agg(
+    # r11 (guide §5): the dirty-count literal was a sequential eager
+    # job; now a 1-row aggregate cross-joined into the returned plan.
+    return (pairs.agg(
         F.count("*").alias("n_cand"),
         F.sum(F.when(F.col("cid") == F.col("did"), 1).otherwise(0))
-        .alias("n_true"),
-        F.expr(f"sum(CASE WHEN cid = did THEN 1 ELSE 0 END) * 1000000"
-               f" div {n_dirty}").alias("completeness_micro"))
+        .alias("n_true"))
+        .crossJoin(F.broadcast(dirty.agg(F.count("*")
+                                         .alias("n_dirty"))))
+        .select("n_cand", "n_true",
+                F.expr("n_true * 1000000 div n_dirty")
+                .alias("completeness_micro")))
 
 
 _FS_SCORE_SQL = f"""

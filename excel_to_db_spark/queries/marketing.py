@@ -254,17 +254,23 @@ def mkt_halo_lift(spark, sf_dir):
         & (F.col("view_ts") >= purch["pts"] - 3600)
         & (F.col("view_ts") < purch["pts"]), "left_semi")
         .select("user_id", "pts"))
-    n_p = purch.count()
-    n_c = after_click.count()
-    n_v = after_view.count()
-    one = spark.range(1)
-    return one.select(
-        F.lit(n_p).cast("bigint").alias("n_purchases"),
-        F.lit(n_c).cast("bigint").alias("n_after_click_1h"),
-        F.lit(n_c * 1_000_000 // n_p).cast("bigint")
-        .alias("click_share_micro"),
-        F.lit(n_v).cast("bigint").alias("n_after_view_1h"),
-        F.lit(n_v * 1_000_000 // n_p).cast("bigint")
-        .alias("view_share_micro"),
-        F.lit(n_c * 1_000_000 // n_v if n_v > 0 else 0).cast("bigint")
-        .alias("lift_vs_view_micro"))
+    # r11 (guide §5): the three arm counts were SEQUENTIAL eager jobs;
+    # now three 1-row aggregates cross-joined into the one returned
+    # plan (branches schedule concurrently inside a single job), with
+    # the micro divisions as integer DIV on the scalar columns —
+    # identical values, zero driver round trips.
+    totals = purch.agg(F.count("*").alias("n_purchases"))
+    nc = after_click.agg(F.count("*").alias("n_after_click_1h"))
+    nv = after_view.agg(F.count("*").alias("n_after_view_1h"))
+    return (totals.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(nv))
+            .select(
+                "n_purchases", "n_after_click_1h",
+                F.expr("n_after_click_1h * 1000000 div n_purchases")
+                .cast("bigint").alias("click_share_micro"),
+                "n_after_view_1h",
+                F.expr("n_after_view_1h * 1000000 div n_purchases")
+                .cast("bigint").alias("view_share_micro"),
+                F.expr("CASE WHEN n_after_view_1h > 0 THEN "
+                       "n_after_click_1h * 1000000 div n_after_view_1h "
+                       "ELSE 0 END").cast("bigint")
+                .alias("lift_vs_view_micro")))

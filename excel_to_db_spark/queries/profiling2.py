@@ -138,16 +138,24 @@ def dq_key_discovery(spark, sf_dir):
     a verdict column says which candidates actually hold as keys in
     THIS corpus (the synthetic generator violates some nominal TPC-H
     keys, which this scan is exactly the tool to catch). One
-    distinct-aggregate per candidate."""
-    rows = []
+    distinct-aggregate per candidate.
+
+    r11 (guide §5): formerly 10 SEQUENTIAL driver-blocking jobs (an
+    eager .count() + distinct().count() per candidate); now five
+    1-row count/count_distinct aggregates UNIONed into the one
+    returned plan, scheduled concurrently inside a single job."""
+    branches = []
     for t, lbl, ex in _KEY_CANDS:
         df = T(spark, sf_dir, t)
-        n = df.count()
-        ndv = (df.select(F.expr(ex.replace("VARCHAR", "STRING"))
-                         .alias("k")).distinct().count())
-        rows.append((f"{t}.{lbl}", n, ndv))
-    out = spark.createDataFrame(
-        rows, "candidate string, n_rows long, ndv long")
+        k = F.expr(ex.replace("VARCHAR", "STRING"))
+        branches.append(df.agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct(k).alias("ndv"))
+            .select(F.lit(f"{t}.{lbl}").alias("candidate"),
+                    "n_rows", "ndv"))
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionByName(br)
     return out.select(
         "candidate", "n_rows", "ndv",
         F.expr("ndv * 1000000 div n_rows").alias("uniqueness_micro"),
