@@ -40,6 +40,45 @@ def salted_join(big: DataFrame, small: DataFrame, big_key: str,
     return out.drop("_salt")
 
 
+def bounded_broadcast(df: DataFrame, sf_dir: str, tables: tuple[str, ...],
+                      limit_rows: int = 8_000_000) -> DataFrame:
+    """Broadcast hint GATED on the frame's proven row bound (r11).
+
+    The iterative keys' per-round small frames (surviving nodes,
+    label/score vectors, linkage record sides) are checkpointed RDDs
+    with unknown stats, so AQE sort-merges the full edge list every
+    round; an explicit F.broadcast() fixes that at bench scale but —
+    unconditionally — would hard-fail (8 GB broadcast cap / driver
+    OOM) at a scale factor where the bounding DIMENSION has grown
+    data-sized, exactly the graceful-degradation the plain join kept.
+    This gate reads the bounding tables' parquet footers (no job, the
+    _sessionizer_state_partitions pattern): the frame is provably no
+    larger than the sum of its bounding dimensions' row counts, so
+    below `limit_rows` the hint is safe; above it — or whenever the
+    bound can't be established (non-file source, missing table) — the
+    frame is returned unhinted and the join degrades to sort-merge,
+    the scale-correct default."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for t in tables:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.isdir(path):
+                total += sum(
+                    pq.read_metadata(os.path.join(path, f)).num_rows
+                    for f in os.listdir(path) if f.endswith(".parquet"))
+            else:
+                total += pq.read_metadata(path).num_rows
+    except Exception:
+        return df
+    if total > limit_rows:
+        return df
+    return F.broadcast(df)
+
+
 def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     """Explicit-N repartition, GATED on the input scan actually being
     narrow — the round-9 generalization of the round-8 parallelism-

@@ -680,11 +680,14 @@ def pipeline_curation_funnel(spark, sf_dir):
                    F.sum(F.when(in_s2, F.col("n_tok"))).alias("g_t_tok"),
                    F.min(F.when(in_s2, F.col("doc_id") * 1000000000
                                 + F.col("n_tok"))).alias("k")))
+    # doc COUNTS coalesce to 0 (the oracle's count(*) over an empty
+    # stage is 0) while the token SUMS stay NULL (sum over zero rows)
     tot = per_fp.agg(
-        F.sum("g_docs").alias("d0"), F.sum("g_tok").cast("bigint").alias("t0"),
-        F.sum("g_q_docs").alias("d1"),
+        F.coalesce(F.sum("g_docs"), F.lit(0)).alias("d0"),
+        F.sum("g_tok").cast("bigint").alias("t0"),
+        F.coalesce(F.sum("g_q_docs"), F.lit(0)).alias("d1"),
         F.sum("g_q_tok").cast("bigint").alias("t1"),
-        F.sum("g_t_docs").alias("d2"),
+        F.coalesce(F.sum("g_t_docs"), F.lit(0)).alias("d2"),
         F.sum("g_t_tok").cast("bigint").alias("t2"),
         F.count("k").alias("d3"),
         F.sum(F.col("k") % 1000000000).cast("bigint").alias("t3"))

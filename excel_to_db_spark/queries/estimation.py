@@ -506,6 +506,8 @@ def graph_kcore(spark, sf_dir):
     4-round union OOMs the driver just STRINGIFYING the tree
     (measured at sf0.001). Checkpointing makes each round a plan
     leaf: constant-size tree, one short job per round."""
+    from ..operators.skew import bounded_broadcast
+
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     x, y = li.alias("x"), li.alias("y")
     e0 = (x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
@@ -538,10 +540,15 @@ def graph_kcore(spark, sf_dir):
         # per round. Broadcasting the survivor set turns each round
         # into two BroadcastHashJoin(LeftSemi) map passes over the
         # checkpointed edges: zero edge shuffles per round (guide §3).
+        # bounded_broadcast gates on the part dimension's footer row
+        # count, so a data-sized part table falls back to sort-merge
+        # instead of blowing the broadcast cap.
         nxt = (cur
-               .join(F.broadcast(keep.withColumnRenamed("node", "a")),
+               .join(bounded_broadcast(
+                   keep.withColumnRenamed("node", "a"), sf_dir, ("part",)),
                      "a", "left_semi")
-               .join(F.broadcast(keep.withColumnRenamed("node", "b")),
+               .join(bounded_broadcast(
+                   keep.withColumnRenamed("node", "b"), sf_dir, ("part",)),
                      "b", "left_semi")
                .select("a", "b").localCheckpoint(eager=False))
         stats.append(

@@ -222,18 +222,26 @@ def graph_hits(spark, sf_dir):
     # checkpointed, so its stats are unknown and each half-round
     # sort-merged, shuffling the full edge list. Broadcasting the
     # score side makes each half-round one map pass over the
-    # checkpointed edges + its groupBy shuffle (guide §3).
+    # checkpointed edges + its groupBy shuffle (guide §3);
+    # bounded_broadcast gates on the bounding dimension's footer row
+    # count so data-sized dims degrade to sort-merge, not a broadcast
+    # failure.
+    from ..operators.skew import bounded_broadcast
+
+    def bb(df, tables):
+        return bounded_broadcast(df, sf_dir, tables)
+
     a1 = edges.groupBy("s").agg(
         (F.count("*") * 1000000).alias("a_raw"))
     a1n = norm(a1, "s", "a_raw").withColumnRenamed("v", "a")
-    h1 = (edges.join(F.broadcast(a1n), "s").groupBy("c")
+    h1 = (edges.join(bb(a1n, ("supplier",)), "s").groupBy("c")
           .agg(F.sum("a").alias("h_raw")))
     h1n = norm(h1, "c", "h_raw").withColumnRenamed("v", "h")
-    a2 = (edges.join(F.broadcast(h1n), "c").groupBy("s")
+    a2 = (edges.join(bb(h1n, ("customer",)), "c").groupBy("s")
           .agg(F.sum("h").alias("a_raw")))
     a2n = norm(a2, "s", "a_raw").withColumnRenamed("v", "a")
     deg = edges.groupBy("s").agg(F.count("*").alias("in_deg"))
-    return (a2n.join(F.broadcast(deg), "s")
+    return (a2n.join(bb(deg, ("supplier",)), "s")
             .select(F.col("s").alias("s_suppkey"),
                     F.col("a").alias("authority_micro"), "in_deg")
             .orderBy(F.col("authority_micro").desc(), "s_suppkey")

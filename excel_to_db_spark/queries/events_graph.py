@@ -407,6 +407,11 @@ def graph_bfs_levels(spark, sf_dir):
     # the model bound makes the collect exact and O(1).
     erows = [(r[0], r[1]) for r in edges.collect()]
     edges.unpersist()
+    seeds = [r[0] for r in nation
+             .filter(F.col("n_nationkey") == 0)
+             .select("n_nationkey").collect()]
+    if not seeds:  # the old seed filter matched nothing -> empty frame
+        return spark.createDataFrame([], "node int, level int")
     adj: dict[int, list[int]] = {}
     for src, dst in erows:
         adj.setdefault(src, []).append(dst)

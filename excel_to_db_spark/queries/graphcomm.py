@@ -109,11 +109,14 @@ def graph_label_propagation(spark, sf_dir):
     on ties, exactly the row_number()=1 row (unique, hence
     order-independent), and both aggregations partial-aggregate
     map-side where the window forced a full sort per round."""
+    from ..operators.skew import bounded_broadcast
+
     bi = _bi(_edges(spark, sf_dir))
     lbl = bi.select("u").distinct().select("u", F.col("u").alias("lbl"))
     for _ in range(3):
-        lbl = (bi.join(F.broadcast(lbl.select(F.col("u").alias("v2"),
-                                              "lbl")),
+        lbl = (bi.join(bounded_broadcast(
+                           lbl.select(F.col("u").alias("v2"), "lbl"),
+                           sf_dir, ("customer", "supplier")),
                        bi["v"] == F.col("v2"))
                .groupBy("u", "lbl").agg(F.count("*").alias("cnt"))
                .groupBy("u")

@@ -374,9 +374,13 @@ def _fs_scored(spark, sf_dir):
                          F.substring(F.col("s"), 1, 2)
                          .alias(f"{sn}_pfx"))
 
+    from ..operators.skew import bounded_broadcast
+
     cand = (cand_ids
-            .join(F.broadcast(_side(clean, "cid", "cs")), "cid")
-            .join(F.broadcast(_side(dirty, "did", "ds")), "did"))
+            .join(bounded_broadcast(_side(clean, "cid", "cs"),
+                                    sf_dir, ("part",)), "cid")
+            .join(bounded_broadcast(_side(dirty, "did", "ds"),
+                                    sf_dir, ("part",)), "did"))
     lev = F.levenshtein("cs", "ds", 1)
     tok = F.col("cs_tok") == F.col("ds_tok")
     pfx = F.col("cs_pfx") == F.col("ds_pfx")
@@ -477,13 +481,17 @@ def linkage_transitive_merge(spark, sf_dir):
           .localCheckpoint(eager=False))
     lbl = bi.select("u").distinct().select("u", F.col("u").alias("lbl"))
     # r11: the label frame is bounded by the MATCHED-id set (sparse by
-    # construction) but checkpointed each round, so unknown stats made
-    # every round sort-merge both sides; broadcasting the labels makes
-    # each round one map pass over the checkpointed edge list plus the
-    # min-label groupBy shuffle (guide §3).
+    # construction, <= 2x the part dimension) but checkpointed each
+    # round, so unknown stats made every round sort-merge both sides;
+    # broadcasting the labels makes each round one map pass over the
+    # checkpointed edge list plus the min-label groupBy shuffle
+    # (guide §3); size-gated on the part dimension.
+    from ..operators.skew import bounded_broadcast
+
     for _ in range(3):
-        nbr = (bi.join(F.broadcast(lbl.select(F.col("u").alias("v2"),
-                                              "lbl")),
+        nbr = (bi.join(bounded_broadcast(
+                           lbl.select(F.col("u").alias("v2"), "lbl"),
+                           sf_dir, ("part",)),
                        bi["v"] == F.col("v2"))
                .select("u", "lbl"))
         lbl = (lbl.select("u", "lbl").unionByName(nbr)
