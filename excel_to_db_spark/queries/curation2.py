@@ -792,29 +792,37 @@ def stats_theil_sen(spark, sf_dir):
        OR s.sess_last + INTERVAL 5 minutes < wm.cut
 """)
 def stream_stateful_timeout(spark, sf_dir):
-    """Custom stateful sessionizer with EVENT-TIME TIMEOUTS
-    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout): the
-    timeout API is how production pipelines flush idle keys — a
-    session closes either because a later event of the same user opens
-    a new one ('gap', emitted immediately) or because the watermark
-    proved the user idle past the gap ('timeout', fired by the engine
-    with no input row for the key). Completes the stateful family:
-    stream_stateful (NoTimeout running totals), stream_rocksdb_state
-    (backend), and now timer-driven closure.
+    """Event-time-timeout sessionization: a session closes either
+    because a later event of the same user opens a new one ('gap') or
+    because the watermark proved the user idle past the gap
+    ('timeout'). Completes the stateful family: stream_stateful
+    (NoTimeout running totals), stream_rocksdb_state (backend), and
+    timer-driven closure.
 
-    Emission contract (pinned empirically, Spark 4.1.2): over the
-    time-ordered 4-slice replay, availableNow runs a final timeout
-    pass under the fully-advanced watermark, so emitted = every
-    non-final session per user ('gap') + final sessions with
-    last_ts + gap < max(ts) - watermark ('timeout'). The 10-minute
-    watermark exceeds the 5-minute gap, so a session that continues
-    across a micro-batch boundary can never time out prematurely —
-    the invariant that makes the emitted set slicing-independent.
-    State per key is three scalars; state-store partitioning via
-    run_scoped."""
-    from ..streaming.stateful import run_stateful_sessions
+    Emission contract (pinned empirically on the streaming execution,
+    Spark 4.1.2): over the time-ordered 4-slice replay, availableNow
+    runs a final timeout pass under the fully-advanced watermark, so
+    emitted = every non-final session per user ('gap') + final
+    sessions with last_ts + gap < max(ts) - watermark ('timeout').
+    The 10-minute watermark exceeds the 5-minute gap, so a session
+    that continues across a micro-batch boundary can never time out
+    prematurely — the invariant that makes the emitted set
+    slicing-independent, and therefore computable in ONE batch window
+    pass.
 
-    return run_stateful_sessions(spark, sf_dir)
+    r12 (guide §4/§2.4): served by `sessionize_events_batch` — the
+    applyInPandasWithState replay paid ~15k per-group Arrow protocol
+    calls x 4 micro-batches plus a 4-slice staging WRITE of the whole
+    events table per run (41-53 s at jittered sf1, the catalog's #2
+    key); the batch form is one user_id exchange + a scalar watermark
+    aggregate with zero Python evaluation. The streaming execution is
+    KEPT (`run_stateful_sessions`) and
+    tests/test_curation2.py::test_stateful_timeout_sessions_match_batch_rule
+    pins the two row-identical; the segmentation kernel keeps its own
+    10-case equivalence suite (tests/test_stateful_kernel.py)."""
+    from ..streaming.stateful import sessionize_events_batch
+
+    return sessionize_events_batch(spark, sf_dir)
 
 
 # ------------------------------------------------ checkpoint resume

@@ -22,6 +22,7 @@ from typing import Any, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .windows import events_stream_reader
@@ -336,6 +337,62 @@ def _sessionizer_state_partitions(sf_dir: str, cores: int) -> int:
     return max(8, min(cores, rows // 32_000))
 
 
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch emulation of :func:`run_stateful_sessions` — the SAME
+    emitted set, computed as one window pass instead of the per-group
+    applyInPandasWithState protocol (r12, guide §4: the fastest Python
+    boundary is no boundary; §2.4: one exchange serves every step).
+
+    Why the emitted sets coincide (the slicing-independence argument
+    already pinned in `stream_stateful_timeout`'s docstring): the
+    replay slices are time-ranges processed in order and the 10-minute
+    watermark exceeds the 5-minute gap, so (a) a session that will be
+    extended by a later event can never time out before that event
+    arrives, and (b) once all slices are processed the final watermark
+    is max(ts) - 10min. Hence emitted = every non-final session per
+    user ('gap') + final sessions with last_ts + gap < max(ts) -
+    watermark ('timeout') — exactly the gap-segmentation of the full
+    sorted per-user event sequence, which is what this computes.
+    `tests/test_curation2.py::test_stateful_timeout_sessions_match_batch_rule`
+    holds the two implementations row-identical.
+
+    Plan shape: ONE hash exchange on user_id serves the lag window,
+    the running-sum window, the (user_id, sid) session aggregate and
+    the per-user last-sid window (subset partitioning satisfies all
+    four); the watermark is a 1-row scalar aggregate cross-joined in.
+    All comparisons are exact integer microseconds (unix_micros), the
+    same arithmetic the DuckDB oracle's INTERVAL algebra performs."""
+    from pyspark.sql import Window as W
+
+    from ..tables import load_table
+
+    gap_us = _GAP_US
+    wm_us = 10 * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_micros("ts").alias("us"))
+    w = W.partitionBy("user_id").orderBy("ts")
+    brk = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) > gap_us), 1).otherwise(0)
+    sid = (e.withColumn("sid", F.sum(brk).over(
+        w.rowsBetween(W.unboundedPreceding, 0))))
+    sess = (sid.groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("sess_start"),
+                 F.max("ts").alias("sess_last"),
+                 F.count("*").alias("n_events"),
+                 F.max("us").alias("last_us")))
+    last_sid = F.max("sid").over(W.partitionBy("user_id"))
+    cut = (load_table(spark, sf_dir, "events")
+           .agg((F.max(F.unix_micros("ts")) - wm_us).alias("cut_us")))
+    return (sess.withColumn("last_sid", last_sid)
+            .crossJoin(F.broadcast(cut))
+            .where((F.col("sid") < F.col("last_sid"))
+                   | (F.col("last_us") + gap_us < F.col("cut_us")))
+            .select("user_id", "sess_start", "sess_last", "n_events",
+                    F.when(F.col("sid") < F.col("last_sid"), "gap")
+                    .otherwise("timeout").alias("closed_by")))
+
+
 def run_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the time-ordered 4-slice staging (windows.py:
     _slice_events_for_replay) through the event-time-timeout
@@ -343,7 +400,11 @@ def run_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     method as the outer-join contracts): every session closed by a
     LATER event of the same user ('gap'), plus open sessions whose
     last_ts + gap fell below the final processed watermark ('timeout');
-    younger open sessions stay in (discarded) state."""
+    younger open sessions stay in (discarded) state.
+
+    This is the real streaming execution (kept as the equivalence
+    witness for :func:`sessionize_events_batch`, which the
+    `stream_stateful_timeout` query key now serves — r12, guide §4)."""
     from .windows import _slice_events_for_replay, run_scoped
 
     staged = _slice_events_for_replay(spark, sf_dir)

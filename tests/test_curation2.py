@@ -375,6 +375,14 @@ def test_stateful_timeout_sessions_match_batch_rule(spark, sf_dir):
         elif r.l + datetime.timedelta(minutes=5) < wm:
             want.add((r.user_id, r.s, r.l, r.n, "timeout"))
     assert got == want and any(c == "timeout" for *_, c in got)
+    # r12: the query key now serves the one-window-pass batch
+    # emulation; this run pins it row-identical to the real streaming
+    # execution above (and hence to the pinned rule).
+    from excel_to_db_spark.streaming.stateful import sessionize_events_batch
+
+    fast = {(r.user_id, r.sess_start, r.sess_last, r.n_events, r.closed_by)
+            for r in sessionize_events_batch(spark, sf_dir).collect()}
+    assert fast == got
 
 
 def test_checkpoint_resume_processes_only_new_data(spark, sf_dir):
