@@ -58,6 +58,18 @@ def bounded_broadcast(df: DataFrame, sf_dir: str, tables: tuple[str, ...],
     bound can't be established (non-file source, missing table) — the
     frame is returned unhinted and the join degrades to sort-merge,
     the scale-correct default."""
+    total = footer_rows(sf_dir, tables)
+    if total is None or total > limit_rows:
+        return df
+    return F.broadcast(df)
+
+
+def footer_rows(sf_dir: str, tables: tuple[str, ...]) -> int | None:
+    """Sum of the named tables' parquet-footer row counts — the no-job
+    dimension-size probe behind bounded_broadcast and the r12 fuzzy
+    verify gate. None when any footer can't be read (non-file source,
+    missing table): callers must treat that as 'bound unknown' and take
+    their scale-safe branch."""
     import os
 
     try:
@@ -73,10 +85,8 @@ def bounded_broadcast(df: DataFrame, sf_dir: str, tables: tuple[str, ...],
             else:
                 total += pq.read_metadata(path).num_rows
     except Exception:
-        return df
-    if total > limit_rows:
-        return df
-    return F.broadcast(df)
+        return None
+    return total
 
 
 def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:

@@ -69,9 +69,15 @@ def test_fuzzy_match_blocks_before_metric(spark, registry):
     plan = _plan(registry["str_fuzzy_match"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan  # theta join by design
     cond = plan.split("BroadcastNestedLoopJoin")[1].split("\n")[0]
-    assert "levenshtein" in cond and "bit_count" in cond
-    assert cond.index("bit_count") < cond.index("levenshtein"), \
-        "short-circuit order: signature rejector must precede levenshtein"
+    assert "bit_count" in cond, "signature cascade must stay in the join"
+    # r12: the DP verify is the batched Arrow kernel — levenshtein must
+    # be OUT of the join condition (it was the measured ~45s floor) and
+    # a MapInArrow node must sit above the candidate join, below the
+    # rid->name join-backs.
+    assert "levenshtein" not in cond, \
+        "banded DP moved to the Arrow kernel; JVM lev in the cascade " \
+        "is the pre-r12 shape"
+    assert "MapInArrow" in plan
 
 
 def test_agg_mode_broadcasts_max_counts(spark, registry):
@@ -116,3 +122,54 @@ def test_fuzzy_match_cascade_off_identical_pairs(spark, registry):
                              F.col("b.v").alias("name_b"),
                              lev3.alias("dist"))).collect()}
     assert fast == ref and fast
+
+
+def test_fuzzy_arrow_kernel_matches_jvm_levenshtein(spark):
+    """r12 kernel harness: the batched NumPy banded DP must reproduce
+    Spark's levenshtein(a, b, 3) EXACTLY — kept pairs identical, kept
+    distances identical — on an adversarial vocabulary: empty/short
+    strings, boundary pairs (true distance 3 vs 4), repeated chars,
+    transposition shapes (which cost 2 under plain edit distance),
+    non-ASCII code points incl. astral, and every length diff 0..4."""
+    import itertools
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from excel_to_db_spark.queries.relational3 import (
+        _fuzzy_encode, _fuzzy_verify_kernel)
+
+    vocab = sorted({
+        "", "a", "ab", "abc", "abcd", "abcde", "aaaaa", "aaaab",
+        "banana", "bananas", "bnanaa", "nanaba", "abcdef", "abcfed",
+        "abcdefg", "xbcdefg", "xycdefg", "xyzdefg", "xyzwefg",
+        "almond antique", "almond antiqeu", "almond antiqu",
+        "almond antiquex", "dlmond antique", "almnd antique",
+        "café", "cafe", "cafés", "naïve", "naive",
+        "\U0001F600ab", "ab\U0001F600", "\U0001F600\U0001F601ab",
+        "sz12", "sz1", "sz123", "s z 1 2", "sz 12",
+    })
+    pairs = [(i + 1, j + 1) for i, j in
+             itertools.combinations(range(len(vocab)), 2)]
+
+    class _BC:
+        value = _fuzzy_encode(vocab)
+
+    kern = _fuzzy_verify_kernel(_BC())
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([p[0] for p in pairs], type=pa.int32()),
+         pa.array([p[1] for p in pairs], type=pa.int32())],
+        names=["ra", "rb"])
+    got = {}
+    for out in kern(iter([batch])):
+        for ra, rb, d in zip(out.column(0).to_pylist(),
+                             out.column(1).to_pylist(),
+                             out.column(2).to_pylist()):
+            got[(ra, rb)] = d
+
+    ref_df = spark.createDataFrame(
+        [(ra, rb, vocab[ra - 1], vocab[rb - 1]) for ra, rb in pairs],
+        "ra int, rb int, va string, vb string")
+    want = {(r.ra, r.rb): r.d for r in
+            ref_df.select("ra", "rb",
+                          F.levenshtein("va", "vb", 3).alias("d"))
+            .where(F.col("d") >= 0).collect()}
+    assert got == want and any(d == 3 for d in want.values())
