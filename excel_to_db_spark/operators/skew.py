@@ -44,6 +44,14 @@ def bounded_broadcast(df: DataFrame, sf_dir: str, tables: tuple[str, ...],
                       limit_rows: int = 8_000_000) -> DataFrame:
     """Broadcast hint GATED on the frame's proven row bound (r11).
 
+    CALLER CONTRACT (ADVICE r11): nothing here validates that `tables`
+    actually bounds `df` — the caller must be able to PROVE
+    rows(df) <= sum(footer rows of tables) and must state that
+    derivation in a comment at the call site (a frame bounded by k
+    copies of a dimension names the table k times, e.g.
+    ("part", "part")). A wrong tuple silently re-enables an ungated
+    broadcast at scale.
+
     The iterative keys' per-round small frames (surviving nodes,
     label/score vectors, linkage record sides) are checkpointed RDDs
     with unknown stats, so AQE sort-merges the full edge list every

@@ -296,22 +296,26 @@ def graph_jaccard_neighbors(spark, sf_dir):
     lower bound — the standard recall/cost trade of every blocked
     similarity join in this repo.
 
-    Scale shape: distinct edge projection, one groupBy(p) whose shuffle
-    partitioning is REUSED by the equi-self-join on p (co-partitioned
-    wedge generation), a (s1,s2) wedge-count aggregate, and two
-    broadcast joins against the tiny degree table."""
-    li = T(spark, sf_dir, "lineitem")
-    sp = (li.select(F.col("l_suppkey").alias("s"),
-                    F.col("l_partkey").alias("p")).distinct())
-    pc = sp.groupBy("p").agg(F.count("*").alias("c"))
-    spc = (sp.join(pc.filter(F.col("c") <= 64).select("p"), "p")
-           .select("s", "p"))
+    Scale shape (r12, guide §2.4): the distinct edge projection is
+    computed ONCE (checkpointed leaf — the r11 plan re-scanned
+    lineitem and re-ran the distinct SIX times: wedge sides, their
+    part-count prefilters, both degree joins); the 2..64 cap
+    prefilters map-side (bounded_broadcast on the part dimension), and
+    the wedge self-join sort-merges the two identical capped subtrees
+    (a checkpointed leaf has no stats, so the data-sized broadcast the
+    r11 planner picked for the build side is correctly off the table).
+    The c >= 2 bound added to the cap filter is semantics-free: a
+    single-supplier part emits no wedge. One (s1,s2) wedge-count
+    aggregate, two broadcast joins against the tiny degree table."""
+    from ..queries.graphlp import _bipartite, _capped_edges
+
+    sp, pc, deg = _bipartite(spark, sf_dir)
+    spc = _capped_edges(sp, pc, sf_dir).select("s", "p")
     a, b = spc.alias("a"), spc.alias("b")
     wedge = (a.join(b, (F.col("a.p") == F.col("b.p"))
                     & (F.col("a.s") < F.col("b.s")))
              .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
              .agg(F.count("*").alias("co")))
-    deg = sp.groupBy("s").agg(F.count("*").alias("d"))
     res = (wedge
            .join(F.broadcast(deg.select(F.col("s").alias("s1"),
                                         F.col("d").alias("deg1"))), "s1")

@@ -364,16 +364,13 @@ def graph_bfs_levels(spark, sf_dir):
     by revenue (deterministic: revenue summed in integer cents so the
     ranking can't flip across engines; ties broken by dst ASC).
 
-    The Spark side is real frontier BFS — the algorithm that survives a
-    100 TB graph: per hop, the frontier (node set, not the fact table)
-    joins the edge list, subtracts the visited set with a left-anti
-    join, and the loop stops when the frontier drains. The fact-table
-    aggregation runs ONCE (edges is persisted); each hop shuffles
-    node-sized relations only, and the driver sees a single scalar
-    (frontier count) per hop — same budget as kmeans_lloyd. Both sides
-    pin max depth 12, so "unreached within 12 hops" is excluded
-    identically (the DuckDB oracle walks a depth-bounded recursive CTE
-    whose UNION-dedup keeps it polynomial)."""
+    The fact-table aggregation runs ONCE; the resulting digraph is
+    MODEL-sized by construction (25 nations x top-2 outbound edges), so
+    the BFS itself runs over the collected edge list in driver Python —
+    see the r11 note below for the bound that justifies the collect.
+    Both sides pin max depth 12, so "unreached within 12 hops" is
+    excluded identically (the DuckDB oracle walks a depth-bounded
+    recursive CTE whose UNION-dedup keeps it polynomial)."""
     le = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -415,8 +412,10 @@ def graph_bfs_levels(spark, sf_dir):
     adj: dict[int, list[int]] = {}
     for src, dst in erows:
         adj.setdefault(src, []).append(dst)
-    level = {0: 0}
-    frontier = [0]
+    # seed FROM the collected filter result (ADVICE r11: a hardcoded
+    # {0: 0} would silently diverge if the seed filter ever changed)
+    level = {int(s): 0 for s in seeds}
+    frontier = sorted(level)
     for depth in range(1, 13):
         nxt = sorted({d for n in frontier for d in adj.get(n, ())
                       if d not in level})
@@ -547,15 +546,12 @@ def graph_components(spark, sf_dir):
     rather than one giant blob.
 
     Scale shape: the fact-table aggregation to the DISTINCT edge list
-    runs ONCE and is persisted; every propagation round shuffles
-    node-sized relations only (join labels to edges, min-aggregate per
-    dst), and the driver sees a single scalar (changed-label count) per
-    round. Hash-min converges in O(diameter) rounds; the production
-    large-star/small-star variant (same per-round plan, alternating
-    edge rewrites) drops that to O(log n) rounds for high-diameter
-    graphs — same join/agg budget per round. The DuckDB oracle computes
-    full reachability with a recursive CTE and takes min per root: both
-    sides yield the canonical min-id labeling."""
+    runs ONCE; the edge list is NATION-bounded (a model, not data), so
+    the hash-min fixpoint runs over the collected edges in driver
+    Python — the r11 note below states the bound that justifies the
+    collect. The DuckDB oracle computes full reachability with a
+    recursive CTE and takes min per root: both sides yield the
+    canonical min-id labeling."""
     le = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")

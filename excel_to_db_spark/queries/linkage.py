@@ -481,17 +481,19 @@ def linkage_transitive_merge(spark, sf_dir):
           .localCheckpoint(eager=False))
     lbl = bi.select("u").distinct().select("u", F.col("u").alias("lbl"))
     # r11: the label frame is bounded by the MATCHED-id set (sparse by
-    # construction, <= 2x the part dimension) but checkpointed each
-    # round, so unknown stats made every round sort-merge both sides;
-    # broadcasting the labels makes each round one map pass over the
-    # checkpointed edge list plus the min-label groupBy shuffle
-    # (guide §3); size-gated on the part dimension.
+    # construction, <= 2x the part dimension: clean node ids 2i plus
+    # dirty node ids 2i+1) but checkpointed each round, so unknown
+    # stats made every round sort-merge both sides; broadcasting the
+    # labels makes each round one map pass over the checkpointed edge
+    # list plus the min-label groupBy shuffle (guide §3). ADVICE r11:
+    # the gate names the part table TWICE so limit_rows matches the
+    # documented 2x bound.
     from ..operators.skew import bounded_broadcast
 
     for _ in range(3):
         nbr = (bi.join(bounded_broadcast(
                            lbl.select(F.col("u").alias("v2"), "lbl"),
-                           sf_dir, ("part",)),
+                           sf_dir, ("part", "part")),
                        bi["v"] == F.col("v2"))
                .select("u", "lbl"))
         lbl = (lbl.select("u", "lbl").unionByName(nbr)
