@@ -516,48 +516,58 @@ def graph_kcore(spark, sf_dir):
                   F.col("y.l_partkey").alias("b"))
           .distinct().localCheckpoint(eager=False))
 
-    def deg(e):
-        return (e.select(F.col("a").alias("node"))
-                .unionAll(e.select(F.col("b").alias("node")))
-                .groupBy("node").agg(F.count("*").alias("d")))
-
-    d0 = deg(e0)
+    bi = e0.unionAll(e0.select(F.col("b").alias("a"),
+                               F.col("a").alias("b")))
+    d0 = bi.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("d"))
     scal = (d0.agg(F.count("*").alias("v0"))
             .crossJoin(e0.agg(F.count("*").alias("en0")))
-            .withColumn("k", F.expr("(2 * en0 + v0 - 1) DIV v0")))
+            .withColumn("k", F.expr("(2 * en0 + v0 - 1) DIV v0"))
+            # 1-row leaf: every round embeds k twice; uncut, each embed
+            # re-aggregates the 2x-edge-sized degree frame
+            .localCheckpoint(eager=False))
 
     stats = [scal.select(F.lit(0).alias("peel_round"),
                          F.col("v0").alias("n_nodes"),
                          F.col("en0").alias("n_edges"), "k")]
-    cur, dcur = e0, d0
+    # r12 DELTA PEELING (guide §2.4, VERDICT r11 #4): the r11 rounds
+    # re-materialized the surviving EDGE set (two broadcast semi joins
+    # + an edge-sized localCheckpoint write) and re-counted degrees
+    # from it every round. Peeling only ever needs the DEGREE vector:
+    # d_r(v) = d_{r-1}(v) - #neighbors removed this round, so each
+    # round is one map pass over the immutable checkpointed edge list
+    # against the (small, shrinking) broadcast removed set + node-sized
+    # aggregates; the edge set is written ONCE. n_edges falls out of
+    # the handshake identity sum(d_r)/2. Exactness: d_0 is the subgraph
+    # degree; removing R_r subtracts exactly the alive-neighbor count
+    # (x in R_r was alive, v in keep_r is alive, e0 is distinct), and
+    # zero-degree survivors self-evict next round because k >= 1
+    # whenever any edge exists.
+    cur = d0.localCheckpoint(eager=False)       # (node, d) — alive set
     for r in range(1, _KCORE_ROUNDS + 1):
-        keep = (dcur.crossJoin(F.broadcast(scal.select("k")))
-                .filter(F.col("d") >= F.col("k"))
-                .select("node").localCheckpoint(eager=False))
-        # r11: `keep` is NODE-sized (bounded by the part dimension) but
-        # as a checkpointed RDD its stats are unknown, so the two semi
-        # joins sort-merged — shuffling + sorting the edge list twice
-        # per round. Broadcasting the survivor set turns each round
-        # into two BroadcastHashJoin(LeftSemi) map passes over the
-        # checkpointed edges: zero edge shuffles per round (guide §3).
-        # bounded_broadcast gates on the part dimension's footer row
-        # count, so a data-sized part table falls back to sort-merge
-        # instead of blowing the broadcast cap.
-        nxt = (cur
-               .join(bounded_broadcast(
-                   keep.withColumnRenamed("node", "a"), sf_dir, ("part",)),
-                     "a", "left_semi")
-               .join(bounded_broadcast(
-                   keep.withColumnRenamed("node", "b"), sf_dir, ("part",)),
-                     "b", "left_semi")
-               .select("a", "b").localCheckpoint(eager=False))
+        withk = cur.crossJoin(F.broadcast(scal.select("k")))
+        keep = withk.filter(F.col("d") >= F.col("k")).select("node", "d")
+        removed = (withk.filter(F.col("d") < F.col("k"))
+                   .select(F.col("node").alias("x")))
+        # removed is alive-node-sized, bounded by the part dimension
+        dec = (bi.join(bounded_broadcast(removed, sf_dir, ("part",)),
+                       F.col("a") == F.col("x"))
+               .groupBy(F.col("b").alias("node"))
+               .agg(F.count("*").alias("dec")))
+        nxt = (keep.join(bounded_broadcast(dec, sf_dir, ("part",)),
+                         "node", "left")
+               .select("node",
+                       (F.col("d") - F.coalesce(F.col("dec"), F.lit(0)))
+                       .alias("d"))
+               .localCheckpoint(eager=False))
         stats.append(
             keep.agg(F.count("*").alias("n_nodes"))
-            .crossJoin(nxt.agg(F.count("*").alias("n_edges")))
+            .crossJoin(nxt.agg(
+                F.expr("CAST(coalesce(sum(d) DIV 2, 0) AS BIGINT)")
+                .alias("n_edges")))
             .crossJoin(F.broadcast(scal.select("k")))
             .select(F.lit(r).alias("peel_round"), "n_nodes", "n_edges",
                     "k"))
-        cur, dcur = nxt, deg(nxt)
+        cur = nxt
 
     out = stats[0]
     for s_df in stats[1:]:

@@ -215,7 +215,11 @@ def graph_bipartite_projection(spark, sf_dir):
     guard drops hub customers above a DF cap exactly like the sparse
     text index (`text_sparse_cosine`); the shape is one equi-join +
     grouped count + TakeOrdered, no cross product."""
-    edges = _edges(spark, sf_dir)
+    # r12 (guide §2.4): the edge list (a 60M-row fact join + distinct at
+    # jittered sf1) fed BOTH self-join sides and was computed twice;
+    # one lazy checkpoint halves that, and the self-join sort-merges
+    # two identical checkpoint scans (exchange reuse).
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     e2 = edges.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
     proj = (edges.join(e2, (edges["u"] == F.col("u2"))
                        & (edges["v"] < F.col("v2")))
