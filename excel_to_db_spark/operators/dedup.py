@@ -375,6 +375,63 @@ def minhash_signatures_arrow(df: DataFrame, n_hashes: int = 128,
             .mapInPandas(kernel, "did bigint, sig array<bigint>"))
 
 
+def minhash_banded_arrow(df: DataFrame, n_hashes: int, bands: int,
+                         rows: int, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         py_keyset=py_shingles) -> DataFrame:
+    """(did, band, bucket) banded MinHash rows straight from the Arrow
+    kernel (r12, guide §4.2): the former pipeline shipped the full
+    128-long signature array per doc across the Arrow boundary and then
+    rebuilt band buckets with a nested interpreted HOF
+    (transform/slice/array_join/xxhash64 per band per doc). The bucket
+    is just SOME deterministic function of the band's signature slice —
+    equal slices must collide, unequal slices may too, and downstream
+    exact-Jaccard verification erases the difference — so the kernel
+    folds each slice with a polynomial hash in NumPy and emits 4x fewer
+    bytes with zero post-kernel HOF work."""
+    import numpy as np
+    import pandas as pd
+    import zlib
+
+    A = np.array([uh_a(i) for i in range(n_hashes)], dtype=np.uint64)[:, None]
+    C = np.array([uh_c(i) for i in range(n_hashes)], dtype=np.uint64)[:, None]
+    M = np.uint64((1 << 32) - 1)
+    K = np.uint64(1_000_003)
+
+    def kernel(batches):
+        for pdf in batches:
+            dids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or (isinstance(text, float)):
+                    continue
+                keys = py_keyset(text)
+                if not keys:
+                    continue
+                hb = np.fromiter((zlib.crc32(s.encode()) for s in keys),
+                                 dtype=np.uint64, count=len(keys))[None, :]
+                dids.append(did)
+                sigs.append(((A * hb + C) & M).min(axis=1))
+            if not dids:
+                yield pd.DataFrame({"did": pd.array([], dtype="Int64"),
+                                    "band": pd.array([], dtype="Int32"),
+                                    "bucket": pd.array([], dtype="Int64")})
+                continue
+            S = np.stack(sigs).reshape(len(dids), bands, rows)
+            bucket = S[:, :, 0].copy()
+            for r in range(1, rows):
+                bucket *= K
+                bucket += S[:, :, r]
+            bucket = (bucket & np.uint64((1 << 63) - 1)).astype("int64")
+            yield pd.DataFrame(
+                {"did": np.repeat(np.asarray(dids, dtype="int64"), bands),
+                 "band": np.tile(np.arange(bands, dtype="int32"),
+                                 len(dids)),
+                 "bucket": bucket.reshape(-1)})
+
+    return (fan_out(df.select(id_col, text_col))
+            .mapInPandas(kernel, "did bigint, band int, bucket bigint"))
+
+
 def lsh_pairs_grouped(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
     """LSH banding WITHOUT a self-join: explode band buckets (HOF
     transform — constant-size plan), group by (band, bucket), and emit
@@ -422,8 +479,19 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float, n_hashes: int = 64,
     rows = n_hashes // bands
     py = {shingles: py_shingles, norm_tokens: py_norm_tokens}.get(keyset)
     if engine == "arrow" and py is not None:
-        sigs = minhash_signatures_arrow(df, n_hashes, text_col, id_col, py)
-        cands = lsh_pairs_grouped(sigs, bands, rows)
+        # r12: band buckets come straight out of the kernel — see
+        # minhash_banded_arrow (4x fewer Arrow bytes, no post-kernel
+        # banding HOF). The grouped pair emission is unchanged.
+        banded = minhash_banded_arrow(df, n_hashes, bands, rows,
+                                      text_col, id_col, py)
+        grp = (banded.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list("did")).alias("dids"))
+               .filter(F.size("dids") >= 2))
+        cands = (grp.select(F.explode(F.expr(
+            "flatten(transform(sequence(0, size(dids)-2), i -> "
+            "transform(slice(dids, i+2, size(dids)-i-1), y -> "
+            "struct(dids[i] AS d1, y AS d2))))")).alias("p"))
+            .select("p.d1", "p.d2").distinct())
     else:
         sigs = minhash_signatures(df, n_hashes, text_col, id_col, keyset)
         cands = minhash_lsh_candidates(sigs, bands, rows)
@@ -431,6 +499,10 @@ def minhash_dedup_pairs(df: DataFrame, threshold: float, n_hashes: int = 64,
     # projection, and without the widening exchange the keyset HOF for
     # every doc runs at the local scan's 1-2 split width inside the
     # broadcast job (measured ~10s of dedup_minhash's 17s at sf1j).
+    # (r12 note: a localCheckpoint here to fold the two broadcast
+    # builds into one keyset pass measured SLOWER at jittered sf1 —
+    # the token arrays are ~500 MB on disk, and writing them costs
+    # more than the second in-memory HOF pass. Kept recomputed.)
     docs = fan_out(df).select(F.col(id_col).alias("did"),
                               keyset(F.col(text_col)).alias("toks"))
     d1 = docs.select(F.col("did").alias("d1"), F.col("toks").alias("t1"))
